@@ -1,0 +1,97 @@
+"""Golden-fixture tests: single-threaded extractor vs generator expectations.
+
+Tier-2 of the test plan (SURVEY.md §5): deterministic synthetic interleaved
+span documents with hand-derived expected 18-field records and expected output
+span sequences; the per-row invariant is span-sequence equality
+(kind, text, media_ref, order) per BASELINE.json input_hint.
+"""
+
+import pytest
+
+from insurance_pdf_extractor_ray.sources import synth
+from insurance_pdf_extractor_ray.stages.extract import FieldExtractor
+from insurance_pdf_extractor_ray.stages.validate import validate_record
+
+
+def _merged_spans(spec):
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for chunk in spec.row_chunks
+        for (k, t, m, o) in chunk
+    ]
+    spans.sort(key=lambda s: s["offset"])
+    return spans
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    return FieldExtractor()
+
+
+@pytest.mark.parametrize("family_offset", range(12))
+def test_family_golden(extractor, family_offset):
+    """50 docs per family: fields, status, warnings and span-sequence equality."""
+    for i in range(family_offset, 600, 12):
+        spec = synth.build_doc(i)
+        r = extractor.extract_doc(_merged_spans(spec))
+        assert r["status"] == spec.expected_status, (i, spec.family)
+        assert r["warnings"] == spec.expected_warnings, (i, spec.family)
+        for f, want in spec.expected_fields.items():
+            assert r["fields"][f] == want, (i, spec.family, f)
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans_out"]]
+        assert got == spec.expected_spans, (i, spec.family)
+
+
+def test_validation_failed_record_shape():
+    # missing_required family (index 7 mod 12): reference-intended partial record
+    spec = synth.build_doc(7)
+    assert spec.family == "missing_required"
+    r = FieldExtractor().extract_doc(_merged_spans(spec))
+    assert r["fields"]["quote_number"] == "VALIDATION_FAILED"
+    assert r["fields"]["named_insured_name"] == "VALIDATION_FAILED"
+    assert r["fields"]["policy_effective_date"] == "EMPTY VALUE"
+    assert r["status"] == "partial_success"
+    assert r["validation_errors"] and "quote_number" in r["validation_errors"][0]
+    assert r["failed_fields"] == ["quote_number"]
+
+
+def test_confidence_scores_semantics():
+    # pdf_processor.py:403-445 heuristic on a real extraction
+    spec = synth.build_doc(0)
+    r = FieldExtractor().extract_doc(_merged_spans(spec))
+    conf = {c["key"]: c["value"] for c in r["confidence"]}
+    # EMPTY fields -> 0.0
+    assert conf["additional_named_insured_name"] == 0.0
+    # quote number: base .5 + len>5 .2 + in-text .2 + field bonus .1 = 1.0
+    # (float-sum order matches the reference, so 0.5+0.2+0.2+0.1 ~ 0.99999...)
+    assert conf["quote_number"] == pytest.approx(1.0)
+    # dates: .5 + .2(len>5) + .2(in text) + .1(slash) = 1.0
+    assert conf["policy_effective_date"] == pytest.approx(1.0)
+
+
+def test_validate_record_standalone():
+    raw = {f: "EMPTY VALUE" for f in synth.FIELD_ORDER}
+    raw.update(
+        quote_number="  Q-1 ",
+        policy_effective_date="2024-01-01",
+        policy_expiration_date="01/01/2025",
+        named_insured_name="A Co",
+        named_insured_address="1 St",
+        issuing_carrier="C",
+        tria="true",
+        commission="12",
+    )
+    fields, errors, warnings, status = validate_record(raw)
+    assert status == "success" and not errors
+    assert fields["quote_number"] == "Q-1"  # stripped (extraction.py:65)
+    assert fields["policy_effective_date"] == "01/01/2024"  # normalized
+    assert fields["tria"] == "Included"
+    assert fields["commission"] == "12.0%"
+
+
+def test_skew_tail_docs_have_100x_spans():
+    skew = [i for i in range(4000) if len(_merged_spans(synth.build_doc(i))) > 150]
+    assert skew, "expected a ~0.1% skew tail in the first 4000 docs"
+    for i in skew[:2]:
+        spec = synth.build_doc(i)
+        assert len(spec.row_chunks) >= 4  # skew docs are split across rows
