@@ -1,44 +1,435 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on a corpus derived from
+sf0.001.  ``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the large-scale dedup/similarity/text-analysis additions);
+``oracle_sql()`` gives the DuckDB-equivalent for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float columns in oracle-checked queries are rounded identically on both sides
+(the driver hashes values; unrounded float sums differ across reduction
+orders).
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs_rows(sf_dir: str) -> int:
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def _corpus_for(sf_dir: str) -> str:
+    """Deterministic synthetic span corpus sized to the sf documents table,
+    cached under /tmp (regenerated if absent)."""
+    from insurance_pdf_extractor_ray.sources.synth import write_corpus
+
+    n = _docs_rows(sf_dir)
+    out = f"/tmp/ipe_corpus/{n}"
+    docs = os.path.join(out, "documents")
+    if not glob.glob(os.path.join(docs, "*.parquet")):
+        write_corpus(n, out, goldens=False)
+    return docs
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, col, pc.round(tbl.column(col).cast(pa.float64()), ndigits=nd))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on a corpus derived from sf0.001; returns a Dataset."""
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+
+    return flatten_fields(extract_pipeline(_corpus_for(SF_DEFAULT)))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_fields(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+
+    return flatten_fields(extract_pipeline(_corpus_for(sf_dir)))
+
+
+def _q_extract_spans(sf_dir: str):
+    """Span-sequence output (north-rule invariant surface) as flat rows."""
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+        for did, spans in zip(batch.column("doc_id").to_pylist(),
+                              batch.column("spans_out").to_pylist()):
+            for s in spans:
+                out["doc_id"].append(did)
+                out["kind"].append(s["kind"])
+                out["text"].append(s["text"])
+                out["media_ref"].append(s["media_ref"])
+                out["offset"].append(s["offset"])
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.string()),
+                         "kind": pa.array(out["kind"], pa.string()),
+                         "text": pa.array(out["text"], pa.string()),
+                         "media_ref": pa.array(out["media_ref"], pa.string()),
+                         "offset": pa.array(out["offset"], pa.int32())})
+
+    return extract_pipeline(_corpus_for(sf_dir)).map_batches(explode, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    """Exact dedup over documents ∪ relabeled copy; returns kept doc_ids."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import exact_dedup
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    shifted = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.add(t.column("doc_id"), 1000000),
+                            "text": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    kept = exact_dedup(ds.union(shifted), "text", "doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+def _q_global_stats(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import global_stats
+
+    t = global_stats(_events(sf_dir, ["value"]), "value")
+    t = _round_col(t, "total", 2)
+    t = _round_col(t, "avg", 4)
+    return t
+
+
+def _q_stats_by_type(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import stats_by
+
+    ds = stats_by(_events(sf_dir, ["event_type", "value"]), "event_type", "value",
+                  sort_by=None)
+    tbl = pa.concat_tables([pa.Table.from_pylist(ds.take_all())])
+    tbl = _round_col(tbl, "total", 2)
+    return tbl.drop_columns(["avg"])
+
+
+def _q_daily_trends(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import daily_trends
+
+    rows = daily_trends(_events(sf_dir, ["ts", "value"]), "ts", "value").take_all()
+    tbl = pa.Table.from_pylist(rows)
+    return _round_col(tbl, "total", 2)
+
+
+def _q_top10_by_value(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import top_k
+
+    return top_k(_events(sf_dir), "value", k=10, tiebreak="event_id",
+                 columns=["event_id", "event_type", "value"])
+
+
+def _q_breakdown(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import breakdown_with_pct
+
+    return breakdown_with_pct(_events(sf_dir, ["event_type"]), "event_type")
+
+
+def _q_recent_n(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(100) \
+             .select_columns(["event_id", "event_type", "value"])
+
+
+def _q_search_filter(sf_dir: str):
+    # F8 (storage.py:402-426): composed predicates incl. LIKE
+    ds = _documents(sf_dir)
+
+    def pred(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(batch.column("source"), "src3"),
+                    pc.greater_equal(batch.column("n_chars"), 200)),
+            pc.match_substring(batch.column("text"), "data"),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def _q_orders_join(sf_dir: str):
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.joins import broadcast_join
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                     columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, on="o_custkey", right_on="c_custkey",
+                            add_cols=["c_name", "c_mktsegment"])
+    return joined.select_columns(["o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"])
+
+
+def _q_anti_join(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.joins import broadcast_anti_join
+
+    ds = _documents(sf_dir, ["doc_id", "source", "n_chars"])
+    return broadcast_anti_join(ds, "source", {"src0", "src1", "src2"})
+
+
+def _q_token_explode(sf_dir: str):
+    # J2-style flat_map explosion: doc -> (doc_id, token) rows
+    import re
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    tok = re.compile(r"\S+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_tok = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for t in tok.findall(text or ""):
+                out_id.append(did)
+                out_tok.append(t)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "token": pa.array(out_tok, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_doc_token_stats(sf_dir: str):
+    # text-analysis subset that SQL can replicate exactly
+    from insurance_pdf_extractor_ray.pipelines.textpipe import analyze_text
+
+    ds = analyze_text(_documents(sf_dir, ["doc_id", "text"]), fingerprint=False,
+                      concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_ws": batch.column("n_tokens_ws"),
+            "n_chars_calc": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_brute_force
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))[:3]
+    q_ids = [head.column("vec_id").take(order).to_pylist()[i] for i in range(3)]
+    queries = np.asarray(head.column("embedding").take(order).to_pylist(), dtype=np.float64)
+
+    ds = ray.data.read_parquet(path)
+    out = knn_brute_force(ds, queries, k=5, batch_size=4096)
+    # remap positional query_id -> actual vec_id; round score for oracle hash
+    qmap = {i: q_ids[i] for i in range(3)}
+    return pa.table({
+        "query_id": pa.array([qmap[q] for q in out.column("query_id").to_pylist()], pa.int64()),
+        "vec_id": out.column("vec_id"),
+        "score": pc.round(out.column("score"), ndigits=6),
+    })
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return minhash_dup_ids(ds, "text", "doc_id", threshold=0.8).select_columns(["doc_id"])
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.dedup import simhash_dup_ids
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return simhash_dup_ids(ds, "text", "doc_id", max_hamming=2).select_columns(["doc_id"])
+
+
+def _q_text_analysis(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.textpipe import analyze_text
+
+    ds = analyze_text(_documents(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpe",
+                              "quality", "fingerprint"])
+
+
+def _q_field_success_rates(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import success_rates
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+    from insurance_pdf_extractor_ray.pipelines.fields_table import (
+        explode_fields,
+        field_success_flags,
+    )
+
+    extracted = extract_pipeline(_corpus_for(sf_dir))
+    long = field_success_flags(explode_fields(extracted))
+    return success_rates(long, "field_name", "success_flag")
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        decode_media,
+        fake_assets_for_docs,
+        media_refs_from_docs,
+    )
+
+    docs = ray.data.read_parquet(_corpus_for(sf_dir))
+    refs = media_refs_from_docs(docs).take_all()
+    assets = fake_assets_for_docs([(r["doc_id"], r["media_ref"]) for r in refs])
+    return decode_media(ray.data.from_arrow(assets))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_fields": _q_extract_fields,
+        "extract_spans": _q_extract_spans,
+        "exact_dedup": _q_exact_dedup,
+        "global_stats": _q_global_stats,
+        "stats_by_type": _q_stats_by_type,
+        "daily_trends": _q_daily_trends,
+        "top10_by_value": _q_top10_by_value,
+        "event_breakdown": _q_breakdown,
+        "recent_n": _q_recent_n,
+        "search_filter": _q_search_filter,
+        "orders_customer_join": _q_orders_join,
+        "anti_join_docs": _q_anti_join,
+        "token_explode": _q_token_explode,
+        "doc_token_stats": _q_doc_token_stats,
+        "knn_embeddings": _q_knn,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "text_analysis": _q_text_analysis,
+        "field_success_rates": _q_field_success_rates,
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id FROM unioned GROUP BY text
+        """,
+        "global_stats": """
+            SELECT count(value) AS n,
+                   round(sum(value), 2) AS total,
+                   round(avg(value), 4) AS avg,
+                   min(value) AS min,
+                   max(value) AS max
+            FROM events
+        """,
+        "stats_by_type": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY event_type
+        """,
+        "daily_trends": """
+            SELECT strftime(ts, '%Y-%m-%d') AS date,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY 1
+        """,
+        "top10_by_value": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "event_breakdown": """
+            SELECT event_type, count(*) AS n,
+                   round(100.0 * count(*) / (SELECT count(*) FROM events), 2) AS pct
+            FROM events GROUP BY event_type
+        """,
+        "recent_n": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY ts DESC, event_id LIMIT 100
+        """,
+        "search_filter": """
+            SELECT * FROM documents
+            WHERE source = 'src3' AND n_chars >= 200 AND text LIKE '%data%'
+        """,
+        "orders_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "anti_join_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source NOT IN ('src0', 'src1', 'src2')
+        """,
+        "token_explode": """
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+            FROM documents
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+        "knn_embeddings": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding
+              FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(sim, 6) AS score
+            FROM ranked WHERE rk <= 5
+        """,
+    }

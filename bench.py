@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling`` runs the headline extraction pipeline twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both throughputs
+plus the scaling efficiency (rate32/rate8)/4 — the sandbox evidence for the
+north rule's two-cluster-size criterion (no real cluster available here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_corpus(sf_dir: str) -> tuple[str, int]:
+    """Synth corpus sized to the sf documents table, cached under /tmp."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from insurance_pdf_extractor_ray.sources.synth import write_corpus
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    out = f"/tmp/ipe_corpus/{n}"
+    docs = os.path.join(out, "documents")
+    if not glob.glob(os.path.join(docs, "*.parquet")):
+        write_corpus(n, out, goldens=False)
+    return docs, n
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines import analytics
+    from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_brute_force
+    from insurance_pdf_extractor_ray.pipelines.textpipe import analyze_text
+
+    corpus, n_docs = ensure_corpus(sf_dir)
+    queries: dict = {}
+
+    # headline: flagship extraction (reassembly shuffle + actor pool)
+    t0 = time.time()
+    n_out = extract_pipeline(corpus, concurrency=(1, num_cpus)).count()
+    extract_sec = time.time() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+    queries["extract"] = round(extract_sec, 3)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    t0 = time.time()
+    analyze_text(ray.data.read_parquet(docs_path),
+                 concurrency=(1, num_cpus)).count()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_dup_ids(ray.data.read_parquet(docs_path), "text", "doc_id",
+                    threshold=0.8, concurrency=(1, num_cpus)).count()
+    queries["minhash_dedup"] = round(time.time() - t0, 3)
+
+    events = os.path.join(sf_dir, "events.parquet")
+    t0 = time.time()
+    analytics.global_stats(ray.data.read_parquet(events, columns=["value"]), "value")
+    analytics.stats_by(ray.data.read_parquet(events, columns=["event_type", "value"]),
+                       "event_type", "value").take_all()
+    analytics.daily_trends(ray.data.read_parquet(events, columns=["ts", "value"]),
+                           "ts", "value").take_all()
+    analytics.top_k(ray.data.read_parquet(events), "value", k=10,
+                    tiebreak="event_id").take_all()
+    queries["analytics"] = round(time.time() - t0, 3)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path, columns=["embedding"]).column("embedding")
+    q = np.asarray(head[:8].to_pylist(), dtype=np.float64)
+    t0 = time.time()
+    knn_brute_force(ray.data.read_parquet(emb_path), q, k=10)
+    queries["knn"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes; efficiency=(r32/r8)/4."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", "--cpus", str(cpus)],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8 = results[8]["docs_per_sec"]
+    r32 = results[32]["docs_per_sec"]
+    return {
+        "metric": "scaling efficiency of flagship extraction, 8 vs 32 CPUs (fresh processes, same input)",
+        "value": round((r32 / r8) / 4.0, 3),
+        "unit": "efficiency",
+        "sf": _sf_label(sf_dir),
+        "docs_per_sec_8cpu": r8,
+        "docs_per_sec_32cpu": r32,
+        "extract_sec_8cpu": results[8]["value"],
+        "extract_sec_32cpu": results[32]["value"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+
+    import ray
+
+    out = run_bench(SF_DIR, args.cpus)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

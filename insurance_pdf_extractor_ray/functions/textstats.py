@@ -115,41 +115,43 @@ _FP_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def rolling_fingerprint(text: str, window: int = 64) -> int:
-    """Rolling-hash (Karp-Rabin-style) document fingerprint.
+    """Rolling-hash (Karp-Rabin/winnowing-style) document fingerprint.
 
-    XOR of polynomial window hashes sampled where hash % 16 == 0 ("winnowing"
-    flavor, public scheme) — stable across chunkings of the same text.
-    Returns an unsigned 64-bit int.
+    Sum (mod 2^64) of polynomial window hashes sampled where
+    ``hash % 16 == 0``, mixed with the byte length.  Sum (not XOR) so
+    repeated windows in periodic text don't cancel; the length term makes
+    small appends visible even when no new window is sampled.
+    Returns an unsigned 64-bit int (0 only for empty text).
     """
     if not text:
         return 0
     data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-    n = data.size
+    n = int(data.size)
     if n == 0:
         return 0
+    mask = (1 << 64) - 1
+    base = int(_FP_BASE)
     if n <= window:
-        h = np.uint64(0)
-        for b in data:
-            h = (h * _FP_BASE + b) & _FP_MASK
-        return int(h)
-    # vectorized rolling hash over all windows
-    with np.errstate(over="ignore"):
-        pows = np.empty(window, dtype=np.uint64)
-        pows[0] = np.uint64(1)
-        for i in range(1, window):
-            pows[i] = (pows[i - 1] * _FP_BASE) & _FP_MASK
-        # windowed dot product via cumulative trick is overflow-unsafe; use strided matmul chunks
-        hashes = np.zeros(n - window + 1, dtype=np.uint64)
-        for i in range(window):
-            hashes = (hashes * np.uint64(1)) + ((data[i : n - window + 1 + i] * pows[window - 1 - i]) & _FP_MASK)
-            hashes &= _FP_MASK
-    selected = hashes[hashes % np.uint64(16) == 0]
-    if selected.size == 0:
-        selected = hashes[:: max(1, hashes.size // 8)]
-    fp = np.uint64(0)
-    for h in selected:
-        fp ^= h
-    return int(fp)
+        h = 0
+        for b in data.tolist():
+            h = (h * base + b) & mask
+        sketch = h
+    else:
+        with np.errstate(over="ignore"):
+            pows = np.empty(window, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            for i in range(1, window):
+                pows[i] = (pows[i - 1] * _FP_BASE) & _FP_MASK
+            hashes = np.zeros(n - window + 1, dtype=np.uint64)
+            for i in range(window):
+                hashes += data[i : n - window + 1 + i] * pows[window - 1 - i]
+        selected = hashes[hashes % np.uint64(16) == 0]
+        if selected.size == 0:
+            selected = hashes[:: max(1, hashes.size // 8)]
+        with np.errstate(over="ignore"):
+            sketch = int(selected.sum(dtype=np.uint64))
+    fp = (sketch ^ (n * 0x9E3779B97F4A7C15)) & mask
+    return fp or 1
 
 
 def word_ngrams(text: str, n: int = 3) -> List[str]:

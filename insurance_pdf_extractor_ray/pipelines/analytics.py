@@ -1,0 +1,181 @@
+"""Analytics aggregations — the reference's SQL analytics as Ray Data pipelines.
+
+Behavioral spec: /root/reference/app/services/storage.py:435-584 (A1-A6 of
+SURVEY.md §2.6) and app/api/routes/analytics.py:23-378 (A7-A10).  Each SQL
+aggregate becomes ``groupby().aggregate()`` (Ray Data handles partial/final
+combining — the pre-aggregation answer to the all-to-all shuffle) followed by
+small driver-side projections where the reference decorates results.
+
+All helpers take/return ``ray.data.Dataset`` and never materialize the input;
+the *outputs* are aggregate-small by construction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def global_stats(ds: ray.data.Dataset, value_col: str) -> pa.Table:
+    """A1 (storage.py:442-458): COUNT / SUM / AVG / MIN / MAX of one column
+    over non-null rows.  Returns a 1-row Arrow table with stable column names.
+    """
+    res = ds.aggregate(
+        Count(on=value_col, ignore_nulls=True, alias_name="n"),
+        Sum(value_col, alias_name="total"),
+        Mean(value_col, alias_name="avg"),
+        Min(value_col, alias_name="min"),
+        Max(value_col, alias_name="max"),
+    )
+    return pa.table({k: [v] for k, v in res.items()})
+
+
+def stats_by(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    sort_by: Optional[str] = "total",
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """A2 (storage.py:461-479): GROUP BY key with count/sum/avg, ordered."""
+    out = ds.groupby(key).aggregate(
+        Count(alias_name="n"),
+        Sum(value_col, alias_name="total"),
+        Mean(value_col, alias_name="avg"),
+    )
+    if sort_by:
+        out = out.sort(sort_by, descending=descending)
+    return out
+
+
+def daily_trends(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+    cutoff_date: Optional[str] = None,
+) -> ray.data.Dataset:
+    """A3 (storage.py:482-497): GROUP BY DATE(ts) over a window; count + sum.
+
+    The 30-day window is a plain predicate (``cutoff_date`` ISO 'YYYY-MM-DD');
+    deterministic callers pass an explicit cutoff instead of now()-30d.
+    """
+
+    def add_date(batch: pa.Table) -> pa.Table:
+        date = pc.strftime(batch.column(ts_col), format="%Y-%m-%d")
+        return batch.append_column("date", date)
+
+    out = ds.map_batches(add_date, batch_format="pyarrow")
+    if cutoff_date is not None:
+        out = out.filter(expr=f"date >= '{cutoff_date}'")
+    return (
+        out.groupby("date")
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="total"))
+        .sort("date", descending=True)
+    )
+
+
+def top_k(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    tiebreak: Optional[str] = None,
+    columns: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """A4/O2 (storage.py:500-512): global top-k via sort().limit(k).
+
+    ``tiebreak`` makes ordering total (SQL ORDER BY is unstable otherwise).
+    """
+    keys: List[str] = [col] if tiebreak is None else [col, tiebreak]
+    desc = [True] if tiebreak is None else [True, False]
+    out = ds.sort(keys, descending=desc).limit(k)
+    if columns:
+        out = out.select_columns(columns)
+    return out
+
+
+def breakdown_with_pct(ds: ray.data.Dataset, key: str) -> pa.Table:
+    """A5 (storage.py:532-549): GROUP BY key with share-of-total percentage.
+
+    Reference does two passes (COUNT(*) then grouped); here one grouped
+    aggregate and a driver-side projection over the tiny result.
+    """
+    grouped = ds.groupby(key).aggregate(Count(alias_name="n")).take_all()
+    total = sum(r["n"] for r in grouped) or 1
+    grouped.sort(key=lambda r: (-r["n"], str(r[key])))
+    return pa.table(
+        {
+            key: [r[key] for r in grouped],
+            "n": [r["n"] for r in grouped],
+            "pct": [round(100.0 * r["n"] / total, 2) for r in grouped],
+        }
+    )
+
+
+def success_rates(
+    ds: ray.data.Dataset,
+    key: str,
+    flag_col: str,
+) -> ray.data.Dataset:
+    """A6 (storage.py:552-570): per-key success rate over a 0/1 flag column,
+    ORDER BY rate DESC.  Callers derive ``flag_col`` with a vectorized
+    predicate first (conditional-SUM pushed into the map side).
+    """
+
+    out = (
+        ds.groupby(key)
+        .aggregate(Count(alias_name="n"), Sum(flag_col, alias_name="n_success"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").cast(pa.float64())
+        rate = pc.round(
+            pc.multiply(pc.divide(batch.column("n_success").cast(pa.float64()), n), 100.0),
+            ndigits=2,
+        )
+        return batch.append_column("success_rate", rate)
+
+    return out.map_batches(project, batch_format="pyarrow").sort(
+        ["success_rate", key], descending=[True, False]
+    )
+
+
+def trend_classification(daily: Sequence[dict], value_key: str = "total") -> str:
+    """A8 (analytics.py:362-378): first-7 vs last-7 mean with a ±10% band.
+
+    ``daily`` is the (small) output of :func:`daily_trends`, newest first.
+    """
+    if len(daily) < 2:
+        return "stable"
+    recent = [r[value_key] for r in daily[:7]]
+    older = [r[value_key] for r in daily[-7:]]
+    avg_recent = sum(recent) / len(recent)
+    avg_older = sum(older) / len(older)
+    if avg_older == 0:
+        return "stable"
+    if avg_recent > avg_older * 1.1:
+        return "increasing"
+    if avg_recent < avg_older * 0.9:
+        return "decreasing"
+    return "stable"
+
+
+def cost_prediction(avg_cost: float, planned_n: int) -> dict:
+    """A9 (analytics.py:209-265): planned_n x historical average, ±20% band."""
+    predicted = avg_cost * planned_n
+    return {
+        "predicted_cost": round(predicted, 6),
+        "lower_bound": round(predicted * 0.8, 6),
+        "upper_bound": round(predicted * 1.2, 6),
+    }
+
+
+def most_used(ds: ray.data.Dataset, key: str) -> Optional[str]:
+    """A10 (analytics.py:353-359): argmax key by count."""
+    rows = ds.groupby(key).aggregate(Count(alias_name="n")).sort(
+        ["n", key], descending=[True, False]
+    ).limit(1).take_all()
+    return rows[0][key] if rows else None

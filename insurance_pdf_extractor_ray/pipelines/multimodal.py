@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: decode / feature-extract over binary payloads.
+
+Media spans carry an opaque reference (``media_ref``) or, in a materialized
+asset table, raw ``binary`` payload + typed metadata.  The image/audio codec
+libraries are NOT in this container, so the decode kernels are STUBS — a
+deterministic fake behind ``use_fake=True`` (default) or
+``NotImplementedError`` otherwise — while the Ray-side plumbing (schema,
+small batch sizes for large payloads, actor-pool signature, output layout)
+is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+ASSET_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("doc_id", pa.string()),
+        ("kind", pa.string()),         # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def fake_assets_for_docs(doc_media_refs, seed: int = 42) -> pa.Table:
+    """Deterministic fake asset table for a list of (doc_id, media_ref)."""
+    rows = {k: [] for k in ("media_ref", "doc_id", "kind", "payload", "mime",
+                            "width", "height", "duration_ms")}
+    for doc_id, ref in doc_media_refs:
+        h = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=8).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+        kind = ["image", "audio", "video"][rng.randint(0, 3)]
+        payload = rng.bytes(rng.randint(64, 256))
+        rows["media_ref"].append(ref)
+        rows["doc_id"].append(doc_id)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+        rows["width"].append(int(rng.randint(16, 4096)) if kind != "audio" else 0)
+        rows["height"].append(int(rng.randint(16, 4096)) if kind != "audio" else 0)
+        rows["duration_ms"].append(int(rng.randint(100, 600000)) if kind != "image" else 0)
+    return pa.table(rows, schema=ASSET_SCHEMA)
+
+
+class MediaDecodeStage:
+    """Actor-pool decode/feature stage.
+
+    Real deployments load the codec model here (once per actor).  In this
+    container ``use_fake=True`` derives deterministic pseudo-features from the
+    payload bytes; ``use_fake=False`` raises NotImplementedError at call time
+    (the decode kernel is the only stubbed piece — batching, schema and
+    resource sizing are production-shaped).
+
+    Large payloads => keep ``batch_size`` small (payload_bytes x batch_size x
+    concurrency must fit the worker heap; see module docstring).
+    """
+
+    FEATURE_DIM = 8
+
+    def __init__(self, use_fake: bool = True, target_size: int = 64):
+        self.use_fake = use_fake
+        self.target_size = target_size
+
+    def _decode_features(self, payload: bytes, kind: str) -> np.ndarray:
+        if not self.use_fake:
+            raise NotImplementedError(
+                "media decode requires codec libs not present in this container"
+            )
+        # deterministic fake: blake2b(payload) -> FEATURE_DIM floats in [0,1)
+        digest = hashlib.blake2b(payload or b"", digest_size=self.FEATURE_DIM * 4).digest()
+        ints = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
+        return ints / 2**32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        feats, thumb_w, thumb_h = [], [], []
+        for p, k, w, h in zip(payloads, kinds, widths, heights):
+            feats.append(self._decode_features(p, k))
+            if k == "image" and w and h:
+                scale = self.target_size / max(w, h)
+                thumb_w.append(max(1, int(w * min(1.0, scale))))
+                thumb_h.append(max(1, int(h * min(1.0, scale))))
+            else:
+                thumb_w.append(0)
+                thumb_h.append(0)
+        return pa.table(
+            {"media_ref": batch.column("media_ref"),
+             "doc_id": batch.column("doc_id"),
+             "kind": batch.column("kind"),
+             "features": pa.array([list(f) for f in feats], pa.list_(pa.float64())),
+             "thumb_w": pa.array(thumb_w, pa.int32()),
+             "thumb_h": pa.array(thumb_h, pa.int32())}
+        )
+
+
+def decode_media(
+    ds: ray.data.Dataset, use_fake: bool = True,
+    concurrency=(1, 4), batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Asset table -> per-asset features (small batches: binary payloads)."""
+    return ds.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs=dict(use_fake=use_fake),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def media_refs_from_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Explode (doc_id, spans) -> (doc_id, media_ref) for media spans."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_doc, out_ref = [], []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            for s in spans or []:
+                if s["kind"] == "media" and s["media_ref"]:
+                    out_doc.append(doc_id)
+                    out_ref.append(s["media_ref"])
+        return pa.table({"doc_id": pa.array(out_doc, pa.string()),
+                         "media_ref": pa.array(out_ref, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline (per-batch numpy matmul
+against a broadcast query matrix; partial top-k per batch, tiny final merge),
+plus an LSH-bucketed approximate variant as the scale path.
+
+Broadcast pattern: the query matrix is ``ray.put`` once and referenced by all
+map tasks — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against the broadcast queries.
+
+    Emits candidate rows (query_id, id, score) — at most k per (query, batch);
+    the driver merges the (small) candidate set to the global top-k.
+    """
+
+    def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
+        # ObjectRef resolved once per actor; zero-copy numpy view
+        self.queries = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.emb_col, self.id_col, self.k = emb_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float64)
+        if embs.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], batch.column(self.id_col).type),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column(self.id_col)
+        sims = self.queries @ _normalize(embs).T  # (q, n)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_idx = np.repeat(np.arange(sims.shape[0]), k)
+        flat = top.ravel()
+        return pa.table(
+            {"query_id": pa.array(q_idx, pa.int64()),
+             self.id_col: ids.take(pa.array(flat)),
+             "score": pa.array(sims[q_idx, flat].astype(np.float64))}
+        )
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, id, score) sorted by query, -score, id.
+
+    Ties on score are broken by ascending id so results are total-ordered
+    (and oracle-comparable).
+    """
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    candidates = ds.select_columns([id_col, emb_col]).map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    ).take_all()  # candidate set is O(num_queries * k * num_batches) — small
+
+    best: dict = {}
+    for r in candidates:
+        heap = best.setdefault(r["query_id"], [])
+        # max-heap by (score, -id) via negation; keep k smallest of (-score, id)
+        heapq.heappush(heap, (-r["score"], r[id_col]))
+    out_q, out_id, out_s = [], [], []
+    for q in sorted(best):
+        for negs, rid in heapq.nsmallest(k, best[q]):
+            out_q.append(q)
+            out_id.append(rid)
+            out_s.append(-negs)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(out_id),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+class LshTopK(BruteForceTopK):
+    """Approximate variant: only score rows whose sign-bucket matches a query
+    bucket within ``max_mismatch`` planes (random-projection prefilter)."""
+
+    def __init__(self, queries_ref, emb_col, id_col, k,
+                 n_planes: int = 8, max_mismatch: int = 2, seed: int = 42):
+        super().__init__(queries_ref, emb_col, id_col, k)
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((self.queries.shape[1], n_planes)).astype(np.float64)
+        self.q_signs = (self.queries @ self.planes) > 0
+        self.max_mismatch = max_mismatch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float64)
+        if embs.size == 0:
+            return super().__call__(batch)
+        signs = (embs @ self.planes) > 0  # (n, planes)
+        # rows within max_mismatch of ANY query's signature survive
+        mismatches = (signs[None, :, :] != self.q_signs[:, None, :]).sum(axis=2)  # (q, n)
+        keep = (mismatches <= self.max_mismatch).any(axis=0)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], batch.column(self.id_col).type),
+                             "score": pa.array([], pa.float64())})
+        sub = batch.filter(pa.array(keep))
+        return super().__call__(sub)
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    max_mismatch: int = 2,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Approximate cosine top-k (LSH prefilter; recall < 1, compute << brute)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    candidates = ds.select_columns([id_col, emb_col]).map_batches(
+        LshTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col,
+                                   k=k, n_planes=n_planes, max_mismatch=max_mismatch),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    ).take_all()
+    best: dict = {}
+    for r in candidates:
+        heapq.heappush(best.setdefault(r["query_id"], []), (-r["score"], r[id_col]))
+    out_q, out_id, out_s = [], [], []
+    for q in sorted(best):
+        for negs, rid in heapq.nsmallest(k, best[q]):
+            out_q.append(q)
+            out_id.append(rid)
+            out_s.append(-negs)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(out_id),
+                     "score": pa.array(out_s, pa.float64())})

@@ -1,0 +1,100 @@
+"""Analytics aggregates vs DuckDB oracle on the events testdata table."""
+
+import duckdb
+import pytest
+
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines import analytics
+
+SF = "/root/testdata/sf0.001"
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def events():
+    return ray.data.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return c
+
+
+def test_global_stats(events, con):
+    got = analytics.global_stats(events, "value").to_pylist()[0]
+    want = con.execute(
+        "SELECT count(*) n, sum(value) total, avg(value) avg, min(value) min, max(value) max FROM events"
+    ).fetchone()
+    assert got["n"] == want[0]
+    assert got["total"] == pytest.approx(want[1])
+    assert got["avg"] == pytest.approx(want[2])
+    assert got["min"] == want[3] and got["max"] == want[4]
+
+
+def test_stats_by(events, con):
+    got = analytics.stats_by(events, "event_type", "value").take_all()
+    want = con.execute(
+        "SELECT event_type, count(*) n, sum(value) total, avg(value) avg "
+        "FROM events GROUP BY event_type ORDER BY total DESC"
+    ).fetchall()
+    assert [r["event_type"] for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert r["n"] == w[1] and r["total"] == pytest.approx(w[2])
+
+
+def test_daily_trends(events, con):
+    got = analytics.daily_trends(events, "ts", "value").take_all()
+    want = con.execute(
+        "SELECT strftime(ts, '%Y-%m-%d') date, count(*) n, sum(value) total "
+        "FROM events GROUP BY 1 ORDER BY date DESC"
+    ).fetchall()
+    assert len(got) == len(want)
+    for r, w in zip(got, want):
+        assert r["date"] == w[0] and r["n"] == w[1] and r["total"] == pytest.approx(w[2])
+
+
+def test_daily_trends_cutoff(events, con):
+    got = analytics.daily_trends(events, "ts", "value", cutoff_date="2024-01-05").take_all()
+    n = con.execute(
+        "SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) FROM events "
+        "WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'"
+    ).fetchone()[0]
+    assert len(got) == n
+    assert all(r["date"] >= "2024-01-05" for r in got)
+
+
+def test_top_k(events, con):
+    got = analytics.top_k(events, "value", k=10, tiebreak="event_id").take_all()
+    want = con.execute(
+        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10"
+    ).fetchall()
+    assert [(r["event_id"], r["value"]) for r in got] == want
+
+
+def test_breakdown_pct(events, con):
+    got = analytics.breakdown_with_pct(events, "event_type").to_pylist()
+    want = con.execute(
+        "SELECT event_type, count(*) n, round(100.0*count(*)/(SELECT count(*) FROM events), 2) pct "
+        "FROM events GROUP BY event_type ORDER BY n DESC, event_type"
+    ).fetchall()
+    assert [(r["event_type"], r["n"], r["pct"]) for r in got] == want
+
+
+def test_trend_and_prediction_helpers():
+    daily = [{"total": 200.0}] * 7 + [{"total": 100.0}] * 7
+    assert analytics.trend_classification(daily) == "increasing"
+    daily = [{"total": 100.0}] * 14
+    assert analytics.trend_classification(daily) == "stable"
+    pred = analytics.cost_prediction(0.001, 1000)
+    assert pred == {"predicted_cost": 1.0, "lower_bound": 0.8, "upper_bound": 1.2}
+
+
+def test_most_used(events, con):
+    got = analytics.most_used(events, "event_type")
+    want = con.execute(
+        "SELECT event_type FROM events GROUP BY event_type ORDER BY count(*) DESC, event_type LIMIT 1"
+    ).fetchone()[0]
+    assert got == want

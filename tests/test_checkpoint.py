@@ -1,0 +1,70 @@
+"""Kill-and-resume semantics of the partition-manifest checkpoint."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline, flatten_fields
+from insurance_pdf_extractor_ray.sources import synth
+from insurance_pdf_extractor_ray.state import checkpoint
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture()
+def sharded_input(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(6):
+        tbl = synth.docs_table(range(i * 50, (i + 1) * 50))
+        pq.write_table(tbl, d / f"frag-{i}.parquet")
+    return str(d)
+
+
+def _pipeline(ds):
+    return flatten_fields(extract_pipeline(ds, concurrency=2))
+
+
+def test_run_then_full_resume(sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    res1 = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    assert res1 == {"partitions_run": 3, "partitions_skipped": 0, "rows": 300}
+    # resume: everything committed -> nothing re-runs
+    res2 = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    assert res2 == {"partitions_run": 0, "partitions_skipped": 3, "rows": 300}
+
+
+def test_kill_and_resume(sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    # simulate a crash after partition 1's data write but before its manifest
+    # commit: delete the manifest and corrupt the data dir
+    os.remove(os.path.join(out, "_manifest", "part-1.json"))
+    part1 = os.path.join(out, "part-1")
+    for f in glob.glob(os.path.join(part1, "*.parquet"))[:1]:
+        os.remove(f)  # torn output
+    res = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    assert res["partitions_run"] == 1 and res["partitions_skipped"] == 2
+    # all rows present exactly once
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(out, "part-*", "*.parquet"))
+    )
+    assert total == 300
+
+
+def test_config_change_invalidates(sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=2,
+                               config={"v": 1})
+    res = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=2,
+                                     config={"v": 2})
+    assert res["partitions_run"] == 2  # config hash mismatch -> re-run
+
+    man = json.load(open(glob.glob(os.path.join(out, "_manifest", "*.json"))[0]))
+    assert {"partition", "input_files", "rows", "config_hash", "wall_time_sec"} <= set(man)

@@ -1,0 +1,158 @@
+"""Dedup pipelines: exact vs DuckDB oracle; near-dup on a planted corpus."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines import dedup
+
+SF = "/root/testdata/sf0.001"
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _near_dup_corpus():
+    """60 docs: 20 unique bases; each base has 2 near-copies (1-word change)
+    -> 40 expected drops under keep-first."""
+    rng = np.random.RandomState(7)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+    ids, texts = [], []
+    k = 0
+    for b in range(20):
+        base = " ".join(words[rng.randint(0, len(words))] for _ in range(60))
+        for copy in range(3):
+            t = base
+            if copy:
+                toks = t.split()
+                toks[copy * 5] = "zulu"
+                t = " ".join(toks)
+            ids.append(k)
+            texts.append(t)
+            k += 1
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup_oracle():
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    # plant real duplicates: union the table with a relabeled copy of itself
+    dup = ds.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("doc_id"),
+                               "doc_id", pa.compute.add(t.column("doc_id"), 100000)),
+        batch_format="pyarrow",
+    )
+    both = ds.union(dup)
+    got = dedup.exact_dedup(both, "text", "doc_id").take_all()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""WITH unioned AS (SELECT * FROM '{SF}/documents.parquet'
+                          UNION ALL
+                          SELECT doc_id+100000 AS doc_id, text, lang, source, n_chars
+                          FROM '{SF}/documents.parquet')
+            SELECT min(doc_id) FROM unioned GROUP BY text ORDER BY 1"""
+    ).fetchall()
+    assert sorted(r["doc_id"] for r in got) == [w[0] for w in want]
+
+
+def test_exact_dedup_strict_matches_fast():
+    tbl = _near_dup_corpus()
+    # make exact duplicates by doubling
+    both = ray.data.from_arrow(tbl).union(
+        ray.data.from_arrow(tbl.set_column(0, "doc_id", pa.compute.add(tbl.column("doc_id"), 1000)))
+    )
+    fast = sorted(r["doc_id"] for r in dedup.exact_dedup(both, "text", "doc_id").take_all())
+    strict = sorted(r["doc_id"] for r in dedup.exact_dedup(both, "text", "doc_id", strict=True).take_all())
+    assert fast == strict == list(range(60))
+
+
+def test_minhash_dedup_finds_planted_near_dups():
+    tbl = _near_dup_corpus()
+    ds = ray.data.from_arrow(tbl)
+    dup_ids = sorted(r["doc_id"] for r in
+                     dedup.minhash_dup_ids(ds, "text", "doc_id", threshold=0.5,
+                                           concurrency=2).take_all())
+    # expected: copies (ids not divisible by 3) flagged; bases kept
+    expected = [i for i in range(60) if i % 3 != 0]
+    assert dup_ids == expected
+    kept = dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.5, concurrency=2)
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [i for i in range(60) if i % 3 == 0]
+
+
+def test_minhash_flags_are_true_near_dups_on_testdata():
+    """The driver's documents table plants real near-dups; every MinHash flag
+    must correspond to a genuinely similar partner (no false positives)."""
+    from insurance_pdf_extractor_ray.functions.hashing import jaccard
+    from insurance_pdf_extractor_ray.functions.textstats import word_ngrams
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    flagged = [r["doc_id"] for r in
+               dedup.minhash_dup_ids(ds, "text", "doc_id", threshold=0.8,
+                                     concurrency=2).take_all()]
+    assert flagged  # the corpus does contain planted near-dups
+    import pyarrow.parquet as pq
+
+    texts = {r["doc_id"]: r["text"]
+             for r in pq.read_table(f"{SF}/documents.parquet").to_pylist()}
+    shingles = {d: word_ngrams(t, 3) for d, t in texts.items()}
+    for d in flagged[:10]:
+        best = max(jaccard(shingles[d], shingles[o]) for o in texts if o != d)
+        assert best >= 0.7, (d, best)
+
+
+def test_simhash_dup_ids():
+    # longer docs with a 1-word change (~0.5%): SimHash's home turf
+    rng = np.random.RandomState(13)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    ids, texts = [], []
+    for b in range(15):
+        base = " ".join(words[rng.randint(0, len(words))] for _ in range(200))
+        for copy in range(2):
+            t = base
+            if copy:
+                toks = t.split()
+                toks[50] = "zulu"
+                t = " ".join(toks)
+            ids.append(b * 2 + copy)
+            texts.append(t)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                       "text": pa.array(texts)}))
+    dup_ids = sorted(r["doc_id"] for r in
+                     dedup.simhash_dup_ids(ds, "text", "doc_id", max_hamming=7,
+                                           ngram=3, num_bands=8,
+                                           concurrency=2).take_all())
+    expected = set(range(1, 30, 2))  # every copy, never a base
+    assert not set(dup_ids) - expected
+    assert len(set(dup_ids) & expected) >= len(expected) * 0.8
+
+
+def test_jaccard_pairs_exact_verify():
+    tbl = _near_dup_corpus()
+    ds = ray.data.from_arrow(tbl)
+    pairs = dedup.jaccard_dup_pairs(ds, "text", "doc_id", threshold=0.5,
+                                    concurrency=2).take_all()
+    for p in pairs:
+        assert p["id_a"] // 3 == p["id_b"] // 3  # only within-base pairs
+        assert 0.5 <= p["jaccard"] <= 1.0
+    # every base should yield at least one verified pair
+    bases = {p["id_a"] // 3 for p in pairs}
+    assert len(bases) == 20
+
+
+def test_embedding_dup_ids():
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    noisy = base + rng.standard_normal((30, 16)).astype(np.float32) * 0.01
+    embs = np.concatenate([base, noisy])
+    ids = list(range(60))
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(v) for v in embs], pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    dup = sorted(r["vec_id"] for r in
+                 dedup.embedding_dup_ids(ds, "embedding", "vec_id",
+                                         threshold=0.99, n_planes=6, concurrency=2).take_all())
+    # each noisy copy (ids 30..59) should be flagged vs its base when the
+    # sign-bucket matches; expect high recall, zero false positives
+    assert not set(dup) & set(range(30))
+    assert len(dup) >= 20
