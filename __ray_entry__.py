@@ -415,12 +415,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_embeddings": """
             WITH q AS (
-              SELECT vec_id AS query_id, embedding
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
               FROM embeddings ORDER BY vec_id LIMIT 3
             ),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+                     list_cosine_similarity(q.emb, CAST(e.embedding AS DOUBLE[])) AS sim
               FROM q CROSS JOIN embeddings e
             ),
             ranked AS (

@@ -41,7 +41,9 @@ def ensure_corpus(sf_dir: str) -> tuple[str, int]:
 
     from insurance_pdf_extractor_ray.sources.synth import write_corpus
 
-    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    # 10x the sf documents row count: the flagship corpus needs enough docs
+    # for multi-second wall-times at 32 CPUs (sf0.1 documents is only 5k rows)
+    n = 10 * pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     out = f"/tmp/ipe_corpus/{n}"
     docs = os.path.join(out, "documents")
     if not glob.glob(os.path.join(docs, "*.parquet")):

@@ -37,61 +37,124 @@ from ..sources.io import read_table
 from ..stages.extract import FieldExtractor
 
 
-def _merge_rows_to_doc(doc_id: str, span_lists) -> dict:
-    """Merge one doc's span-list rows and sort by offset."""
-    spans = [s for lst in span_lists if lst is not None for s in lst]
-    spans.sort(key=lambda s: s["offset"])
-    return {"doc_id": doc_id, "spans": spans}
+def _merge_rows_vectorized(doc_ids: np.ndarray, span_col: pa.ListArray) -> pa.Table:
+    """Merge rows sharing a doc_id into one row each, spans sorted by offset.
+
+    Fully Arrow/numpy: flatten all spans, lexsort by (doc-code, offset),
+    rebuild the list array from group boundaries.  First-appearance order of
+    docs is preserved.
+    """
+    uniq, first_idx, inverse = np.unique(doc_ids, return_index=True, return_inverse=True)
+    # remap so codes follow first-appearance order (stable output)
+    appearance = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(appearance)
+    rank[appearance] = np.arange(len(uniq))
+    codes = rank[inverse]  # per-row doc code in appearance order
+
+    lengths = span_col.value_lengths().fill_null(0).to_numpy()
+    flat = span_col.flatten()
+    span_codes = np.repeat(codes, lengths)
+    span_offs = flat.field(3).to_numpy(zero_copy_only=False)
+    order = np.lexsort((span_offs, span_codes))
+    sorted_flat = flat.take(pa.array(order))
+
+    counts = np.bincount(span_codes, minlength=len(uniq))
+    offsets = np.zeros(len(uniq) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    spans_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), sorted_flat)
+    out_ids = uniq[appearance]
+    return pa.table({"doc_id": pa.array(out_ids, pa.string()), "spans": spans_arr})
 
 
 def precombine(batch: pa.Table) -> pa.Table:
     """Partial merge of same-doc rows within a batch (combiner before shuffle)."""
+    span_col = batch.column("spans")
+    if isinstance(span_col, pa.ChunkedArray):
+        span_col = span_col.combine_chunks()
     doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
     if len(doc_ids) == 0 or len(np.unique(doc_ids)) == len(doc_ids):
         return batch  # fast path: no intra-batch duplicates, zero-copy passthrough
-    span_lists = batch.column("spans").to_pylist()
-    merged = {}
-    order = []
-    for did, spans in zip(doc_ids, span_lists):
-        if did not in merged:
-            merged[did] = []
-            order.append(did)
-        merged[did].append(spans)
-    rows = [_merge_rows_to_doc(d, merged[d]) for d in order]
-    return pa.table(
-        {
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-            "spans": pa.array([r["spans"] for r in rows], SPANS_TYPE),
-        }
-    )
+    return _merge_rows_vectorized(doc_ids, span_col)
 
 
 def merge_group(group: pa.Table) -> pa.Table:
     """Reassembly: merge all rows of one doc, sort spans by offset."""
-    doc_id = group.column("doc_id")[0].as_py()
-    row = _merge_rows_to_doc(doc_id, group.column("spans").to_pylist())
-    return pa.table(
-        {"doc_id": pa.array([row["doc_id"]], pa.string()),
-         "spans": pa.array([row["spans"]], SPANS_TYPE)}
-    )
+    span_col = group.column("spans")
+    if isinstance(span_col, pa.ChunkedArray):
+        span_col = span_col.combine_chunks()
+    if group.num_rows == 1:
+        # common case: already one row; just sort its spans by offset
+        flat = span_col.flatten()
+        order = pa.compute.sort_indices(flat.field(3))
+        sorted_flat = flat.take(order)
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array([0, len(sorted_flat)], pa.int32()), sorted_flat
+        )
+        return pa.table({"doc_id": group.column("doc_id"), "spans": spans_arr})
+    doc_ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+    return _merge_rows_vectorized(doc_ids, span_col)
 
 
 def sort_spans_batch(batch: pa.Table) -> pa.Table:
-    """Colocated fast path: rows are whole docs already; just sort each span list."""
-    span_lists = batch.column("spans").to_pylist()
-    fixed = [sorted(lst or [], key=lambda s: s["offset"]) for lst in span_lists]
-    return pa.table(
-        {"doc_id": batch.column("doc_id"), "spans": pa.array(fixed, SPANS_TYPE)}
-    )
+    """Colocated fast path: rows are whole docs already; sort each span list
+    by offset (vectorized via the same lexsort path)."""
+    span_col = batch.column("spans")
+    if isinstance(span_col, pa.ChunkedArray):
+        span_col = span_col.combine_chunks()
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+    if len(doc_ids) == 0:
+        return batch
+    return _merge_rows_vectorized(doc_ids, span_col)
 
 
-def reassemble(ds: ray.data.Dataset, assume_colocated: bool = False) -> ray.data.Dataset:
-    """Rebuild one offset-ordered row per doc_id (the reassembly shuffle)."""
+def reassemble(
+    ds: ray.data.Dataset,
+    assume_colocated: bool = False,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Rebuild one offset-ordered row per doc_id (the reassembly shuffle).
+
+    Instead of ``groupby(doc_id)`` (one Python ``map_groups`` call per doc —
+    50k calls for 50k docs), rows are grouped by ``hash(doc_id) % P``: the
+    shuffle co-locates all rows of a doc in one of P partitions, and ONE
+    vectorized merge (numpy lexsort over the flattened span buffer) handles
+    the whole partition.  P defaults to 4x cluster CPUs — large enough to
+    bound partition memory, small enough that per-group overhead vanishes.
+    """
     ds = ds.map_batches(precombine, batch_format="pyarrow")
     if assume_colocated:
         # valid only when all rows of a doc share a block (bucketed layout)
         return ds.map_batches(sort_spans_batch, batch_format="pyarrow")
-    return ds.groupby("doc_id").map_groups(merge_group, batch_format="pyarrow")
+
+    if num_partitions is None:
+        import ray as _ray
+
+        n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        num_partitions = max(8, 4 * n_cpus)
+
+    from ..functions.hashing import stable_hash64
+
+    P = num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        part = pa.array([stable_hash64(d) % P for d in ids], pa.int32())
+        return batch.append_column("__part", part)
+
+    def merge_partition(group: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+        if len(doc_ids) == 0:
+            return group.drop_columns(["__part"])
+        span_col = group.column("spans")
+        if isinstance(span_col, pa.ChunkedArray):
+            span_col = span_col.combine_chunks()
+        return _merge_rows_vectorized(doc_ids, span_col)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_partition, batch_format="pyarrow")
+    )
 
 
 def extract_pipeline(

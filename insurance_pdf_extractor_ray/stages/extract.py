@@ -49,49 +49,26 @@ class FieldExtractor:
         self.excl_prose_re = re.compile(r"\b([A-Z]{2})\b[^\n]*?\bis [Ee]xcluded\b")
         self.strip_boilerplate = strip_boilerplate
         self.text_kinds = frozenset(["text", "heading", "table"])
+        self._empty_raw = {f: EMPTY for f in FIELD_ORDER}
 
-    # -- per-document core ----------------------------------------------------
+    # -- per-document core (single-doc reference path; same code as batch) ----
     def extract_doc(self, spans: List[dict]) -> Dict:
         """Extract one document from its offset-ordered span dicts.
 
         Returns the full output-row dict (fields, status, errors, warnings,
-        failed_fields, confidence, spans_out, n_spans, n_chars).
+        failed_fields, confidence, spans_out, n_spans, n_chars).  Delegates to
+        :meth:`extract_doc_arrays` — the identical hot path the batch
+        interface uses — so the two can't drift.
+
+        Note: a 'Quote Number:' line with an empty value overrides the EMPTY
+        default so required-field validation fires (extraction.py:60-65); raw
+        stays EMPTY when a label never appears, mirroring the prompt contract
+        (config/prompts.yaml example output: EMPTY VALUE for absent fields).
         """
-        raw: Dict[str, str] = {f: EMPTY for f in FIELD_ORDER}
-        kept: List[dict] = []
-        text_parts: List[str] = []
-
-        for span in spans:
-            kind = span["kind"]
-            text = span["text"] or ""
-            if kind in self.text_kinds:
-                if self.strip_boilerplate and is_boilerplate(text):
-                    continue
-                text_parts.append(text)
-                for line in text.split("\n"):
-                    m = self.line_re.match(line)
-                    if m:
-                        label = clean_text_field(m.group(1)).lower()
-                        fieldname = self.label_map.get(label)
-                        if fieldname is not None and raw[fieldname] == EMPTY:
-                            value = clean_text_field(m.group(2))
-                            raw[fieldname] = value
-                    if raw["workers_comp_exclusion_description"] == EMPTY:
-                        lit = self.excl_literal_re.search(line)
-                        if lit and lit.group(1) in US_STATES:
-                            raw["workers_comp_exclusion_description"] = f"{lit.group(1)}-Excluded"
-                        else:
-                            pro = self.excl_prose_re.search(line)
-                            if pro and pro.group(1) in US_STATES:
-                                raw["workers_comp_exclusion_description"] = f"{pro.group(1)}-Excluded"
-            kept.append(span)
-
-        # 'Quote Number:' with empty value must override the EMPTY default so
-        # required-field validation fires (extraction.py:60-65); the line
-        # parser above writes "" in that case only if the label matched —
-        # raw stays EMPTY when the label never appears, mirroring the
-        # prompt contract (config/prompts.yaml example: EMPTY VALUE for absent).
-        response_text = "\n".join(text_parts)
+        kinds = [s["kind"] for s in spans]
+        texts = [s["text"] or "" for s in spans]
+        medias = [s["media_ref"] or "" for s in spans]
+        raw, response_text, kept = self.extract_doc_arrays(kinds, texts, medias)
 
         fields, errors, warnings, status = validate_record(raw)
         confidence = calculate_confidence_scores(fields, response_text)
@@ -99,15 +76,12 @@ class FieldExtractor:
 
         spans_out = []
         n_chars = 0
-        for span in kept:
-            kind = span["kind"]
-            if kind in self.text_kinds:
-                txt = clean_text_field(span["text"] or "")
-            else:
-                txt = span["text"] or ""
+        for i in kept:
+            kind = kinds[i]
+            txt = clean_text_field(texts[i]) if kind in self.text_kinds else texts[i]
             n_chars += len(txt)
             spans_out.append(
-                {"kind": kind, "text": txt, "media_ref": span["media_ref"] or "",
+                {"kind": kind, "text": txt, "media_ref": medias[i],
                  "offset": len(spans_out)}
             )
 
@@ -118,35 +92,147 @@ class FieldExtractor:
             "spans_out": spans_out, "n_spans": len(spans_out), "n_chars": n_chars,
         }
 
+    # -- vectorized document core --------------------------------------------
+    def extract_doc_arrays(self, kinds, texts, medias):
+        """Same semantics as :meth:`extract_doc` over parallel span arrays
+        (already offset-ordered).  Returns (raw_fields_dict, response_text,
+        kept_indices) — the hot inner loop with no dict-per-span overhead."""
+        raw: Dict[str, str] = dict(self._empty_raw)
+        kept = []
+        text_parts: List[str] = []
+        label_map = self.label_map
+        line_match = self.line_re.match
+        excl_unset = True
+        for i in range(len(kinds)):
+            kind = kinds[i]
+            if kind in self.text_kinds:
+                text = texts[i] or ""
+                if self.strip_boilerplate and is_boilerplate(text):
+                    continue
+                text_parts.append(text)
+                for line in text.split("\n"):
+                    m = line_match(line)
+                    if m:
+                        label = clean_text_field(m.group(1)).lower()
+                        fieldname = label_map.get(label)
+                        if fieldname is not None and raw[fieldname] == EMPTY:
+                            raw[fieldname] = clean_text_field(m.group(2))
+                    if excl_unset:
+                        lit = self.excl_literal_re.search(line)
+                        if lit and lit.group(1) in US_STATES:
+                            raw["workers_comp_exclusion_description"] = f"{lit.group(1)}-Excluded"
+                            excl_unset = False
+                        else:
+                            pro = self.excl_prose_re.search(line)
+                            if pro and pro.group(1) in US_STATES:
+                                raw["workers_comp_exclusion_description"] = f"{pro.group(1)}-Excluded"
+                                excl_unset = False
+            kept.append(i)
+        return raw, "\n".join(text_parts), kept
+
     # -- batch interface ------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        n = batch.num_rows
+        doc_ids = batch.column("doc_id")
         span_col = batch.column("spans")
-        spans_lists = span_col.to_pylist()
+        if isinstance(span_col, pa.ChunkedArray):
+            span_col = span_col.combine_chunks()
+        lengths = span_col.value_lengths().fill_null(0).to_numpy()
+        flat = span_col.flatten()  # StructArray (slice-safe)
+        kinds_a = flat.field(0).to_numpy(zero_copy_only=False)
+        texts_a = flat.field(1).to_numpy(zero_copy_only=False)
+        medias_a = flat.field(2).to_numpy(zero_copy_only=False)
 
-        out = {
-            "doc_id": doc_ids, "fields": [], "status": [],
-            "validation_errors": [], "warnings": [], "failed_fields": [],
-            "confidence": [], "spans_out": [], "n_spans": [], "n_chars": [],
-        }
-        for spans in spans_lists:
-            r = self.extract_doc(spans or [])
-            for k in ("fields", "status", "validation_errors", "warnings",
-                      "failed_fields", "confidence", "spans_out", "n_spans", "n_chars"):
-                out[k].append(r[k])
+        import numpy as np
 
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+
+        field_cols: Dict[str, List[str]] = {f: [] for f in FIELD_ORDER}
+        statuses: List[str] = []
+        errors_l: List[List[str]] = []
+        warnings_l: List[List[str]] = []
+        failed_l: List[List[str]] = []
+        conf_keys: List[str] = []
+        conf_vals: List[float] = []
+        conf_offsets = [0]
+        so_kind: List[str] = []
+        so_text: List[str] = []
+        so_media: List[str] = []
+        so_off: List[int] = []
+        so_offsets = [0]
+        n_spans_c: List[int] = []
+        n_chars_c: List[int] = []
+
+        for r in range(n):
+            lo, hi = starts[r], starts[r + 1]
+            kinds = kinds_a[lo:hi]
+            texts = texts_a[lo:hi]
+            medias = medias_a[lo:hi]
+            raw, response_text, kept = self.extract_doc_arrays(kinds, texts, medias)
+            fields, errors, warnings, status = validate_record(raw)
+            confidence = calculate_confidence_scores(fields, response_text)
+            failed = extract_failed_fields(errors) if errors else []
+
+            for f in FIELD_ORDER:
+                field_cols[f].append(fields[f])
+            statuses.append(status)
+            errors_l.append(errors)
+            warnings_l.append(warnings)
+            failed_l.append(failed)
+            conf_keys.extend(confidence.keys())
+            conf_vals.extend(confidence.values())
+            conf_offsets.append(len(conf_keys))
+
+            chars = 0
+            pos = 0
+            for i in kept:
+                kind = kinds[i]
+                if kind in self.text_kinds:
+                    txt = clean_text_field(texts[i] or "")
+                else:
+                    txt = texts[i] or ""
+                chars += len(txt)
+                so_kind.append(kind)
+                so_text.append(txt)
+                so_media.append(medias[i] or "")
+                so_off.append(pos)
+                pos += 1
+            so_offsets.append(len(so_kind))
+            n_spans_c.append(pos)
+            n_chars_c.append(chars)
+
+        fields_arr = pa.StructArray.from_arrays(
+            [pa.array(field_cols[f], pa.string()) for f in FIELD_ORDER],
+            fields=list(FIELDS_STRUCT),
+        )
+        conf_arr = pa.ListArray.from_arrays(
+            pa.array(conf_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(conf_keys, pa.string()), pa.array(conf_vals, pa.float64())],
+                names=["key", "value"],
+            ),
+        )
+        spans_out_arr = pa.ListArray.from_arrays(
+            pa.array(so_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(so_kind, pa.string()), pa.array(so_text, pa.string()),
+                 pa.array(so_media, pa.string()), pa.array(so_off, pa.int32())],
+                fields=list(SPAN_STRUCT),
+            ),
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "fields": pa.array(out["fields"], FIELDS_STRUCT),
-                "status": pa.array(out["status"], pa.string()),
-                "validation_errors": pa.array(out["validation_errors"], pa.list_(pa.string())),
-                "warnings": pa.array(out["warnings"], pa.list_(pa.string())),
-                "failed_fields": pa.array(out["failed_fields"], pa.list_(pa.string())),
-                "confidence": pa.array(out["confidence"], CONFIDENCE_TYPE),
-                "spans_out": pa.array(out["spans_out"], SPANS_TYPE),
-                "n_spans": pa.array(out["n_spans"], pa.int32()),
-                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "doc_id": doc_ids,
+                "fields": fields_arr,
+                "status": pa.array(statuses, pa.string()),
+                "validation_errors": pa.array(errors_l, pa.list_(pa.string())),
+                "warnings": pa.array(warnings_l, pa.list_(pa.string())),
+                "failed_fields": pa.array(failed_l, pa.list_(pa.string())),
+                "confidence": conf_arr,
+                "spans_out": spans_out_arr,
+                "n_spans": pa.array(n_spans_c, pa.int32()),
+                "n_chars": pa.array(n_chars_c, pa.int64()),
             }
         )
 
