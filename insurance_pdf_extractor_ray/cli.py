@@ -1,0 +1,138 @@
+"""CLI driver programs (the batch analog of the reference's scripts/, §3.3).
+
+    python -m insurance_pdf_extractor_ray.cli run     --input DIR --out DIR [--partitions N] [--resume/--no-resume]
+    python -m insurance_pdf_extractor_ray.cli synth   --num-docs N --out DIR
+    python -m insurance_pdf_extractor_ray.cli stats   --results DIR
+    python -m insurance_pdf_extractor_ray.cli export  --results DIR --out DIR --format json|csv
+    python -m insurance_pdf_extractor_ray.cli manifest --out DIR
+
+Mirrors scripts/manage_storage.py:16-80 and scripts/token_analytics.py:18-177
+(stats / list / cleanup / export) rebuilt over the Ray pipelines.  Owns its
+Ray session (guarded init) — library code never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    return ray
+
+
+def cmd_run(args) -> None:
+    ray = _ray_init()
+    from .pipelines.extraction import extract_pipeline, flatten_fields
+    from .state.checkpoint import run_partitioned
+
+    def pipeline(ds):
+        out = extract_pipeline(ds, strip_boilerplate=not args.keep_boilerplate)
+        return flatten_fields(out) if args.flat else out
+
+    summary = run_partitioned(
+        args.input, args.out, pipeline,
+        num_partitions=args.partitions,
+        config={"flat": args.flat, "keep_boilerplate": args.keep_boilerplate},
+        resume=args.resume,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+def cmd_synth(args) -> None:
+    ray = _ray_init()
+    from .sources.synth import write_corpus
+
+    docs = write_corpus(args.num_docs, args.out, seed=args.seed, goldens=args.goldens)
+    print(json.dumps({"documents": docs, "num_docs": args.num_docs}))
+    ray.shutdown()
+
+
+def cmd_stats(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.analytics import breakdown_with_pct
+
+    ds = ray.data.read_parquet(args.results)
+    n = ds.count()
+    status = breakdown_with_pct(ds, "status").to_pylist()
+    print(json.dumps({"rows": n, "status_breakdown": status}))
+    ray.shutdown()
+
+
+def cmd_export(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .sources.io import export_csv, export_json
+
+    ds = ray.data.read_parquet(args.results)
+    if args.limit:
+        ds = ds.limit(args.limit)  # export cap (storage.py routes limit 10000)
+    if args.format == "json":
+        export_json(ds, args.out)
+    else:
+        export_csv(ds, args.out)
+    print(json.dumps({"exported_to": args.out, "format": args.format}))
+    ray.shutdown()
+
+
+def cmd_manifest(args) -> None:
+    from .state.checkpoint import committed_partitions
+
+    done = committed_partitions(args.out)
+    print(json.dumps({
+        "committed": sorted(done),
+        "rows": sum(m.get("rows", 0) for m in done.values()),
+        "partitions": done,
+    }))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="insurance_pdf_extractor_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="resumable extraction run over an input dir")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--partitions", type=int, default=16)
+    p.add_argument("--flat", action="store_true", help="flatten fields struct")
+    p.add_argument("--keep-boilerplate", action="store_true")
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("synth", help="write a synthetic corpus")
+    p.add_argument("--num-docs", type=int, required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--goldens", action="store_true")
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("stats", help="status breakdown of a results dir")
+    p.add_argument("--results", required=True)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("export", help="export results to JSON/CSV")
+    p.add_argument("--results", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", choices=["json", "csv"], default="json")
+    p.add_argument("--limit", type=int, default=10000)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("manifest", help="show committed partitions of a run")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_manifest)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -146,8 +146,15 @@ def _money(rng, lo=500, hi=99999) -> str:
     return f"${rng.randint(lo, hi):,}.00"
 
 
-def build_doc(index: int, seed: int = 42) -> DocSpec:
-    """Build one deterministic document + its golden expectations."""
+def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
+    """Build one deterministic document + its golden expectations.
+
+    ``text_scale`` (>=1) controls document weight: each extra unit adds ~10
+    label-free policy-prose spans of 40-80 words, taking a doc from ~0.5 KB
+    (unit-test size) to the multi-KB sizes real corpora have.  Field values,
+    families and golden semantics are unaffected — filler participates only
+    in boilerplate classification (kept) and span-sequence output.
+    """
     rng = _doc_rng(seed, index)
     family = FAMILIES[index % len(FAMILIES)]
     doc_id = doc_id_for(index)
@@ -290,10 +297,11 @@ def build_doc(index: int, seed: int = 42) -> DocSpec:
     # skew tail: ~0.1% of docs get 100x span lists of non-label filler
     is_skew = (int.from_bytes(hashlib.blake2b(doc_id.encode(), digest_size=2).digest(), "big") % 1000) == 7
     n_filler = 200 if is_skew else rng.randint(0, 4)
+    n_filler += max(0, text_scale - 1) * 10
     for k in range(n_filler):
         words = [
             _FILLER_WORDS[rng.randint(0, len(_FILLER_WORDS))]
-            for _ in range(rng.randint(8, 20))
+            for _ in range(rng.randint(8, 20) if text_scale <= 1 else rng.randint(40, 80))
         ]
         line = " ".join(words)
         proto.append(("text", line, line, "", False))
@@ -330,11 +338,11 @@ def _spans_to_pylist(spans: List[Tuple[str, str, str, int]]):
     return [{"kind": k, "text": t, "media_ref": m, "offset": o} for (k, t, m, o) in spans]
 
 
-def docs_table(indices, seed: int = 42) -> pa.Table:
+def docs_table(indices, seed: int = 42, text_scale: int = 1) -> pa.Table:
     """Input rows (doc_id, spans) for the given doc indices."""
     ids, span_lists = [], []
     for i in indices:
-        spec = build_doc(int(i), seed)
+        spec = build_doc(int(i), seed, text_scale)
         for chunk in spec.row_chunks:
             ids.append(spec.doc_id)
             span_lists.append(_spans_to_pylist(chunk))
@@ -346,9 +354,9 @@ def docs_table(indices, seed: int = 42) -> pa.Table:
                      "spans": pa.array(span_lists, span_type)})
 
 
-def expected_tables(indices, seed: int = 42) -> Tuple[pa.Table, pa.Table]:
+def expected_tables(indices, seed: int = 42, text_scale: int = 1) -> Tuple[pa.Table, pa.Table]:
     """(expected_fields, expected_spans) golden tables for the given indices."""
-    rows = [build_doc(int(i), seed) for i in indices]
+    rows = [build_doc(int(i), seed, text_scale) for i in indices]
     fields_cols: Dict[str, List[str]] = {"doc_id": [r.doc_id for r in rows]}
     for f in FIELD_ORDER:
         fields_cols[f] = [r.expected_fields[f] for r in rows]
@@ -367,7 +375,8 @@ def expected_tables(indices, seed: int = 42) -> Tuple[pa.Table, pa.Table]:
     return fields_tbl, spans_tbl
 
 
-def write_corpus(num_docs: int, out_dir: str, seed: int = 42, goldens: bool = True) -> str:
+def write_corpus(num_docs: int, out_dir: str, seed: int = 42, goldens: bool = True,
+                 text_scale: int = 1) -> str:
     """Distributed corpus writer: range -> map_batches(build) -> parquet.
 
     Returns the documents directory.  At real scale this would be
@@ -381,7 +390,7 @@ def write_corpus(num_docs: int, out_dir: str, seed: int = 42, goldens: bool = Tr
     docs_dir = os.path.join(out_dir, "documents")
 
     def gen(batch: Dict[str, np.ndarray]) -> pa.Table:
-        return docs_table(batch["id"], seed)
+        return docs_table(batch["id"], seed, text_scale)
 
     n_blocks = max(1, num_docs // 4000)
     ds = ray.data.range(num_docs, override_num_blocks=n_blocks)
@@ -390,10 +399,10 @@ def write_corpus(num_docs: int, out_dir: str, seed: int = 42, goldens: bool = Tr
 
     if goldens:
         def gen_fields(batch):
-            return expected_tables(batch["id"], seed)[0]
+            return expected_tables(batch["id"], seed, text_scale)[0]
 
         def gen_spans(batch):
-            return expected_tables(batch["id"], seed)[1]
+            return expected_tables(batch["id"], seed, text_scale)[1]
 
         for sub, fn in (("expected_fields", gen_fields), ("expected_spans", gen_spans)):
             d = os.path.join(out_dir, sub)

@@ -1,0 +1,58 @@
+"""CLI driver programs: synth -> run -> stats -> export -> manifest.
+
+Subprocess-driven (each CLI command owns its Ray session), so these are
+moderately slow; they cover the ops entry points (SURVEY.md §3.3).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args, timeout=300):
+    proc = subprocess.run(
+        [sys.executable, "-m", "insurance_pdf_extractor_ray.cli", *args],
+        capture_output=True, text=True, timeout=timeout,
+        env={**os.environ, "PYTHONPATH": REPO}, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # take the last stdout line that parses as JSON (Ray may log dict reprs)
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def test_cli_end_to_end(tmp_path):
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "results"
+    exp = tmp_path / "export"
+
+    r = _cli("synth", "--num-docs", "300", "--out", str(corpus))
+    assert r["num_docs"] == 300
+
+    # 300 docs -> one parquet fragment -> partitions capped at 1 (partitions
+    # are input-fragment groups; never more partitions than fragments)
+    r = _cli("run", "--input", r["documents"], "--out", str(out),
+             "--partitions", "2", "--flat")
+    assert r["rows"] == 300 and r["partitions_run"] == 1
+
+    man = _cli("manifest", "--out", str(out))
+    assert man["committed"] == [0] and man["rows"] == 300
+
+    stats = _cli("stats", "--results", str(out / "part-0"))
+    assert stats["rows"] > 0
+    assert any(b["status"] == "success" for b in stats["status_breakdown"])
+
+    r = _cli("export", "--results", str(out / "part-0"), "--out", str(exp),
+             "--format", "csv", "--limit", "50")
+    assert r["format"] == "csv"
+    assert any(f.endswith(".csv") for f in os.listdir(exp))
