@@ -308,6 +308,23 @@ def _q_field_success_rates(sf_dir: str):
     return success_rates(long, "field_name", "success_flag")
 
 
+def _q_retention(sf_dir: str):
+    """D2 (storage.py:601-639): age-based expiry as a partition-prunable
+    predicate — keep rows at/after a fixed cutoff date."""
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = datetime.datetime(2024, 1, 15)
+        return batch.filter(pc.greater_equal(batch.column("ts"),
+                                             pa.scalar(cutoff, pa.timestamp("us"))))
+
+    return ds.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["event_id", "event_type"]
+    )
+
+
 def _q_media_decode(sf_dir: str):
     import ray.data
 
@@ -345,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "field_success_rates": _q_field_success_rates,
         "media_decode": _q_media_decode,
+        "retention_filter": _q_retention,
     }
 
 
@@ -412,6 +430,10 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
                    length(text) AS n_chars_calc
             FROM documents
+        """,
+        "retention_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         """,
         "knn_embeddings": """
             WITH q AS (
