@@ -308,6 +308,69 @@ def _q_field_success_rates(sf_dir: str):
     return success_rates(long, "field_name", "success_flag")
 
 
+def _q_html_main_content(sf_dir: str):
+    """HTML boilerplate strip (north-star DOM text-density scoring): wrap each
+    document's text in deterministic chrome (nav/header/link-farm/footer),
+    strip it back out — output must equal the original text exactly, which
+    the SQL oracle checks via SELECT doc_id, text."""
+    from insurance_pdf_extractor_ray.pipelines.htmlpipe import main_content
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        htmls = [
+            "<html><head><title>doc</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/p">Products</a> <a href="/c">Claims</a></nav>'
+            '<header><a href="/login">Login</a> | <a href="/signup">Sign up</a></header>'
+            f"<p>{t}</p>"
+            '<div><a href="/a">x</a> <a href="/b">y</a> <a href="/c">z</a></div>'
+            "<footer>&copy; 2024 Example Corp. All rights reserved.</footer>"
+            "</body></html>"
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array(htmls, pa.string())})
+
+    return main_content(ds.map_batches(wrap, batch_format="pyarrow"), "html", "doc_id")
+
+
+def _q_json_props_stats(sf_dir: str):
+    """A7 (analytics.py:82-91) derived per-group metrics over a JSON column:
+    parse events.props JSON, then per event_type n / total value / total k /
+    value per 1k k — the engine's JSON-scalar + post-aggregation projection
+    path (SURVEY.md §2.9)."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, ["event_type", "value", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    grouped = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="total_value"),
+        Sum("k", alias_name="total_k"),
+    ).take_all()
+    rows = sorted(grouped, key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "n": [r["n"] for r in rows],
+        "total_value": [round(r["total_value"], 2) for r in rows],
+        "total_k": [r["total_k"] for r in rows],
+        "value_per_1k": [
+            round(round(r["total_value"], 2) / r["total_k"] * 1000, 4) if r["total_k"] else 0.0
+            for r in rows
+        ],
+    })
+
+
 def _q_retention(sf_dir: str):
     """D2 (storage.py:601-639): age-based expiry as a partition-prunable
     predicate — keep rows at/after a fixed cutoff date."""
@@ -363,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_success_rates": _q_field_success_rates,
         "media_decode": _q_media_decode,
         "retention_filter": _q_retention,
+        "json_props_stats": _q_json_props_stats,
+        "html_main_content": _q_html_main_content,
     }
 
 
@@ -434,6 +499,24 @@ def oracle_sql() -> dict[str, str]:
         "retention_filter": """
             SELECT event_id, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        """,
+        "html_main_content": """
+            SELECT doc_id, text FROM documents
+        """,
+        "json_props_stats": """
+            WITH parsed AS (
+              SELECT event_type, value,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value,
+                   sum(k) AS total_k,
+                   CASE WHEN sum(k) > 0
+                        THEN round(round(sum(value), 2) / sum(k) * 1000, 4)
+                        ELSE 0.0 END AS value_per_1k
+            FROM parsed GROUP BY event_type
         """,
         "knn_embeddings": """
             WITH q AS (

@@ -215,6 +215,19 @@ def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
     if family == "state_exclusion":
         excl_state = _EXCL_STATES[rng.randint(0, len(_EXCL_STATES))]
 
+    # multi-state carrier premiums (fields.yaml:40-43: when a per-state
+    # premium breakdown exists, issuing_carrier becomes the stringified list
+    # "['NY - <carrier> - 553', ...]" with rounded amounts — the reference's
+    # example_output shape in config/prompts.yaml)
+    state_premiums = None
+    if family == "clean" and (index // 12) % 3 == 1:
+        n_states = 2 + rng.randint(0, 2)
+        picks = []
+        pool = list(_EXCL_STATES)
+        for _ in range(n_states):
+            picks.append(pool.pop(rng.randint(0, len(pool))))
+        state_premiums = [(st_code, int(rng.randint(100, 9999))) for st_code in picks]
+
     if family == "currency_noise":
         premium = f"$ {rng.randint(1000, 99999):,}.00"
         taxes = f"${rng.randint(10, 999)},00".replace(",00", ".00")
@@ -229,7 +242,10 @@ def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
         exp["policy_expiration_date"] = exp_exp
         exp["named_insured_name"] = company
         exp["named_insured_address"] = address
-        exp["issuing_carrier"] = carrier
+        if state_premiums is not None:
+            exp["issuing_carrier"] = str([f"{s} - {carrier} - {amt}" for s, amt in state_premiums])
+        else:
+            exp["issuing_carrier"] = carrier
         exp["estimated_premium_amount"] = premium
         exp["taxes"] = taxes
         exp["tria"] = tria_exp
@@ -287,6 +303,11 @@ def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
     tbl = "\n".join(table_lines)
     tbl_clean = " ".join(table_lines)
     proto.append(("table", tbl, tbl_clean, "", False))
+    if state_premiums is not None:
+        sp_lines = ["State Premiums:"] + [
+            f"{s} - {carrier} - ${amt:,}.00" for s, amt in state_premiums
+        ]
+        proto.append(("table", "\n".join(sp_lines), " ".join(sp_lines), "", False))
     if family == "media_interleaved":
         proto.append(("media", "", "", f"media://{doc_id}/1", False))
     add_text(tail_lines)

@@ -47,6 +47,12 @@ class FieldExtractor:
         # case-sensitive state group so lowercase bigrams ('is', 'of') never
         # shadow the real state code under a case-insensitive scan
         self.excl_prose_re = re.compile(r"\b([A-Z]{2})\b[^\n]*?\bis [Ee]xcluded\b")
+        # per-state premium breakdown line: 'NY - <carrier> - $553.00'
+        # (fields.yaml:40-43 / prompts.yaml example: when present,
+        # issuing_carrier becomes the stringified rounded list)
+        self.state_premium_re = re.compile(
+            r"^\s*([A-Z]{2}) - (.+?) - \$?([\d,]+(?:\.\d+)?)\s*$"
+        )
         self.strip_boilerplate = strip_boilerplate
         self.text_kinds = frozenset(["text", "heading", "table"])
         self._empty_raw = {f: EMPTY for f in FIELD_ORDER}
@@ -100,6 +106,7 @@ class FieldExtractor:
         raw: Dict[str, str] = dict(self._empty_raw)
         kept = []
         text_parts: List[str] = []
+        state_premiums: List[str] = []
         label_map = self.label_map
         line_match = self.line_re.match
         excl_unset = True
@@ -117,6 +124,11 @@ class FieldExtractor:
                         fieldname = label_map.get(label)
                         if fieldname is not None and raw[fieldname] == EMPTY:
                             raw[fieldname] = clean_text_field(m.group(2))
+                    if " - " in line:
+                        sp = self.state_premium_re.match(line)
+                        if sp and sp.group(1) in US_STATES:
+                            amt = int(round(float(sp.group(3).replace(",", ""))))
+                            state_premiums.append(f"{sp.group(1)} - {sp.group(2)} - {amt}")
                     if excl_unset:
                         lit = self.excl_literal_re.search(line)
                         if lit and lit.group(1) in US_STATES:
@@ -128,6 +140,9 @@ class FieldExtractor:
                                 raw["workers_comp_exclusion_description"] = f"{pro.group(1)}-Excluded"
                                 excl_unset = False
             kept.append(i)
+        if state_premiums:
+            # per-state breakdown wins over the plain carrier name
+            raw["issuing_carrier"] = str(state_premiums)
         return raw, "\n".join(text_parts), kept
 
     # -- batch interface ------------------------------------------------------

@@ -42,6 +42,22 @@ def test_family_golden(extractor, family_offset):
         assert got == spec.expected_spans, (i, spec.family)
 
 
+def test_multistate_carrier_list():
+    """fields.yaml:40-43: per-state premium breakdown -> stringified rounded
+    list ['NY - <carrier> - 553', ...] overrides the plain carrier name."""
+    multi = [i for i in range(0, 600, 12) if (i // 12) % 3 == 1]
+    assert multi
+    ex = FieldExtractor()
+    for i in multi[:10]:
+        spec = synth.build_doc(i)
+        got = ex.extract_doc(_merged_spans(spec))["fields"]["issuing_carrier"]
+        assert got == spec.expected_fields["issuing_carrier"]
+        assert got.startswith("['") and got.endswith("']")
+        entries = eval(got)  # noqa: S307 - test-only, our own literal
+        assert all(len(e.split(" - ")) == 3 for e in entries)
+        assert all("." not in e.split(" - ")[2] for e in entries)  # rounded
+
+
 def test_validation_failed_record_shape():
     # missing_required family (index 7 mod 12): reference-intended partial record
     spec = synth.build_doc(7)
