@@ -39,10 +39,10 @@ def _docs_rows(sf_dir: str) -> int:
 def _corpus_for(sf_dir: str) -> str:
     """Deterministic synthetic span corpus sized to the sf documents table,
     cached under /tmp (regenerated if absent)."""
-    from insurance_pdf_extractor_ray.sources.synth import write_corpus
+    from insurance_pdf_extractor_ray.sources.synth import GEN_VERSION, write_corpus
 
     n = _docs_rows(sf_dir)
-    out = f"/tmp/ipe_corpus/{n}"
+    out = f"/tmp/ipe_corpus/v{GEN_VERSION}-{n}"
     docs = os.path.join(out, "documents")
     if not glob.glob(os.path.join(docs, "*.parquet")):
         write_corpus(n, out, goldens=False)

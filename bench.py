@@ -39,14 +39,14 @@ def ensure_corpus(sf_dir: str, mult: int = 10) -> tuple[str, int]:
 
     import pyarrow.parquet as pq
 
-    from insurance_pdf_extractor_ray.sources.synth import write_corpus
+    from insurance_pdf_extractor_ray.sources.synth import GEN_VERSION, write_corpus
 
     # mult x the sf documents row count: the flagship corpus needs enough
     # docs for multi-second wall-times at 32 CPUs (sf0.1 documents is only
     # 5k rows); scaling runs use 4x more so fixed actor-pool startup doesn't
     # masquerade as poor scaling
     n = mult * pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    out = f"/tmp/ipe_corpus/{n}"
+    out = f"/tmp/ipe_corpus/v{GEN_VERSION}-{n}"
     docs = os.path.join(out, "documents")
     if not glob.glob(os.path.join(docs, "*.parquet")):
         write_corpus(n, out, goldens=False)

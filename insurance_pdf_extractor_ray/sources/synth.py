@@ -33,6 +33,9 @@ import pyarrow as pa
 
 EMPTY = "EMPTY VALUE"
 
+# bump when generated content changes: cached corpora under /tmp key on this
+GEN_VERSION = 3
+
 FAMILIES = [
     "clean", "dirty_dates_ok", "dirty_dates_fail", "currency_noise",
     "boolean_variants", "commission_bare", "state_exclusion",
@@ -232,6 +235,14 @@ def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
         premium = f"$ {rng.randint(1000, 99999):,}.00"
         taxes = f"${rng.randint(10, 999)},00".replace(",00", ".00")
 
+    # minimum earned premium: planted in currency_noise docs as a percentage
+    # (fields.yaml:55-58: exact amount or exact percentage, else EMPTY)
+    min_earned = f"{rng.randint(10, 35)}%" if family == "currency_noise" else None
+
+    # additional named insured: boolean_variants docs carry the 'Excluded'
+    # marker pair (fields.yaml:29-38 / prompts.yaml example output)
+    additional = family == "boolean_variants" and index % 24 >= 12
+
     # ---- golden fields ------------------------------------------------------
     if family in ("dirty_dates_fail", "missing_required"):
         exp = dict(VALIDATION_FAILED_RECORD)
@@ -257,6 +268,11 @@ def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
             exp["commission"] = commission_exp
         if excl_state is not None:
             exp["workers_comp_exclusion_description"] = f"{excl_state}-Excluded"
+        if min_earned is not None:
+            exp["minimum_earned_premium"] = min_earned
+        if additional:
+            exp["additional_named_insured_name"] = "Excluded"
+            exp["additional_named_insured_address"] = "Excluded"
 
     # ---- span content -------------------------------------------------------
     qn_line = "Quote Number:" if family == "missing_required" else f"Quote Number: {quote_number}"
@@ -269,6 +285,11 @@ def build_doc(index: int, seed: int = 42, text_scale: int = 1) -> DocSpec:
                    f"Taxes: {taxes}"]
     if commission_raw is not None:
         money_lines.append(f"Commission: {commission_raw}")
+    if min_earned is not None:
+        money_lines.append(f"Minimum Earned Premium: {min_earned}")
+    if additional:
+        insured_lines.append("Additional Named Insured: Excluded")
+        insured_lines.append("Additional Insured Address: Excluded")
     table_lines = ["Coverage Limits:",
                    f"Each Accident: {limit1}",
                    f"Disease - Each Employee: {limit2}",
