@@ -273,6 +273,26 @@ def _q_knn(sf_dir: str):
     })
 
 
+def _q_knn_ivf(sf_dir: str):
+    """Approximate ANN via IVF (k-means inverted file) — deterministic but
+    approximate, so rows-only check (no SQL oracle)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_ivf
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))[:3]
+    queries = np.asarray(head.column("embedding").take(order).to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(path)
+    out = knn_ivf(ds, queries, k=5, n_clusters=16, n_probe=6)
+    return pa.table({
+        "query_id": out.column("query_id"),
+        "vec_id": out.column("vec_id"),
+        "score": pc.round(out.column("score"), ndigits=6),
+    })
+
+
 def _q_minhash_dedup(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
 
@@ -420,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_explode": _q_token_explode,
         "doc_token_stats": _q_doc_token_stats,
         "knn_embeddings": _q_knn,
+        "knn_ivf": _q_knn_ivf,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "text_analysis": _q_text_analysis,

@@ -121,6 +121,103 @@ class LshTopK(BruteForceTopK):
         return super().__call__(sub)
 
 
+def train_centroids(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    n_clusters: int = 64,
+    sample_size: int = 10000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means centroids from a driver-side sample (the IVF
+    training step; public Lloyd's algorithm over unit vectors).
+
+    The sample is the dataset head (``limit``) — deterministic and cheap; at
+    100 TB you'd train once offline and broadcast the tiny centroid matrix.
+    """
+    sample = ds.select_columns([emb_col]).limit(sample_size).take_all()
+    X = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    n_clusters = min(n_clusters, len(X))
+    centroids = X[rng.choice(len(X), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IvfTopK(BruteForceTopK):
+    """IVF variant: score only rows assigned to one of each query's
+    ``n_probe`` nearest centroids (inverted-file prefilter)."""
+
+    def __init__(self, queries_ref, centroids_ref, emb_col, id_col, k, n_probe: int = 4):
+        super().__init__(queries_ref, emb_col, id_col, k)
+        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        # per-query probe set
+        sims = self.queries @ self.centroids.T  # (q, c)
+        n_probe = min(n_probe, sims.shape[1])
+        self.probe = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]  # (q, p)
+        self.probe_union = np.unique(self.probe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float64)
+        if embs.size == 0:
+            return super().__call__(batch)
+        assign = np.argmax(_normalize(embs) @ self.centroids.T, axis=1)
+        keep = np.isin(assign, self.probe_union)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], batch.column(self.id_col).type),
+                             "score": pa.array([], pa.float64())})
+        return super().__call__(batch.filter(pa.array(keep)))
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    centroids: Optional[np.ndarray] = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_clusters: int = 64,
+    n_probe: int = 4,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Approximate cosine top-k via IVF (k-means inverted file).
+
+    Centroids are trained from a sample if not supplied, broadcast once, and
+    each batch scores only its probe-cluster rows.  Recall rises with
+    ``n_probe`` (n_probe == n_clusters degenerates to brute force).
+    """
+    if centroids is None:
+        centroids = train_centroids(ds, emb_col, n_clusters=n_clusters)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+    candidates = ds.select_columns([id_col, emb_col]).map_batches(
+        IvfTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, centroids_ref=cref,
+                                   emb_col=emb_col, id_col=id_col, k=k, n_probe=n_probe),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    ).take_all()
+    best: dict = {}
+    for r in candidates:
+        heapq.heappush(best.setdefault(r["query_id"], []), (-r["score"], r[id_col]))
+    out_q, out_id, out_s = [], [], []
+    for q in sorted(best):
+        for negs, rid in heapq.nsmallest(k, best[q]):
+            out_q.append(q)
+            out_id.append(rid)
+            out_s.append(-negs)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(out_id),
+                     "score": pa.array(out_s, pa.float64())})
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     queries: np.ndarray,

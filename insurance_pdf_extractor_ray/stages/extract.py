@@ -38,6 +38,14 @@ EMPTY = "EMPTY VALUE"
 class FieldExtractor:
     """Callable-class stage: stateful setup in ``__init__``, work in ``__call__``."""
 
+    # document gates (F1/F4 of SURVEY.md §2.2, pdf_processor.py:343-385):
+    # size cap and empty-doc are errors (reference raises FileProcessingError
+    # -> request error; we tag-and-keep with status='error'); a short text
+    # sample is a warning (reference only logs it — surfaced on the row here
+    # so it's queryable at scale).
+    MAX_DOC_BYTES = 10 * 1024 * 1024  # max_file_size_mb=10 (config.py:39)
+    MIN_TEXT_SAMPLE = 10
+
     def __init__(self, label_map: Optional[Dict[str, str]] = None, strip_boilerplate: bool = True):
         # compiled once per actor (reference holds these as process singletons)
         self.label_map = dict(LABEL_TO_FIELD if label_map is None else label_map)
@@ -76,7 +84,13 @@ class FieldExtractor:
         medias = [s["media_ref"] or "" for s in spans]
         raw, response_text, kept = self.extract_doc_arrays(kinds, texts, medias)
 
-        fields, errors, warnings, status = validate_record(raw)
+        gate_errors, gate_warnings = self.doc_gates(kinds, texts, response_text)
+        if gate_errors:
+            fields = dict(self._empty_raw)
+            errors, warnings, status = gate_errors, [], "error"
+        else:
+            fields, errors, warnings, status = validate_record(raw)
+            warnings = warnings + gate_warnings
         confidence = calculate_confidence_scores(fields, response_text)
         failed = extract_failed_fields(errors) if errors else []
 
@@ -145,6 +159,18 @@ class FieldExtractor:
             raw["issuing_carrier"] = str(state_premiums)
         return raw, "\n".join(text_parts), kept
 
+    def doc_gates(self, kinds, texts, response_text: str):
+        """F1/F4 gates: returns (gate_errors, gate_warnings)."""
+        if len(kinds) == 0:
+            return (["Document contains no spans"], [])
+        size = sum(len(t) for t in texts if t)
+        if size > self.MAX_DOC_BYTES:
+            return ([f"Document size {size} bytes exceeds maximum "
+                     f"{self.MAX_DOC_BYTES} bytes"], [])
+        if len(response_text.strip()) < self.MIN_TEXT_SAMPLE:
+            return ([], ["Document may be image-based or have little text content"])
+        return ([], [])
+
     # -- batch interface ------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -185,7 +211,13 @@ class FieldExtractor:
             texts = texts_a[lo:hi]
             medias = medias_a[lo:hi]
             raw, response_text, kept = self.extract_doc_arrays(kinds, texts, medias)
-            fields, errors, warnings, status = validate_record(raw)
+            gate_errors, gate_warnings = self.doc_gates(kinds, texts, response_text)
+            if gate_errors:
+                fields = dict(self._empty_raw)
+                errors, warnings, status = gate_errors, [], "error"
+            else:
+                fields, errors, warnings, status = validate_record(raw)
+                warnings = warnings + gate_warnings
             confidence = calculate_confidence_scores(fields, response_text)
             failed = extract_failed_fields(errors) if errors else []
 

@@ -105,6 +105,42 @@ def test_validate_record_standalone():
     assert fields["commission"] == "12.0%"
 
 
+def test_label_map_extension():
+    """§2.11 user-extension surface: a custom label alias wired through the
+    extractor constructor (the engine analog of editing fields.yaml)."""
+    from insurance_pdf_extractor_ray.config import LABEL_TO_FIELD
+
+    custom = {**LABEL_TO_FIELD, "policy ref": "quote_number"}
+    ex = FieldExtractor(label_map=custom)
+    spans = [{"kind": "text",
+              "text": "Policy Ref: XR-77\nNamed Insured: C\nAddress: 1 A St\n"
+                      "Issuing Carrier: X\nPolicy Effective Date: 01/01/2024\n"
+                      "Policy Expiration Date: 01/01/2025",
+              "media_ref": "", "offset": 0}]
+    r = ex.extract_doc(spans)
+    assert r["fields"]["quote_number"] == "XR-77"
+    # default extractor ignores the unknown label
+    assert FieldExtractor().extract_doc(spans)["fields"]["quote_number"] == "EMPTY VALUE"
+
+
+def test_doc_gates():
+    """F1/F4 (pdf_processor.py:343-385): empty doc and oversize -> error row;
+    short text sample -> image-based warning."""
+    ex = FieldExtractor()
+    r = ex.extract_doc([])
+    assert r["status"] == "error" and r["validation_errors"] == ["Document contains no spans"]
+    assert all(v == "EMPTY VALUE" for v in r["fields"].values())
+
+    r = ex.extract_doc([{"kind": "text", "text": "hi", "media_ref": "", "offset": 0}])
+    assert r["status"] == "success"
+    assert r["warnings"] == ["Document may be image-based or have little text content"]
+
+    big = [{"kind": "text", "text": "x" * (FieldExtractor.MAX_DOC_BYTES + 1),
+            "media_ref": "", "offset": 0}]
+    r = ex.extract_doc(big)
+    assert r["status"] == "error" and "exceeds maximum" in r["validation_errors"][0]
+
+
 def test_skew_tail_docs_have_100x_spans():
     skew = [i for i in range(4000) if len(_merged_spans(synth.build_doc(i))) > 150]
     assert skew, "expected a ~0.1% skew tail in the first 4000 docs"

@@ -43,6 +43,30 @@ def test_brute_force_matches_numpy_oracle():
         ]
 
 
+def test_ivf_recall_reasonable():
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_ivf
+
+    q = _queries(n=2)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = knn_brute_force(ds, q, k=10, concurrency=2).to_pylist()
+    approx = knn_ivf(ds, q, k=10, n_clusters=16, n_probe=6, concurrency=2).to_pylist()
+    for qi in range(2):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) >= 5  # recall@10 >= 0.5 with 6/16 probes
+
+
+def test_ivf_full_probe_equals_brute():
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_ivf
+
+    q = _queries(n=2)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = knn_brute_force(ds, q, k=5, concurrency=2).to_pylist()
+    full = knn_ivf(ds, q, k=5, n_clusters=8, n_probe=8, concurrency=2).to_pylist()
+    assert [(r["query_id"], r["vec_id"]) for r in exact] == \
+           [(r["query_id"], r["vec_id"]) for r in full]
+
+
 def test_lsh_recall_reasonable():
     q = _queries(n=2)
     ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
