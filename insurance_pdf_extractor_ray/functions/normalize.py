@@ -112,11 +112,23 @@ def normalize_date(date_str, formats: Sequence[str] = DATE_FORMATS_FULL) -> str:
     return date_str
 
 
+_CLEAN_DIRTY_CHARS = ("\t", "\n", "\r", "\x0b", "\x0c", "  ", "·", "•")
+
+
 def clean_text_field(value) -> str:
-    """Collapse whitespace, strip bullets. validators.py:92-112."""
+    """Collapse whitespace, strip bullets. validators.py:92-112.
+
+    Fast path: a string with no whitespace runs / control whitespace /
+    bullets and no edge spaces is a fixed point of the three regex passes —
+    returned as-is (the hot extraction loop calls this per line/span).
+    """
     if _is_empty(value):
         return value
-    cleaned = _RE_WS.sub(" ", str(value).strip())
+    s = str(value)
+    if (s[0] != " " and s[-1] != " "
+            and not any(c in s for c in _CLEAN_DIRTY_CHARS)):
+        return s
+    cleaned = _RE_WS.sub(" ", s.strip())
     cleaned = _RE_BULLETS.sub("", cleaned)
     cleaned = _RE_WS.sub(" ", cleaned)
     return cleaned.strip()

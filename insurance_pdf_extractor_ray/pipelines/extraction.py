@@ -107,33 +107,17 @@ def sort_spans_batch(batch: pa.Table) -> pa.Table:
     return _merge_rows_vectorized(doc_ids, span_col)
 
 
-def reassemble(
-    ds: ray.data.Dataset,
-    assume_colocated: bool = False,
-    num_partitions: Optional[int] = None,
-) -> ray.data.Dataset:
-    """Rebuild one offset-ordered row per doc_id (the reassembly shuffle).
+def _default_partitions() -> int:
+    import ray as _ray
 
-    Instead of ``groupby(doc_id)`` (one Python ``map_groups`` call per doc —
-    50k calls for 50k docs), rows are grouped by ``hash(doc_id) % P``: the
-    shuffle co-locates all rows of a doc in one of P partitions, and ONE
-    vectorized merge (numpy lexsort over the flattened span buffer) handles
-    the whole partition.  P defaults to 4x cluster CPUs — large enough to
-    bound partition memory, small enough that per-group overhead vanishes.
-    """
-    ds = ds.map_batches(precombine, batch_format="pyarrow")
-    if assume_colocated:
-        # valid only when all rows of a doc share a block (bucketed layout)
-        return ds.map_batches(sort_spans_batch, batch_format="pyarrow")
+    n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    # measured sweet spot: P ~ 2x CPUs; too many partitions inflates
+    # sort-shuffle overhead faster than it buys parallelism
+    return min(256, max(16, 2 * n_cpus))
 
-    if num_partitions is None:
-        import ray as _ray
 
-        n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        # measured sweet spot: P ~ 2x CPUs; too many partitions inflates
-        # sort-shuffle overhead faster than it buys parallelism
-        num_partitions = min(256, max(16, 2 * n_cpus))
-
+def _shuffle_merge(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """groupby(hash(doc_id) %% P) + one vectorized merge per partition."""
     from ..functions.hashing import stable_hash64
 
     P = num_partitions
@@ -157,6 +141,89 @@ def reassemble(
         .groupby("__part")
         .map_groups(merge_partition, batch_format="pyarrow")
     )
+
+
+def _collect_split_hashes(pre: ray.data.Dataset):
+    """Driver-side split-doc detector: each batch ships one binary blob of
+    its (already intra-batch-distinct) doc-id hashes; the driver unions them
+    with numpy and returns hashes seen in more than one batch.
+
+    Cost: n_docs x 8 bytes to the driver (16 MB at 2M docs) — fine up to
+    ~10^9 docs; beyond that use the distributed groupby count or a bucketed
+    write layout (mode='colocated').
+    """
+    from ..functions.hashing import stable_hash64
+
+    def blob(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter((stable_hash64(d) for d in ids), np.uint64, len(ids))
+        return pa.table({"blob": pa.array([h.tobytes()], pa.binary())})
+
+    blobs = pre.map_batches(blob, batch_format="pyarrow").take_all()
+    if not blobs:
+        return frozenset()
+    allh = np.concatenate([np.frombuffer(b["blob"], dtype=np.uint64) for b in blobs])
+    uniq, counts = np.unique(allh, return_counts=True)
+    return frozenset(uniq[counts > 1].tolist())
+
+
+def reassemble(
+    ds: ray.data.Dataset,
+    assume_colocated: bool = False,
+    num_partitions: Optional[int] = None,
+    mode: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Rebuild one offset-ordered row per doc_id (the reassembly exchange).
+
+    Modes:
+      * ``"shuffle"`` (default): groupby ``hash(doc_id) % P`` — general,
+        always correct; rows are pre-combined map-side first (the
+        partial-aggregate answer to skewed/oversized docs), and ONE
+        vectorized lexsort merge handles each of the P partitions (no
+        per-doc Python calls).
+      * ``"colocated"``: all rows of a doc share a block (bucketed write
+        layout) — skip the shuffle, merge within blocks.
+      * ``"auto"``: detect split docs with a cheap driver-side hash-union
+        pass; shuffle ONLY the split docs' rows (usually a tiny fraction)
+        and stream everything else — adaptive shuffle avoidance.
+    """
+    mode = mode or ("colocated" if assume_colocated else "shuffle")
+    pre = ds.map_batches(precombine, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    if mode == "colocated":
+        return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
+    if mode == "shuffle":
+        return _shuffle_merge(pre, num_partitions)
+    if mode != "auto":
+        raise ValueError(f"unknown reassemble mode: {mode}")
+
+    import ray as _ray
+
+    from ..functions.hashing import stable_hash64
+
+    split = _collect_split_hashes(pre)
+    if not split:
+        return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
+    ref = _ray.put(split)
+
+    def make_filter(keep_split: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            s = _ray.get(ref)
+            mask = pa.array([
+                (stable_hash64(d) in s) == keep_split
+                for d in batch.column("doc_id").to_pylist()
+            ])
+            return batch.filter(mask)
+
+        return f
+
+    whole = pre.map_batches(make_filter(False), batch_format="pyarrow") \
+               .map_batches(sort_spans_batch, batch_format="pyarrow")
+    frag = _shuffle_merge(pre.map_batches(make_filter(True), batch_format="pyarrow"),
+                          num_partitions)
+    return whole.union(frag)
 
 
 # per-worker-process extractor cache for the task-based compute path:
@@ -184,6 +251,7 @@ def extract_pipeline(
     assume_colocated: bool = False,
     strip_boilerplate: bool = True,
     compute: str = "tasks",
+    mode: Optional[str] = None,
 ) -> ray.data.Dataset:
     """Full pipeline: path or Dataset -> extracted/validated output Dataset.
 
@@ -195,7 +263,7 @@ def extract_pipeline(
     32 CPUs: tasks 54.8k docs/s vs actors ~34k.
     """
     ds = read_table(source, columns=["doc_id", "spans"]) if isinstance(source, str) else source
-    ds = reassemble(ds, assume_colocated=assume_colocated)
+    ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode)
 
     if compute == "tasks":
         def extract_batch(batch: pa.Table) -> pa.Table:

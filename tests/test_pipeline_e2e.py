@@ -51,6 +51,25 @@ def test_flatten_fields(ray_session, corpus_600):
     assert {"doc_id", "status", *synth.FIELD_ORDER} <= cols
 
 
+def test_auto_mode_matches_goldens(ray_session, corpus_600):
+    """mode='auto': split docs detected and shuffled; the rest streams.
+    Output must equal the goldens exactly, same as the full shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(str(corpus_600 / "documents.parquet")).repartition(8)
+    out = extract_pipeline(ds, mode="auto", batch_size=64).take_all()
+    exp_fields, exp_spans = _golden_maps(corpus_600)
+    assert len(out) == 600
+    for row in out:
+        did = row["doc_id"]
+        want = exp_fields[did]
+        for f in synth.FIELD_ORDER:
+            assert row["fields"][f] == want[f], (did, f)
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans_out"]]
+        want_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp_spans[did]]
+        assert got == want_spans, did
+
+
 def test_colocated_fast_path_equivalent(ray_session):
     """With whole docs per row (no sharded docs), both paths agree."""
     import ray.data
