@@ -32,7 +32,6 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..schema import SPANS_TYPE
 from ..sources.io import read_table
 from ..stages.extract import FieldExtractor
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-import numpy as np
 import pyarrow as pa
 import ray
 import ray.data

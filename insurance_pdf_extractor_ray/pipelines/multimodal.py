@@ -12,8 +12,6 @@ is real and tested.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 import ray.data

@@ -11,7 +11,7 @@ map tasks — never re-shipped per batch.
 from __future__ import annotations
 
 import heapq
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa

@@ -28,7 +28,7 @@ import pyarrow as pa
 from ..config import FIELD_ORDER, LABEL_TO_FIELD
 from ..functions.confidence import calculate_confidence_scores, extract_failed_fields
 from ..functions.normalize import US_STATES, clean_text_field
-from ..schema import CONFIDENCE_TYPE, FIELDS_STRUCT, SPAN_STRUCT, SPANS_TYPE
+from ..schema import FIELDS_STRUCT, SPAN_STRUCT
 from .boilerplate import is_boilerplate
 from .validate import validate_record
 
@@ -283,5 +283,3 @@ class FieldExtractor:
             }
         )
 
-
-_ = SPAN_STRUCT  # re-exported for tests
