@@ -391,6 +391,46 @@ def _q_json_props_stats(sf_dir: str):
     })
 
 
+_HOUR_US = 3_600_000_000
+
+
+def _q_tumbling_window(sf_dir: str):
+    """Streaming-shaped: 1-hour tumbling window count/sum over events."""
+    from insurance_pdf_extractor_ray.pipelines.windows import tumbling_window
+
+    rows = tumbling_window(_events(sf_dir, ["ts", "value"]), "ts", _HOUR_US,
+                           "value").take_all()
+    rows.sort(key=lambda r: r["window_start"])
+    return pa.table({
+        "window_start": [r["window_start"] for r in rows],
+        "n": [r["n"] for r in rows],
+        "total": [round(r["total"], 2) for r in rows],
+    })
+
+
+def _q_sliding_window(sf_dir: str):
+    """2-hour windows sliding by 1 hour (each event in 2 windows)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import sliding_window
+
+    rows = sliding_window(_events(sf_dir, ["ts", "value"]), "ts",
+                          2 * _HOUR_US, _HOUR_US, "value").take_all()
+    rows.sort(key=lambda r: r["window_start"])
+    return pa.table({
+        "window_start": [r["window_start"] for r in rows],
+        "n": [r["n"] for r in rows],
+        "total": [round(r["total"], 2) for r in rows],
+    })
+
+
+def _q_session_windows(sf_dir: str):
+    """Per-user session windows with a 10-minute inactivity gap."""
+    from insurance_pdf_extractor_ray.pipelines.windows import session_windows
+
+    return session_windows(_events(sf_dir, ["user_id", "ts", "event_id"]),
+                           "user_id", "ts", gap_us=600_000_000,
+                           tiebreak_col="event_id")
+
+
 def _q_retention(sf_dir: str):
     """D2 (storage.py:601-639): age-based expiry as a partition-prunable
     predicate — keep rows at/after a fixed cutoff date."""
@@ -449,6 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_filter": _q_retention,
         "json_props_stats": _q_json_props_stats,
         "html_main_content": _q_html_main_content,
+        "tumbling_window": _q_tumbling_window,
+        "sliding_window": _q_sliding_window,
+        "session_windows": _q_session_windows,
     }
 
 
@@ -538,6 +581,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(round(sum(value), 2) / sum(k) * 1000, 4)
                         ELSE 0.0 END AS value_per_1k
             FROM parsed GROUP BY event_type
+        """,
+        "tumbling_window": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1
+        """,
+        "sliding_window": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                     - i * 3600000000 AS window_start,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events, range(2) AS t(i)
+            GROUP BY 1
+        """,
+        "session_windows": """
+            WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+            m AS (SELECT user_id, event_id, e,
+                         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+                                                    ORDER BY e, event_id)
+                                  > 600000000 THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            s AS (SELECT user_id, e,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM m)
+            SELECT user_id, session_id, count(*) AS n,
+                   min(e) AS start_us, max(e) AS end_us
+            FROM s GROUP BY user_id, session_id
         """,
         "knn_embeddings": """
             WITH q AS (

@@ -1,0 +1,131 @@
+"""Window aggregations over event-time columns (batch analog of streaming).
+
+Ray Data has no event-time windows/watermarks; these operators implement the
+batch equivalents (ray_guide.md 'Streaming-shaped workloads'):
+
+  * tumbling: window_start = floor(ts/width)*width — a vectorized derived
+    column + groupby (A3's daily trend is the 1-day special case).
+  * sliding: width = m*slide; each row belongs to m windows — vectorized
+    row replication then the same groupby.
+  * session: per-key gap-splitting over the ts-sorted group
+    (groupby(key).map_groups; ordering restored inside the group, never
+    assumed from block order).
+
+All timestamps are treated as UTC-naive microseconds (Arrow and DuckDB
+agree on epoch_us), so results are oracle-comparable exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _ts_us(batch: pa.Table, ts_col: str) -> pa.Array:
+    col = batch.column(ts_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.timestamp("us")).cast(pa.int64())
+
+
+def tumbling_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    width_us: int,
+    value_col: str,
+    key_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Count + sum per [window_start, window_start+width) (optionally per key)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch, ts_col)
+        start = pc.multiply(pc.divide(us, width_us), width_us)  # int floor-div
+        cols = {"window_start": start, value_col: batch.column(value_col)}
+        if key_col:
+            cols[key_col] = batch.column(key_col)
+        return pa.table(cols)
+
+    keys = ["window_start"] if key_col is None else [key_col, "window_start"]
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="total"))
+    )
+
+
+def sliding_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    width_us: int,
+    slide_us: int,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Overlapping windows: width must be a multiple of slide; each row lands
+    in ``width/slide`` windows (vectorized replication, then groupby)."""
+    assert width_us % slide_us == 0, "width must be a multiple of slide"
+    m = width_us // slide_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch, ts_col).to_numpy()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        base = (us // slide_us) * slide_us
+        # windows containing ts: start in {base - i*slide | i in 0..m-1}
+        starts = (base[:, None] - np.arange(m, dtype=np.int64)[None, :] * slide_us).ravel()
+        rep_vals = np.repeat(vals, m)
+        return pa.table({"window_start": pa.array(starts, pa.int64()),
+                         value_col: pa.array(rep_vals)})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="total"))
+    )
+
+
+def session_windows(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Per-key sessions: a new session starts when the gap to the previous
+    event exceeds ``gap_us``.  Returns (key, session_id, n, start_us, end_us);
+    session_id is 0-based per key in event-time order."""
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        key = group.column(key_col)[0].as_py()
+        us = _ts_us(group, ts_col).to_numpy()
+        if tiebreak_col is not None:
+            tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, us))
+        else:
+            order = np.argsort(us, kind="stable")
+        us = us[order]
+        brk = np.zeros(len(us), dtype=np.int64)
+        if len(us) > 1:
+            brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        n_sessions = sid[-1] + 1 if len(us) else 0
+        starts = np.zeros(n_sessions, dtype=np.int64)
+        ends = np.zeros(n_sessions, dtype=np.int64)
+        counts = np.zeros(n_sessions, dtype=np.int64)
+        for s in range(n_sessions):
+            mask = sid == s
+            starts[s] = us[mask][0]
+            ends[s] = us[mask][-1]
+            counts[s] = int(mask.sum())
+        return pa.table({
+            key_col: pa.array([key] * n_sessions, group.column(key_col).type),
+            "session_id": pa.array(np.arange(n_sessions), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "start_us": pa.array(starts, pa.int64()),
+            "end_us": pa.array(ends, pa.int64()),
+        })
+
+    return ds.groupby(key_col).map_groups(sessionize, batch_format="pyarrow")

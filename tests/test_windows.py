@@ -1,0 +1,90 @@
+"""Window aggregations vs DuckDB oracle on events."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.windows import (
+    session_windows,
+    sliding_window,
+    tumbling_window,
+)
+
+SF = "/root/testdata/sf0.001"
+HOUR = 3_600_000_000
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return c
+
+
+def _cmp(rows, want_df, cols):
+    got = pd.DataFrame(rows)[cols].sort_values(cols).reset_index(drop=True)
+    want = want_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-9)
+
+
+def test_tumbling(con):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    rows = tumbling_window(ds, "ts", HOUR, "value").take_all()
+    want = con.execute(
+        "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start, "
+        "count(*) AS n, sum(value) AS total FROM events GROUP BY 1"
+    ).fetchdf()
+    _cmp(rows, want, ["window_start", "n", "total"])
+
+
+def test_tumbling_keyed(con):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "value", "event_type"])
+    rows = tumbling_window(ds, "ts", 6 * HOUR, "value", key_col="event_type").take_all()
+    want = con.execute(
+        "SELECT event_type, (epoch_us(ts) // 21600000000) * 21600000000 AS window_start, "
+        "count(*) AS n, sum(value) AS total FROM events GROUP BY 1, 2"
+    ).fetchdf()
+    _cmp(rows, want, ["event_type", "window_start", "n", "total"])
+
+
+def test_sliding(con):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    rows = sliding_window(ds, "ts", 2 * HOUR, HOUR, "value").take_all()
+    want = con.execute(
+        "SELECT (epoch_us(ts) // 3600000000) * 3600000000 - i * 3600000000 AS window_start, "
+        "count(*) AS n, sum(value) AS total FROM events, range(2) AS t(i) GROUP BY 1"
+    ).fetchdf()
+    _cmp(rows, want, ["window_start", "n", "total"])
+    # every event contributes to exactly 2 windows
+    assert sum(r["n"] for r in rows) == 2 * con.execute("SELECT count(*) FROM events").fetchone()[0]
+
+
+def test_sessions(con):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    rows = session_windows(ds, "user_id", "ts", gap_us=600_000_000,
+                           tiebreak_col="event_id").take_all()
+    want = con.execute("""
+        WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+        m AS (SELECT user_id, event_id, e,
+                     CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id)
+                              > 600000000 THEN 1 ELSE 0 END AS brk FROM d),
+        s AS (SELECT user_id, e,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id FROM m)
+        SELECT user_id, session_id, count(*) AS n, min(e) AS start_us, max(e) AS end_us
+        FROM s GROUP BY user_id, session_id
+    """).fetchdf()
+    _cmp(rows, want, ["user_id", "session_id", "n", "start_us", "end_us"])
+    # sessions respect the gap: no intra-session hole > gap is checkable only
+    # per-event; at least assert sessions are disjoint and ordered per user
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["session_id"])):
+        prev = by_user.get(r["user_id"])
+        if prev is not None:
+            assert r["start_us"] - prev > 600_000_000
+        by_user[r["user_id"]] = r["end_us"]
