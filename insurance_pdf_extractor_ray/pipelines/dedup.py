@@ -350,6 +350,65 @@ def jaccard_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components over dup pairs (cluster-level keep-first)
+# ---------------------------------------------------------------------------
+
+
+def dup_components(pairs: ray.data.Dataset, id_a: str = "id_a", id_b: str = "id_b"):
+    """Union-find over a duplicate-pair edge list -> {id: component_root}.
+
+    Bucket-level keep-first can split a transitive dup chain (A~B in one
+    bucket, B~C in another); components merge them.  The edge list is
+    dup-pairs-sized (<< corpus), so it is collected to the driver; for edge
+    lists beyond driver memory, run iterative min-label propagation as a
+    sequence of groupby rounds instead.
+    Root = min id of the component (deterministic keep-first winner).
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.select_columns([id_a, id_b]).take_all():
+        a, b = r[id_a], r[id_b]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # root at the smaller id so the winner is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    return {x: find(x) for x in parent}
+
+
+def jaccard_component_dedup(
+    ds: ray.data.Dataset, col: str, id_col: str, threshold: float = 0.8,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Near-dup removal with transitive closure: LSH candidates -> exact
+    Jaccard verify -> connected components -> keep each component's min id."""
+    pairs = jaccard_dup_pairs(ds, col, id_col, threshold=threshold, **kwargs)
+    comp = dup_components(pairs)
+    drop = frozenset(x for x, root in comp.items() if x != root)
+    ref = ray.put(drop)
+
+    class Keep:
+        def __init__(self, keys_ref):
+            self.drop = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([v not in self.drop for v in batch.column(id_col).to_pylist()])
+            return batch.filter(mask)
+
+    return ds.map_batches(Keep, fn_constructor_kwargs=dict(keys_ref=ref),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup (random-projection bucketing + exact cosine)
 # ---------------------------------------------------------------------------
 

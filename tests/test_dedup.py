@@ -140,6 +140,34 @@ def test_jaccard_pairs_exact_verify():
     assert len(bases) == 20
 
 
+def test_component_dedup_transitive():
+    """A~B and B~C but A~C below threshold: components still collapse all
+    three to one survivor (bucket-level keep-first could keep two)."""
+    # chain: each neighbor differs by 6 words of 40 (~72% trigram overlap);
+    # ends differ by 12 words (~50%)
+    base = [f"w{i}" for i in range(40)]
+    def variant(start):
+        toks = list(base)
+        for j in range(start, start + 6):
+            toks[j] = f"z{j}"
+        return " ".join(toks)
+    texts = [" ".join(base), variant(5), variant(11)]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    # 32 bands of 4 rows: band-match probability ~0.998 at J~0.65 (16x8
+    # would miss ~60% of such pairs); the exact-Jaccard verify still rejects
+    # the 0.46 pair
+    kept = dedup.jaccard_component_dedup(ds, "text", "doc_id", threshold=0.55,
+                                         num_bands=32, concurrency=2).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0]
+
+    comp = dedup.dup_components(
+        dedup.jaccard_dup_pairs(ds, "text", "doc_id", threshold=0.55,
+                                num_bands=32, concurrency=2))
+    assert set(comp.values()) == {0}
+
+
 def test_embedding_dup_ids():
     rng = np.random.RandomState(11)
     base = rng.standard_normal((30, 16)).astype(np.float32)
