@@ -116,6 +116,25 @@ def _q_extract_spans(sf_dir: str):
     return extract_pipeline(_corpus_for(sf_dir)).map_batches(explode, batch_format="pyarrow")
 
 
+def _q_layout_extract(sf_dir: str):
+    """PDF-layout path: word boxes -> line/block clustering + whitespace-gap
+    table detection -> spans -> extraction (north-star layout surface).
+    Approximation-free but geometry-derived, so rows-only check."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.layoutpipe import words_to_docs
+    from insurance_pdf_extractor_ray.sources.synth import word_boxes_table
+
+    n = min(_docs_rows(sf_dir), 500)
+    idx = [i for i in range(n) if i % 12 != 9]  # media spans have no boxes
+    docs = words_to_docs(ray.data.from_arrow(word_boxes_table(idx)))
+    return flatten_fields(extract_pipeline(docs))
+
+
 def _q_exact_dedup(sf_dir: str):
     """Exact dedup over documents ∪ relabeled copy; returns kept doc_ids."""
     import ray.data
@@ -467,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
         "extract_spans": _q_extract_spans,
+        "layout_extract": _q_layout_extract,
         "exact_dedup": _q_exact_dedup,
         "global_stats": _q_global_stats,
         "stats_by_type": _q_stats_by_type,

@@ -417,6 +417,61 @@ def expected_tables(indices, seed: int = 42, text_scale: int = 1) -> Tuple[pa.Ta
     return fields_tbl, spans_tbl
 
 
+def word_boxes_for_doc(index: int, seed: int = 42):
+    """Render one doc's spans as PDF-style word boxes (the geometry model
+    for the layout-parse path; media spans have no visual box and are
+    skipped).  Table-span lines get a column split at the cell boundary so
+    the whitespace-gap table heuristic has something to detect."""
+    from ..functions.layout import SPAN_GAP, LINE_H, render_span_lines
+
+    spec = build_doc(index, seed)
+    spans = sorted(
+        (s for chunk in spec.row_chunks for s in chunk), key=lambda s: s[3]
+    )
+    boxes = []
+    y = 72.0
+    for (kind, text, media_ref, _off) in spans:
+        if kind == "media":
+            continue
+        lines = []
+        for line in text.split("\n"):
+            split = -1
+            if kind == "table":
+                toks = line.split()
+                colon = next((i for i, t in enumerate(toks) if t.endswith(":")), None)
+                if colon is not None:
+                    split = colon + 1
+                elif len(toks) > 1:
+                    split = len(toks) - 1
+            lines.append((line, split))
+        bs, y = render_span_lines(lines, y)
+        boxes.extend(bs)
+        y += SPAN_GAP - LINE_H
+    return spec, boxes
+
+
+def word_boxes_table(indices, seed: int = 42) -> pa.Table:
+    """(doc_id, word, x0, y0, x1, y1) — one row per word box."""
+    cols = {k: [] for k in ("doc_id", "word", "x0", "y0", "x1", "y1")}
+    for i in indices:
+        spec, boxes = word_boxes_for_doc(int(i), seed)
+        for b in boxes:
+            cols["doc_id"].append(spec.doc_id)
+            cols["word"].append(b.text)
+            cols["x0"].append(b.x0)
+            cols["y0"].append(b.y0)
+            cols["x1"].append(b.x1)
+            cols["y1"].append(b.y1)
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.string()),
+        "word": pa.array(cols["word"], pa.string()),
+        "x0": pa.array(cols["x0"], pa.float64()),
+        "y0": pa.array(cols["y0"], pa.float64()),
+        "x1": pa.array(cols["x1"], pa.float64()),
+        "y1": pa.array(cols["y1"], pa.float64()),
+    })
+
+
 def write_corpus(num_docs: int, out_dir: str, seed: int = 42, goldens: bool = True,
                  text_scale: int = 1) -> str:
     """Distributed corpus writer: range -> map_batches(build) -> parquet.
