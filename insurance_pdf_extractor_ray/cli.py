@@ -130,7 +130,11 @@ def main(argv=None) -> None:
     p.set_defaults(fn=cmd_manifest)
 
     args = ap.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=__import__("sys").stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

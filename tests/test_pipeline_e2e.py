@@ -70,6 +70,39 @@ def test_auto_mode_matches_goldens(ray_session, corpus_600):
         assert got == want_spans, did
 
 
+def test_extreme_skew_doc(ray_session):
+    """One 60k-span doc sharded over 60 out-of-order rows, mixed with 200
+    normal docs: the two-phase merge reassembles it exactly (offsets
+    0..n-1 in order) without starving the partition."""
+    import pyarrow as pa
+    import ray.data
+
+    from insurance_pdf_extractor_ray.schema import SPANS_TYPE
+
+    n_spans = 60_000
+    chunk = 1_000
+    rows_ids, rows_spans = [], []
+    for start in reversed(range(0, n_spans, chunk)):  # worst-case order
+        rows_ids.append("giant")
+        rows_spans.append([
+            {"kind": "text", "text": f"filler span number {i} with several words",
+             "media_ref": "", "offset": i}
+            for i in range(start, start + chunk)
+        ])
+    giant = pa.table({"doc_id": pa.array(rows_ids, pa.string()),
+                      "spans": pa.array(rows_spans, SPANS_TYPE)})
+    normal = synth.docs_table(range(200))
+    ds = ray.data.from_arrow(pa.concat_tables([giant, normal], promote_options="default"))
+    out = {r["doc_id"]: r for r in extract_pipeline(ds.repartition(16)).take_all()}
+    assert len(out) == 201
+    g = out["giant"]
+    assert g["n_spans"] == n_spans
+    texts = [s["text"] for s in g["spans_out"]]
+    assert texts[0].startswith("filler span number 0 ")
+    assert texts[-1].startswith(f"filler span number {n_spans-1} ")
+    assert [s["offset"] for s in g["spans_out"][:5]] == [0, 1, 2, 3, 4]
+
+
 def test_colocated_fast_path_equivalent(ray_session):
     """With whole docs per row (no sharded docs), both paths agree."""
     import ray.data
