@@ -120,6 +120,33 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                     tiebreak="event_id").take_all()
     queries["analytics"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.windows import tumbling_window
+
+    t0 = time.time()
+    tumbling_window(ray.data.read_parquet(events, columns=["ts", "value"]),
+                    "ts", 3_600_000_000, "value").take_all()
+    queries["tumbling_window"] = round(time.time() - t0, 3)
+
+    import pyarrow as pa
+
+    from insurance_pdf_extractor_ray.pipelines.htmlpipe import main_content
+
+    t0 = time.time()
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        htmls = ['<html><body><nav><a href="/">H</a> <a href="/a">A</a> <a href="/b">B</a></nav>'
+                 f"<p>{t}</p><footer>&copy; 2024 X. All rights reserved.</footer></body></html>"
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array(htmls, pa.string())})
+
+    main_content(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(wrap, batch_format="pyarrow"),
+        "html", "doc_id",
+    ).count()
+    queries["html_main_content"] = round(time.time() - t0, 3)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(emb_path, columns=["embedding"]).column("embedding")
     q = np.asarray(head[:8].to_pylist(), dtype=np.float64)
