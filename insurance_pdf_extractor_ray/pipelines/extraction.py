@@ -142,13 +142,18 @@ def _shuffle_merge(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Datase
     )
 
 
-def _collect_split_hashes(pre: ray.data.Dataset):
-    """Driver-side split-doc detector: each batch ships one binary blob of
-    its (already intra-batch-distinct) doc-id hashes; the driver unions them
-    with numpy and returns hashes seen in more than one batch.
+def _collect_split_hashes(raw: ray.data.Dataset):
+    """Driver-side split-doc detector over the RAW input: each batch ships
+    one binary blob of its per-row doc-id hashes (duplicates included); the
+    driver concatenates and returns hashes with total row multiplicity > 1.
 
-    Cost: n_docs x 8 bytes to the driver (16 MB at 2M docs) — fine up to
-    ~10^9 docs; beyond that use the distributed groupby count or a bucketed
+    The decision is purely content-based (how many ROWS a doc has), never
+    batching-based — batch/block boundaries are NOT stable across separate
+    executions of a re-executed lineage, so "seen in two batches" would
+    misclassify docs and duplicate them downstream (caught at 24k docs).
+
+    Cost: n_rows x 8 bytes to the driver (16 MB at 2M rows) — fine up to
+    ~10^9 rows; beyond that use the distributed groupby count or a bucketed
     write layout (mode='colocated').
     """
     from ..functions.hashing import stable_hash64
@@ -158,7 +163,9 @@ def _collect_split_hashes(pre: ray.data.Dataset):
         h = np.fromiter((stable_hash64(d) for d in ids), np.uint64, len(ids))
         return pa.table({"blob": pa.array([h.tobytes()], pa.binary())})
 
-    blobs = pre.map_batches(blob, batch_format="pyarrow").take_all()
+    blobs = raw.select_columns(["doc_id"]).map_batches(
+        blob, batch_format="pyarrow"
+    ).take_all()
     if not blobs:
         return frozenset()
     allh = np.concatenate([np.frombuffer(b["blob"], dtype=np.uint64) for b in blobs])
@@ -202,7 +209,9 @@ def reassemble(
 
     from ..functions.hashing import stable_hash64
 
-    split = _collect_split_hashes(pre)
+    # detector runs on the RAW rows (content-based membership; see
+    # _collect_split_hashes for why batching-based detection is wrong)
+    split = _collect_split_hashes(ds)
     if not split:
         return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
     ref = _ray.put(split)
