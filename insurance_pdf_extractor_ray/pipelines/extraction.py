@@ -3,9 +3,11 @@
     read (Lance/Parquet, pruned columns)
       -> map_batches(precombine)          # per-batch partial merge (combiner —
                                           #   the salted/skew-taming pre-aggregation)
-      -> groupby(doc_id).map_groups(merge)  # the reassembly shuffle: one row per
-                                          #   doc, spans sorted by offset
-      -> map_batches(FieldExtractor, actor pool)  # stateful extraction+validation
+      -> reassembly exchange              # mode="shuffle" (groupby hash(doc_id)%P),
+                                          #   "colocated" (bucketed layout, no shuffle),
+                                          #   or "auto" (shuffle only split docs)
+      -> extraction                       # compute="tasks" (fused, per-worker cached
+                                          #   state; default) or "actors" (pool)
 
 Mirrors the reference lifecycle (SURVEY.md §3.1) minus the HTTP shell: the
 pypdf page iteration becomes the offset-ordered span sequence; the Gemini

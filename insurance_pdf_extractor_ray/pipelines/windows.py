@@ -13,6 +13,10 @@ batch equivalents (ray_guide.md 'Streaming-shaped workloads'):
 
 All timestamps are treated as UTC-naive microseconds (Arrow and DuckDB
 agree on epoch_us), so results are oracle-comparable exactly.
+
+Caveat: window starts use integer division, which truncates toward zero in
+Arrow but floors in SQL ``//`` — identical for post-1970 timestamps; for
+pre-epoch (negative) event times, shift to a non-negative base first.
 """
 
 from __future__ import annotations
