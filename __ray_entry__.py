@@ -28,6 +28,14 @@ import pyarrow.parquet as pq
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _round_away(v: float, nd: int) -> float:
+    """DuckDB-ROUND-exact scalar round (std::round half away from zero)."""
+    import math
+
+    m = 10 ** nd
+    return math.floor(v * m + 0.5) / m if v >= 0 else -math.floor(-v * m + 0.5) / m
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -36,17 +44,23 @@ def _docs_rows(sf_dir: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
 
-def _corpus_for(sf_dir: str) -> str:
-    """Deterministic synthetic span corpus sized to the sf documents table,
-    cached under /tmp (regenerated if absent)."""
+def _corpus_root(sf_dir: str) -> str:
+    """Deterministic synthetic span corpus + goldens sized to the sf documents
+    table, cached under /tmp (regenerated if absent)."""
     from insurance_pdf_extractor_ray.sources.synth import GEN_VERSION, write_corpus
 
     n = _docs_rows(sf_dir)
     out = f"/tmp/ipe_corpus/v{GEN_VERSION}-{n}"
     docs = os.path.join(out, "documents")
-    if not glob.glob(os.path.join(docs, "*.parquet")):
-        write_corpus(n, out, goldens=False)
-    return docs
+    golden = os.path.join(out, "expected_fields")
+    if not (glob.glob(os.path.join(docs, "*.parquet"))
+            and glob.glob(os.path.join(golden, "*.parquet"))):
+        write_corpus(n, out, goldens=True)
+    return out
+
+
+def _corpus_for(sf_dir: str) -> str:
+    return os.path.join(_corpus_root(sf_dir), "documents")
 
 
 def _events(sf_dir: str, columns=None):
@@ -62,8 +76,14 @@ def _documents(sf_dir: str, columns=None):
 
 
 def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:
+    """Round a float column mirroring DuckDB's ROUND bit-exactly
+    (std::round(v*10^nd)/10^nd, half away from zero) — pc.round can land one
+    ULP away from DuckDB's result (e.g. 16376.630000000001 vs 16376.63)."""
     i = tbl.schema.get_field_index(col)
-    return tbl.set_column(i, col, pc.round(tbl.column(col).cast(pa.float64()), ndigits=nd))
+    v = tbl.column(col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+    m = 10.0 ** nd
+    r = np.where(v >= 0, np.floor(v * m + 0.5) / m, -np.floor(-v * m + 0.5) / m)
+    return tbl.set_column(i, col, pa.array(r, pa.float64()))
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +153,82 @@ def _q_layout_extract(sf_dir: str):
     idx = [i for i in range(n) if i % 12 != 9]  # media spans have no boxes
     docs = words_to_docs(ray.data.from_arrow(word_boxes_table(idx)))
     return flatten_fields(extract_pipeline(docs))
+
+
+def _q_extract_fields_check(sf_dir: str):
+    """Hard correctness gate for the flagship: distributed cell-level diff of
+    the extraction output against the first-principles ``expected_fields``
+    golden (sources/synth.py) — returns ONLY mismatching cells, so an empty
+    result (matching the oracle's WHERE 1=0) proves field-level equality of
+    every doc in the corpus."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+
+    root = _corpus_root(sf_dir)
+    engine = flatten_fields(extract_pipeline(os.path.join(root, "documents")))
+    golden = ray.data.read_parquet(os.path.join(root, "expected_fields"),
+                                   columns=["doc_id"] + FIELD_ORDER + ["status"])
+    return normalize_diff(golden_diff(engine, golden, key="doc_id"))
+
+
+def _q_extract_spans_check(sf_dir: str):
+    """North-rule invariant gate: per-doc span-sequence digests
+    (kind, text, media_ref, order) of the extraction output diffed against the
+    ``expected_spans`` golden.  Empty result = span-sequence equality."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+        span_digests,
+    )
+
+    root = _corpus_root(sf_dir)
+    engine = span_digests(extract_pipeline(os.path.join(root, "documents")),
+                          "spans_out")
+    golden = span_digests(
+        ray.data.read_parquet(os.path.join(root, "expected_spans")), "spans")
+    return normalize_diff(golden_diff(engine, golden, key="doc_id"))
+
+
+def _q_layout_extract_check(sf_dir: str):
+    """Layout-path gate: word boxes -> layout parse -> extraction, fields
+    diffed against the same ``expected_fields`` golden (media docs excluded —
+    they have no visual boxes)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.layoutpipe import words_to_docs
+    from insurance_pdf_extractor_ray.sources.synth import (
+        expected_tables,
+        word_boxes_table,
+    )
+
+    n = min(_docs_rows(sf_dir), 500)
+    idx = [i for i in range(n) if i % 12 != 9]  # media spans have no boxes
+    docs = words_to_docs(ray.data.from_arrow(word_boxes_table(idx)))
+    engine = flatten_fields(extract_pipeline(docs))
+    golden_tbl = expected_tables(idx)[0].select(["doc_id"] + FIELD_ORDER + ["status"])
+    return normalize_diff(golden_diff(engine, ray.data.from_arrow(golden_tbl),
+                                      key="doc_id"))
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -377,7 +473,13 @@ def _q_json_props_stats(sf_dir: str):
     """A7 (analytics.py:82-91) derived per-group metrics over a JSON column:
     parse events.props JSON, then per event_type n / total value / total k /
     value per 1k k — the engine's JSON-scalar + post-aggregation projection
-    path (SURVEY.md §2.9)."""
+    path (SURVEY.md §2.9).
+
+    Determinism: ``value`` is exact 2-decimal, so it is summed as integer
+    cents (int64 Sum is reduction-order-independent, unlike float Sum); the
+    final rounds mirror DuckDB's ROUND (std::round half-away: floor(v*10^nd+0.5))
+    rather than Python's banker's rounding — r01's hash-fail-with-identical-rows
+    pointed at exactly this boundary."""
     import json as _json
 
     from ray.data.aggregate import Count, Sum
@@ -386,27 +488,29 @@ def _q_json_props_stats(sf_dir: str):
 
     def parse(batch: pa.Table) -> pa.Table:
         ks = [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        cents = pc.round(pc.multiply(batch.column("value"), 100.0)).cast(pa.int64())
         return pa.table({
             "event_type": batch.column("event_type"),
-            "value": batch.column("value"),
+            "cents": cents,
             "k": pa.array(ks, pa.int64()),
         })
 
     grouped = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type").aggregate(
         Count(alias_name="n"),
-        Sum("value", alias_name="total_value"),
+        Sum("cents", alias_name="total_cents"),
         Sum("k", alias_name="total_k"),
     ).take_all()
     rows = sorted(grouped, key=lambda r: r["event_type"])
+    totals = [r["total_cents"] / 100.0 for r in rows]  # exact 2-dec float
     return pa.table({
         "event_type": [r["event_type"] for r in rows],
         "n": [r["n"] for r in rows],
-        "total_value": [round(r["total_value"], 2) for r in rows],
+        "total_value": pa.array(totals, pa.float64()),
         "total_k": [r["total_k"] for r in rows],
-        "value_per_1k": [
-            round(round(r["total_value"], 2) / r["total_k"] * 1000, 4) if r["total_k"] else 0.0
-            for r in rows
-        ],
+        "value_per_1k": pa.array([
+            _round_away(t / r["total_k"] * 1000, 4) if r["total_k"] else 0.0
+            for t, r in zip(totals, rows)
+        ], pa.float64()),
     })
 
 
@@ -423,7 +527,7 @@ def _q_tumbling_window(sf_dir: str):
     return pa.table({
         "window_start": [r["window_start"] for r in rows],
         "n": [r["n"] for r in rows],
-        "total": [round(r["total"], 2) for r in rows],
+        "total": [_round_away(r["total"], 2) for r in rows],
     })
 
 
@@ -437,17 +541,31 @@ def _q_sliding_window(sf_dir: str):
     return pa.table({
         "window_start": [r["window_start"] for r in rows],
         "n": [r["n"] for r in rows],
-        "total": [round(r["total"], 2) for r in rows],
+        "total": [_round_away(r["total"], 2) for r in rows],
     })
 
 
 def _q_session_windows(sf_dir: str):
-    """Per-user session windows with a 10-minute inactivity gap."""
+    """Per-user session windows with a 10-minute inactivity gap.
+
+    Normalized to a sorted, explicitly-typed Arrow table: the map_groups
+    shuffle can emit empty zero-column blocks whose schema poisons the
+    driver's value hash even when every row matches the oracle
+    (CORRECTNESS_r01 hash_match=false with identical rows)."""
     from insurance_pdf_extractor_ray.pipelines.windows import session_windows
 
-    return session_windows(_events(sf_dir, ["user_id", "ts", "event_id"]),
-                           "user_id", "ts", gap_us=600_000_000,
-                           tiebreak_col="event_id")
+    ds = session_windows(_events(sf_dir, ["user_id", "ts", "event_id"]),
+                         "user_id", "ts", gap_us=600_000_000,
+                         tiebreak_col="event_id")
+    rows = ds.take_all()
+    rows.sort(key=lambda r: (r["user_id"], r["session_id"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "session_id": pa.array([r["session_id"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "start_us": pa.array([r["start_us"] for r in rows], pa.int64()),
+        "end_us": pa.array([r["end_us"] for r in rows], pa.int64()),
+    })
 
 
 def _q_retention(sf_dir: str):
@@ -487,6 +605,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fields": _q_extract_fields,
         "extract_spans": _q_extract_spans,
         "layout_extract": _q_layout_extract,
+        "extract_fields_check": _q_extract_fields_check,
+        "extract_spans_check": _q_extract_spans_check,
+        "layout_extract_check": _q_layout_extract_check,
         "exact_dedup": _q_exact_dedup,
         "global_stats": _q_global_stats,
         "stats_by_type": _q_stats_by_type,
@@ -515,8 +636,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_EMPTY_DIFF_SQL = """
+    SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS VARCHAR) AS column,
+           CAST(NULL AS VARCHAR) AS got, CAST(NULL AS VARCHAR) AS want
+    WHERE 1=0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # golden-diff gates return ONLY mismatching cells; correctness = empty
+        "extract_fields_check": _EMPTY_DIFF_SQL,
+        "extract_spans_check": _EMPTY_DIFF_SQL,
+        "layout_extract_check": _EMPTY_DIFF_SQL,
         "exact_dedup": """
             WITH unioned AS (
               SELECT doc_id, text FROM documents
@@ -596,7 +728,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) AS n,
                    round(sum(value), 2) AS total_value,
-                   sum(k) AS total_k,
+                   CAST(sum(k) AS BIGINT) AS total_k,
                    CASE WHEN sum(k) > 0
                         THEN round(round(sum(value), 2) / sum(k) * 1000, 4)
                         ELSE 0.0 END AS value_per_1k
@@ -622,8 +754,10 @@ def oracle_sql() -> dict[str, str]:
                                   > 600000000 THEN 1 ELSE 0 END AS brk
                   FROM d),
             s AS (SELECT user_id, e,
-                         sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                         CAST(sum(brk) OVER (PARTITION BY user_id
+                                             ORDER BY e, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS session_id
                   FROM m)
             SELECT user_id, session_id, count(*) AS n,
                    min(e) AS start_us, max(e) AS end_us

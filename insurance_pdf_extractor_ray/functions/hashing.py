@@ -32,7 +32,14 @@ def stable_hash64_array(values: Sequence[str]) -> np.ndarray:
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
-    """(a, b) coefficient arrays for the universal-hash permutation family."""
+    """(a, b) coefficient arrays for the permutation family.
+
+    NOTE: the (a*x + b) is computed in wrapping uint64 arithmetic BEFORE the
+    Mersenne-prime reduction, so this is NOT the textbook universal hash
+    family — it is a deterministic, empirically uniform mixing function
+    (vectorizable in numpy without 128-bit decomposition).  The MinHash
+    Jaccard estimate remains unbiased in practice; for the strict universal
+    guarantee do the multiply in Python ints (much slower)."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)

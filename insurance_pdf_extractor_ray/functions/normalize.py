@@ -112,21 +112,24 @@ def normalize_date(date_str, formats: Sequence[str] = DATE_FORMATS_FULL) -> str:
     return date_str
 
 
-_CLEAN_DIRTY_CHARS = ("\t", "\n", "\r", "\x0b", "\x0c", "  ", "·", "•")
+# matches anything that makes a string NOT a fixed point of the cleanup
+# passes: edge whitespace, a whitespace run, any whitespace other than a
+# plain space (\t, \n, NBSP \xa0, \u2003, \u2028, ... -- [^\S ] is
+# Unicode-aware, matching the reference's re.sub(r'\s+') semantics), bullets
+_RE_DIRTY = re.compile(r"^\s|\s$|\s\s|[^\S ]|[·•]")
 
 
 def clean_text_field(value) -> str:
     """Collapse whitespace, strip bullets. validators.py:92-112.
 
-    Fast path: a string with no whitespace runs / control whitespace /
-    bullets and no edge spaces is a fixed point of the three regex passes —
-    returned as-is (the hot extraction loop calls this per line/span).
+    Fast path: a string the dirty-pattern regex doesn't match is a fixed
+    point of the three regex passes — returned as-is (the hot extraction
+    loop calls this per line/span).
     """
     if _is_empty(value):
         return value
     s = str(value)
-    if (s[0] != " " and s[-1] != " "
-            and not any(c in s for c in _CLEAN_DIRTY_CHARS)):
+    if _RE_DIRTY.search(s) is None:
         return s
     cleaned = _RE_WS.sub(" ", s.strip())
     cleaned = _RE_BULLETS.sub("", cleaned)

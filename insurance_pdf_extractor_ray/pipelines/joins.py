@@ -23,9 +23,11 @@ import ray.data
 class _BroadcastLookup:
     """map_batches actor: resolves the broadcast lookup dict once per actor."""
 
-    def __init__(self, lookup_ref, key: str, add_cols: List[str], how: str):
+    def __init__(self, lookup_ref, key: str, add_cols: List[str], how: str,
+                 col_types: Dict[str, pa.DataType]):
         self.lookup: Dict = ray.get(lookup_ref)
         self.key, self.add_cols, self.how = key, add_cols, how
+        self.col_types = col_types
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key).to_pylist()
@@ -36,7 +38,9 @@ class _BroadcastLookup:
             hits = [h for h in hits if h is not None]
         for col in self.add_cols:
             vals = [None if h is None else h[col] for h in hits]
-            batch = batch.append_column(col, pa.array(vals))
+            # explicit type from the small side's schema: an all-miss batch
+            # would otherwise infer null type and break block unification
+            batch = batch.append_column(col, pa.array(vals, type=self.col_types[col]))
         return batch
 
 
@@ -56,14 +60,17 @@ def broadcast_join(
     ``how``: 'inner' drops unmatched big rows; 'left' keeps them with nulls.
     """
     right_on = right_on or on
+    schema = small.schema().base_schema
     rows = small.take_all()
     if add_cols is None:
-        add_cols = [c for c in rows[0].keys() if c != right_on] if rows else []
+        add_cols = [f.name for f in schema if f.name != right_on]
+    col_types = {c: schema.field(c).type for c in add_cols}
     lookup = {r[right_on]: {c: r[c] for c in add_cols} for r in rows}
     ref = ray.put(lookup)
     return big.map_batches(
         _BroadcastLookup,
-        fn_constructor_kwargs=dict(lookup_ref=ref, key=on, add_cols=add_cols, how=how),
+        fn_constructor_kwargs=dict(lookup_ref=ref, key=on, add_cols=add_cols,
+                                   how=how, col_types=col_types),
         batch_format="pyarrow", concurrency=concurrency,
     )
 

@@ -111,19 +111,20 @@ def session_windows(
         else:
             order = np.argsort(us, kind="stable")
         us = us[order]
-        brk = np.zeros(len(us), dtype=np.int64)
-        if len(us) > 1:
-            brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        n_sessions = sid[-1] + 1 if len(us) else 0
-        starts = np.zeros(n_sessions, dtype=np.int64)
-        ends = np.zeros(n_sessions, dtype=np.int64)
-        counts = np.zeros(n_sessions, dtype=np.int64)
-        for s in range(n_sessions):
-            mask = sid == s
-            starts[s] = us[mask][0]
-            ends[s] = us[mask][-1]
-            counts[s] = int(mask.sum())
+        if len(us) == 0:
+            n_sessions = 0
+            starts = ends = counts = np.zeros(0, dtype=np.int64)
+        else:
+            # session boundaries are where the gap exceeds gap_us; sessions are
+            # contiguous runs in the sorted array, so reduceat-style slicing on
+            # the boundary indices replaces the O(sessions x rows) masked scan
+            bounds = np.flatnonzero(np.diff(us) > gap_us) + 1
+            first = np.concatenate(([0], bounds))          # first row of each session
+            last = np.concatenate((bounds - 1, [len(us) - 1]))  # last row of each
+            n_sessions = len(first)
+            starts = us[first]
+            ends = us[last]
+            counts = np.diff(np.concatenate((first, [len(us)])))
         return pa.table({
             key_col: pa.array([key] * n_sessions, group.column(key_col).type),
             "session_id": pa.array(np.arange(n_sessions), pa.int64()),

@@ -163,10 +163,14 @@ class FieldExtractor:
         """F1/F4 gates: returns (gate_errors, gate_warnings)."""
         if len(kinds) == 0:
             return (["Document contains no spans"], [])
-        size = sum(len(t) for t in texts if t)
-        if size > self.MAX_DOC_BYTES:
-            return ([f"Document size {size} bytes exceeds maximum "
-                     f"{self.MAX_DOC_BYTES} bytes"], [])
+        # cheap char count first; UTF-8 expands at most 4x, so only docs that
+        # could possibly exceed the byte cap pay for the exact encode
+        chars = sum(len(t) for t in texts if t)
+        if chars * 4 > self.MAX_DOC_BYTES:
+            size = sum(len(t.encode("utf-8")) for t in texts if t)
+            if size > self.MAX_DOC_BYTES:
+                return ([f"Document size {size} bytes exceeds maximum "
+                         f"{self.MAX_DOC_BYTES} bytes"], [])
         if len(response_text.strip()) < self.MIN_TEXT_SAMPLE:
             return ([], ["Document may be image-based or have little text content"])
         return ([], [])

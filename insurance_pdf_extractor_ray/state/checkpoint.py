@@ -88,7 +88,12 @@ def run_partitioned(
     for i, files in enumerate(parts):
         man_path = os.path.join(man_dir, f"part-{i}.json")
         prev = done.get(i)
-        if prev is not None and prev.get("config_hash") == chash:
+        # a partition is committed only if BOTH the config and its exact file
+        # assignment match — re-running with a different partition count or
+        # after adding input fragments changes file assignments, and skipping
+        # on config_hash alone would silently drop/duplicate rows
+        if (prev is not None and prev.get("config_hash") == chash
+                and prev.get("input_files") == files):
             skipped += 1
             total_rows += prev.get("rows", 0)
             continue

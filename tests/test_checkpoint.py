@@ -68,3 +68,31 @@ def test_config_change_invalidates(sharded_input, tmp_path):
 
     man = json.load(open(glob.glob(os.path.join(out, "_manifest", "*.json"))[0]))
     assert {"partition", "input_files", "rows", "config_hash", "wall_time_sec"} <= set(man)
+
+
+def test_partition_count_change_invalidates(sharded_input, tmp_path):
+    """Changing num_partitions reassigns files; a manifest whose input_files
+    no longer match must NOT be skipped (silent row loss/dup otherwise)."""
+    out = str(tmp_path / "out")
+    checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    res = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=2)
+    # 3->2 partitions: every partition's file list changed -> all re-run
+    assert res["partitions_skipped"] == 0
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(out, "part-0", "*.parquet"))
+        + glob.glob(os.path.join(out, "part-1", "*.parquet"))
+    )
+    assert total == 300
+
+
+def test_new_fragment_invalidates_affected_partitions(sharded_input, tmp_path):
+    """Adding an input fragment must re-run the partitions whose assignment
+    changed, and the final output must contain every row exactly once."""
+    out = str(tmp_path / "out")
+    checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    tbl = synth.docs_table(range(300, 350))
+    pq.write_table(tbl, os.path.join(sharded_input, "frag-6.parquet"))
+    res = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    assert res["partitions_run"] >= 1
+    assert res["rows"] == 350

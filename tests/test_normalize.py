@@ -80,6 +80,14 @@ class TestText:
         assert clean_text_field("EMPTY VALUE") == "EMPTY VALUE"
         assert clean_text_field("") == ""
 
+    def test_clean_text_unicode_whitespace(self):
+        # the reference's re.sub(r'\s+') collapses Unicode whitespace too —
+        # NBSP and friends are common in PDF-extracted text; the fast path
+        # must not pass them through
+        assert clean_text_field("a\xa0b") == "a b"
+        assert clean_text_field("a b c") == "a b c"
+        assert clean_text_field("\xa0edge\xa0") == "edge"
+
 
 class TestQuoteNumber:
     def test_valid(self):
