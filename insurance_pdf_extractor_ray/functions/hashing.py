@@ -12,6 +12,7 @@ import hashlib
 from typing import List, Sequence
 
 import numpy as np
+import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 _MAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -29,6 +30,29 @@ def stable_hash64_array(values: Sequence[str]) -> np.ndarray:
         dtype=np.uint64,
         count=len(values),
     )
+
+
+def stable_hash64_column(col, seed: int = 42) -> np.ndarray:
+    """Vectorized stable 64-bit hash of an Arrow string column (uint64).
+
+    Uses polars' Rust hash kernel (seed-fixed ahash): deterministic across
+    worker processes within one environment/job — sufficient for
+    hash-partitioning and within-job dedup keys.  NOT the same values as
+    :func:`stable_hash64` (blake2b) and not guaranteed stable across polars
+    versions, so never persist these hashes; use :func:`stable_hash64` for
+    anything durable.  Nulls hash as empty string (parity with the scalar
+    path's ``v or ""``).  ~100x faster than the per-row Python loop.
+    """
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col, pa.string())
+    try:
+        import polars as pl
+
+        return (
+            pl.from_arrow(col).fill_null("").hash(seed=seed).to_numpy().astype(np.uint64)
+        )
+    except ImportError:  # pragma: no cover - polars is in the image
+        return stable_hash64_array(col.to_pylist())
 
 
 def _minhash_params(num_perm: int, seed: int = 42):

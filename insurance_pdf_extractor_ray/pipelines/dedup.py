@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import MinHasher, simhash64, stable_hash64
+from ..functions.hashing import MinHasher, simhash64, stable_hash64_column
 from ..functions.textstats import word_ngrams
 
 # ---------------------------------------------------------------------------
@@ -32,26 +32,49 @@ from ..functions.textstats import word_ngrams
 # ---------------------------------------------------------------------------
 
 
+#: rows above which the winner set is no longer broadcast to every task but
+#: semi-joined with a hash shuffle (a corpus-cardinality set on the driver is
+#: the classic 10^9-row OOM)
+MAX_BROADCAST_ROWS = 2_000_000
+
+
+def _join_partitions() -> int:
+    """Partition count for Dataset.join: the hash-shuffle aggregator actors
+    occupy scheduling slots, so never exceed the cluster CPU count (a
+    num_partitions > CPUs join starves itself at small cluster sizes)."""
+    import ray as _ray
+
+    n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(2, min(n_cpus, 128))
+
+
 def exact_dedup(
     ds: ray.data.Dataset, col: str, id_col: str,
     num_partitions: Optional[int] = None, strict: bool = False,
+    max_broadcast: int = MAX_BROADCAST_ROWS,
 ) -> ray.data.Dataset:
     """Keep one row per distinct ``col`` value — the row with min ``id_col``.
 
-    Default path: groupby a 64-bit stable hash of the value and take
-    ``Min(id)`` (the shuffle moves only (hash, id) pairs — not the payload),
-    then a broadcast semi-join on the winner-id set brings back the winning
-    rows.  For corpora whose winner set exceeds driver memory, pass
-    ``num_partitions`` to use a hash shuffle join instead (size it to the
-    cluster: the join spawns that many aggregator actors).  A blake2b-64
-    collision would merge two distinct values (~n^2/2^65 odds — ~3e-2
-    expected collisions at 10^12 rows); ``strict=True`` uses the
+    Path selection (scale-safe by default): groupby a 64-bit stable hash of
+    the value and take ``Min(id)`` (the shuffle moves only (hash, id) pairs —
+    not the payload).  The winner-id set is then applied either as
+
+      * a broadcast semi-join (``ray.put`` once, vectorized ``np.isin`` per
+        batch) — only when the input row count PROVES the winner set fits
+        (``<= max_broadcast`` rows; input count is parquet-metadata-cheap for
+        read datasets), or
+      * a hash shuffle join (``Dataset.join``) sized to the cluster — the
+        default at corpus scale, where a driver-resident winner set would be
+        corpus-cardinality (one id per distinct value).
+
+    Pass ``num_partitions`` to force the join path with an explicit size.
+    A 64-bit collision would merge two distinct values (~n^2/2^65 odds —
+    ~3e-2 expected collisions at 10^12 rows); ``strict=True`` uses the
     value-rechecking group-scan path instead.
     """
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_pylist()
-        h = pa.array([stable_hash64(v or "") for v in vals], pa.uint64())
+        h = pa.array(stable_hash64_column(batch.column(col)), pa.uint64())
         return batch.append_column("__h", h)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -77,28 +100,108 @@ def exact_dedup(
         Min(id_col, alias_name="__keep")
     ).select_columns(["__keep"])
 
-    if num_partitions is not None:
+    use_join = num_partitions is not None or ds.count() > max_broadcast
+    if use_join:
         kept = hashed.join(
-            winners, join_type="inner", num_partitions=num_partitions,
+            winners, join_type="inner",
+            num_partitions=num_partitions or _join_partitions(),
             on=(id_col,), right_on=("__keep",),
         )
         return kept.drop_columns(["__h"])
 
     import ray as _ray
 
-    winner_ids = frozenset(r["__keep"] for r in winners.take_all())
-    ref = _ray.put(winner_ids)
+    winner_rows = winners.take_all()
+    ref = _ray.put(frozenset(r["__keep"] for r in winner_rows))
 
     class Keep:
         def __init__(self, keys_ref):
             self.keys = _ray.get(keys_ref)
+            self._np_keys = None
+            if self.keys and not any(isinstance(k, str) for k in self.keys):
+                self._np_keys = np.sort(np.fromiter(self.keys, dtype=np.int64,
+                                                    count=len(self.keys)))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([v in self.keys for v in batch.column(id_col).to_pylist()])
+            ids = batch.column(id_col)
+            if self._np_keys is not None:
+                vals = ids.to_numpy(zero_copy_only=False)
+                mask = pa.array(np.isin(vals, self._np_keys, assume_unique=False))
+            else:
+                mask = pa.array([v in self.keys for v in ids.to_pylist()])
             return batch.filter(mask).drop_columns(["__h"])
 
     return hashed.map_batches(
         Keep, fn_constructor_kwargs=dict(keys_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale-aware id filtering (shared by all dup-id consumers)
+# ---------------------------------------------------------------------------
+
+
+def filter_by_ids(
+    ds: ray.data.Dataset, id_col: str,
+    ids: ray.data.Dataset, ids_col: Optional[str] = None,
+    keep_matching: bool = False,
+    max_broadcast: int = MAX_BROADCAST_ROWS,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Semi/anti-join ``ds`` against an id Dataset, scale-aware.
+
+    The id side is materialized once (it is dup-set-sized — object-store
+    resident and spillable, never a driver list), then either
+
+      * broadcast (``ray.put`` one frozenset/np array, vectorized ``np.isin``
+        per batch) when it has ``<= max_broadcast`` rows, or
+      * applied as a native hash-shuffle ``left_semi`` / ``left_anti`` join —
+        the path that stays bounded on a 30-60%-duplicate web crawl where
+        the dup-id set is itself corpus-scale.
+    """
+    from ..dsutil import drop_empty_blocks
+
+    ids_col = ids_col or id_col
+    mat = ids.select_columns([ids_col]).materialize()
+    n = mat.count()
+    if n == 0:
+        # nothing to match: anti keeps everything, semi keeps nothing
+        return ds if not keep_matching else ds.limit(0)
+    if n > max_broadcast:
+        # groupby-derived id sets carry empty zero-column blocks that break
+        # the pyarrow hash join; compact them away first (metadata-only)
+        return ds.join(
+            drop_empty_blocks(mat),
+            join_type=("left_semi" if keep_matching else "left_anti"),
+            num_partitions=num_partitions or _join_partitions(),
+            on=(id_col,), right_on=(ids_col,),
+        )
+
+    import ray as _ray
+
+    vals = [r[ids_col] for r in mat.take_all()]
+    numeric = bool(vals) and not any(isinstance(v, str) for v in vals)
+    payload = (np.sort(np.asarray(vals, dtype=np.int64)) if numeric
+               else frozenset(vals))
+    ref = _ray.put(payload)
+
+    class Filter:
+        def __init__(self, keys_ref, keep: bool):
+            self.keys = _ray.get(keys_ref)
+            self.keep = keep
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column(id_col)
+            if isinstance(self.keys, np.ndarray):
+                hit = np.isin(col.to_numpy(zero_copy_only=False), self.keys)
+            else:
+                hit = np.fromiter((v in self.keys for v in col.to_pylist()),
+                                  dtype=bool, count=len(col))
+            return batch.filter(pa.array(hit if self.keep else ~hit))
+
+    return ds.map_batches(
+        Filter, fn_constructor_kwargs=dict(keys_ref=ref, keep=keep_matching),
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
@@ -194,23 +297,18 @@ def minhash_dup_ids(
 
 def minhash_dedup(
     ds: ray.data.Dataset, col: str, id_col: str, threshold: float = 0.8,
-    **kwargs,
+    max_broadcast: int = MAX_BROADCAST_ROWS, **kwargs,
 ) -> ray.data.Dataset:
-    """Filter near-duplicates out of ``ds`` (small dup-set broadcast path).
+    """Filter near-duplicates out of ``ds``.
 
-    The dup-id set is aggregate-small (duplicates, not corpus); it is
-    collected once and shipped to the filter tasks via closure capture
-    (``ray.put`` under the hood) — a broadcast semi-join, not a shuffle join.
+    Dup-id application is scale-aware (:func:`filter_by_ids`): broadcast
+    below ``max_broadcast`` ids, hash-shuffle ``left_anti`` join above — on a
+    30-60%-duplicate web crawl the dup-id set is corpus-scale and must never
+    land on the driver.
     """
-    dup_ids = set(
-        r[id_col] for r in minhash_dup_ids(ds, col, id_col, threshold, **kwargs).take_all()
-    )
-
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pa.array([v not in dup_ids for v in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    dup = minhash_dup_ids(ds, col, id_col, threshold, **kwargs)
+    return filter_by_ids(ds, id_col, dup, keep_matching=False,
+                         max_broadcast=max_broadcast)
 
 
 # ---------------------------------------------------------------------------
@@ -358,10 +456,9 @@ def dup_components(pairs: ray.data.Dataset, id_a: str = "id_a", id_b: str = "id_
     """Union-find over a duplicate-pair edge list -> {id: component_root}.
 
     Bucket-level keep-first can split a transitive dup chain (A~B in one
-    bucket, B~C in another); components merge them.  The edge list is
-    dup-pairs-sized (<< corpus), so it is collected to the driver; for edge
-    lists beyond driver memory, run iterative min-label propagation as a
-    sequence of groupby rounds instead.
+    bucket, B~C in another); components merge them.  Driver-resident path for
+    edge lists that fit (:func:`dup_components_distributed` is the
+    groupby-rounds alternative for edge lists beyond driver memory).
     Root = min id of the component (deterministic keep-first winner).
     """
     parent: dict = {}
@@ -385,13 +482,106 @@ def dup_components(pairs: ray.data.Dataset, id_a: str = "id_a", id_b: str = "id_
     return {x: find(x) for x in parent}
 
 
+def dup_components_distributed(
+    pairs: ray.data.Dataset, id_a: str = "id_a", id_b: str = "id_b",
+    max_rounds: int = 12, num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Min-label propagation over the dup-pair edge list -> Dataset(id, root).
+
+    The distributed alternative to :func:`dup_components` for edge lists
+    beyond driver memory: labels start as each node's own id; each round every
+    edge pushes the smaller endpoint label across, and ``groupby(id).min``
+    re-aggregates.  Labels are monotonically non-increasing, so the rounds
+    converge in O(max component diameter); iteration stops early when a round
+    changes nothing (checked with an inner join — all Dataset-side, nothing
+    driver-resident).  LSH dup components are short chains in practice, so a
+    handful of rounds suffices; ``max_rounds`` caps pathological graphs.
+    """
+    P = num_partitions or _join_partitions()
+    edges = pairs.select_columns([id_a, id_b]).map_batches(
+        lambda t: pa.table({"src": pa.concat_arrays([
+                                t.column(id_a).combine_chunks(),
+                                t.column(id_b).combine_chunks()]),
+                            "dst": pa.concat_arrays([
+                                t.column(id_b).combine_chunks(),
+                                t.column(id_a).combine_chunks()])}),
+        batch_format="pyarrow",
+    ).materialize()  # edge list reused every round; dup-pairs-sized
+    id_type = edges.schema().base_schema.field("src").type
+
+    from ray.data.aggregate import Min
+
+    from ..dsutil import drop_empty_blocks
+
+    label_schema = pa.schema([("id", id_type), ("label", id_type)])
+
+    # initial labels: own id (over every node that appears in an edge).
+    # drop_empty_blocks: the groupby shuffle emits empty zero-column blocks
+    # that would break the pyarrow hash join below
+    labels = drop_empty_blocks(
+        edges.map_batches(
+            lambda t: pa.table({"id": t.column("src"), "label": t.column("src")}),
+            batch_format="pyarrow",
+        ).groupby("id").aggregate(Min("label", alias_name="label")),
+        empty_schema=label_schema,
+    )
+
+    for _ in range(max_rounds):
+        # push each node's current label to its neighbors
+        msgs = edges.join(labels, join_type="inner", num_partitions=P,
+                          on=("src",), right_on=("id",))
+        msgs = msgs.map_batches(
+            lambda t: pa.table({"id": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = drop_empty_blocks(
+            labels.union(msgs).groupby("id").aggregate(
+                Min("label", alias_name="label")
+            ),
+            empty_schema=label_schema,
+        )
+        changed = labels.join(
+            new_labels, join_type="inner", num_partitions=P,
+            on=("id",), right_on=("id",), right_suffix="_new",
+        ).map_batches(
+            lambda t: t.filter(pa.compute.invert(pa.compute.equal(
+                t.column("label"), t.column("label_new")))),
+            batch_format="pyarrow",
+        ).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.rename_columns(["id", "root"])
+
+
 def jaccard_component_dedup(
     ds: ray.data.Dataset, col: str, id_col: str, threshold: float = 0.8,
+    max_broadcast: int = MAX_BROADCAST_ROWS, distributed: Optional[bool] = None,
     **kwargs,
 ) -> ray.data.Dataset:
     """Near-dup removal with transitive closure: LSH candidates -> exact
-    Jaccard verify -> connected components -> keep each component's min id."""
+    Jaccard verify -> connected components -> keep each component's min id.
+
+    Component computation is driver union-find while the pair list fits
+    (``<= max_broadcast`` pairs), else the min-label-propagation rounds of
+    :func:`dup_components_distributed`; pass ``distributed`` to force a path.
+    The drop-id application is scale-aware either way (:func:`filter_by_ids`).
+    """
     pairs = jaccard_dup_pairs(ds, col, id_col, threshold=threshold, **kwargs)
+    pairs = pairs.materialize()  # reused: count + components
+    if distributed is None:
+        distributed = pairs.count() > max_broadcast
+
+    if distributed:
+        labels = dup_components_distributed(pairs)
+        drop_ds = labels.map_batches(
+            lambda t: t.filter(pa.compute.invert(pa.compute.equal(
+                t.column("id"), t.column("root")))).select(["id"]),
+            batch_format="pyarrow",
+        )
+        return filter_by_ids(ds, id_col, drop_ds, ids_col="id",
+                             keep_matching=False, max_broadcast=max_broadcast)
+
     comp = dup_components(pairs)
     drop = frozenset(x for x, root in comp.items() if x != root)
     ref = ray.put(drop)
@@ -423,7 +613,9 @@ class SignBucketStage:
         self.planes = None  # lazily sized from the first batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float32)
+        from .similarity import embedding_matrix
+
+        embs = embedding_matrix(batch.column(self.emb_col), dtype=np.float32)
         if self.planes is None:
             rng = np.random.RandomState(self.seed)
             self.planes = rng.standard_normal((embs.shape[1], self.n_planes)).astype(np.float32)
@@ -455,7 +647,9 @@ def embedding_dup_ids(
         if n < 2:
             return empty
         ids = group.column(id_col).to_pylist()[:n]
-        unit = np.asarray(group.column("unit").to_pylist()[:n], dtype=np.float32)
+        from .similarity import embedding_matrix
+
+        unit = embedding_matrix(group.column("unit").slice(0, n), dtype=np.float32)
         order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
         sims = unit @ unit.T
         canon: List[int] = []

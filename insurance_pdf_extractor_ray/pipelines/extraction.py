@@ -119,13 +119,13 @@ def _default_partitions() -> int:
 
 def _shuffle_merge(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     """groupby(hash(doc_id) %% P) + one vectorized merge per partition."""
-    from ..functions.hashing import stable_hash64
+    from ..functions.hashing import stable_hash64_column
 
     P = num_partitions
 
     def add_part(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        part = pa.array([stable_hash64(d) % P for d in ids], pa.int32())
+        h = stable_hash64_column(batch.column("doc_id"))
+        part = pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
         return batch.append_column("__part", part)
 
     def merge_partition(group: pa.Table) -> pa.Table:
@@ -144,35 +144,76 @@ def _shuffle_merge(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Datase
     )
 
 
-def _collect_split_hashes(raw: ray.data.Dataset):
-    """Driver-side split-doc detector over the RAW input: each batch ships
-    one binary blob of its per-row doc-id hashes (duplicates included); the
-    driver concatenates and returns hashes with total row multiplicity > 1.
+#: split-hash sets above this size fall back to the full shuffle — shipping a
+#: larger broadcast set costs more than just shuffling everything
+MAX_SPLIT_BROADCAST = 2_000_000
+
+
+#: below this row count the split-doc detector collects per-batch hash blobs
+#: to the driver (8 bytes/row — 400 MB at the limit, one cheap pass, no
+#: shuffle); above it, the distributed groupby-count path runs instead
+MAX_DRIVER_DETECT_ROWS = 50_000_000
+
+
+def _split_doc_hashes(raw: ray.data.Dataset) -> np.ndarray:
+    """Split-doc detector over the RAW input: per-row doc-id hashes
+    (vectorized), multiplicity count, keep only hashes with count > 1.
+    Returns the (small) sorted int64 split-hash array.
+
+    Size-adaptive: under ``MAX_DRIVER_DETECT_ROWS`` each batch ships one
+    binary blob of its hashes and the driver runs a single np.unique — one
+    pruned pass, no shuffle (~2 s cheaper than a groupby at 50k docs).
+    Above it, a per-batch partial (hash, count) combine feeds ONE tiny
+    groupby on 8-byte keys, so only multi-row docs' hashes ever reach the
+    driver — never a corpus-scale collection (~8 TB at the 10^12-doc north
+    star if collected naively).
 
     The decision is purely content-based (how many ROWS a doc has), never
     batching-based — batch/block boundaries are NOT stable across separate
     executions of a re-executed lineage, so "seen in two batches" would
     misclassify docs and duplicate them downstream (caught at 24k docs).
-
-    Cost: n_rows x 8 bytes to the driver (16 MB at 2M rows) — fine up to
-    ~10^9 rows; beyond that use the distributed groupby count or a bucketed
-    write layout (mode='colocated').
     """
-    from ..functions.hashing import stable_hash64
+    from ray.data.aggregate import Sum
 
-    def blob(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        h = np.fromiter((stable_hash64(d) for d in ids), np.uint64, len(ids))
-        return pa.table({"blob": pa.array([h.tobytes()], pa.binary())})
+    from ..functions.hashing import stable_hash64_column
 
-    blobs = raw.select_columns(["doc_id"]).map_batches(
-        blob, batch_format="pyarrow"
-    ).take_all()
-    if not blobs:
-        return frozenset()
-    allh = np.concatenate([np.frombuffer(b["blob"], dtype=np.uint64) for b in blobs])
-    uniq, counts = np.unique(allh, return_counts=True)
-    return frozenset(uniq[counts > 1].tolist())
+    pruned = raw.select_columns(["doc_id"])
+    if pruned.count() <= MAX_DRIVER_DETECT_ROWS:
+        def blob(batch: pa.Table) -> pa.Table:
+            h = stable_hash64_column(batch.column("doc_id")).view(np.int64)
+            return pa.table({"blob": pa.array([h.tobytes()], pa.binary())})
+
+        blobs = pruned.map_batches(blob, batch_format="pyarrow").take_all()
+        if not blobs:
+            return np.empty(0, dtype=np.int64)
+        allh = np.concatenate([np.frombuffer(b["blob"], dtype=np.int64)
+                               for b in blobs])
+        uniq, counts = np.unique(allh, return_counts=True)
+        return uniq[counts > 1]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # hashes reinterpreted as int64 (bijective): Ray's shuffle machinery
+        # mishandles uint64 values above int64 max (pickled-object fallback)
+        h = stable_hash64_column(batch.column("doc_id")).view(np.int64)
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table({"__h": pa.array(uniq, pa.int64()),
+                         "__c": pa.array(counts, pa.int64())})
+
+    agg = (
+        pruned
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__h")
+        .aggregate(Sum("__c", alias_name="c"))
+    )
+
+    def keep_multi(batch: pa.Table) -> pa.Table:
+        if "c" not in batch.column_names:  # zero-column empty shuffle block
+            return pa.table({"__h": pa.array([], pa.int64())})
+        m = batch.filter(pa.compute.greater(batch.column("c"), 1))
+        return pa.table({"__h": m.column("__h").cast(pa.int64())})
+
+    rows = agg.map_batches(keep_multi, batch_format="pyarrow").take_all()
+    return np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
 
 
 def reassemble(
@@ -180,6 +221,7 @@ def reassemble(
     assume_colocated: bool = False,
     num_partitions: Optional[int] = None,
     mode: Optional[str] = None,
+    id_only_source: Optional[str] = None,
 ) -> ray.data.Dataset:
     """Rebuild one offset-ordered row per doc_id (the reassembly exchange).
 
@@ -191,9 +233,12 @@ def reassemble(
         per-doc Python calls).
       * ``"colocated"``: all rows of a doc share a block (bucketed write
         layout) — skip the shuffle, merge within blocks.
-      * ``"auto"``: detect split docs with a cheap driver-side hash-union
-        pass; shuffle ONLY the split docs' rows (usually a tiny fraction)
-        and stream everything else — adaptive shuffle avoidance.
+      * ``"auto"``: detect split docs with a distributed multiplicity count
+        (tiny groupby on 8-byte hashes — nothing corpus-scale on the
+        driver); shuffle ONLY the split docs' rows (usually a tiny fraction)
+        and stream everything else — adaptive shuffle avoidance.  If the
+        split set itself is huge (> MAX_SPLIT_BROADCAST) the input is
+        heavily fragmented and auto degrades gracefully to the full shuffle.
     """
     mode = mode or ("colocated" if assume_colocated else "shuffle")
     pre = ds.map_batches(precombine, batch_format="pyarrow")
@@ -209,23 +254,30 @@ def reassemble(
 
     import ray as _ray
 
-    from ..functions.hashing import stable_hash64
+    from ..functions.hashing import stable_hash64_column
 
     # detector runs on the RAW rows (content-based membership; see
-    # _collect_split_hashes for why batching-based detection is wrong)
-    split = _collect_split_hashes(ds)
-    if not split:
+    # _split_doc_hashes for why batching-based detection is wrong).
+    # ``id_only_source``: a storage path to re-read with ONLY the doc_id
+    # column — without it the detector pass decodes the heavy spans column
+    # just to throw it away (measured 1.5x auto-mode slowdown at 50k docs)
+    detector_input = (
+        read_table(id_only_source, columns=["doc_id"])
+        if id_only_source is not None else ds
+    )
+    split = _split_doc_hashes(detector_input)
+    if len(split) == 0:
         return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
-    ref = _ray.put(split)
+    if len(split) > MAX_SPLIT_BROADCAST:
+        return _shuffle_merge(pre, num_partitions)
+    ref = _ray.put(split)  # sorted uint64 array, broadcast once
 
     def make_filter(keep_split: bool):
         def f(batch: pa.Table) -> pa.Table:
             s = _ray.get(ref)
-            mask = pa.array([
-                (stable_hash64(d) in s) == keep_split
-                for d in batch.column("doc_id").to_pylist()
-            ])
-            return batch.filter(mask)
+            h = stable_hash64_column(batch.column("doc_id")).view(np.int64)
+            hit = np.isin(h, s)
+            return batch.filter(pa.array(hit if keep_split else ~hit))
 
         return f
 
@@ -273,7 +325,8 @@ def extract_pipeline(
     32 CPUs: tasks 54.8k docs/s vs actors ~34k.
     """
     ds = read_table(source, columns=["doc_id", "spans"]) if isinstance(source, str) else source
-    ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode)
+    ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode,
+                    id_only_source=source if isinstance(source, str) else None)
 
     if compute == "tasks":
         def extract_batch(batch: pa.Table) -> pa.Table:

@@ -25,6 +25,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a list<float> / fixed_size_list column, zero-copy
+    where possible: uniform-length lists reshape the flattened values buffer
+    directly instead of the to_pylist() row-by-row materialization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).reshape(n, dim).astype(
+            dtype, copy=False)
+    lengths = col.value_lengths().fill_null(0).to_numpy()
+    if lengths.min() == lengths.max() and lengths[0] > 0 and col.null_count == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(n, int(lengths[0])).astype(dtype, copy=False)
+    return np.asarray(col.to_pylist(), dtype=dtype)  # ragged fallback
+
+
 class BruteForceTopK:
     """map_batches stage: per-batch cosine top-k against the broadcast queries.
 
@@ -38,7 +58,7 @@ class BruteForceTopK:
         self.emb_col, self.id_col, self.k = emb_col, id_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float64)
+        embs = embedding_matrix(batch.column(self.emb_col))
         if embs.size == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              self.id_col: pa.array([], batch.column(self.id_col).type),
@@ -106,7 +126,7 @@ class LshTopK(BruteForceTopK):
         self.max_mismatch = max_mismatch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float64)
+        embs = embedding_matrix(batch.column(self.emb_col))
         if embs.size == 0:
             return super().__call__(batch)
         signs = (embs @ self.planes) > 0  # (n, planes)
@@ -128,14 +148,35 @@ def train_centroids(
     sample_size: int = 10000,
     iters: int = 10,
     seed: int = 42,
+    id_col: Optional[str] = None,
 ) -> np.ndarray:
-    """Deterministic k-means centroids from a driver-side sample (the IVF
-    training step; public Lloyd's algorithm over unit vectors).
+    """Deterministic k-means centroids from a sample (the IVF training step;
+    public Lloyd's algorithm over unit vectors).
 
-    The sample is the dataset head (``limit``) — deterministic and cheap; at
-    100 TB you'd train once offline and broadcast the tiny centroid matrix.
+    With ``id_col`` the sample is an unbiased deterministic hash stratum
+    (rows whose stable id hash falls in the smallest 1/m slice) — identical
+    regardless of block order or parallelism, unlike a head ``limit`` (which
+    is order-biased) or ``random_sample`` (which depends on partitioning).
+    Without ``id_col`` it falls back to the head.  At 100 TB you'd train once
+    offline and broadcast the tiny centroid matrix.
     """
-    sample = ds.select_columns([emb_col]).limit(sample_size).take_all()
+    if id_col is not None:
+        from ..functions.hashing import stable_hash64_column
+
+        n = ds.count()
+        m = max(1, n // max(1, sample_size))
+
+        def stratum(batch: pa.Table) -> pa.Table:
+            h = stable_hash64_column(batch.column(id_col).cast(pa.string()),
+                                     seed=seed)
+            return batch.filter(pa.array(h % np.uint64(m) == 0))
+
+        sample_ds = ds.select_columns([id_col, emb_col]).map_batches(
+            stratum, batch_format="pyarrow")
+        rows = sorted(sample_ds.take_all(), key=lambda r: r[id_col])
+        sample = rows[: 2 * sample_size]
+    else:
+        sample = ds.select_columns([emb_col]).limit(sample_size).take_all()
     X = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
     n_clusters = min(n_clusters, len(X))
@@ -164,7 +205,7 @@ class IvfTopK(BruteForceTopK):
         self.probe_union = np.unique(self.probe)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float64)
+        embs = embedding_matrix(batch.column(self.emb_col))
         if embs.size == 0:
             return super().__call__(batch)
         assign = np.argmax(_normalize(embs) @ self.centroids.T, axis=1)
@@ -195,7 +236,8 @@ def knn_ivf(
     ``n_probe`` (n_probe == n_clusters degenerates to brute force).
     """
     if centroids is None:
-        centroids = train_centroids(ds, emb_col, n_clusters=n_clusters)
+        centroids = train_centroids(ds, emb_col, n_clusters=n_clusters,
+                                    id_col=id_col)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
     candidates = ds.select_columns([id_col, emb_col]).map_batches(

@@ -184,3 +184,72 @@ def test_embedding_dup_ids():
     # sign-bucket matches; expect high recall, zero false positives
     assert not set(dup) & set(range(30))
     assert len(dup) >= 20
+
+
+class TestScaleSafePaths:
+    """Round-2 scale defaults: shuffle-join winners, distributed id filtering,
+    min-label-propagation components — each must agree with the small path."""
+
+    def _docs(self):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(["a", "b", "a", "c", "b", "d", "a", "e", "c", "f"]),
+        }))
+
+    def test_exact_dedup_join_path_agrees(self, ray_session):
+        ds = self._docs()
+        broadcast = sorted(r["doc_id"] for r in dedup.exact_dedup(ds, "text", "doc_id").take_all())
+        joined = sorted(r["doc_id"] for r in dedup.exact_dedup(
+            ds, "text", "doc_id", max_broadcast=2).take_all())
+        assert broadcast == joined == [0, 1, 3, 5, 7, 9]
+
+    def test_filter_by_ids_both_paths(self, ray_session):
+        import pyarrow as pa
+
+        ds = self._docs()
+        ids = ray.data.from_arrow(pa.table({"doc_id": pa.array([3, 5, 7], pa.int64())}))
+        for kwargs in ({}, {"max_broadcast": 1}):  # broadcast vs left_anti join
+            anti = sorted(r["doc_id"] for r in dedup.filter_by_ids(
+                ds, "doc_id", ids, **kwargs).take_all())
+            assert anti == [0, 1, 2, 4, 6, 8, 9], kwargs
+        semi = sorted(r["doc_id"] for r in dedup.filter_by_ids(
+            ds, "doc_id", ids, keep_matching=True).take_all())
+        assert semi == [3, 5, 7]
+
+    def test_filter_by_ids_empty_id_set(self, ray_session):
+        import pyarrow as pa
+
+        ds = self._docs()
+        empty = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+        assert dedup.filter_by_ids(ds, "doc_id", empty).count() == 10
+        assert dedup.filter_by_ids(ds, "doc_id", empty, keep_matching=True).count() == 0
+
+    def test_dup_components_distributed_agrees(self, ray_session):
+        import pyarrow as pa
+
+        # chain 1-2-3-4 (diameter 3: exercises multi-round propagation) + pair
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([1, 2, 3, 10], pa.int64()),
+            "id_b": pa.array([2, 3, 4, 11], pa.int64()),
+        }))
+        labels = {r["id"]: r["root"]
+                  for r in dedup.dup_components_distributed(pairs).take_all()}
+        assert labels == dedup.dup_components(pairs)
+        assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_jaccard_component_dedup_distributed_agrees(self, ray_session):
+        import pyarrow as pa
+
+        txts = (["the quick brown fox jumps over the lazy dog " * 5] * 3
+                + ["completely different content here " * 5] * 2
+                + [f"unique text {i} with many extra words appended" for i in range(5)])
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(10), pa.int64()), "text": pa.array(txts)}))
+        kept_b = sorted(r["doc_id"] for r in dedup.jaccard_component_dedup(
+            ds, "text", "doc_id", distributed=False).take_all())
+        kept_d = sorted(r["doc_id"] for r in dedup.jaccard_component_dedup(
+            ds, "text", "doc_id", distributed=True).take_all())
+        assert kept_b == kept_d
+        assert 0 in kept_b and 1 not in kept_b and 2 not in kept_b

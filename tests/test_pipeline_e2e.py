@@ -70,6 +70,25 @@ def test_auto_mode_matches_goldens(ray_session, corpus_600):
         assert got == want_spans, did
 
 
+def test_auto_mode_distributed_detector(ray_session, corpus_600, monkeypatch):
+    """The groupby-count split detector (the >50M-row path) must agree with
+    the driver-blob path — forced on by zeroing the size threshold."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines import extraction as E
+
+    monkeypatch.setattr(E, "MAX_DRIVER_DETECT_ROWS", 0)
+    ds = ray.data.read_parquet(str(corpus_600 / "documents.parquet")).repartition(8)
+    out = extract_pipeline(ds, mode="auto", batch_size=64).take_all()
+    exp_fields, _ = _golden_maps(corpus_600)
+    assert len(out) == 600
+    assert sorted(r["doc_id"] for r in out) == sorted(exp_fields)
+    for row in out:
+        want = exp_fields[row["doc_id"]]
+        for f in synth.FIELD_ORDER:
+            assert row["fields"][f] == want[f], (row["doc_id"], f)
+
+
 def test_extreme_skew_doc(ray_session):
     """One 60k-span doc sharded over 60 out-of-order rows, mixed with 200
     normal docs: the two-phase merge reassembles it exactly (offsets
