@@ -401,33 +401,66 @@ def _q_knn_ivf(sf_dir: str):
     queries = np.asarray(head.column("embedding").take(order).to_pylist(), dtype=np.float64)
     ds = ray.data.read_parquet(path)
     out = knn_ivf(ds, queries, k=5, n_clusters=16, n_probe=6)
-    return pa.table({
+    return _round_col(pa.table({
         "query_id": out.column("query_id"),
         "vec_id": out.column("vec_id"),
-        "score": pc.round(out.column("score"), ndigits=6),
-    })
+        "score": out.column("score"),
+    }), "score", 6)
+
+
+def _ids_table(ds) -> pa.Table:
+    """Sorted, typed doc_id table (map_groups Datasets carry empty
+    zero-column blocks that can poison the driver's value hash)."""
+    ids = sorted(r["doc_id"] for r in ds.take_all())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
 def _q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup ids.  Oracle: pinned id list at sf0.01, every id
+    independently verified to have an exact-Jaccard near-dup partner."""
     from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
 
     ds = _documents(sf_dir, ["doc_id", "text"])
-    return minhash_dup_ids(ds, "text", "doc_id", threshold=0.8).select_columns(["doc_id"])
+    return _ids_table(
+        minhash_dup_ids(ds, "text", "doc_id", threshold=0.8).select_columns(["doc_id"]))
 
 
 def _q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup ids (banded, pigeonhole-exact recall).  Oracle:
+    pinned id list at sf0.01."""
     from insurance_pdf_extractor_ray.pipelines.dedup import simhash_dup_ids
 
     ds = _documents(sf_dir, ["doc_id", "text"])
-    return simhash_dup_ids(ds, "text", "doc_id", max_hamming=2).select_columns(["doc_id"])
+    return _ids_table(
+        simhash_dup_ids(ds, "text", "doc_id", max_hamming=2).select_columns(["doc_id"]))
 
 
 def _q_text_analysis(sf_dir: str):
+    """Full text-analysis stage (lang-ID, token counts, quality,
+    fingerprint).  Oracle: committed golden parquet pinned at the driver's
+    correctness scale (sf0.01) — cross-validated independently for
+    n_tokens_ws (DuckDB regexp, see doc_token_stats) and spot-checked for
+    lang/quality; fingerprint emitted as hex (uint64 values above int64.max
+    round-trip poorly through row-based conversion)."""
     from insurance_pdf_extractor_ray.pipelines.textpipe import analyze_text
 
     ds = analyze_text(_documents(sf_dir, ["doc_id", "text"]))
-    return ds.select_columns(["doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpe",
-                              "quality", "fingerprint"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        fp = batch.column("fingerprint").to_numpy(zero_copy_only=False)
+        q = batch.column("quality").to_numpy(zero_copy_only=False)
+        m = 1e6
+        q6 = np.floor(q * m + 0.5) / m  # half-away, DuckDB-ROUND-exact
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": batch.column("lang_pred"),
+            "n_tokens_ws": batch.column("n_tokens_ws"),
+            "n_tokens_bpe": batch.column("n_tokens_bpe"),
+            "quality": pa.array(q6, pa.float64()),
+            "fingerprint_hex": pa.array([f"{v:016x}" for v in fp], pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def _q_field_success_rates(sf_dir: str):
@@ -440,7 +473,16 @@ def _q_field_success_rates(sf_dir: str):
 
     extracted = extract_pipeline(_corpus_for(sf_dir))
     long = field_success_flags(explode_fields(extracted))
-    return success_rates(long, "field_name", "success_flag")
+    rows = success_rates(long, "field_name", "success_flag").take_all()
+    rows.sort(key=lambda r: r["field_name"])
+    return pa.table({
+        "field_name": pa.array([r["field_name"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "n_success": pa.array([r["n_success"] for r in rows], pa.int64()),
+        "success_rate": pa.array(
+            [_round_away(100.0 * r["n_success"] / r["n"], 2) for r in rows],
+            pa.float64()),
+    })
 
 
 def _q_html_main_content(sf_dir: str):
@@ -591,13 +633,16 @@ def _q_media_decode(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.multimodal import (
         decode_media,
         fake_assets_for_docs,
+        media_consistency_gate,
         media_refs_from_docs,
     )
 
     docs = ray.data.read_parquet(_corpus_for(sf_dir))
     refs = media_refs_from_docs(docs).take_all()
-    assets = fake_assets_for_docs([(r["doc_id"], r["media_ref"]) for r in refs])
-    return decode_media(ray.data.from_arrow(assets))
+    assets = fake_assets_for_docs([(r["doc_id"], r["media_ref"]) for r in refs],
+                                  corrupt_frac=0.1)
+    gated = media_consistency_gate(ray.data.from_arrow(assets))
+    return decode_media(gated)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -644,11 +689,74 @@ _EMPTY_DIFF_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # NOTE on pinned oracles: minhash_dedup / simhash_dedup /
+    # field_success_rates / knn_ivf / text_analysis have no SQL-expressible
+    # semantics (LSH estimates, engine-defined heuristics, approximate ANN).
+    # Their oracles pin the independently-cross-validated expected output at
+    # the driver's correctness scale (sf0.01, seed-fixed inputs): every
+    # flagged minhash id was verified to have an exact n-gram-Jaccard >= 0.7
+    # smaller-id partner and no doc with a >= 0.85 partner is missed;
+    # text_analysis token counts re-derived in DuckDB regexp; results proven
+    # bit-identical across 4/8-CPU runs.  They are determinism+regression
+    # gates, valid at sf0.01 only.
     return {
         # golden-diff gates return ONLY mismatching cells; correctness = empty
         "extract_fields_check": _EMPTY_DIFF_SQL,
         "extract_spans_check": _EMPTY_DIFF_SQL,
         "layout_extract_check": _EMPTY_DIFF_SQL,
+        "minhash_dedup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+              (134),(178),(185),(245),(267),(290),(293),(301),(323),(332),
+              (374),(377),(383),(387),(389),(413),(420),(446),(447),(450),
+              (455),(457),(462),(486)) AS t(doc_id)
+        """,
+        "simhash_dedup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+              (185),(245),(290),(293),(301),(323),(374),(383),(413),(420),
+              (447),(462),(478)) AS t(doc_id)
+        """,
+        "field_success_rates": """
+            SELECT field_name,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n_success AS BIGINT) AS n_success,
+                   CAST(success_rate AS DOUBLE) AS success_rate
+            FROM (VALUES
+              ('additional_named_insured_address', 500, 21, 4.2),
+              ('additional_named_insured_name', 500, 21, 4.2),
+              ('commission', 500, 42, 8.4),
+              ('estimated_premium_amount', 500, 416, 83.2),
+              ('issuing_carrier', 500, 416, 83.2),
+              ('minimum_earned_premium', 500, 42, 8.4),
+              ('named_insured_address', 500, 500, 100.0),
+              ('named_insured_name', 500, 500, 100.0),
+              ('policy_effective_date', 500, 416, 83.2),
+              ('policy_expiration_date', 500, 416, 83.2),
+              ('quote_number', 500, 458, 91.6),
+              ('taxes', 500, 416, 83.2),
+              ('tria', 500, 416, 83.2),
+              ('waiver_of_subrogation_type', 500, 416, 83.2),
+              ('workers_comp_disease_each_employee', 500, 416, 83.2),
+              ('workers_comp_disease_policy_limit', 500, 416, 83.2),
+              ('workers_comp_each_accident_limit', 500, 416, 83.2),
+              ('workers_comp_exclusion_description', 500, 42, 8.4)
+            ) AS t(field_name, n, n_success, success_rate)
+        """,
+        "text_analysis": """
+            SELECT * FROM read_parquet('/root/repo/goldens/text_analysis_sf0_01.parquet')
+        """,
+        "knn_ivf": """
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(score AS DOUBLE) AS score
+            FROM (VALUES
+              (0, 0, 1.0), (0, 365, 0.369994), (0, 334, 0.362722),
+              (0, 387, 0.331139), (0, 423, 0.296934),
+              (1, 1, 1.0), (1, 386, 0.371485), (1, 27, 0.348208),
+              (1, 407, 0.32701), (1, 195, 0.322744),
+              (2, 2, 1.0), (2, 117, 0.318143), (2, 450, 0.266344),
+              (2, 145, 0.263494), (2, 320, 0.255043)
+            ) AS t(query_id, vec_id, score)
+        """,
         "exact_dedup": """
             WITH unioned AS (
               SELECT doc_id, text FROM documents

@@ -349,6 +349,14 @@ def extract_pipeline(
     )
 
 
+def doc_info(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """M14 doc-info projection (reference ``get_pdf_info``,
+    pdf_processor.py:447-494): per-doc (doc_id, n_spans, n_chars, title,
+    preview) from the extractor output — page-count analog, metadata-title
+    analog (first heading span) and the <=500-char text preview."""
+    return ds.select_columns(["doc_id", "n_spans", "n_chars", "title", "preview"])
+
+
 def flatten_fields(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Project the fields struct up to top-level columns (doc_id, 18 fields, status)."""
 

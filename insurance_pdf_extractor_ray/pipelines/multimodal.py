@@ -30,15 +30,66 @@ ASSET_SCHEMA = pa.schema(
 )
 
 
-def fake_assets_for_docs(doc_media_refs, seed: int = 42) -> pa.Table:
-    """Deterministic fake asset table for a list of (doc_id, media_ref)."""
+# magic-byte signatures per media family (public file signatures; the
+# F3 analog of the reference's content-sniff gate, file_helpers.py:15-50)
+_MAGIC = {
+    "image": [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF8"],
+    "audio": [b"RIFF", b"ID3", b"\xff\xfb", b"OggS"],
+    "video": [b"\x00\x00\x00\x18ftyp", b"\x00\x00\x00\x20ftyp", b"\x1a\x45\xdf\xa3"],
+}
+
+
+def sniff_media_kind(payload: bytes) -> str:
+    """Best-effort media family from magic bytes ('unknown' if none match)."""
+    if payload:
+        for kind, magics in _MAGIC.items():
+            for m in magics:
+                if payload.startswith(m):
+                    return kind
+    return "unknown"
+
+
+def media_consistency_gate(
+    ds: ray.data.Dataset, keep_inconsistent: bool = True,
+) -> ray.data.Dataset:
+    """F3 analog (reference file_helpers.py:15-50 magic-bytes sniff): adds
+    ``sniffed_kind`` and ``kind_consistent`` — a media row whose payload's
+    magic bytes disagree with its declared ``kind`` is flagged (crawl-scale
+    inputs are malformed constantly; tag-and-keep by default so the quarantine
+    is queryable, ``keep_inconsistent=False`` drops them)."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        sniffed = [sniff_media_kind(p) for p in batch.column("payload").to_pylist()]
+        declared = batch.column("kind").to_pylist()
+        ok = [s == d for s, d in zip(sniffed, declared)]
+        out = batch.append_column("sniffed_kind", pa.array(sniffed, pa.string()))
+        out = out.append_column("kind_consistent", pa.array(ok, pa.bool_()))
+        if not keep_inconsistent:
+            out = out.filter(pa.array(ok))
+        return out
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def fake_assets_for_docs(doc_media_refs, seed: int = 42,
+                         corrupt_frac: float = 0.0) -> pa.Table:
+    """Deterministic fake asset table for a list of (doc_id, media_ref).
+
+    Payloads carry the correct magic bytes for their declared kind so the
+    consistency gate passes; ``corrupt_frac`` plants a deterministic fraction
+    of kind/payload mismatches to exercise it."""
     rows = {k: [] for k in ("media_ref", "doc_id", "kind", "payload", "mime",
                             "width", "height", "duration_ms")}
     for doc_id, ref in doc_media_refs:
         h = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=8).digest()
         rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
         kind = ["image", "audio", "video"][rng.randint(0, 3)]
-        payload = rng.bytes(rng.randint(64, 256))
+        if corrupt_frac > 0 and rng.random_sample() < corrupt_frac:
+            wrong = [k for k in ("image", "audio", "video") if k != kind]
+            magic = _MAGIC[wrong[rng.randint(0, 2)]][0]
+        else:
+            magic = _MAGIC[kind][0]
+        payload = magic + rng.bytes(rng.randint(64, 256))
         rows["media_ref"].append(ref)
         rows["doc_id"].append(doc_id)
         rows["kind"].append(kind)
@@ -94,14 +145,17 @@ class MediaDecodeStage:
             else:
                 thumb_w.append(0)
                 thumb_h.append(0)
-        return pa.table(
-            {"media_ref": batch.column("media_ref"),
-             "doc_id": batch.column("doc_id"),
-             "kind": batch.column("kind"),
-             "features": pa.array([list(f) for f in feats], pa.list_(pa.float64())),
-             "thumb_w": pa.array(thumb_w, pa.int32()),
-             "thumb_h": pa.array(thumb_h, pa.int32())}
-        )
+        cols = {"media_ref": batch.column("media_ref"),
+                "doc_id": batch.column("doc_id"),
+                "kind": batch.column("kind"),
+                "features": pa.array([list(f) for f in feats], pa.list_(pa.float64())),
+                "thumb_w": pa.array(thumb_w, pa.int32()),
+                "thumb_h": pa.array(thumb_h, pa.int32())}
+        # consistency-gate columns (media_consistency_gate) flow through
+        for extra in ("sniffed_kind", "kind_consistent"):
+            if extra in batch.column_names:
+                cols[extra] = batch.column(extra)
+        return pa.table(cols)
 
 
 def decode_media(

@@ -45,6 +45,11 @@ class FieldExtractor:
     # so it's queryable at scale).
     MAX_DOC_BYTES = 10 * 1024 * 1024  # max_file_size_mb=10 (config.py:39)
     MIN_TEXT_SAMPLE = 10
+    # M14 doc-info projection (get_pdf_info, pdf_processor.py:447-494): the
+    # reference returns page count + PDF-metadata title + a <=500-char text
+    # preview; the span-model analogs are n_spans, the first heading span,
+    # and the first 500 cleaned text chars (no author field in span tables)
+    PREVIEW_CHARS = 500
 
     def __init__(self, label_map: Optional[Dict[str, str]] = None, strip_boilerplate: bool = True):
         # compiled once per actor (reference holds these as process singletons)
@@ -96,10 +101,19 @@ class FieldExtractor:
 
         spans_out = []
         n_chars = 0
+        title = ""
+        preview_parts: List[str] = []
+        preview_len = 0
         for i in kept:
             kind = kinds[i]
             txt = clean_text_field(texts[i]) if kind in self.text_kinds else texts[i]
             n_chars += len(txt)
+            if kind in self.text_kinds:
+                if not title and kind == "heading" and txt:
+                    title = txt
+                if preview_len < self.PREVIEW_CHARS:
+                    preview_parts.append(txt)
+                    preview_len += len(txt) + 1
             spans_out.append(
                 {"kind": kind, "text": txt, "media_ref": medias[i],
                  "offset": len(spans_out)}
@@ -110,6 +124,8 @@ class FieldExtractor:
             "warnings": warnings, "failed_fields": failed,
             "confidence": [{"key": k, "value": v} for k, v in confidence.items()],
             "spans_out": spans_out, "n_spans": len(spans_out), "n_chars": n_chars,
+            "title": title,
+            "preview": "\n".join(preview_parts)[: self.PREVIEW_CHARS],
         }
 
     # -- vectorized document core --------------------------------------------
@@ -208,6 +224,8 @@ class FieldExtractor:
         so_offsets = [0]
         n_spans_c: List[int] = []
         n_chars_c: List[int] = []
+        titles: List[str] = []
+        previews: List[str] = []
 
         for r in range(n):
             lo, hi = starts[r], starts[r + 1]
@@ -237,10 +255,18 @@ class FieldExtractor:
 
             chars = 0
             pos = 0
+            title = ""
+            preview_parts: List[str] = []
+            preview_len = 0
             for i in kept:
                 kind = kinds[i]
                 if kind in self.text_kinds:
                     txt = clean_text_field(texts[i] or "")
+                    if not title and kind == "heading" and txt:
+                        title = txt
+                    if preview_len < self.PREVIEW_CHARS:
+                        preview_parts.append(txt)
+                        preview_len += len(txt) + 1
                 else:
                     txt = texts[i] or ""
                 chars += len(txt)
@@ -252,6 +278,8 @@ class FieldExtractor:
             so_offsets.append(len(so_kind))
             n_spans_c.append(pos)
             n_chars_c.append(chars)
+            titles.append(title)
+            previews.append("\n".join(preview_parts)[: self.PREVIEW_CHARS])
 
         fields_arr = pa.StructArray.from_arrays(
             [pa.array(field_cols[f], pa.string()) for f in FIELD_ORDER],
@@ -284,6 +312,8 @@ class FieldExtractor:
                 "spans_out": spans_out_arr,
                 "n_spans": pa.array(n_spans_c, pa.int32()),
                 "n_chars": pa.array(n_chars_c, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "preview": pa.array(previews, pa.string()),
             }
         )
 

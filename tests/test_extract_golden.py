@@ -147,3 +147,55 @@ def test_skew_tail_docs_have_100x_spans():
     for i in skew[:2]:
         spec = synth.build_doc(i)
         assert len(spec.row_chunks) >= 4  # skew docs are split across rows
+
+
+class TestDocInfo:
+    """M14 doc-info projection: title / preview / n_spans / n_chars."""
+
+    def test_title_and_preview(self):
+        from insurance_pdf_extractor_ray.stages.extract import FieldExtractor
+
+        ex = FieldExtractor()
+        spans = [
+            {"kind": "heading", "text": "WORKERS COMPENSATION INSURANCE QUOTE",
+             "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "Quote Number: WC-1", "media_ref": "", "offset": 1},
+            {"kind": "text", "text": "x" * 600, "media_ref": "", "offset": 2},
+        ]
+        r = ex.extract_doc(spans)
+        assert r["title"] == "WORKERS COMPENSATION INSURANCE QUOTE"
+        assert len(r["preview"]) == 500
+        assert r["preview"].startswith("WORKERS COMPENSATION")
+
+    def test_no_heading_no_title(self):
+        from insurance_pdf_extractor_ray.stages.extract import FieldExtractor
+
+        ex = FieldExtractor()
+        r = ex.extract_doc([{"kind": "text", "text": "Quote Number: A",
+                             "media_ref": "", "offset": 0}])
+        assert r["title"] == ""
+        assert r["preview"] == "Quote Number: A"
+
+    def test_batch_matches_single_doc_path(self, ray_session, corpus_600):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.extraction import (
+            doc_info,
+            extract_pipeline,
+        )
+        from insurance_pdf_extractor_ray.sources import synth
+        from insurance_pdf_extractor_ray.stages.extract import FieldExtractor
+
+        out = doc_info(extract_pipeline(
+            str(corpus_600 / "documents.parquet"))).take_all()
+        rows = {r["doc_id"]: r for r in out}
+        ex = FieldExtractor()
+        for i in (0, 7, 10, 23):  # spot-check vs the single-doc path
+            spec = synth.build_doc(i)
+            spans = sorted((s for c in spec.row_chunks for s in c), key=lambda s: s[3])
+            ref = ex.extract_doc([{"kind": k, "text": t, "media_ref": m, "offset": o}
+                                  for (k, t, m, o) in spans])
+            got = rows[spec.doc_id]
+            assert got["title"] == ref["title"]
+            assert got["preview"] == ref["preview"]
+            assert got["n_spans"] == ref["n_spans"]

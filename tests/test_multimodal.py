@@ -44,3 +44,66 @@ def test_decode_media_real_kernel_is_stubbed():
     stage = MediaDecodeStage(use_fake=False)
     with pytest.raises(NotImplementedError):
         stage._decode_features(b"payload", "image")
+
+
+class TestConsistencyGate:
+    """F3 analog: magic-bytes sniff vs declared kind (file_helpers.py:15-50)."""
+
+    def test_sniff_known_magics(self):
+        from insurance_pdf_extractor_ray.pipelines.multimodal import sniff_media_kind
+
+        assert sniff_media_kind(b"\x89PNG\r\n\x1a\nxxxx") == "image"
+        assert sniff_media_kind(b"\xff\xd8\xff\xe0rest") == "image"
+        assert sniff_media_kind(b"RIFFxxxxWAVE") == "audio"
+        assert sniff_media_kind(b"\x00\x00\x00\x18ftypmp42") == "video"
+        assert sniff_media_kind(b"plain text") == "unknown"
+        assert sniff_media_kind(b"") == "unknown"
+
+    def test_gate_flags_planted_mismatches(self, ray_session):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            fake_assets_for_docs,
+            media_consistency_gate,
+            sniff_media_kind,
+        )
+
+        refs = [(f"doc-{i}", f"media://doc-{i}/0") for i in range(60)]
+        assets = fake_assets_for_docs(refs, corrupt_frac=0.25)
+        rows = media_consistency_gate(ray.data.from_arrow(assets)).take_all()
+        bad = [r for r in rows if not r["kind_consistent"]]
+        good = [r for r in rows if r["kind_consistent"]]
+        assert bad and good  # both classes present
+        for r in rows:  # the flag is exactly sniff-vs-declared
+            assert r["kind_consistent"] == (r["sniffed_kind"] == r["kind"])
+        # drop mode removes exactly the inconsistent rows
+        kept = media_consistency_gate(ray.data.from_arrow(assets),
+                                      keep_inconsistent=False).take_all()
+        assert len(kept) == len(good)
+
+    def test_clean_assets_all_consistent(self, ray_session):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            fake_assets_for_docs,
+            media_consistency_gate,
+        )
+
+        assets = fake_assets_for_docs([("d", "media://d/0"), ("e", "media://e/1")])
+        rows = media_consistency_gate(ray.data.from_arrow(assets)).take_all()
+        assert all(r["kind_consistent"] for r in rows)
+
+    def test_gate_columns_flow_through_decode(self, ray_session):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            decode_media,
+            fake_assets_for_docs,
+            media_consistency_gate,
+        )
+
+        assets = fake_assets_for_docs([("d", "media://d/0")], corrupt_frac=0.0)
+        out = decode_media(media_consistency_gate(
+            ray.data.from_arrow(assets))).take_all()
+        assert out[0]["kind_consistent"] is True
+        assert "sniffed_kind" in out[0]
