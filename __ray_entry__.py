@@ -712,8 +712,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_dedup": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
-              (185),(245),(290),(293),(301),(323),(374),(383),(413),(420),
-              (447),(462),(478)) AS t(doc_id)
+              (178),(185),(245),(290),(301),(323),(332),(389),(403),(413),
+              (420),(446),(447)) AS t(doc_id)
         """,
         "field_success_rates": """
             SELECT field_name,

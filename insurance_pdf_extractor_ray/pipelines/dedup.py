@@ -24,7 +24,12 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import MinHasher, simhash64, stable_hash64_column
+from ..functions.hashing import (
+    MinHasher,
+    shingle_hashes_many,
+    simhash64_many,
+    stable_hash64_column,
+)
 from ..functions.textstats import word_ngrams
 
 # ---------------------------------------------------------------------------
@@ -226,19 +231,20 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        out_band, out_id, out_sig = [], [], []
-        for rid, text in zip(ids, texts):
-            shingles = word_ngrams(text or "", self.ngram)
-            sig = self.hasher.signature(shingles)
-            for key in self.hasher.band_keys(sig, self.num_bands):
-                out_band.append(key)
-                out_id.append(rid)
-                out_sig.append(sig.tobytes())
+        ids = batch.column(self.id_col)
+        # numeric shingle pipeline: polars tokenize+word-hash, rolling
+        # combine, chunked mix — no shingle strings ever materialize
+        hashes, lengths = shingle_hashes_many(texts, self.ngram)
+        sigs = self.hasher.signature_from_hashes(hashes, lengths)  # (n, perm)
+        keys = self.hasher.band_keys_many(sigs, self.num_bands)    # (n, bands)
+        n = len(texts)
+        B = self.num_bands
+        rep = np.repeat(np.arange(n), B)
+        sig_bytes = [s.tobytes() for s in sigs]
         return pa.table(
-            {"band_key": pa.array(out_band, pa.uint64()),
-             self.id_col: pa.array(out_id),
-             "sig": pa.array(out_sig, pa.binary())}
+            {"band_key": pa.array(keys.ravel(), pa.uint64()),
+             self.id_col: ids.take(pa.array(rep)),
+             "sig": pa.array([sig_bytes[i] for i in rep], pa.binary())}
         )
 
 
@@ -333,21 +339,20 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        mask = (1 << self.width) - 1
-        out_band, out_id, out_sig = [], [], []
-        for rid, text in zip(ids, texts):
-            toks = word_ngrams(text or "", self.ngram)
-            sig = simhash64(toks)
-            for t in range(self.num_bands):
-                band = (sig >> (self.width * t)) & mask
-                out_band.append((t << 56) | band)
-                out_id.append(rid)
-                out_sig.append(sig)
+        ids = batch.column(self.id_col)
+        sigs = simhash64_many([word_ngrams(t or "", self.ngram) for t in texts])
+        n = len(texts)
+        B = self.num_bands
+        mask = np.uint64((1 << self.width) - 1)
+        t_idx = np.arange(B, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            bands = (sigs[:, None] >> (np.uint64(self.width) * t_idx[None, :])) & mask
+            keys = (t_idx[None, :] << np.uint64(56)) | bands  # (n, B)
+        rep = np.repeat(np.arange(n), B)
         return pa.table(
-            {"band_key": pa.array(out_band, pa.uint64()),
-             self.id_col: pa.array(out_id),
-             "sig": pa.array(out_sig, pa.uint64())}
+            {"band_key": pa.array(keys.ravel(), pa.uint64()),
+             self.id_col: ids.take(pa.array(rep)),
+             "sig": pa.array(np.repeat(sigs, B), pa.uint64())}
         )
 
 

@@ -100,7 +100,14 @@ def session_windows(
 ) -> ray.data.Dataset:
     """Per-key sessions: a new session starts when the gap to the previous
     event exceeds ``gap_us``.  Returns (key, session_id, n, start_us, end_us);
-    session_id is 0-based per key in event-time order."""
+    session_id is 0-based per key in event-time order.
+
+    Partitioning assumption: one key's events fit one worker's memory (the
+    ``groupby(key).map_groups`` contract).  For hot keys beyond that, salt
+    the key with a coarse time epoch (e.g. day) first and merge sessions
+    across epoch boundaries in a second, much smaller pass — the interior is
+    already fully vectorized (boundary-index slicing, no per-session scan).
+    """
 
     def sessionize(group: pa.Table) -> pa.Table:
         key = group.column(key_col)[0].as_py()

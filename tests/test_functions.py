@@ -177,3 +177,37 @@ def test_clean_text_idempotent_and_single_spaced(s):
     assert clean_text_field(out) == out
     if isinstance(out, str) and out and out.upper() != "EMPTY VALUE":
         assert "  " not in out and not out.startswith(" ") and not out.endswith(" ")
+
+
+class TestMinHashBatchForms:
+    def test_signature_many_matches_single(self):
+        from insurance_pdf_extractor_ray.functions.hashing import MinHasher
+
+        mh = MinHasher(num_perm=64)
+        docs = [["a b c", "b c d"], [], ["x y z"], ["a b c"] * 5]
+        many = mh.signature_many(docs)
+        for i, d in enumerate(docs):
+            assert (many[i] == mh.signature(d)).all(), i
+
+    def test_signature_many_chunking_invariant(self):
+        from insurance_pdf_extractor_ray.functions.hashing import MinHasher
+
+        mh = MinHasher(num_perm=32)
+        docs = [[f"sh{i}{j}" for j in range(20)] for i in range(30)]
+        a = mh.signature_many(docs)
+        b = mh.signature_many(docs, max_chunk=16)  # force many chunks
+        assert (a == b).all()
+
+    def test_band_keys_many_bucket_semantics(self):
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.functions.hashing import MinHasher
+
+        mh = MinHasher(num_perm=32)
+        sigs = mh.signature_many([["a", "b"], ["a", "b"], ["c", "d"]])
+        keys = mh.band_keys_many(sigs, 8)
+        assert keys.shape == (3, 8)
+        assert (keys[0] == keys[1]).all()       # identical sigs share buckets
+        assert not (keys[0] == keys[2]).all()   # different sigs mostly don't
+        # distinct bands of one doc get distinct salts
+        assert len(np.unique(keys[0])) > 1
