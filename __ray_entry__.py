@@ -463,6 +463,42 @@ def _q_text_analysis(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality gate over documents ∪ mangled copies (vowels
+    and spaces stripped -> degenerate word lengths, zero stopwords); the
+    mangled half must be rejected.  The oracle re-derives the whole rule
+    independently in SQL (regexp counts + ratio thresholds), so this is a
+    semantic check, not a determinism pin."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import quality_filter
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    drop_tbl = str.maketrans("", "", "aeiouAEIOU ")
+
+    def mangle(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").translate(drop_tbl) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.add(batch.column("doc_id"), 1000000),
+                         "text": pa.array(texts, pa.string())})
+
+    unioned = ds.union(ds.map_batches(mangle, batch_format="pyarrow"))
+    return _ids_table(quality_filter(unioned, min_quality=0.6))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Per-doc duplicate-line fraction (Gopher repetition filter family)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import repetition_stats
+
+    ds = repetition_stats(_documents(sf_dir, ["doc_id", "text"]))
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_lines": pa.array([r["n_lines"] for r in rows], pa.int64()),
+        "n_distinct_lines": pa.array([r["n_distinct_lines"] for r in rows], pa.int64()),
+        "dup_line_ratio": pa.array(
+            [_round_away(r["dup_line_ratio"], 4) for r in rows], pa.float64()),
+    })
+
+
 def _q_field_success_rates(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.analytics import success_rates
     from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
@@ -671,6 +707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash_dedup,
         "text_analysis": _q_text_analysis,
         "field_success_rates": _q_field_success_rates,
+        "quality_filter": _q_quality_filter,
+        "repetition_stats": _q_repetition_stats,
         "media_decode": _q_media_decode,
         "retention_filter": _q_retention,
         "json_props_stats": _q_json_props_stats,
@@ -743,6 +781,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_analysis": """
             SELECT * FROM read_parquet('/root/repo/goldens/text_analysis_sf0_01.parquet')
+        """,
+        "quality_filter": """
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     translate(text, 'aeiouAEIOU ', '') AS text
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     regexp_extract_all(text, '\\S+') AS words,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]')) AS n_alnum,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM unioned
+            ),
+            r AS (
+              SELECT doc_id, n_chars, len(words) AS n_words,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(words, w -> length(w))) * 1.0
+                               / len(words) END AS mean_wl,
+                     n_alnum * 1.0 / greatest(1, n_chars) AS alnum_ratio,
+                     n_punct * 1.0 / greatest(1, n_chars) AS punct_ratio,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE len(list_filter(words, w -> lower(w) IN
+                               ('the','and','of','to','a','in','is','that','it',
+                                'for','was','with','on','as','this'))) * 1.0
+                               / len(words) END AS stop_ratio
+              FROM m
+            ),
+            q AS (
+              SELECT doc_id,
+                     greatest(0.0,
+                       1.0
+                       - CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 0.0 ELSE 0.3 END
+                       - CASE WHEN alnum_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+                       - CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END
+                       - CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END
+                     ) AS quality
+              FROM r
+            )
+            SELECT doc_id FROM q WHERE quality >= 0.6
+        """,
+        "repetition_stats": """
+            SELECT doc_id,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+                   round(1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0
+                             / greatest(1, len(string_split(text, chr(10)))), 4)
+                     AS dup_line_ratio
+            FROM documents
         """,
         "knn_ivf": """
             SELECT CAST(query_id AS BIGINT) AS query_id,

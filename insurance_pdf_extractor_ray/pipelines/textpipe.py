@@ -7,6 +7,7 @@ large-scale training-data operator set.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -63,4 +64,57 @@ def analyze_text(
         TextAnalysisStage,
         fn_constructor_kwargs=dict(text_col=text_col, fingerprint=fingerprint),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def quality_filter(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    min_quality: float = 0.6, batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """Gopher/C4-style quality gate: keep docs whose combined quality score
+    (``textstats.quality_scores``: mean-word-length band, alnum density,
+    punctuation share, stopword floor) clears ``min_quality``.
+
+    The rule is pure arithmetic over regexp counts, so the driver oracle
+    re-derives it independently in SQL — this operator is semantically
+    verified, not just determinism-pinned."""
+    from ..functions.textstats import quality_scores
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keep = [quality_scores(t or "")["quality"] >= min_quality for t in texts]
+        return pa.table({id_col: batch.column(id_col).filter(pa.array(keep))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        gate, batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """Per-doc line-repetition metrics (the Gopher repetition filter family):
+    (id, n_lines, n_distinct_lines, dup_line_ratio).  Boilerplate-heavy and
+    templated crawl docs show high duplicate-line fractions."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_lines, n_distinct = [], []
+        for t in texts:
+            lines = (t or "").split("\n")
+            n_lines.append(len(lines))
+            n_distinct.append(len(set(lines)))
+        nl = np.asarray(n_lines, dtype=np.int64)
+        nd = np.asarray(n_distinct, dtype=np.int64)
+        ratio = 1.0 - nd / np.maximum(1, nl)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(nl, pa.int64()),
+            "n_distinct_lines": pa.array(nd, pa.int64()),
+            "dup_line_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", batch_size=batch_size,
     )

@@ -67,3 +67,58 @@ def test_analyze_text_stage():
         assert r["n_tokens_bpe"] >= r["n_tokens_ws"]
         assert 0.0 <= r["quality"] <= 1.0
         assert isinstance(r["fingerprint"], int)
+
+
+class TestQualityFilterPipeline:
+    def test_rejects_junk_keeps_prose(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.textpipe import quality_filter
+
+        good = ("the policy provides coverage for the insured and it is "
+                "subject to the terms that apply in this state for a year")
+        junk_long_words = good.replace(" ", "")  # one giant word (-0.3 -0.2)
+        junk_short_no_stop = "zz qq vv kk ww nn"  # mean_wl<3 AND no stopwords
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([good, junk_long_words, junk_short_no_stop]),
+        }))
+        kept = sorted(r["doc_id"] for r in quality_filter(ds).take_all())
+        assert kept == [1]
+
+    def test_matches_scalar_rule(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from insurance_pdf_extractor_ray.functions.textstats import quality_scores
+        from insurance_pdf_extractor_ray.pipelines.textpipe import quality_filter
+
+        texts = ["the cat sat on the mat and it was good for this test",
+                 "x", "", "!!! ??? ... ;;; :::",
+                 "a b c d e f g h i j k l m n o p"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)}))
+        kept = sorted(r["doc_id"] for r in quality_filter(ds, min_quality=0.6).take_all())
+        want = sorted(i for i, t in enumerate(texts)
+                      if quality_scores(t)["quality"] >= 0.6)
+        assert kept == want
+
+
+class TestRepetitionStats:
+    def test_dup_line_ratio(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.textpipe import repetition_stats
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a\nb\nc", "x\nx\nx\ny", ""]),
+        }))
+        rows = {r["doc_id"]: r for r in repetition_stats(ds).take_all()}
+        assert rows[1]["n_lines"] == 3 and rows[1]["dup_line_ratio"] == 0.0
+        assert rows[2]["n_lines"] == 4 and rows[2]["n_distinct_lines"] == 2
+        assert abs(rows[2]["dup_line_ratio"] - 0.5) < 1e-12
+        assert rows[3]["n_lines"] == 1  # "" splits to one empty line
