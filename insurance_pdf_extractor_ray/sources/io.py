@@ -45,6 +45,65 @@ def write_table(ds: ray.data.Dataset, path: str, partition_cols: Optional[List[s
         ds.write_parquet(path)
 
 
+def write_bucketed(
+    ds: ray.data.Dataset, path: str, key: str, num_buckets: int = 64,
+    seed: int = 42,
+) -> None:
+    """Write a table hash-bucketed by ``key``: ``path/bucket=<i>/...parquet``.
+
+    All rows of one key land in one bucket directory.  Downstream, run each
+    bucket as its own partition (``state.checkpoint.run_partitioned`` with
+    :func:`bucket_partitions`): the reassembly exchange then happens INSIDE a
+    bucket-sized pipeline — no corpus-wide shuffle, per-bucket resume, and a
+    failed run skips finished buckets.  (Reading the whole layout as one
+    Dataset does NOT make ``mode='colocated'`` safe by itself: block and
+    batch boundaries within a bucket can still split a doc.)  Bucket
+    assignment uses the seed-fixed polars hash — stable across workers
+    within one environment; do not mix layouts written by different polars
+    versions.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import stable_hash64_column
+
+    B = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = stable_hash64_column(batch.column(key), seed=seed)
+        return batch.append_column(
+            "bucket", pa.array((h % B).astype(np.int32), pa.int32()))
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"])
+
+
+def bucket_partitions(path: str) -> List[List[str]]:
+    """File groups for ``run_partitioned``: one partition per bucket dir of a
+    ``write_bucketed`` layout — each partition contains every row of its
+    keys, so per-partition reassembly is exact with no cross-partition
+    exchange."""
+    import glob as _glob
+
+    bucket_dirs = sorted(_glob.glob(os.path.join(path, "bucket=*")))
+    if not bucket_dirs:
+        raise FileNotFoundError(f"no bucket=* dirs under {path}")
+    return [sorted(_glob.glob(os.path.join(d, "*.parquet"))) for d in bucket_dirs]
+
+
+def read_bucketed(path: str, columns: Optional[List[str]] = None) -> ray.data.Dataset:
+    """Read a ``write_bucketed`` layout as one streaming Dataset (bucket
+    membership is encoded in the directory structure; the ``bucket`` column
+    is re-materialized by the hive partitioning)."""
+    import glob as _glob
+
+    bucket_dirs = sorted(_glob.glob(os.path.join(path, "bucket=*")))
+    if not bucket_dirs:
+        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(bucket_dirs, columns=columns)
+
+
 def export_json(ds: ray.data.Dataset, path: str) -> None:
     """JSON export sink (reference S7, app/api/routes/storage.py:122-210)."""
     os.makedirs(path, exist_ok=True)

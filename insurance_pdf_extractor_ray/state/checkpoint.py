@@ -69,19 +69,24 @@ def run_partitioned(
     num_partitions: int = 16,
     config: Optional[Dict] = None,
     resume: bool = True,
+    partitions: Optional[List[List[str]]] = None,
 ) -> Dict:
     """Run ``pipeline`` over each input partition with manifest checkpointing.
 
     Returns run summary {partitions_run, partitions_skipped, rows}.
     NOTE: partitioning by input fragment assumes rows of one doc live in one
     fragment (the layout our writers produce).  For externally-sharded docs,
-    run the reassembly shuffle inside a single partition spanning the shards.
+    pass ``partitions=sources.io.bucket_partitions(path)`` over a
+    ``write_bucketed`` layout — each bucket holds every row of its keys, so
+    the reassembly exchange runs INSIDE a bucket-sized partition (no
+    corpus-wide shuffle, per-bucket resume) — or run the shuffle inside a
+    single partition spanning the shards.
     """
     config = config or {}
     chash = _config_hash(config)
     man_dir = os.path.join(out_dir, "_manifest")
     os.makedirs(man_dir, exist_ok=True)
-    parts = partition_inputs(input_dir, num_partitions)
+    parts = partitions if partitions is not None else partition_inputs(input_dir, num_partitions)
     done = committed_partitions(out_dir) if resume else {}
 
     ran, skipped, total_rows = 0, 0, 0

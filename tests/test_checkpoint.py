@@ -96,3 +96,41 @@ def test_new_fragment_invalidates_affected_partitions(sharded_input, tmp_path):
     res = checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
     assert res["partitions_run"] >= 1
     assert res["rows"] == 350
+
+
+def test_bucketed_layout_end_to_end(tmp_path):
+    """write_bucketed -> run_partitioned(bucket_partitions): per-bucket
+    reassembly with NO corpus-wide shuffle produces golden-exact output even
+    for multi-row (sharded) docs, and resume skips finished buckets."""
+    from insurance_pdf_extractor_ray.sources.io import (
+        bucket_partitions,
+        write_bucketed,
+    )
+
+    # multi_row family docs (i % 12 == 8) are split across rows out of order
+    tbl = synth.docs_table(range(240))
+    src = ray.data.from_arrow(tbl)
+    layout = str(tmp_path / "bucketed")
+    write_bucketed(src, layout, key="doc_id", num_buckets=5)
+
+    parts = bucket_partitions(layout)
+    assert len(parts) == 5 and all(p for p in parts)
+
+    out = str(tmp_path / "out")
+    res = checkpoint.run_partitioned(
+        "", out, _pipeline, config={"v": 1}, partitions=parts)
+    assert res["partitions_run"] == 5 and res["rows"] == 240
+
+    got = {r["doc_id"]: r for r in ray.data.read_parquet(
+        glob.glob(os.path.join(out, "part-*", "*.parquet"))).take_all()}
+    assert len(got) == 240  # every doc exactly once (no split-doc dupes)
+    for i in range(0, 240, 7):
+        spec = synth.build_doc(i)
+        row = got[spec.doc_id]
+        for f, v in spec.expected_fields.items():
+            assert row[f] == v, (i, f)
+
+    # resume: nothing re-runs
+    res2 = checkpoint.run_partitioned(
+        "", out, _pipeline, config={"v": 1}, partitions=parts)
+    assert res2 == {"partitions_run": 0, "partitions_skipped": 5, "rows": 240}
