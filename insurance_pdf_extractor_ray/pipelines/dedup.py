@@ -398,13 +398,26 @@ def simhash_dup_ids(
 def jaccard_dup_pairs(
     ds: ray.data.Dataset, col: str, id_col: str, threshold: float = 0.8,
     ngram: int = 3, num_perm: int = 128, num_bands: int = 16,
-    concurrency=(1, 8),
+    concurrency=(1, 8), verify: str = "inline",
 ) -> ray.data.Dataset:
     """Candidate pairs from MinHash LSH, verified with EXACT n-gram Jaccard.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b.  Text is shipped with the
-    band rows so verification happens inside the bucket (no second join).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``verify``:
+      * ``"inline"`` — text travels with the band rows and verification
+        happens inside the bucket.  One shuffle, but every doc's text is
+        replicated ``num_bands`` times through the exchange — fine at
+        moderate scale, a 16x shuffle-volume tax on a 100 TB corpus.
+      * ``"join"`` — the scale path: candidate (id_a, id_b) pairs come from
+        signature-only buckets (8-byte keys through the shuffle), then the
+        pair list (dup-candidate-sized, << corpus) joins each side's text
+        back and verification runs per batch.  Two extra hash joins, zero
+        text amplification.
     """
+    if verify == "join":
+        return _jaccard_pairs_join(ds, col, id_col, threshold, ngram,
+                                   num_perm, num_bands, concurrency)
 
     class Stage(MinHashStage):
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -450,6 +463,78 @@ def jaccard_dup_pairs(
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+def _jaccard_pairs_join(
+    ds: ray.data.Dataset, col: str, id_col: str, threshold: float,
+    ngram: int, num_perm: int, num_bands: int, concurrency,
+) -> ray.data.Dataset:
+    """verify='join' path of :func:`jaccard_dup_pairs`: signature-only
+    bucketing, candidate pairs as bare ids, texts joined back for the exact
+    verify — no per-band text replication through the shuffle."""
+    from ..dsutil import drop_empty_blocks
+
+    P = _join_partitions()
+    id_type = ds.schema().base_schema.field(id_col).type
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+
+    sigs = ds.select_columns([id_col, col]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
+                                   num_bands=num_bands, ngram=ngram),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def cand(group: pa.Table) -> pa.Table:
+        n = min(group.num_rows, 512)
+        ids = sorted(group.column(id_col).to_pylist()[:n])
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type)})
+
+    pairs = sigs.groupby("band_key").map_groups(cand, batch_format="pyarrow")
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = drop_empty_blocks(pairs, empty_schema=pair_schema)
+
+    texts = ds.select_columns([id_col, col])
+    j1 = pairs.join(texts, join_type="inner", num_partitions=P,
+                    on=("id_a",), right_on=(id_col,)).map_batches(
+        lambda t: pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                            "__ta": t.column(col)}),
+        batch_format="pyarrow")
+    j1 = drop_empty_blocks(
+        j1, empty_schema=pa.schema([("id_a", id_type), ("id_b", id_type),
+                                    ("__ta", pa.string())]))
+    j2 = j1.join(texts, join_type="inner", num_partitions=P,
+                 on=("id_b",), right_on=(id_col,))
+
+    def verify_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta, tb in zip(batch.column("id_a").to_pylist(),
+                                batch.column("id_b").to_pylist(),
+                                batch.column("__ta").to_pylist(),
+                                batch.column(col).to_pylist()):
+            sa = set(word_ngrams(ta or "", ngram))
+            sb = set(word_ngrams(tb or "", ngram))
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return j2.map_batches(verify_pair, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

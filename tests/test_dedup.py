@@ -253,3 +253,20 @@ class TestScaleSafePaths:
             ds, "text", "doc_id", distributed=True).take_all())
         assert kept_b == kept_d
         assert 0 in kept_b and 1 not in kept_b and 2 not in kept_b
+
+    def test_jaccard_pairs_join_mode_agrees(self, ray_session):
+        import pyarrow as pa
+
+        txts = (["the quick brown fox jumps over the lazy dog today " * 4] * 3
+                + ["an entirely different body of text for this doc " * 4] * 2
+                + [f"unique filler number {i} with several more words here"
+                   for i in range(5)])
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(10), pa.int64()), "text": pa.array(txts)}))
+        def norm(pairs):
+            return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                          for r in pairs.take_all())
+        inline = norm(dedup.jaccard_dup_pairs(ds, "text", "doc_id", verify="inline"))
+        joined = norm(dedup.jaccard_dup_pairs(ds, "text", "doc_id", verify="join"))
+        assert inline == joined
+        assert (0, 1, 1.0) in inline and (3, 4, 1.0) in inline
