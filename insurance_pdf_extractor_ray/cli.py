@@ -4,6 +4,8 @@
     python -m insurance_pdf_extractor_ray.cli synth   --num-docs N --out DIR
     python -m insurance_pdf_extractor_ray.cli stats   --results DIR
     python -m insurance_pdf_extractor_ray.cli export  --results DIR --out DIR --format json|csv
+    python -m insurance_pdf_extractor_ray.cli dedup   --input DIR --out DIR --method exact|minhash|jaccard
+    python -m insurance_pdf_extractor_ray.cli quality --input DIR --out DIR [--min-quality Q]
     python -m insurance_pdf_extractor_ray.cli manifest --out DIR
 
 Mirrors scripts/manage_storage.py:16-80 and scripts/token_analytics.py:18-177
@@ -83,6 +85,49 @@ def cmd_export(args) -> None:
     ray.shutdown()
 
 
+def cmd_dedup(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.dedup import exact_dedup, jaccard_component_dedup, minhash_dedup
+    from .sources.io import write_table
+
+    ds = ray.data.read_parquet(args.input)
+    n_in = ds.count()
+    if args.method == "exact":
+        kept = exact_dedup(ds, args.col, args.id_col)
+    elif args.method == "minhash":
+        kept = minhash_dedup(ds, args.col, args.id_col, threshold=args.threshold)
+    else:  # jaccard (transitive closure)
+        kept = jaccard_component_dedup(ds, args.col, args.id_col,
+                                       threshold=args.threshold)
+    write_table(kept, args.out)
+    n_out = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"method": args.method, "rows_in": n_in,
+                      "rows_kept": n_out, "rows_dropped": n_in - n_out}))
+    ray.shutdown()
+
+
+def cmd_quality(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.dedup import filter_by_ids
+    from .pipelines.textpipe import quality_filter
+    from .sources.io import write_table
+
+    ds = ray.data.read_parquet(args.input)
+    n_in = ds.count()
+    keep_ids = quality_filter(ds, text_col=args.col, id_col=args.id_col,
+                              min_quality=args.min_quality)
+    kept = filter_by_ids(ds, args.id_col, keep_ids, keep_matching=True)
+    write_table(kept, args.out)
+    n_out = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
+                      "min_quality": args.min_quality}))
+    ray.shutdown()
+
+
 def cmd_manifest(args) -> None:
     from .state.checkpoint import committed_partitions
 
@@ -124,6 +169,24 @@ def main(argv=None) -> None:
     p.add_argument("--format", choices=["json", "csv"], default="json")
     p.add_argument("--limit", type=int, default=10000)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("dedup", help="deduplicate a document table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=["exact", "minhash", "jaccard"],
+                   default="exact")
+    p.add_argument("--col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("quality", help="quality-filter a document table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--min-quality", dest="min_quality", type=float, default=0.6)
+    p.set_defaults(fn=cmd_quality)
 
     p = sub.add_parser("manifest", help="show committed partitions of a run")
     p.add_argument("--out", required=True)

@@ -56,3 +56,28 @@ def test_cli_end_to_end(tmp_path):
              "--format", "csv", "--limit", "50")
     assert r["format"] == "csv"
     assert any(f.endswith(".csv") for f in os.listdir(exp))
+
+
+def test_cli_dedup_and_quality(tmp_path):
+    """dedup/quality subcommands over a table with planted dups and junk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = ("the policy provides coverage for the insured and it is subject "
+            "to the terms that apply in this state for one full year")
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([good, good, good + " extra", "zz qq vv kk ww nn",
+                          good.replace(" ", ""), good + " more words here"]),
+    }), src / "part.parquet")
+
+    r = _cli("dedup", "--input", str(src), "--out", str(tmp_path / "dd"),
+             "--method", "exact")
+    assert r == {"method": "exact", "rows_in": 6, "rows_kept": 5,
+                 "rows_dropped": 1}
+
+    r = _cli("quality", "--input", str(src), "--out", str(tmp_path / "qf"))
+    # the no-stopword short-word doc and the one-giant-word doc are dropped
+    assert r["rows_in"] == 6 and r["rows_kept"] == 4
