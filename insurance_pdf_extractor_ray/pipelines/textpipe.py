@@ -11,13 +11,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.textstats import (
-    bpe_token_count,
-    detect_language,
-    quality_scores,
-    rolling_fingerprint,
-    whitespace_token_count,
-)
+
 
 
 class TextAnalysisStage:
@@ -29,30 +23,31 @@ class TextAnalysisStage:
         self.fingerprint = fingerprint
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batch-vectorized kernels (polars/numpy; bit-identical to the
+        # scalar functions — see functions/textstats_batch.py)
+        from ..functions.textstats_batch import (
+            detect_language_batch,
+            quality_batch,
+            rolling_fingerprint_batch,
+            token_counts_batch,
+        )
+
         texts = batch.column(self.text_col).to_pylist()
-        langs, ws, bpe, fps = [], [], [], []
-        qcols: dict = {k: [] for k in
-                       ("n_words", "mean_word_len", "alnum_ratio", "punct_ratio",
-                        "stopword_ratio", "quality")}
-        for t in texts:
-            t = t or ""
-            langs.append(detect_language(t))
-            ws.append(whitespace_token_count(t))
-            bpe.append(bpe_token_count(t))
-            q = quality_scores(t)
-            for k in qcols:
-                qcols[k].append(q[k])
-            if self.fingerprint:
-                fps.append(rolling_fingerprint(t))
+        langs = detect_language_batch(texts)
+        ws, bpe = token_counts_batch(texts)
+        q = quality_batch(texts)
         out = batch
         out = out.append_column("lang_pred", pa.array(langs, pa.string()))
         out = out.append_column("n_tokens_ws", pa.array(ws, pa.int64()))
         out = out.append_column("n_tokens_bpe", pa.array(bpe, pa.int64()))
-        for k, v in qcols.items():
+        for k in ("n_words", "mean_word_len", "alnum_ratio", "punct_ratio",
+                  "stopword_ratio", "quality"):
             out = out.append_column(k if k != "n_words" else "n_words_q",
-                                    pa.array(v, pa.float64()))
+                                    pa.array(q[k], pa.float64()))
         if self.fingerprint:
-            out = out.append_column("fingerprint", pa.array(fps, pa.uint64()))
+            out = out.append_column(
+                "fingerprint",
+                pa.array(rolling_fingerprint_batch(texts), pa.uint64()))
         return out
 
 
@@ -78,11 +73,11 @@ def quality_filter(
     The rule is pure arithmetic over regexp counts, so the driver oracle
     re-derives it independently in SQL — this operator is semantically
     verified, not just determinism-pinned."""
-    from ..functions.textstats import quality_scores
+    from ..functions.textstats_batch import quality_batch
 
     def gate(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        keep = [quality_scores(t or "")["quality"] >= min_quality for t in texts]
+        keep = quality_batch(texts)["quality"] >= min_quality
         return pa.table({id_col: batch.column(id_col).filter(pa.array(keep))})
 
     return ds.select_columns([id_col, text_col]).map_batches(
