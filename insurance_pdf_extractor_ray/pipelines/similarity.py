@@ -260,6 +260,86 @@ def knn_ivf(
                      "score": pa.array(out_s, pa.float64())})
 
 
+def build_ivf_index(
+    ds: ray.data.Dataset, path: str, centroids: np.ndarray,
+    emb_col: str = "embedding", id_col: str = "vec_id",
+) -> str:
+    """Materialize an IVF layout: rows partitioned by nearest-centroid id
+    (``path/cluster=<c>/...parquet``) + the centroid matrix alongside.
+
+    This is the at-rest form of the inverted file: a query then READS ONLY
+    its probe clusters' directories — storage-level pruning instead of
+    scanning the whole table and filtering (what :func:`knn_ivf` does).
+    Centroids are broadcast once via ``ray.put``; assignment is one batched
+    matmul per block.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self, centroids_ref):
+            self.c = ray.get(centroids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            embs = embedding_matrix(batch.column(emb_col))
+            if embs.size == 0:
+                return batch.append_column("cluster", pa.array([], pa.int32()))
+            assign = np.argmax(_normalize(embs) @ self.c.T, axis=1)
+            return batch.append_column(
+                "cluster", pa.array(assign.astype(np.int32), pa.int32()))
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(Assign, fn_constructor_kwargs=dict(centroids_ref=cref),
+                   batch_format="pyarrow", concurrency=(1, 8)).write_parquet(
+        path, partition_cols=["cluster"])
+    pq.write_table(pa.table({"centroid": pa.array([c.tolist() for c in C],
+                                                  pa.list_(pa.float64()))}),
+                   os.path.join(path, "_centroids.parquet"))
+    return path
+
+
+def knn_ivf_indexed(
+    path: str, queries: np.ndarray,
+    emb_col: str = "embedding", id_col: str = "vec_id",
+    k: int = 10, n_probe: int = 4,
+    concurrency=(1, 8), batch_size: int = 4096,
+) -> pa.Table:
+    """ANN over a :func:`build_ivf_index` layout: compute each query's probe
+    clusters, read ONLY those ``cluster=<c>`` directories (pruned at
+    storage), brute-force-score the candidates.  Produces exactly the rows
+    :func:`knn_ivf` would (same centroids, same probe union), while touching
+    ``n_probe/n_clusters`` of the bytes.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    C = np.asarray(
+        pq.read_table(os.path.join(path, "_centroids.parquet"))
+        .column("centroid").to_pylist(), dtype=np.float64)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    sims = q @ C.T
+    n_probe = min(n_probe, sims.shape[1])
+    probe_union = np.unique(np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe])
+
+    # read_parquet wants files when given a list — expand each probe dir
+    dirs = [f for c in probe_union
+            for f in glob.glob(os.path.join(path, f"cluster={int(c)}", "*.parquet"))]
+    if not dirs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    ds = ray.data.read_parquet(dirs, columns=[id_col, emb_col])
+    return knn_brute_force(ds, queries, emb_col=emb_col, id_col=id_col, k=k,
+                           concurrency=concurrency, batch_size=batch_size)
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     queries: np.ndarray,

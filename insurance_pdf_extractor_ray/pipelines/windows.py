@@ -141,3 +141,86 @@ def session_windows(
         })
 
     return ds.groupby(key_col).map_groups(sessionize, batch_format="pyarrow")
+
+
+def session_windows_salted(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    epoch_us: int,
+    tiebreak_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Hot-key-safe sessions: identical output to :func:`session_windows`,
+    but no single worker ever holds more than one (key, epoch) slice.
+
+    Phase 1 salts the key with a coarse time epoch (``ts // epoch_us``) and
+    sessionizes within each (key, epoch) group.  An epoch boundary can split
+    a true session in two, so phase 2 re-groups by key over the SESSION rows
+    (events-per-epoch fewer, sessions far fewer still) and merges adjacent
+    sessions whose inter-gap is <= ``gap_us`` — exactly reconstructing the
+    single-pass result, then renumbering session_id in event-time order.
+    Pick ``epoch_us >> gap_us`` (e.g. a day for a 10-minute gap) so phase 2
+    stays tiny.
+    """
+    assert epoch_us > gap_us, "epoch must exceed the session gap"
+
+    def add_epoch(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch, ts_col)
+        epoch = pc.divide(us, epoch_us)
+        cols = {key_col: batch.column(key_col), "__us": us, "__epoch": epoch}
+        if tiebreak_col is not None:
+            cols[tiebreak_col] = batch.column(tiebreak_col)
+        return pa.table(cols)
+
+    def sessionize_local(group: pa.Table) -> pa.Table:
+        key = group.column(key_col)[0].as_py()
+        us = group.column("__us").to_numpy()
+        if tiebreak_col is not None:
+            tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, us))
+        else:
+            order = np.argsort(us, kind="stable")
+        us = us[order]
+        bounds = np.flatnonzero(np.diff(us) > gap_us) + 1
+        first = np.concatenate(([0], bounds))
+        last = np.concatenate((bounds - 1, [len(us) - 1]))
+        counts = np.diff(np.concatenate((first, [len(us)])))
+        return pa.table({
+            key_col: pa.array([key] * len(first), group.column(key_col).type),
+            "start_us": pa.array(us[first], pa.int64()),
+            "end_us": pa.array(us[last], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    def merge_sessions(group: pa.Table) -> pa.Table:
+        key = group.column(key_col)[0].as_py()
+        starts = group.column("start_us").to_numpy()
+        ends = group.column("end_us").to_numpy()
+        ns = group.column("n").to_numpy()
+        order = np.lexsort((ends, starts))
+        starts, ends, ns = starts[order], ends[order], ns[order]
+        # adjacent local sessions merge when the inter-gap closes; local
+        # sessions never overlap (they come from disjoint epoch slices)
+        brk = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            brk[1:] = (starts[1:] - ends[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        n_out = sid[-1] + 1 if len(starts) else 0
+        first = np.flatnonzero(brk)
+        last = np.concatenate((first[1:] - 1, [len(starts) - 1]))
+        counts = np.add.reduceat(ns, first)
+        return pa.table({
+            key_col: pa.array([key] * n_out, group.column(key_col).type),
+            "session_id": pa.array(np.arange(n_out), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "start_us": pa.array(starts[first], pa.int64()),
+            "end_us": pa.array(ends[last], pa.int64()),
+        })
+
+    local = (
+        ds.map_batches(add_epoch, batch_format="pyarrow")
+        .groupby([key_col, "__epoch"])
+        .map_groups(sessionize_local, batch_format="pyarrow")
+    )
+    return local.groupby(key_col).map_groups(merge_sessions, batch_format="pyarrow")

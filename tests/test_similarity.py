@@ -76,3 +76,46 @@ def test_lsh_recall_reasonable():
         e = {r["vec_id"] for r in exact if r["query_id"] == qi}
         a = {r["vec_id"] for r in approx if r["query_id"] == qi}
         assert len(e & a) >= 5  # recall@10 >= 0.5 with a generous prefilter
+
+
+def test_ivf_index_matches_scan_path(ray_session, tmp_path):
+    """build_ivf_index + knn_ivf_indexed reads only probe clusters yet
+    returns exactly what the scan-and-filter knn_ivf returns."""
+    import glob
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_indexed,
+        train_centroids,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path)
+    centroids = train_centroids(ds, n_clusters=8, id_col="vec_id")
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(head.column("vec_id"))[:3]
+    queries = np.asarray(head.column("embedding").take(order).to_pylist(),
+                         dtype=np.float64)
+
+    scan = knn_ivf(ds, queries, centroids=centroids, k=5, n_probe=3)
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx_dir, centroids)
+    assert glob.glob(os.path.join(idx_dir, "cluster=*"))
+    indexed = knn_ivf_indexed(idx_dir, queries, k=5, n_probe=3)
+
+    def norm(t):
+        return sorted(zip(t.column("query_id").to_pylist(),
+                          t.column("vec_id").to_pylist(),
+                          [round(s, 9) for s in t.column("score").to_pylist()]))
+    assert norm(scan) == norm(indexed)
+    # pruning is real: fewer cluster dirs than total
+    assert len(glob.glob(os.path.join(idx_dir, "cluster=*"))) <= 8

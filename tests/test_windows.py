@@ -88,3 +88,31 @@ def test_sessions(con):
         if prev is not None:
             assert r["start_us"] - prev > 600_000_000
         by_user[r["user_id"]] = r["end_us"]
+
+
+def test_salted_sessions_match_plain(ray_session):
+    """session_windows_salted must reproduce session_windows exactly even
+    when epoch boundaries split sessions (epoch barely above the gap)."""
+    import os
+
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.windows import (
+        session_windows,
+        session_windows_salted,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    gap = 600_000_000
+    plain = sorted(
+        ((r["user_id"], r["session_id"], r["n"], r["start_us"], r["end_us"])
+         for r in session_windows(ds, "user_id", "ts", gap_us=gap,
+                                  tiebreak_col="event_id").take_all()))
+    for epoch in (gap + 1, 3_600_000_000, 86_400_000_000):
+        salted = sorted(
+            ((r["user_id"], r["session_id"], r["n"], r["start_us"], r["end_us"])
+             for r in session_windows_salted(
+                 ds, "user_id", "ts", gap_us=gap, epoch_us=epoch,
+                 tiebreak_col="event_id").take_all()))
+        assert salted == plain, epoch
