@@ -681,6 +681,124 @@ def _q_media_decode(sf_dir: str):
     return decode_media(gated)
 
 
+def _q_grouped_topk(sf_dir: str):
+    """Per-group top-k (row_number() OVER (PARTITION BY ...) <= k): top-3
+    events per type by value, event_id tiebreak — map-side partial top-k,
+    one bounded keyed shuffle (pipelines/rankagg.py)."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    out = grouped_top_k(
+        _events(sf_dir, ["event_type", "event_id", "value"]),
+        "event_type", order_by=["value", "event_id"], descending=[True, False],
+        k=3, columns=["event_type", "event_id", "value"],
+    )
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["event_type"], -r["value"], r["event_id"]))
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+
+
+def _q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — pair-dedup shuffle on the
+    composite key (no per-key reducer hot spot), then a tiny keyed count."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import distinct_count_by
+
+    out = distinct_count_by(_events(sf_dir, ["event_type", "user_id"]),
+                            "event_type", "user_id")
+    rows = sorted(out.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+    })
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Exact percentile_cont(0.5 / 0.9) per event_type over the
+    cents-quantized value column via a distinct-value histogram — one
+    composite-key shuffle, per-key interpolation over the tiny histogram."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import quantiles_by
+
+    out = quantiles_by(_events(sf_dir, ["event_type", "value"]),
+                       "event_type", "value", qs=(0.5, 0.9), names=("p50", "p90"))
+    rows = sorted(out.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "p50": pa.array([_round_away(r["p50"], 6) for r in rows], pa.float64()),
+        "p90": pa.array([_round_away(r["p90"], 6) for r in rows], pa.float64()),
+    })
+
+
+def _q_asof_last_click(sf_dir: str):
+    """Backward as-of join: for every non-click event, the most recent click
+    at-or-before it by the same user (big-big, single keyed shuffle,
+    vectorized searchsorted merge — pipelines/joins.py:asof_join)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    ev = ev.map_batches(us, batch_format="pyarrow")
+    left = ev.filter(expr="event_type != 'click'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = asof_join(left, right, by="user_id", on="ts_us", value_col="ts_us",
+                    out_col="last_click_ts")
+    rows = out.select_columns(["event_id", "last_click_ts"]).take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "last_click_ts": pa.array([r["last_click_ts"] for r in rows], pa.int64()),
+    })
+
+
+def _q_embedding_dedup(sf_dir: str):
+    """Embedding near-dup ids — exact all-pairs baseline (broadcast unit
+    matrix + per-batch matmul; LSH sign-bucket variant is the scale path).
+    Oracle: DuckDB EXISTS + list_cosine_similarity, a genuinely independent
+    re-derivation."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import embedding_dup_ids_exact
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = embedding_dup_ids_exact(ds, "embedding", "vec_id", threshold=0.45)
+    ids = sorted(r["vec_id"] for r in out.take_all())
+    return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+
+def _q_top_term(sf_dir: str):
+    """Corpus TF-IDF: most characteristic term per document under the total
+    integer order (tf desc, df asc, token asc) — tokenize → two keyed
+    pre-combined shuffles → vocabulary-bounded broadcast join → grouped
+    top-1 (pipelines/tfidf.py)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import top_term_per_doc
+
+    n_docs = _docs_rows(sf_dir)
+    out = top_term_per_doc(_documents(sf_dir, ["doc_id", "text"]),
+                           "text", "doc_id", n_docs=n_docs)
+    rows = out.select_columns(["doc_id", "token", "tf", "df"]).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "token": pa.array([r["token"] for r in rows], pa.string()),
+        "tf": pa.array([r["tf"] for r in rows], pa.int64()),
+        "df": pa.array([r["df"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -716,6 +834,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "sliding_window": _q_sliding_window,
         "session_windows": _q_session_windows,
+        "grouped_topk": _q_grouped_topk,
+        "distinct_users_by_type": _q_distinct_users,
+        "value_quantiles_by_type": _q_value_quantiles,
+        "asof_last_click": _q_asof_last_click,
+        "embedding_dedup": _q_embedding_dedup,
+        "top_term_per_doc": _q_top_term,
     }
 
 
@@ -979,5 +1103,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(sim, 6) AS score
             FROM ranked WHERE rk <= 5
+        """,
+        "grouped_topk": """
+            SELECT event_type, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) WHERE rn <= 3
+            ORDER BY event_type, value DESC, event_id
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type, COUNT(value) AS n,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "asof_last_click": """
+            SELECT l.event_id, r.ts_us AS last_click_ts
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                  WHERE event_type <> 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                  WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+            ORDER BY l.event_id
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE EXISTS (
+              SELECT 1 FROM embeddings b
+              WHERE b.vec_id < a.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.45)
+            ORDER BY a.vec_id
+        """,
+        "top_term_per_doc": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+                   GROUP BY token)
+            SELECT doc_id, token, tf, df FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, df.df ASC,
+                                                 tf.token ASC) AS rn
+              FROM tf JOIN df USING (token))
+            WHERE rn = 1 ORDER BY doc_id
         """,
     }

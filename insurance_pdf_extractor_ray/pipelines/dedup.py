@@ -759,3 +759,48 @@ def embedding_dup_ids(
         batch_format="pyarrow", concurrency=concurrency,
     )
     return sigs.groupby("bucket").map_groups(bucket, batch_format="pyarrow")
+
+
+def embedding_dup_ids_exact(
+    ds: ray.data.Dataset, emb_col: str, id_col: str, threshold: float = 0.95,
+) -> ray.data.Dataset:
+    """IDs having ANY smaller-id partner with cosine >= ``threshold`` — the
+    exact all-pairs baseline (SQL-oracle-equivalent: EXISTS a smaller-id row
+    with list_cosine_similarity >= t).
+
+    The full unit-normalized matrix is broadcast once (``ray.put``) and every
+    batch scores against it with one matmul — the ``knn_brute_force`` shape.
+    This is the *baseline* path: broadcast is corpus-sized, so it is bounded
+    by available object-store memory (fine to ~10M x 128d float32 = 5 GB);
+    the scale path is ``embedding_dup_ids`` (sign-bucket LSH, nothing
+    corpus-sized anywhere).  Unlike the LSH path's greedy canonical-set
+    semantics, this is the simple pairwise predicate, so results are
+    set-identical across any partitioning.
+    """
+    from .similarity import embedding_matrix
+
+    ref_tbl = pa.concat_tables(
+        [ray.get(r) for r in ds.select_columns([id_col, emb_col]).to_arrow_refs()]
+    )
+    all_ids = np.asarray(ref_tbl.column(id_col).to_pylist())
+    m = embedding_matrix(ref_tbl.column(emb_col), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    unit_all_ref = ray.put((all_ids, np.ascontiguousarray(m / norms[:, None])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_ref, unit_all = ray.get(unit_all_ref)
+        rows = embedding_matrix(batch.column(emb_col), dtype=np.float64)
+        rn = np.linalg.norm(rows, axis=1)
+        rn[rn == 0] = 1.0
+        rows = rows / rn[:, None]
+        sims = rows @ unit_all.T                      # (batch, corpus)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        smaller = ids[:, None] > ids_ref[None, :]     # partner must have smaller id
+        hit = ((sims >= threshold) & smaller).any(axis=1)
+        out = batch.select([id_col]).filter(pa.array(hit))
+        return out
+
+    out = ds.select_columns([id_col, emb_col]).map_batches(
+        score, batch_format="pyarrow")
+    return out.sort(id_col)

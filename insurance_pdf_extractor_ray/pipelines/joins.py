@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -124,3 +126,87 @@ def shuffle_join(
         right, join_type=join_type, num_partitions=num_partitions,
         on=(on,), right_on=((right_on or on),),
     )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    value_col: str,
+    out_col: Optional[str] = None,
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Big-big backward as-of join: for each left row, the right row with the
+    greatest ``on`` ≤ the left row's ``on``, matching per ``by`` key —
+    SQL ``ASOF JOIN ... ON l.by = r.by AND l.on >= r.on``.
+
+    One keyed shuffle: both sides are tagged and unioned, then a single
+    ``groupby(by).map_groups`` sorts each key's rows once and answers every
+    left row with one vectorized ``np.searchsorted`` — no per-row Python, no
+    second shuffle.  Ties (right ``on`` equal to left ``on``) match, mirroring
+    the SQL ``>=`` bound; duplicate right timestamps are safe because only
+    ``value_col`` (typically the matched ``on`` itself) is emitted.
+
+    Partitioning assumption: one ``by`` key's rows (both sides) fit one
+    worker — the same contract as ``session_windows``; salt hot keys with a
+    coarse ``on`` epoch and carry each epoch's last right row forward if a
+    key exceeds it.
+    """
+    out_col = out_col or f"right_{value_col}"
+    l_schema = left.schema()
+    left_cols = l_schema.names
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_keep = [by, on, value_col]
+
+    r_schema = right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    # unified shuffle schema: every left column + any right-only join column
+    r_extra = [c for c in r_keep if c not in left_cols]
+    all_cols = left_cols + r_extra
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {name: (batch.column(name) if name in left_cols
+                       else pa.nulls(batch.num_rows, r_types[name]))
+                for name in all_cols}
+        return pa.table(cols).append_column(
+            "_side", pa.array([0] * batch.num_rows, pa.int8()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # align to one block schema (typed nulls for other-side-only columns)
+        # so the union carries a single schema through the shuffle
+        cols = {name: (batch.column(name) if name in r_keep
+                       else pa.nulls(batch.num_rows, l_types[name]))
+                for name in all_cols}
+        return pa.table(cols).append_column(
+            "_side", pa.array([1] * batch.num_rows, pa.int8()))
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        ons = group.column(on).to_numpy(zero_copy_only=False)
+        l_tbl = group.filter(pa.array(side == 0)).drop_columns(["_side"])
+        r_mask = side == 1
+        l_on = ons[side == 0]
+        r_on = ons[r_mask]
+        if len(r_on) == 0:
+            matched = pa.nulls(l_tbl.num_rows, group.column(value_col).type)
+        else:
+            order = np.argsort(r_on, kind="stable")
+            r_on_sorted = r_on[order]
+            # index of greatest right on <= left on; -1 = no match
+            pos = np.searchsorted(r_on_sorted, l_on, side="right") - 1
+            r_vals = group.filter(pa.array(r_mask)).column(value_col).take(
+                pa.array(order[np.maximum(pos, 0)])
+            )
+            matched = pc.if_else(pa.array(pos >= 0), r_vals,
+                                 pa.scalar(None, group.column(value_col).type))
+        out = l_tbl.select(left_cols).append_column(out_col, matched)
+        if how == "inner":
+            out = out.filter(pc.is_valid(out.column(out_col)))
+        return out
+
+    return both.groupby(by).map_groups(merge, batch_format="pyarrow")

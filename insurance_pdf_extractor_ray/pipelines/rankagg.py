@@ -1,0 +1,179 @@
+"""Ranking / distinct / quantile aggregations — the window-function family.
+
+The reference's analytics stop at plain GROUP BY (SURVEY.md §2.6); a
+training-data engine also needs the per-group ranking and distribution
+operators SQL expresses with window functions.  Each is built scale-first:
+
+* ``grouped_top_k`` — ``row_number() OVER (PARTITION BY key ORDER BY ...)``
+  ``<= k``.  Map-side partial top-k per key inside each batch (so the shuffle
+  carries at most ``k`` rows per key per block), then one keyed shuffle whose
+  groups are bounded by ``k × blocks`` — never by the raw key cardinality.
+* ``distinct_count_by`` — ``COUNT(DISTINCT col) GROUP BY key``.  Map-side
+  pair dedup, one shuffle on the *(key, col)* composite (so a hot key's rows
+  spread over its distinct values — no single-reducer hot spot), then a
+  second, much smaller shuffle over the already-distinct pairs.
+* ``quantiles_by`` — exact ``percentile_cont`` per key via a distinct-value
+  histogram: one shuffle on *(key, value)* with counts, then per-key
+  interpolation over the (tiny) sorted histogram.  Partitioning assumption:
+  the *distinct value set* per key is bounded (true for quantized measures —
+  prices in cents, durations in ms).  For unbounded continuous values use a
+  fixed-width binning first (documented, approximate) — exactness is only
+  claimed for quantized domains.
+
+All interiors are Arrow/numpy-vectorized; nothing materializes the input.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _per_key_head(tbl: pa.Table, key: str, order_by: List[str],
+                  descending: List[bool], k: int) -> pa.Table:
+    """Rows ranked ``< k`` within each key after ordering — vectorized.
+
+    Sorts by (key, *order_by*) then keeps positions whose index-within-run
+    is < k; run arithmetic is pure numpy (no per-key loop).
+    """
+    if tbl.num_rows == 0:
+        return tbl
+    sort_keys = [(key, "ascending")] + [
+        (c, "descending" if d else "ascending") for c, d in zip(order_by, descending)
+    ]
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+    tbl = tbl.take(idx)
+    keys = tbl.column(key).to_numpy(zero_copy_only=False)
+    # index within each equal-key run
+    change = np.empty(len(keys), dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    run_id = np.cumsum(change) - 1
+    run_start = np.flatnonzero(change)
+    within = np.arange(len(keys)) - run_start[run_id]
+    return tbl.filter(pa.array(within < k))
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: Sequence[str],
+    descending: Sequence[bool],
+    k: int,
+    columns: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Top-``k`` rows per ``key`` under a total order (pass a tiebreak column
+    in ``order_by`` to make it total — same contract as ``analytics.top_k``).
+
+    Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k``.
+    """
+    order_by = list(order_by)
+    descending = list(descending)
+    if columns:
+        ds = ds.select_columns(sorted(set(columns) | {key, *order_by}))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _per_key_head(batch, key, order_by, descending, k)
+
+    def final(group: pa.Table) -> pa.Table:
+        return _per_key_head(group, key, order_by, descending, k)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+    if columns:
+        out = out.select_columns(columns)
+    return out
+
+
+def distinct_count_by(
+    ds: ray.data.Dataset,
+    key: str,
+    distinct_col: str,
+    alias: str = "n_distinct",
+) -> ray.data.Dataset:
+    """``SELECT key, COUNT(DISTINCT distinct_col) GROUP BY key``.
+
+    Stage 1 dedups (key, distinct_col) pairs map-side (cheap shuffle-volume
+    cut on repetitive data), stage 2 is a composite-key shuffle producing
+    globally-distinct pairs, stage 3 counts pairs per key — input to stage 3
+    is one row per distinct pair, so the second shuffle is small by
+    construction.  Nulls in ``distinct_col`` are ignored (SQL semantics).
+    """
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key, distinct_col]).filter(
+            pc.is_valid(batch.column(distinct_col))
+        )
+        return batch.group_by([key, distinct_col]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    # global pair dedup: one row per (key, distinct_col)
+    uniq = pairs.groupby([key, distinct_col]).aggregate(Count(alias_name="_c"))
+    return uniq.groupby(key).aggregate(Count(alias_name=alias))
+
+
+def _percentile_cont(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact ``percentile_cont(q)`` over a sorted distinct-value histogram —
+    the linear interpolation SQL defines: h=(n-1)q, interpolate between the
+    h-floor-th and h-ceil-th order statistics."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    h = (n - 1) * q
+    lo = int(np.floor(h))
+    hi = int(np.ceil(h))
+    cum = np.cumsum(counts)
+    v_lo = values[np.searchsorted(cum, lo + 1)]
+    v_hi = values[np.searchsorted(cum, hi + 1)]
+    return float(v_lo) + (h - lo) * (float(v_hi) - float(v_lo))
+
+
+def quantiles_by(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9),
+    names: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Exact per-key ``percentile_cont`` over a quantized value domain.
+
+    One shuffle on the *(key, value)* composite builds per-key distinct-value
+    histograms (map-side ``Count`` pre-combine keeps the exchange at one row
+    per distinct pair per block); the per-key interpolation then runs over
+    histograms whose size is the key's *distinct-value* count — bounded for
+    quantized measures regardless of row count.  Nulls ignored.
+    """
+    qs = list(qs)
+    names = list(names) if names else [f"p{int(q * 100)}" for q in qs]
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(value_col)))
+
+    hist = (
+        ds.select_columns([key, value_col])
+        .map_batches(drop_null, batch_format="pyarrow")
+        .groupby([key, value_col])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def interp(group: pa.Table) -> pa.Table:
+        kv = group.column(key)[0]
+        order = pc.sort_indices(group, sort_keys=[(value_col, "ascending")])
+        group = group.take(order)
+        values = group.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = group.column("_c").to_numpy(zero_copy_only=False)
+        cols: dict = {key: pa.array([kv.as_py()], group.column(key).type),
+                      "n": pa.array([int(counts.sum())], pa.int64())}
+        for q, name in zip(qs, names):
+            cols[name] = pa.array([_percentile_cont(values, counts, q)], pa.float64())
+        return pa.table(cols)
+
+    return hist.groupby(key).map_groups(interp, batch_format="pyarrow")

@@ -1,0 +1,134 @@
+"""Corpus-level TF-IDF — document frequency, term scoring, top term per doc.
+
+A training-data pipeline needs corpus statistics that join *back* onto the
+per-document stream (the reference's analytics never leave one table —
+SURVEY.md §2.6).  Shape, scale-first:
+
+  tokenize (map_batches, vectorized)                 — no shuffle
+  → tf  = groupby(doc_id, token).count()             — shuffle 1 (composite)
+  → df  = tf.groupby(token).count()                  — shuffle 2, input is
+           already one row per (doc, token): |pairs| ≪ |tokens|
+  → tf ⋈ df on token                                 — broadcast when the
+           vocabulary is provably small, hash-shuffle join otherwise (same
+           size-threshold policy as ``dedup.filter_by_ids``)
+  → top term per doc                                 — ``rankagg.grouped_top_k``
+           on (tf desc, df asc, token asc): integer-ordered, so the ranking
+           is reduction-order-proof; the float score is a decoration.
+
+Tokenization is lowercase ``[a-z0-9]+`` runs — mirrored exactly by the SQL
+oracle's ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from .rankagg import grouped_top_k
+
+BROADCAST_VOCAB_MAX = 2_000_000
+
+
+def tokenize(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    """Explode documents into (id, token) rows: lowercase [a-z0-9]+ runs.
+
+    Vectorized: one Arrow lowercase + one compiled-regex pass per batch, flat
+    numpy repeat for the id column — no per-row Python string handling.
+    """
+    import re
+
+    pat = re.compile(r"[a-z0-9]+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch.column(text_col)).to_pylist()
+        ids = batch.column(id_col)
+        toks_per_doc = [pat.findall(t) if t else [] for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                             count=len(toks_per_doc))
+        out_ids = ids.take(pa.array(np.repeat(np.arange(len(counts)), counts)))
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        return pa.table({id_col: out_ids, "token": pa.array(flat, pa.string())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def term_freq(tokens: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """(id, token, tf) — one shuffle on the composite key; map-side combining
+    is Ray Data's groupby partial aggregation."""
+    return tokens.groupby([id_col, "token"]).aggregate(Count(alias_name="tf"))
+
+
+def doc_freq(tf: ray.data.Dataset) -> ray.data.Dataset:
+    """(token, df) from the tf table — the input is already one row per
+    (doc, token), so Count == COUNT(DISTINCT doc)."""
+    return tf.groupby("token").aggregate(Count(alias_name="df"))
+
+
+def tfidf_table(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n_docs: Optional[int] = None,
+    vocab_broadcast_max: int = BROADCAST_VOCAB_MAX,
+) -> ray.data.Dataset:
+    """(id, token, tf, df, tfidf) with tfidf = tf · ln(n_docs / df).
+
+    ``n_docs`` defaults to ``ds.count()`` (metadata-cheap on parquet reads).
+    The df side broadcasts when the vocabulary is under
+    ``vocab_broadcast_max`` rows; above that it hash-shuffle joins — the df
+    table is vocabulary-sized, not corpus-sized, so the broadcast bound is a
+    real memory bound, not a guess about the data.
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+    tf = term_freq(tokenize(ds, text_col, id_col), id_col)
+    df = doc_freq(tf)
+
+    # vocabulary size decides the join strategy (same policy as
+    # dedup.filter_by_ids: broadcast only under a provable bound)
+    n_vocab = df.count()
+    if n_vocab <= vocab_broadcast_max:
+        lookup = {r["token"]: r["df"] for r in df.take_all()}
+        ref = ray.put(lookup)
+
+        def add_df(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            dfs = np.fromiter((lk[t] for t in batch.column("token").to_pylist()),
+                              dtype=np.int64, count=batch.num_rows)
+            return batch.append_column("df", pa.array(dfs, pa.int64()))
+
+        joined = tf.map_batches(add_df, batch_format="pyarrow")
+    else:
+        joined = tf.join(df, join_type="inner", num_partitions=64, on=("token",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(float(n_docs) / dfv)
+        return batch.append_column("tfidf", pa.array(s, pa.float64()))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def top_term_per_doc(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n_docs: Optional[int] = None,
+) -> ray.data.Dataset:
+    """One row per doc: its most characteristic term — ordered by (tf desc,
+    df asc, token asc), a total integer order (float-tie-proof); the tfidf
+    score column is informational."""
+    scored = tfidf_table(ds, text_col, id_col, n_docs=n_docs)
+    return grouped_top_k(
+        scored, id_col,
+        order_by=["tf", "df", "token"], descending=[True, False, False], k=1,
+    )

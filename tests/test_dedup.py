@@ -270,3 +270,63 @@ class TestScaleSafePaths:
         joined = norm(dedup.jaccard_dup_pairs(ds, "text", "doc_id", verify="join"))
         assert inline == joined
         assert (0, 1, 1.0) in inline and (3, 4, 1.0) in inline
+
+
+# ---------------------------------------------------------------------------
+# embedding_dup_ids_exact (all-pairs baseline)
+# ---------------------------------------------------------------------------
+
+class TestEmbeddingExact:
+    def _table(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        # plant near-dups: rows 30..34 are tiny perturbations of rows 0..4
+        base[30:35] = base[0:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+        return pa.table({
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in base],
+                                  pa.list_(pa.float32())),
+        })
+
+    def test_matches_duckdb_exists(self):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.dedup import embedding_dup_ids_exact
+
+        tbl = self._table()
+        out = embedding_dup_ids_exact(
+            ray.data.from_arrow(tbl).repartition(5), "embedding", "vec_id",
+            threshold=0.95).take_all()
+        got = [r["vec_id"] for r in out]
+
+        con = duckdb.connect()
+        con.register("e", tbl)
+        want = [r[0] for r in con.execute("""
+            SELECT a.vec_id FROM e a
+            WHERE EXISTS (SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
+                          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)
+            ORDER BY a.vec_id
+        """).fetchall()]
+        assert got == want
+        assert set(got) >= {30, 31, 32, 33, 34}
+
+    def test_agrees_with_lsh_path_on_planted(self):
+        """LSH path is approximate; on well-separated planted dups both paths
+        flag the planted ids."""
+        from insurance_pdf_extractor_ray.pipelines.dedup import (
+            embedding_dup_ids,
+            embedding_dup_ids_exact,
+        )
+
+        tbl = self._table()
+        exact = {r["vec_id"] for r in embedding_dup_ids_exact(
+            ray.data.from_arrow(tbl), "embedding", "vec_id", threshold=0.95).take_all()}
+        lsh = {r["vec_id"] for r in embedding_dup_ids(
+            ray.data.from_arrow(tbl), "embedding", "vec_id",
+            threshold=0.95, n_planes=4).take_all()}
+        # greedy-canon partners are always smaller-id, and bucketing only
+        # removes pairs: the LSH set is a subset of the exact set
+        assert lsh <= exact
+        assert {30, 31, 32, 33, 34} <= exact

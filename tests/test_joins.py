@@ -54,3 +54,74 @@ def test_anti_and_semi_join():
     assert sorted(r["k"] for r in anti) == [100, 101, 102]
     semi = broadcast_semi_join(_big(), "k", {1, 2, 3}).take_all()
     assert sorted(r["k"] for r in semi) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def _asof_sides(n=4000, seed=11):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    ts = np.sort(rng.randint(0, 1_000_000, n)).astype("int64")
+    types = rng.choice(["click", "view", "purchase"], n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 50, n), pa.int64()),
+        "ts_us": pa.array(ts, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+    })
+    left = tbl.filter(pa.compute.not_equal(tbl.column("event_type"), "click"))
+    right = tbl.filter(pa.compute.equal(tbl.column("event_type"), "click"))
+    return left, right
+
+
+def test_asof_join_matches_duckdb():
+    import duckdb
+
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+    left, right = _asof_sides()
+    out = asof_join(
+        ray.data.from_arrow(left).repartition(8),
+        ray.data.from_arrow(right).repartition(8),
+        by="user_id", on="ts_us", value_col="ts_us", out_col="last_click_ts",
+    )
+    tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+    got = sorted(zip(tbl.column("event_id").to_pylist(),
+                     tbl.column("last_click_ts").to_pylist()))
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = sorted(map(tuple, con.execute("""
+        SELECT l.event_id, r.ts_us AS last_click_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """).fetchall()))
+    assert got == want
+
+
+def test_asof_join_inner_drops_unmatched():
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "t": pa.array([10, 20], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "t": pa.array([5], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    by="k", on="t", value_col="t", out_col="rt", how="inner").take_all()
+    assert [(r["k"], r["rt"]) for r in out] == [(1, 5)]
+
+
+def test_asof_join_tie_matches():
+    """right ts equal to left ts matches (the SQL >= bound)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "t": pa.array([10], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "t": pa.array([10, 3], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    by="k", on="t", value_col="t", out_col="rt").take_all()
+    assert out[0]["rt"] == 10

@@ -1,0 +1,109 @@
+"""TF-IDF pipeline vs a DuckDB re-derivation with the same tokenizer."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.tfidf import (
+    doc_freq,
+    term_freq,
+    tfidf_table,
+    tokenize,
+    top_term_per_doc,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DOCS = pa.table({
+    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+    "text": pa.array([
+        "The cat sat on the mat. THE CAT!",
+        "a dog chased the cat across the yard",
+        "numbers 42 and 42 and 7 repeat: 42",
+        "",
+    ], pa.string()),
+})
+
+
+def _collect(ds):
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables) if tables else None
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("documents", DOCS)
+    return c
+
+
+def test_tokenize_matches_regexp_extract_all(con):
+    toks = _collect(tokenize(ray.data.from_arrow(DOCS).repartition(4), "text", "doc_id"))
+    got = sorted(zip(toks.column("doc_id").to_pylist(),
+                     toks.column("token").to_pylist()))
+    want = sorted(map(tuple, con.execute("""
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    """).fetchall()))
+    assert got == want
+
+
+def test_tf_df_match_sql(con):
+    tf = term_freq(tokenize(ray.data.from_arrow(DOCS), "text", "doc_id"), "doc_id")
+    got_tf = sorted((r["doc_id"], r["token"], r["tf"]) for r in tf.take_all())
+    want_tf = sorted(map(tuple, con.execute("""
+        SELECT doc_id, token, COUNT(*) FROM (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+          FROM documents) GROUP BY doc_id, token
+    """).fetchall()))
+    assert got_tf == want_tf
+
+    df = doc_freq(term_freq(tokenize(ray.data.from_arrow(DOCS), "text", "doc_id"),
+                            "doc_id"))
+    got_df = sorted((r["token"], r["df"]) for r in df.take_all())
+    want_df = sorted(map(tuple, con.execute("""
+        SELECT token, COUNT(DISTINCT doc_id) FROM (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+          FROM documents) GROUP BY token
+    """).fetchall()))
+    assert got_df == want_df
+
+
+def test_tfidf_values():
+    out = _collect(tfidf_table(ray.data.from_arrow(DOCS), "text", "doc_id"))
+    rows = {(r["doc_id"], r["token"]): r for r in out.to_pylist()}
+    # 'the' appears 3x in doc 0 (The/the/THE), in 2 of 4 docs
+    r = rows[(0, "the")]
+    assert r["tf"] == 3 and r["df"] == 2
+    assert r["tfidf"] == pytest.approx(3 * np.log(4 / 2))
+    # '42' appears 3x only in doc 2
+    r = rows[(2, "42")]
+    assert r["tf"] == 3 and r["df"] == 1
+    assert r["tfidf"] == pytest.approx(3 * np.log(4.0))
+
+
+def test_top_term_per_doc_integer_order(con):
+    out = _collect(top_term_per_doc(ray.data.from_arrow(DOCS).repartition(4),
+                                    "text", "doc_id"))
+    got = {r["doc_id"]: r["token"] for r in out.to_pylist()}
+    want = dict(con.execute("""
+        SELECT doc_id, token FROM (
+          SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf DESC, df ASC, token ASC) rn
+          FROM (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df FROM
+              (SELECT doc_id, token, COUNT(*) tf FROM (
+                 SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+                 FROM documents) GROUP BY doc_id, token) tf
+              JOIN
+              (SELECT token, COUNT(DISTINCT doc_id) df FROM (
+                 SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+                 FROM documents) GROUP BY token) df
+              USING (token)))
+        WHERE rn = 1
+    """).fetchall())
+    assert got == want
+    assert 3 not in got  # empty doc has no terms
