@@ -166,6 +166,42 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     quality_filter(ray.data.read_parquet(docs_path, columns=["doc_id", "text"])).count()
     queries["quality_filter"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+    from insurance_pdf_extractor_ray.pipelines.rankagg import (
+        distinct_count_by,
+        grouped_top_k,
+    )
+    from insurance_pdf_extractor_ray.pipelines.tfidf import top_term_per_doc
+
+    t0 = time.time()
+    grouped_top_k(ray.data.read_parquet(events, columns=["event_type", "event_id", "value"]),
+                  "event_type", order_by=["value", "event_id"],
+                  descending=[True, False], k=3).count()
+    distinct_count_by(ray.data.read_parquet(events, columns=["event_type", "user_id"]),
+                      "event_type", "user_id").count()
+    queries["rankagg"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "ts_us": batch.column("ts").cast(pa.int64()),
+                         "event_type": batch.column("event_type")})
+
+    ev = ray.data.read_parquet(
+        events, columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(_us, batch_format="pyarrow")
+    asof_join(ev.filter(expr="event_type != 'click'"),
+              ev.filter(expr="event_type == 'click'"),
+              by="user_id", on="ts_us", value_col="ts_us").count()
+    queries["asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    top_term_per_doc(ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+                     "text", "doc_id").count()
+    queries["tfidf_top_term"] = round(time.time() - t0, 3)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(emb_path, columns=["embedding"]).column("embedding")
     q = np.asarray(head[:8].to_pylist(), dtype=np.float64)
