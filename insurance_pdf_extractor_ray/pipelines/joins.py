@@ -149,9 +149,9 @@ def asof_join(
     ``value_col`` (typically the matched ``on`` itself) is emitted.
 
     Partitioning assumption: one ``by`` key's rows (both sides) fit one
-    worker — the same contract as ``session_windows``; salt hot keys with a
-    coarse ``on`` epoch and carry each epoch's last right row forward if a
-    key exceeds it.
+    worker — the same contract as ``session_windows``.  For hot keys beyond
+    that use ``asof_join_salted`` (epoch-salted shuffle + carry rows; proven
+    output-identical).
     """
     out_col = out_col or f"right_{value_col}"
     l_schema = left.schema()
@@ -210,3 +210,209 @@ def asof_join(
         return out
 
     return both.groupby(by).map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join_salted(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    value_col: str,
+    epoch: int,
+    out_col: Optional[str] = None,
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Hot-key-safe ``asof_join``: shuffle on *(by, on // epoch)* instead of
+    ``by``, so one key's rows spread over its time epochs — no group ever
+    exceeds one epoch of one key.
+
+    The cross-epoch dependency ("the match may be in an earlier epoch") is
+    carried by a synthetic right row per *(key, left-epoch)*: the latest right
+    event from any strictly-earlier epoch, computed from per-epoch right
+    summaries (one row per *(key, epoch)* — bounded by distinct-epoch
+    cardinality, never by row count) and injected into the big shuffle as an
+    extra right-side row.  The in-group merge is then *identical* to the plain
+    path, so outputs match ``asof_join`` exactly (proven in
+    ``test_joins.py::test_asof_salted_*`` across epoch sizes).
+
+    Tie semantics for duplicate right ``on`` at an epoch's maximum: the carry
+    row takes the greatest ``value_col`` (deterministic); the plain path's
+    pick among exact duplicates is input-order — identical whenever right
+    *(by, on)* pairs are unique or ``value_col is on`` (the canonical use).
+    """
+    out_col = out_col or f"right_{value_col}"
+    l_schema = left.schema()
+    left_cols = l_schema.names
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_keep = [by, on, value_col]
+    r_schema = right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_extra = [c for c in r_keep if c not in left_cols]
+    all_cols = left_cols + r_extra
+    on_type = r_types[on]
+    val_type = r_types[value_col]
+    by_type = r_types[by]
+
+    def _epoch_of(arr: pa.ChunkedArray) -> np.ndarray:
+        return np.floor_divide(arr.to_numpy(zero_copy_only=False), epoch)
+
+    # --- small side: per-(key, epoch) right summaries (map-side combined) ---
+    def right_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({by: pa.array([], by_type),
+                             "_epoch": pa.array([], pa.int64()),
+                             on: pa.array([], on_type),
+                             value_col: pa.array([], val_type)})
+        ep = _epoch_of(batch.column(on))
+        tbl = pa.table({by: batch.column(by),
+                        "_epoch": pa.array(ep, pa.int64()),
+                        on: batch.column(on),
+                        value_col: batch.column(value_col)})
+        # last row per (key, epoch) under (on asc, value asc) = argmax with
+        # deterministic value tiebreak
+        sort_cols = list(dict.fromkeys([by, "_epoch", on, value_col]))
+        idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in sort_cols])
+        tbl = tbl.take(idx)
+        k = tbl.column(by).to_numpy(zero_copy_only=False)
+        e = tbl.column("_epoch").to_numpy(zero_copy_only=False)
+        last = np.ones(len(k), dtype=bool)
+        last[:-1] = (k[:-1] != k[1:]) | (e[:-1] != e[1:])
+        return tbl.filter(pa.array(last))
+
+    summaries = (
+        right.select_columns(list(dict.fromkeys(r_keep)))
+        .map_batches(right_summary, batch_format="pyarrow")
+        .groupby([by, "_epoch"])
+        .map_groups(lambda g: g.take(pc.sort_indices(
+            g, sort_keys=[(c, "ascending")
+                          for c in dict.fromkeys([on, value_col])])).slice(
+                g.num_rows - 1, 1), batch_format="pyarrow")
+    )
+
+    # --- distinct (key, epoch) pairs the LEFT touches (map-side dedup) ---
+    def left_epochs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({by: pa.array([], by_type),
+                             "_epoch": pa.array([], pa.int64())})
+        ep = _epoch_of(batch.column(on))
+        t = pa.table({by: batch.column(by), "_epoch": pa.array(ep, pa.int64())})
+        return t.group_by([by, "_epoch"]).aggregate([])
+
+    l_epochs = (
+        left.select_columns([by, on])
+        .map_batches(left_epochs, batch_format="pyarrow")
+        .groupby([by, "_epoch"]).map_groups(
+            lambda g: g.slice(0, 1).select([by, "_epoch"]), batch_format="pyarrow")
+    )
+
+    # --- forward-fill right summaries onto left epochs, per key ---
+    def sum_tag(kind: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            cols = {by: batch.column(by), "_epoch": batch.column("_epoch")}
+            if kind == 1:
+                cols[on] = batch.column(on)
+                cols[value_col] = batch.column(value_col)
+            else:
+                cols[on] = pa.nulls(batch.num_rows, on_type)
+                cols[value_col] = pa.nulls(batch.num_rows, val_type)
+            cols["_kind"] = pa.array([kind] * batch.num_rows, pa.int8())
+            return pa.table(cols)
+        return _t
+
+    merged_small = summaries.map_batches(sum_tag(1), batch_format="pyarrow").union(
+        l_epochs.map_batches(sum_tag(0), batch_format="pyarrow"))
+
+    def carry_rows(group: pa.Table) -> pa.Table:
+        """For each left epoch, the latest right summary from a strictly
+        earlier epoch — emitted as a synthetic right row tagged with the left
+        epoch.  Group size = distinct epochs of one key."""
+        idx = pc.sort_indices(group, sort_keys=[("_epoch", "ascending"),
+                                                ("_kind", "ascending")])
+        group = group.take(idx)
+        kind = group.column("_kind").to_numpy(zero_copy_only=False)
+        eps = group.column("_epoch").to_numpy(zero_copy_only=False)
+        # prefix "latest right summary index before this row", strictly
+        # earlier epoch: walk once (epoch count per key, not row count)
+        n = group.num_rows
+        ons_np = group.column(on).to_numpy(zero_copy_only=False)
+        vals = group.column(value_col)
+        out_idx: List[int] = []
+        out_ep: List[int] = []
+        last_right = -1            # summary from a previous epoch
+        cur_right = -1             # summary inside the current epoch
+        cur_epoch = None
+        for i in range(n):
+            if cur_epoch is not None and eps[i] != cur_epoch:
+                if cur_right >= 0:
+                    last_right = cur_right
+                cur_right = -1
+            cur_epoch = eps[i]
+            if kind[i] == 1:
+                cur_right = i
+            else:  # left epoch needing a carry
+                if last_right >= 0:
+                    out_idx.append(last_right)
+                    out_ep.append(int(eps[i]))
+        if not out_idx:
+            return pa.table({by: pa.array([], by_type),
+                             "_epoch": pa.array([], pa.int64()),
+                             on: pa.array([], on_type),
+                             value_col: pa.array([], val_type)})
+        picked = group.take(pa.array(out_idx))
+        return pa.table({by: picked.column(by),
+                         "_epoch": pa.array(out_ep, pa.int64()),
+                         on: picked.column(on),
+                         value_col: picked.column(value_col)})
+
+    carries = merged_small.groupby(by).map_groups(carry_rows, batch_format="pyarrow")
+
+    # --- big shuffle: left + right + carry rows keyed (by, epoch) ---
+    def tag(side: int, from_right_schema: bool):
+        def _t(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for name in all_cols:
+                if side == 0:
+                    cols[name] = (batch.column(name) if name in left_cols
+                                  else pa.nulls(batch.num_rows, r_types[name]))
+                else:
+                    cols[name] = (batch.column(name) if name in r_keep
+                                  else pa.nulls(batch.num_rows, l_types[name]))
+            if side == 2:
+                ep = batch.column("_epoch")
+            else:
+                ep = pa.array(_epoch_of(batch.column(on)), pa.int64())
+            out = pa.table(cols)
+            out = out.append_column("_epoch", ep)
+            return out.append_column("_side",
+                                     pa.array([side] * batch.num_rows, pa.int8()))
+        return _t
+
+    both = (
+        left.map_batches(tag(0, False), batch_format="pyarrow")
+        .union(right.map_batches(tag(1, True), batch_format="pyarrow"))
+        .union(carries.map_batches(tag(2, True), batch_format="pyarrow"))
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        ons = group.column(on).to_numpy(zero_copy_only=False)
+        l_tbl = group.filter(pa.array(side == 0)).drop_columns(["_side", "_epoch"])
+        r_mask = side >= 1           # in-epoch right rows AND the carry row
+        l_on = ons[side == 0]
+        r_on = ons[r_mask]
+        if len(r_on) == 0:
+            matched = pa.nulls(l_tbl.num_rows, group.column(value_col).type)
+        else:
+            order = np.argsort(r_on, kind="stable")
+            r_on_sorted = r_on[order]
+            pos = np.searchsorted(r_on_sorted, l_on, side="right") - 1
+            r_vals = group.filter(pa.array(r_mask)).column(value_col).take(
+                pa.array(order[np.maximum(pos, 0)]))
+            matched = pc.if_else(pa.array(pos >= 0), r_vals,
+                                 pa.scalar(None, group.column(value_col).type))
+        out = l_tbl.select(left_cols).append_column(out_col, matched)
+        if how == "inner":
+            out = out.filter(pc.is_valid(out.column(out_col)))
+        return out
+
+    return both.groupby([by, "_epoch"]).map_groups(merge, batch_format="pyarrow")

@@ -125,3 +125,44 @@ def test_asof_join_tie_matches():
     out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
                     by="k", on="t", value_col="t", out_col="rt").take_all()
     assert out[0]["rt"] == 10
+
+
+def test_asof_salted_identical_to_plain_across_epochs():
+    """The salted path must be output-identical to the plain path (and thus
+    to DuckDB) for every epoch size, including epochs smaller than typical
+    gaps (forcing heavy carry use) and one giant epoch (degenerating to the
+    plain layout)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join, asof_join_salted
+
+    left, right = _asof_sides(n=2000, seed=23)
+    plain = asof_join(
+        ray.data.from_arrow(left).repartition(6),
+        ray.data.from_arrow(right).repartition(6),
+        by="user_id", on="ts_us", value_col="ts_us", out_col="m",
+    ).take_all()
+    want = sorted((r["event_id"], r["m"]) for r in plain)
+
+    for epoch in (1_000, 50_000, 10_000_000):
+        got = asof_join_salted(
+            ray.data.from_arrow(left).repartition(6),
+            ray.data.from_arrow(right).repartition(6),
+            by="user_id", on="ts_us", value_col="ts_us", out_col="m",
+            epoch=epoch,
+        ).take_all()
+        got = sorted((r["event_id"], r["m"]) for r in got)
+        assert got == want, f"epoch={epoch}"
+
+
+def test_asof_salted_inner_and_no_right():
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join_salted
+
+    left = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                     "t": pa.array([10, 300, 5], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "t": pa.array([7], pa.int64())})
+    out = asof_join_salted(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                           by="k", on="t", value_col="t", out_col="rt",
+                           epoch=100, how="inner").take_all()
+    # k=1 t=10 matches in-epoch; k=1 t=300 matches via carry (epoch 3 vs 0);
+    # k=2 has no right rows at all -> dropped by inner
+    assert sorted((r["k"], r["t"], r["rt"]) for r in out) == [(1, 10, 7), (1, 300, 7)]
