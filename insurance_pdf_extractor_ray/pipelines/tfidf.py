@@ -78,6 +78,7 @@ def tfidf_table(
     id_col: str,
     n_docs: Optional[int] = None,
     vocab_broadcast_max: int = BROADCAST_VOCAB_MAX,
+    persist_tf: bool = True,
 ) -> ray.data.Dataset:
     """(id, token, tf, df, tfidf) with tfidf = tf · ln(n_docs / df).
 
@@ -86,11 +87,20 @@ def tfidf_table(
     ``vocab_broadcast_max`` rows; above that it hash-shuffle joins — the df
     table is vocabulary-sized, not corpus-sized, so the broadcast bound is a
     real memory bound, not a guess about the data.
+
+    ``tf`` feeds BOTH df and the join (a diamond): by default it is pinned
+    once in the object store (spillable) so the tokenize+groupby lineage
+    doesn't re-execute per consumer.  When object-store capacity is tighter
+    than compute (pair table ≈ tokens × 3 columns), pass
+    ``persist_tf=False`` to trade one recompute of the tf lineage for zero
+    resident state.
     """
     if n_docs is None:
         n_docs = ds.count()
     tf = term_freq(tokenize(ds, text_col, id_col), id_col)
-    df = doc_freq(tf)
+    if persist_tf:
+        tf = tf.materialize()
+    df = doc_freq(tf).materialize()  # vocabulary-sized
 
     # vocabulary size decides the join strategy (same policy as
     # dedup.filter_by_ids: broadcast only under a provable bound)
