@@ -799,6 +799,73 @@ def _q_top_term(sf_dir: str):
     })
 
 
+def _q_orders_lineitem_join(sf_dir: str):
+    """Big-big hash shuffle join (Dataset.join), row-level: urgent orders'
+    line items with revenue — the J-family scale path checked directly
+    (exact_dedup only exercises it indirectly)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                          join_type="inner", num_partitions=16)
+
+    def project(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        m = 1e4
+        rev4 = np.where(rev >= 0, np.floor(rev * m + 0.5) / m,
+                        -np.floor(-rev * m + 0.5) / m)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "o_totalprice": batch.column("o_totalprice"),
+            "revenue": pa.array(rev4, pa.float64()),
+        })
+
+    out = joined.map_batches(project, batch_format="pyarrow")
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["l_orderkey"], r["l_linenumber"]))
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r["l_linenumber"] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r["o_totalprice"] for r in rows], pa.float64()),
+        "revenue": pa.array([r["revenue"] for r in rows], pa.float64()),
+    })
+
+
+def _q_hourly_distinct_users(sf_dir: str):
+    """Composition check: tumbling window x COUNT(DISTINCT) — hourly distinct
+    users, windows assigned map-side then rankagg.distinct_count_by on the
+    window key."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import distinct_count_by
+
+    hour_us = 3_600_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // hour_us) * hour_us
+        return pa.table({"window_start": pa.array(w, pa.int64()),
+                         "user_id": batch.column("user_id")})
+
+    ds = _events(sf_dir, ["ts", "user_id"]).map_batches(add_window,
+                                                        batch_format="pyarrow")
+    out = distinct_count_by(ds, "window_start", "user_id")
+    rows = sorted(out.take_all(), key=lambda r: r["window_start"])
+    return pa.table({
+        "window_start": pa.array([r["window_start"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -840,6 +907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_click": _q_asof_last_click,
         "embedding_dedup": _q_embedding_dedup,
         "top_term_per_doc": _q_top_term,
+        "orders_lineitem_join": _q_orders_lineitem_join,
+        "hourly_distinct_users": _q_hourly_distinct_users,
     }
 
 
@@ -1158,5 +1227,17 @@ def oracle_sql() -> dict[str, str]:
                                                  tf.token ASC) AS rn
               FROM tf JOIN df USING (token))
             WHERE rn = 1 ORDER BY doc_id
+        """,
+        "orders_lineitem_join": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice,
+                   round(l.l_extendedprice * (1.0 - l.l_discount), 4) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        "hourly_distinct_users": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1
         """,
     }
