@@ -177,3 +177,39 @@ def quantiles_by(
         return pa.table(cols)
 
     return hist.groupby(key).map_groups(interp, batch_format="pyarrow")
+
+
+def quantiles_by_binned(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 16_384,
+    qs: Sequence[float] = (0.5, 0.9),
+    names: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Approximate per-key quantiles for UNBOUNDED continuous domains: values
+    are quantized to ``n_bins`` fixed-width bins over [lo, hi] map-side, then
+    the exact-histogram machinery runs on the (bounded) bin table.  Error is
+    ≤ one bin width (hi-lo)/n_bins on each reported quantile; values outside
+    [lo, hi] clamp to the edge bins.  Use ``quantiles_by`` when the domain is
+    already quantized — this variant exists so the per-key state stays
+    bounded even for arbitrary float measures.
+    """
+    width = (hi - lo) / n_bins
+
+    def to_bins(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key, value_col]).filter(
+            pc.is_valid(batch.column(value_col)))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        # bin center as the representative value
+        center = lo + (b + 0.5) * width
+        return pa.table({key: batch.column(key),
+                         value_col: pa.array(center, pa.float64())})
+
+    return quantiles_by(
+        ds.map_batches(to_bins, batch_format="pyarrow"),
+        key, value_col, qs=qs, names=names,
+    )

@@ -119,3 +119,25 @@ def test_quantiles_single_value_group():
     r = out.to_pylist()[0]
     assert r["p0"] == r["p50"] == r["p100"] == 2.5
     assert r["n"] == 5
+
+
+def test_quantiles_binned_within_bin_width(evt, con):
+    from insurance_pdf_extractor_ray.pipelines.rankagg import quantiles_by_binned
+
+    lo, hi, n_bins = 0.0, 1000.0, 8192
+    out = _collect(quantiles_by_binned(
+        ray.data.from_arrow(evt).repartition(8), "event_type", "value",
+        lo=lo, hi=hi, n_bins=n_bins, qs=(0.5, 0.9), names=("p50", "p90")))
+    approx = {t: (a, b) for t, a, b in zip(out.column("event_type").to_pylist(),
+                                           out.column("p50").to_pylist(),
+                                           out.column("p90").to_pylist())}
+    exact = {t: (a, b) for t, a, b in con.execute("""
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value),
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY value)
+        FROM events GROUP BY event_type
+    """).fetchall()}
+    width = (hi - lo) / n_bins
+    for t, (p50, p90) in exact.items():
+        assert abs(approx[t][0] - p50) <= width
+        assert abs(approx[t][1] - p90) <= width
