@@ -39,22 +39,21 @@ BROADCAST_VOCAB_MAX = 2_000_000
 def tokenize(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
     """Explode documents into (id, token) rows: lowercase [a-z0-9]+ runs.
 
-    Vectorized: one Arrow lowercase + one compiled-regex pass per batch, flat
-    numpy repeat for the id column — no per-row Python string handling.
+    Vectorized: one polars lowercase + extract_all + explode per batch (no
+    per-row Python string handling), numpy repeat for the id column.
     """
-    import re
-
-    pat = re.compile(r"[a-z0-9]+")
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(batch.column(text_col)).to_pylist()
-        ids = batch.column(id_col)
-        toks_per_doc = [pat.findall(t) if t else [] for t in texts]
-        counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
-                             count=len(toks_per_doc))
-        out_ids = ids.take(pa.array(np.repeat(np.arange(len(counts)), counts)))
-        flat = [tok for toks in toks_per_doc for tok in toks]
-        return pa.table({id_col: out_ids, "token": pa.array(flat, pa.string())})
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()  # empty docs explode to one null
+        out_ids = batch.column(id_col).take(
+            pa.array(np.repeat(np.arange(len(counts)), counts)))
+        tok_arr = flat.to_arrow().cast(pa.string())
+        return pa.table({id_col: out_ids, "token": tok_arr})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
