@@ -866,6 +866,36 @@ def _q_hourly_distinct_users(sf_dir: str):
     })
 
 
+def _q_events_in_sessions(sf_dir: str):
+    """Composition: range join x session windows — every event assigned to
+    its (user, session) interval via the epoch-bucketed point-in-interval
+    join (pipelines/joins.py:range_join).  1:1 by construction, which the
+    row count proves."""
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+    from insurance_pdf_extractor_ray.pipelines.windows import session_windows
+
+    sessions = session_windows(_events(sf_dir, ["user_id", "ts", "event_id"]),
+                               "user_id", "ts", gap_us=600_000_000,
+                               tiebreak_col="event_id")
+
+    def us(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "ts_us": batch.column("ts").cast(pa.int64())})
+
+    points = _events(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        us, batch_format="pyarrow")
+    out = range_join(points, sessions, on="ts_us", start_col="start_us",
+                     end_col="end_us", epoch=3_600_000_000, by="user_id",
+                     interval_cols=["session_id"])
+    rows = out.select_columns(["event_id", "session_id"]).take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "session_id": pa.array([r["session_id"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -909,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_term_per_doc": _q_top_term,
         "orders_lineitem_join": _q_orders_lineitem_join,
         "hourly_distinct_users": _q_hourly_distinct_users,
+        "events_in_sessions": _q_events_in_sessions,
     }
 
 
@@ -1239,5 +1270,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
                    COUNT(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_in_sessions": """
+            WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+            m AS (SELECT user_id, event_id, e,
+                         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+                                                    ORDER BY e, event_id)
+                                  > 600000000 THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            s AS (SELECT user_id, event_id, e,
+                         CAST(sum(brk) OVER (PARTITION BY user_id
+                                             ORDER BY e, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS session_id
+                  FROM m),
+            iv AS (SELECT user_id, session_id,
+                          min(e) AS start_us, max(e) AS end_us
+                   FROM s GROUP BY user_id, session_id)
+            SELECT d.event_id, iv.session_id
+            FROM d JOIN iv ON d.user_id = iv.user_id
+                          AND d.e BETWEEN iv.start_us AND iv.end_us
+            ORDER BY d.event_id
         """,
     }

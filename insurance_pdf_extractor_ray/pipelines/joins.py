@@ -416,3 +416,91 @@ def asof_join_salted(
         return out
 
     return both.groupby([by, "_epoch"]).map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    on: str,
+    start_col: str,
+    end_col: str,
+    epoch: int,
+    by: Optional[str] = None,
+    interval_cols: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Point-in-interval join: one output row per (point, interval) pair with
+    ``start_col <= point.on <= end_col`` (and equal ``by`` key if given) —
+    SQL ``JOIN ... ON p.on BETWEEN i.start AND i.end``.
+
+    Scale shape: each interval is replicated to every ``epoch``-sized time
+    bucket it overlaps (``(end-start)/epoch + 1`` copies — pick ``epoch``
+    near the typical interval length so replication stays O(1)); points go to
+    exactly one bucket; one keyed shuffle on *(by?, bucket)* then a
+    vectorized in-group candidate mask.  No group ever holds more than one
+    epoch of one key.  The in-group mask is |points| x |intervals| per
+    bucket — bounded by the epoch choice, the documented contract.
+    """
+    interval_cols = interval_cols or [start_col, end_col]
+    p_schema = points.schema()
+    p_cols = p_schema.names
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    i_schema = intervals.schema()
+    i_types = dict(zip(i_schema.names, i_schema.types))
+    i_keep = list(dict.fromkeys(
+        ([by] if by else []) + [start_col, end_col] + interval_cols))
+    shuffle_cols = list(dict.fromkeys(p_cols + i_keep))
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        cols = {c: (batch.column(c) if c in p_cols
+                    else pa.nulls(batch.num_rows, i_types[c]))
+                for c in shuffle_cols}
+        ons = batch.column(on).to_numpy(zero_copy_only=False)
+        out = pa.table(cols)
+        out = out.append_column("_bucket", pa.array(ons // epoch, pa.int64()))
+        return out.append_column("_side", pa.array([0] * batch.num_rows, pa.int8()))
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col).to_numpy(zero_copy_only=False)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False)
+        b0 = s // epoch
+        b1 = e // epoch
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        # bucket sequence for each replica: b0[i], b0[i]+1, ..., b1[i]
+        offs = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        buckets = b0[idx] + offs
+        rep = batch.take(pa.array(idx))
+        cols = {c: (rep.column(c) if c in i_keep
+                    else pa.nulls(rep.num_rows, p_types[c]))
+                for c in shuffle_cols}
+        out = pa.table(cols)
+        out = out.append_column("_bucket", pa.array(buckets, pa.int64()))
+        return out.append_column("_side", pa.array([1] * rep.num_rows, pa.int8()))
+
+    both = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.select_columns(i_keep).map_batches(
+            tag_intervals, batch_format="pyarrow"))
+
+    out_int_cols = [c for c in interval_cols if c != by]
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        p_tbl = group.filter(pa.array(side == 0))
+        i_tbl = group.filter(pa.array(side == 1))
+        empty = {c: pa.array([], p_types[c]) for c in p_cols}
+        empty.update({c: pa.array([], i_types[c]) for c in out_int_cols})
+        if p_tbl.num_rows == 0 or i_tbl.num_rows == 0:
+            return pa.table(empty)
+        t = p_tbl.column(on).to_numpy(zero_copy_only=False)
+        s = i_tbl.column(start_col).to_numpy(zero_copy_only=False)
+        e = i_tbl.column(end_col).to_numpy(zero_copy_only=False)
+        hit = (s[None, :] <= t[:, None]) & (t[:, None] <= e[None, :])
+        pi, ii = np.nonzero(hit)
+        p_sel = p_tbl.take(pa.array(pi))
+        i_sel = i_tbl.take(pa.array(ii))
+        cols = {c: p_sel.column(c) for c in p_cols}
+        cols.update({c: i_sel.column(c) for c in out_int_cols})
+        return pa.table(cols)
+
+    keys = [by, "_bucket"] if by else ["_bucket"]
+    return both.groupby(keys).map_groups(match, batch_format="pyarrow")

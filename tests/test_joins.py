@@ -166,3 +166,62 @@ def test_asof_salted_inner_and_no_right():
     # k=1 t=10 matches in-epoch; k=1 t=300 matches via carry (epoch 3 vs 0);
     # k=2 has no right rows at all -> dropped by inner
     assert sorted((r["k"], r["t"], r["rt"]) for r in out) == [(1, 10, 7), (1, 300, 7)]
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def test_range_join_matches_duckdb_between():
+    import duckdb
+    import numpy as np
+
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+
+    rng = np.random.RandomState(5)
+    n_p, n_i = 3000, 120
+    pts = pa.table({
+        "pid": pa.array(np.arange(n_p), pa.int64()),
+        "k": pa.array(rng.randint(0, 8, n_p), pa.int64()),
+        "t": pa.array(rng.randint(0, 100_000, n_p).astype("int64"), pa.int64()),
+    })
+    start = rng.randint(0, 95_000, n_i).astype("int64")
+    length = rng.randint(100, 20_000, n_i).astype("int64")  # spans many buckets
+    ivs = pa.table({
+        "iid": pa.array(np.arange(n_i), pa.int64()),
+        "k": pa.array(rng.randint(0, 8, n_i), pa.int64()),
+        "s": pa.array(start, pa.int64()),
+        "e": pa.array(start + length, pa.int64()),
+    })
+    for epoch in (1_000, 7_919, 1_000_000):
+        out = range_join(
+            ray.data.from_arrow(pts).repartition(6),
+            ray.data.from_arrow(ivs).repartition(4),
+            on="t", start_col="s", end_col="e", epoch=epoch, by="k",
+            interval_cols=["iid", "s", "e"],
+        )
+        tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+        got = sorted(zip(tbl.column("pid").to_pylist(), tbl.column("iid").to_pylist()))
+
+        con = duckdb.connect()
+        con.register("p", pts)
+        con.register("i", ivs)
+        want = sorted(map(tuple, con.execute("""
+            SELECT p.pid, i.iid FROM p JOIN i
+            ON p.k = i.k AND p.t BETWEEN i.s AND i.e
+        """).fetchall()))
+        assert got == want, f"epoch={epoch}"
+
+
+def test_range_join_no_by_key():
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+
+    pts = pa.table({"pid": pa.array([0, 1], pa.int64()),
+                    "t": pa.array([5, 50], pa.int64())})
+    ivs = pa.table({"iid": pa.array([10, 11], pa.int64()),
+                    "s": pa.array([0, 40], pa.int64()),
+                    "e": pa.array([9, 45], pa.int64())})
+    out = range_join(ray.data.from_arrow(pts), ray.data.from_arrow(ivs),
+                     on="t", start_col="s", end_col="e", epoch=10,
+                     interval_cols=["iid"]).take_all()
+    assert sorted((r["pid"], r["iid"]) for r in out) == [(0, 10)]
