@@ -896,6 +896,24 @@ def _q_events_in_sessions(sf_dir: str):
     })
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling (per-source mixing rates) — pure
+    arithmetic-hash predicate: zero shuffle, partition-independent, exactly
+    re-derivable in SQL (pipelines/sampling.py)."""
+    from insurance_pdf_extractor_ray.pipelines.sampling import stratified_hash_sample
+
+    out = stratified_hash_sample(
+        _documents(sf_dir, ["doc_id", "source"]), "source", "doc_id",
+        rates={"src0": 0.5, "src1": 1.0, "src2": 0.0}, default_rate=0.25,
+        seed=13)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -940,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": _q_orders_lineitem_join,
         "hourly_distinct_users": _q_hourly_distinct_users,
         "events_in_sessions": _q_events_in_sessions,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1291,5 +1310,14 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN iv ON d.user_id = iv.user_id
                           AND d.e BETWEEN iv.start_us AND iv.end_us
             ORDER BY d.event_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((CAST(doc_id AS HUGEINT) * 2654435761 + 13) % 4294967296)
+                  < CASE source WHEN 'src0' THEN 2147483648
+                                WHEN 'src1' THEN 4294967296
+                                WHEN 'src2' THEN 0
+                                ELSE 1073741824 END
+            ORDER BY doc_id
         """,
     }

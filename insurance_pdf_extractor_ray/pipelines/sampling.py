@@ -1,0 +1,112 @@
+"""Deterministic sampling — reproducible corpus subsetting at any scale.
+
+Training-data pipelines subset constantly (ablations, eval splits, per-source
+mixing rates).  ``random_sample`` is non-reproducible across retries and
+partitionings, so every operator here derives the keep/assign decision from a
+pure arithmetic hash of the row's id:
+
+    h(id) = (id * 2654435761 + seed) mod 2^32        (Knuth multiplicative)
+
+Properties that matter at 10^12 rows:
+  * zero shuffle, zero state — a pure ``map_batches`` predicate that
+    streams, resumes, and parallelizes trivially;
+  * partition-independent — the same row is kept no matter how blocks are
+    split, so a resumed or re-partitioned run samples identically;
+  * SQL-expressible — the oracle re-derives the exact predicate, making
+    sampled pipelines hash-checkable end to end (uint64 wraparound preserves
+    the mod-2^32 result because 2^32 divides 2^64).
+
+``mod`` math, not float thresholds: ``rate_pct`` is in basis points of 2^32
+(exact integer compare), so engine and SQL can never disagree on a boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+KNUTH = np.uint64(2654435761)
+MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def _hash32(ids: np.ndarray, seed: int) -> np.ndarray:
+    """(id * KNUTH + seed) mod 2^32 — exact for any int64 id (the uint64
+    wrap is mod 2^64, and 2^32 | 2^64)."""
+    return (ids.astype(np.uint64) * KNUTH + np.uint64(seed)) % MOD32
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    rate: float,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Keep rows with h(id) < rate·2^32 — a deterministic ``rate`` sample."""
+    threshold = np.uint64(int(rate * float(MOD32)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_hash32(ids, seed) < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    rates: Dict,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each ``key_col`` value keeps its
+    own rate (source-mixing ratios).  The rate map broadcasts once."""
+    thresholds = {k: np.uint64(int(r * float(MOD32))) for k, r in rates.items()}
+    default_thr = np.uint64(int(default_rate * float(MOD32)))
+    ref = ray.put(thresholds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr_map = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = _hash32(ids, seed)
+        keys = batch.column(key_col).to_pylist()
+        thr = np.fromiter((thr_map.get(k, default_thr) for k in keys),
+                          dtype=np.uint64, count=batch.num_rows)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def assign_split(
+    ds: ray.data.Dataset,
+    id_col: str,
+    test_rate: float,
+    val_rate: float = 0.0,
+    seed: int = 0,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Attach a deterministic train/val/test label: h(id) partitions 2^32
+    into [test | val | train] contiguous ranges."""
+    t_thr = np.uint64(int(test_rate * float(MOD32)))
+    v_thr = np.uint64(int((test_rate + val_rate) * float(MOD32)))
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = _hash32(ids, seed)
+        lab = np.where(h < t_thr, "test", np.where(h < v_thr, "val", "train"))
+        return batch.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def sample_sql_predicate(id_col: str, rate: float, seed: int = 0) -> str:
+    """The DuckDB-exact predicate for ``hash_sample`` — HUGEINT arithmetic,
+    no wraparound, identical integer compare."""
+    threshold = int(rate * float(MOD32))
+    return (f"((CAST({id_col} AS HUGEINT) * 2654435761 + {seed}) % 4294967296)"
+            f" < {threshold}")
