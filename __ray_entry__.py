@@ -914,6 +914,19 @@ def _q_stratified_sample(sf_dir: str):
     })
 
 
+def _q_profile_documents(sf_dir: str):
+    """Column profiling over the documents table — integer-exact subset
+    (row/null/distinct counts; float metrics excluded from the oracle
+    because mean is reduction-order-dependent)."""
+    from insurance_pdf_extractor_ray.pipelines.profile import profile_columns
+
+    out = profile_columns(_documents(sf_dir), columns=["doc_id", "lang", "source",
+                                                       "n_chars"])
+    out = out.select(["column", "n", "n_null", "n_distinct"]).rename_columns(
+        ["col_name", "n", "n_null", "n_distinct"])
+    return out.take(pc.sort_indices(out, sort_keys=[("col_name", "ascending")]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -959,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_distinct_users": _q_hourly_distinct_users,
         "events_in_sessions": _q_events_in_sessions,
         "stratified_sample": _q_stratified_sample,
+        "profile_documents": _q_profile_documents,
     }
 
 
@@ -1319,5 +1333,20 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src2' THEN 0
                                 ELSE 1073741824 END
             ORDER BY doc_id
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS col_name, COUNT(*) AS n,
+                   COUNT(*) - COUNT(doc_id) AS n_null,
+                   COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source) FROM documents
+            ORDER BY col_name
         """,
     }

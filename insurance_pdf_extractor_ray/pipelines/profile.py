@@ -1,0 +1,112 @@
+"""Column profiling — dataset quality report as a first-class operator.
+
+A corpus onboarding step every training-data pipeline runs: per-column row /
+null / distinct counts, numeric min/max/mean, string length stats.  Shapes:
+
+  * row/null/min/max/mean — one streaming ``Dataset.aggregate`` pass over
+    all requested columns together (map-side combined, no shuffle of rows);
+  * exact distinct counts — one composite shuffle per column over map-side
+    deduped `(column, value)` pairs (the ``rankagg.distinct_count_by``
+    pattern), so the exchange is bounded by distinct-value cardinality.
+
+Output is one row per column (long format) — trivially joinable with a
+previous run's profile for drift detection.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    columns: Optional[List[str]] = None,
+    distinct: bool = True,
+) -> pa.Table:
+    """One row per column: (column, n, n_null, n_distinct, min_str, max_str,
+    mean_num, avg_len).  Numeric-only metrics are null for strings and vice
+    versa; min/max stringified for a uniform schema.  ``distinct=False``
+    skips the (per-column shuffle) distinct counts.
+    """
+    schema = ds.schema()
+    columns = columns or schema.names
+    types = dict(zip(schema.names, schema.types))
+    ds = ds.select_columns(columns)
+
+    n_rows = ds.count()
+
+    # one combined aggregate pass: nulls + numeric stats + length stats
+    aggs = []
+    for c in columns:
+        aggs.append(Count(on=c, ignore_nulls=True, alias_name=f"{c}__nn"))
+        if pa.types.is_integer(types[c]) or pa.types.is_floating(types[c]):
+            aggs.append(Min(c, alias_name=f"{c}__min"))
+            aggs.append(Max(c, alias_name=f"{c}__max"))
+            aggs.append(Mean(c, alias_name=f"{c}__mean"))
+
+    str_cols = [c for c in columns if pa.types.is_string(types[c])
+                or pa.types.is_large_string(types[c])]
+
+    def add_lens(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.schema.names}
+        for c in str_cols:
+            cols[f"{c}__len"] = pc.utf8_length(batch.column(c)).cast(pa.int64())
+        return pa.table(cols)
+
+    if str_cols:
+        ds_l = ds.map_batches(add_lens, batch_format="pyarrow")
+        for c in str_cols:
+            aggs.append(Mean(f"{c}__len", alias_name=f"{c}__avglen"))
+            aggs.append(Min(c, alias_name=f"{c}__min"))
+            aggs.append(Max(c, alias_name=f"{c}__max"))
+    else:
+        ds_l = ds
+    stats = ds_l.aggregate(*aggs)
+
+    n_distinct: dict = {}
+    if distinct:
+        for c in columns:
+            def pairs(batch: pa.Table, col=c) -> pa.Table:
+                t = batch.select([col]).filter(pc.is_valid(batch.column(col)))
+                return t.group_by([col]).aggregate([])
+
+            uniq = (ds.map_batches(pairs, batch_format="pyarrow")
+                    .groupby(c).aggregate(Count(alias_name="_c")))
+            n_distinct[c] = uniq.count()
+
+    rows = []
+    for c in columns:
+        is_num = pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
+        rows.append({
+            "column": c,
+            "n": n_rows,
+            "n_null": n_rows - stats[f"{c}__nn"],
+            "n_distinct": n_distinct.get(c),
+            "min_str": (str(stats[f"{c}__min"])
+                        if f"{c}__min" in stats and stats[f"{c}__min"] is not None
+                        else None),
+            "max_str": (str(stats[f"{c}__max"])
+                        if f"{c}__max" in stats and stats[f"{c}__max"] is not None
+                        else None),
+            "mean_num": (float(stats[f"{c}__mean"])
+                         if is_num and stats.get(f"{c}__mean") is not None else None),
+            "avg_len": (float(stats[f"{c}__avglen"])
+                        if f"{c}__avglen" in stats and
+                        stats.get(f"{c}__avglen") is not None else None),
+        })
+    return pa.table({
+        "column": pa.array([r["column"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "n_null": pa.array([r["n_null"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+        "min_str": pa.array([r["min_str"] for r in rows], pa.string()),
+        "max_str": pa.array([r["max_str"] for r in rows], pa.string()),
+        "mean_num": pa.array([r["mean_num"] for r in rows], pa.float64()),
+        "avg_len": pa.array([r["avg_len"] for r in rows], pa.float64()),
+    })
