@@ -927,6 +927,34 @@ def _q_profile_documents(sf_dir: str):
     return out.take(pc.sort_indices(out, sort_keys=[("col_name", "ascending")]))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (2048-token budget) over documents in
+    doc_id order — bucketed prefix sums, no ordered global scan
+    (pipelines/packing.py); token counts = whitespace runs, the
+    oracle-verified doc_token_stats definition."""
+    from insurance_pdf_extractor_ray.pipelines.packing import pack_sequences
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column("text").cast(pa.large_string()))
+        n = s.str.count_matches(r"\S+").fill_null(0).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow")
+    out = pack_sequences(ds, "doc_id", "n_tokens", seq_len=2048, bucket=100)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["doc_id"], r["seq_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "seq_id": pa.array([r["seq_id"] for r in rows], pa.int64()),
+        "start_tok": pa.array([r["start_tok"] for r in rows], pa.int64()),
+        "end_tok": pa.array([r["end_tok"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -973,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _q_events_in_sessions,
         "stratified_sample": _q_stratified_sample,
         "profile_documents": _q_profile_documents,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1348,5 +1377,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
                    COUNT(DISTINCT source) FROM documents
             ORDER BY col_name
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS start_tok
+              FROM d
+            )
+            SELECT doc_id,
+                   unnest(generate_series(start_tok // 2048,
+                                          (start_tok + n_tokens - 1) // 2048))
+                       AS seq_id,
+                   start_tok,
+                   start_tok + n_tokens AS end_tok
+            FROM c WHERE n_tokens > 0
+            ORDER BY doc_id, seq_id
         """,
     }

@@ -1,0 +1,90 @@
+"""Sequence packing — concat-and-chunk documents into fixed token budgets.
+
+The pretraining layout step: documents are laid end-to-end in ``id_col``
+order and cut every ``seq_len`` tokens; a document overlapping a cut belongs
+to every sequence it touches.  Deterministic by construction (pure function
+of ids and lengths — no first-fit bin state), so output is identical across
+partitionings, retries and cluster sizes, and SQL-checkable with a window
+cumsum.
+
+Distributed shape — no global ordered scan:
+  1. bucket docs by ``id // bucket`` and aggregate per-bucket token sums
+     (one small keyed shuffle, output = one row per bucket);
+  2. driver cumsum over the bucket sums (bucket-count-sized, not
+     corpus-sized) -> broadcast base-offset table;
+  3. one ``groupby(bucket).map_groups``: inside a bucket, offsets are the
+     bucket base + an in-bucket cumsum by id (vectorized), then each doc
+     explodes to its touched sequence range.
+
+Pick ``bucket`` so one bucket's docs fit a worker (same contract as every
+keyed map_groups in this engine); the broadcast table is #buckets rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    id_col: str,
+    len_col: str,
+    seq_len: int,
+    bucket: int = 100_000,
+) -> ray.data.Dataset:
+    """One row per (doc, sequence) the doc occupies: (id, seq_id, start_tok,
+    end_tok) with token offsets global over ``id_col`` order.  Zero-length
+    docs are dropped (they occupy no tokens)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            len_col: batch.column(len_col),
+            "_bucket": pa.array(ids // bucket, pa.int64()),
+        })
+
+    with_b = ds.select_columns([id_col, len_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+
+    # per-bucket token sums -> driver cumsum -> broadcast base offsets
+    sums = with_b.groupby("_bucket").aggregate(
+        Sum(len_col, alias_name="_tok")).take_all()
+    sums.sort(key=lambda r: r["_bucket"])
+    bases = {}
+    acc = 0
+    for r in sums:
+        bases[r["_bucket"]] = acc
+        acc += int(r["_tok"])
+    bases_ref = ray.put(bases)
+
+    def explode(group: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)[group.column("_bucket")[0].as_py()]
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        group = group.take(order)
+        ids = group.column(id_col)
+        lens = group.column(len_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = base + np.cumsum(lens)
+        starts = ends - lens
+        nz = lens > 0
+        s0 = starts[nz] // seq_len
+        s1 = (ends[nz] - 1) // seq_len
+        reps = (s1 - s0 + 1).astype(np.int64)
+        idx = np.repeat(np.flatnonzero(nz), reps)
+        offs = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        seq_ids = s0[np.repeat(np.arange(len(s0)), reps)] + offs
+        return pa.table({
+            id_col: ids.take(pa.array(idx)),
+            "seq_id": pa.array(seq_ids, pa.int64()),
+            "start_tok": pa.array(starts[idx], pa.int64()),
+            "end_tok": pa.array(ends[idx], pa.int64()),
+        })
+
+    return with_b.groupby("_bucket").map_groups(explode, batch_format="pyarrow")
