@@ -128,6 +128,72 @@ def cmd_quality(args) -> None:
     ray.shutdown()
 
 
+def cmd_sample(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.sampling import assign_split, hash_sample
+    from .sources.io import write_table
+
+    ds = ray.data.read_parquet(args.input)
+    n_in = ds.count()
+    if args.split:
+        out = assign_split(ds, args.id_col, test_rate=args.test_rate,
+                           val_rate=args.val_rate, seed=args.seed)
+    else:
+        out = hash_sample(ds, args.id_col, rate=args.rate, seed=args.seed)
+    write_table(out, args.out)
+    n_out = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                      "mode": "split" if args.split else "sample"}))
+    ray.shutdown()
+
+
+def cmd_profile(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.profile import profile_columns
+
+    ds = ray.data.read_parquet(args.input)
+    tbl = profile_columns(ds, columns=args.columns or None,
+                          distinct=not args.no_distinct)
+    print(json.dumps(tbl.to_pylist()))
+    ray.shutdown()
+
+
+def cmd_pack(args) -> None:
+    ray = _ray_init()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .pipelines.packing import pack_sequences
+    from .sources.io import write_table
+
+    ds = ray.data.read_parquet(args.input)
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column(args.col).cast(pa.large_string()))
+        n = s.str.count_matches(r"\S+").fill_null(0).to_numpy().astype(np.int64)
+        return pa.table({args.id_col: batch.column(args.id_col),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    out = pack_sequences(counted, args.id_col, "n_tokens",
+                         seq_len=args.seq_len, bucket=args.bucket)
+    write_table(out, args.out)
+    from ray.data.aggregate import Max
+
+    mx = ray.data.read_parquet(args.out, columns=["seq_id"]).aggregate(
+        Max("seq_id", alias_name="m"))
+    print(json.dumps({"seq_len": args.seq_len,
+                      "n_sequences": int(mx["m"]) + 1}))
+    ray.shutdown()
+
+
 def cmd_manifest(args) -> None:
     from .state.checkpoint import committed_partitions
 
@@ -187,6 +253,33 @@ def main(argv=None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--min-quality", dest="min_quality", type=float, default=0.6)
     p.set_defaults(fn=cmd_quality)
+
+    p = sub.add_parser("sample", help="deterministic hash sample / split assignment")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--rate", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--split", action="store_true",
+                   help="assign train/val/test labels instead of filtering")
+    p.add_argument("--test-rate", dest="test_rate", type=float, default=0.1)
+    p.add_argument("--val-rate", dest="val_rate", type=float, default=0.0)
+    p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("profile", help="per-column profile of a table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--no-distinct", action="store_true")
+    p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("pack", help="pack documents into fixed token-budget sequences")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
+    p.add_argument("--bucket", type=int, default=100_000)
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("manifest", help="show committed partitions of a run")
     p.add_argument("--out", required=True)

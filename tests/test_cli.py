@@ -81,3 +81,35 @@ def test_cli_dedup_and_quality(tmp_path):
     r = _cli("quality", "--input", str(src), "--out", str(tmp_path / "qf"))
     # the no-stopword short-word doc and the one-giant-word doc are dropped
     assert r["rows_in"] == 6 and r["rows_kept"] == 4
+
+
+def test_cli_sample_profile_pack(tmp_path):
+    """New subcommands end-to-end over a small parquet table."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from insurance_pdf_extractor_ray.cli import main
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    n = 500
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array([f"tok{i} alpha beta gamma" for i in range(n)], pa.string()),
+    }), src / "part.parquet")
+
+    main(["sample", "--input", str(src), "--out", str(tmp_path / "s"),
+          "--rate", "0.2", "--seed", "5"])
+    out = pq.read_table(str(tmp_path / "s"))
+    assert 50 < out.num_rows < 150
+
+    main(["profile", "--input", str(src), "--columns", "doc_id"])
+
+    main(["pack", "--input", str(src), "--out", str(tmp_path / "p"),
+          "--seq-len", "128", "--bucket", "100"])
+    packed = pq.read_table(str(tmp_path / "p"))
+    assert packed.num_rows >= n  # every doc appears at least once
+    assert set(packed.column_names) == {"doc_id", "seq_id", "start_tok", "end_tok"}
