@@ -955,6 +955,25 @@ def _q_pack_sequences(sf_dir: str):
     })
 
 
+def _q_decontaminate(sf_dir: str):
+    """Eval-set decontamination: per-doc count of word 6-grams shared with
+    the eval subset (doc_id < 5) — eval n-gram set broadcast once, corpus
+    streams shuffle-free (pipelines/tfidf.py:ngram_overlap_tag)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.tfidf import ngram_overlap_tag
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    eval_ds = _documents(sf_dir, ["doc_id", "text"]).filter(expr="doc_id < 5")
+    out = ngram_overlap_tag(docs, eval_ds, "text", "doc_id", n=6)
+    rows = out.select_columns(["doc_id", "n_overlap"]).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_overlap": pa.array([r["n_overlap"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1002,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "profile_documents": _q_profile_documents,
         "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1399,5 +1419,24 @@ def oracle_sql() -> dict[str, str]:
                    start_tok + n_tokens AS end_tok
             FROM c WHERE n_tokens > 0
             ORDER BY doc_id, seq_id
+        """,
+        "decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
+              FROM tok, unnest(generate_series(1, len(ts) - 5)) AS t(i)
+            ),
+            eg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id < 5
+            )
+            SELECT tok.doc_id,
+                   COALESCE((SELECT COUNT(*) FROM g
+                             WHERE g.doc_id = tok.doc_id
+                               AND g.gram IN (SELECT gram FROM eg)),
+                            0) AS n_overlap
+            FROM tok ORDER BY tok.doc_id
         """,
     }

@@ -6,6 +6,9 @@
     python -m insurance_pdf_extractor_ray.cli export  --results DIR --out DIR --format json|csv
     python -m insurance_pdf_extractor_ray.cli dedup   --input DIR --out DIR --method exact|minhash|jaccard
     python -m insurance_pdf_extractor_ray.cli quality --input DIR --out DIR [--min-quality Q]
+    python -m insurance_pdf_extractor_ray.cli sample  --input DIR --out DIR [--rate R | --split]
+    python -m insurance_pdf_extractor_ray.cli profile --input DIR [--columns ...]
+    python -m insurance_pdf_extractor_ray.cli pack    --input DIR --out DIR [--seq-len N]
     python -m insurance_pdf_extractor_ray.cli manifest --out DIR
 
 Mirrors scripts/manage_storage.py:16-80 and scripts/token_analytics.py:18-177

@@ -141,3 +141,56 @@ def top_term_per_doc(
         scored, id_col,
         order_by=["tf", "df", "token"], descending=[True, False, False], k=1,
     )
+
+
+def ngram_overlap_tag(
+    ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    out_col: str = "n_overlap",
+) -> ray.data.Dataset:
+    """Decontamination: per doc, how many of its word ``n``-grams appear in
+    the evaluation set.
+
+    The eval side is benchmark-sized by contract, so its n-gram set is built
+    once on the driver and broadcast (``ray.put``) — the corpus side streams
+    with zero shuffle.  N-grams are the ``tokenize`` token stream joined by
+    single spaces (lowercase ``[a-z0-9]+`` runs), so the predicate is exactly
+    re-derivable in SQL.  Filter on ``out_col == 0`` to drop contaminated
+    docs, or keep the count for graded policies.
+    """
+    import polars as pl
+
+    def _tok_lists(batch: pa.Table):
+        s = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        return s.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+
+    def _ngrams_of(tokens) -> set:
+        out = set()
+        for toks in tokens:
+            toks = list(toks) if toks is not None else []
+            for i in range(len(toks) - n + 1):
+                out.add(" ".join(toks[i:i + n]))
+        return out
+
+    eval_tbls = [ray.get(r) for r in
+                 eval_ds.select_columns([text_col]).to_arrow_refs()]
+    eval_grams: set = set()
+    for t in eval_tbls:
+        if t.num_rows:
+            eval_grams |= _ngrams_of(_tok_lists(t).to_list())
+    ref = ray.put(eval_grams)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        counts = []
+        for toks in _tok_lists(batch).to_list():
+            toks = toks or []
+            c = sum(1 for i in range(len(toks) - n + 1)
+                    if " ".join(toks[i:i + n]) in grams)
+            counts.append(c)
+        return batch.append_column(out_col, pa.array(counts, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -107,3 +107,41 @@ def test_top_term_per_doc_integer_order(con):
     """).fetchall())
     assert got == want
     assert 3 not in got  # empty doc has no terms
+
+
+def test_ngram_overlap_tag_matches_sql():
+    from insurance_pdf_extractor_ray.pipelines.tfidf import ngram_overlap_tag
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "one two three four five six",
+            "zzz one two three four five six yyy",   # contains doc0's 6-gram
+            "totally different words here entirely now",
+            "one two three four",                     # too short for 6-grams? len 4 < 6 -> 0
+        ], pa.string()),
+    })
+    evald = docs.filter(pa.compute.equal(docs.column("doc_id"), 0))
+    out = ngram_overlap_tag(
+        ray.data.from_arrow(docs).repartition(3),
+        ray.data.from_arrow(evald), "text", "doc_id", n=6).take_all()
+    got = {r["doc_id"]: r["n_overlap"] for r in out}
+
+    con = duckdb.connect()
+    con.register("d", docs)
+    con.register("ev", evald)
+    want = dict(con.execute("""
+        WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts FROM d),
+        g AS (SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
+              FROM tok, unnest(generate_series(1, len(ts) - 5)) AS t(i)),
+        etok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') ts FROM ev),
+        eg AS (SELECT DISTINCT array_to_string(ts[i:i+5], ' ') AS gram
+               FROM etok, unnest(generate_series(1, len(ts) - 5)) AS t(i))
+        SELECT tok.doc_id,
+               COALESCE((SELECT COUNT(*) FROM g
+                         WHERE g.doc_id = tok.doc_id
+                           AND g.gram IN (SELECT gram FROM eg)), 0)
+        FROM tok
+    """).fetchall())
+    assert got == want
+    assert got[0] == 1 and got[1] == 1 and got[2] == 0 and got[3] == 0
