@@ -804,3 +804,62 @@ def embedding_dup_ids_exact(
     out = ds.select_columns([id_col, emb_col]).map_batches(
         score, batch_format="pyarrow")
     return out.sort(id_col)
+
+
+def exact_dedup_incremental(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    col: str,
+    id_col: str,
+    num_partitions: Optional[int] = None,
+) -> "tuple[ray.data.Dataset, ray.data.Dataset]":
+    """Continuous-ingest exact dedup: drop new rows whose ``col`` value was
+    already seen in any previous batch, without re-reading previous payloads.
+
+    The at-rest state is a hash *index* — parquet of one ``__h`` (uint64
+    stable hash) per previously-kept value, appended per ingest batch — so
+    each increment costs O(|new| + |index|) hash I/O, never a re-scan of the
+    accumulated corpus text.  Returns ``(kept, new_index)``:
+
+      * ``kept`` — new rows that are neither in the index NOR duplicated
+        within the new batch (in-batch ties keep min ``id_col``);
+      * ``new_index`` — the ``__h`` table for ``kept`` — append it under
+        ``index_dir`` (e.g. ``write_table(new_index, f"{index_dir}/b{n}")``)
+        to commit the batch.
+
+    Anti-join runs as a hash ``Dataset.join`` (both sides ship only 8-byte
+    hashes), so no driver-resident set at any corpus size.  First batch:
+    pass an ``index_dir`` with no parquet under it.
+    """
+    import glob as _glob
+    import os as _os
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = pa.array(stable_hash64_column(batch.column(col)), pa.uint64())
+        return batch.append_column("__h", h)
+
+    # in-batch winners first (min id per value), the plain exact_dedup shape;
+    # then one hash column for the against-index anti-join
+    in_batch = exact_dedup(new_ds, col, id_col, num_partitions=num_partitions)
+    in_batch = in_batch.map_batches(add_hash, batch_format="pyarrow")
+
+    have_index = bool(_glob.glob(_os.path.join(index_dir, "**", "*.parquet"),
+                                 recursive=True))
+    if have_index:
+        seen = ray.data.read_parquet(index_dir, columns=["__h"])
+        if num_partitions is None:
+            # the upstream in-batch dedup keeps an actor-pool stage alive
+            # while the join's aggregator actors start: leave it 2 slots or
+            # the two pools deadlock at small CPU counts (seen at 4 CPUs)
+            num_partitions = max(2, _join_partitions() - 2)
+        kept_h = in_batch.join(seen, join_type="left_anti",
+                               num_partitions=num_partitions, on=("__h",))
+    else:
+        kept_h = in_batch
+    # both returns derive from kept_h: pin it once (bounded by the ingest
+    # increment, not the corpus) so the join lineage doesn't execute twice —
+    # a second concurrent execution can deadlock against the first one's
+    # still-draining actor pools at small CPU counts
+    kept_h = kept_h.materialize()
+    new_index = kept_h.select_columns(["__h"])
+    return kept_h.drop_columns(["__h"]), new_index

@@ -330,3 +330,52 @@ class TestEmbeddingExact:
         # removes pairs: the LSH set is a subset of the exact set
         assert lsh <= exact
         assert {30, 31, 32, 33, 34} <= exact
+
+
+class TestIncrementalDedup:
+    def test_three_batches_match_global_dedup(self, tmp_path):
+        """Running 3 ingest batches through the incremental path keeps exactly
+        the same rows as one global exact_dedup over the union."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from insurance_pdf_extractor_ray.pipelines.dedup import (
+            exact_dedup,
+            exact_dedup_incremental,
+        )
+
+        rng = np.random.RandomState(17)
+        texts = [f"value-{v}" for v in rng.randint(0, 120, 600)]
+        full = pa.table({
+            "doc_id": pa.array(np.arange(600), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        index_dir = str(tmp_path / "idx")
+        kept_ids = []
+        for b in range(3):
+            batch = full.slice(b * 200, 200)
+            kept, new_index = exact_dedup_incremental(
+                ray.data.from_arrow(batch).repartition(4), index_dir,
+                "text", "doc_id")
+            rows = kept.take_all()
+            kept_ids.extend(r["doc_id"] for r in rows)
+            # commit the batch's index fragment
+            tbls = [t for t in ray.get(new_index.to_arrow_refs()) if t.num_rows]
+            os.makedirs(f"{index_dir}/b{b}", exist_ok=True)
+            if tbls:
+                pq.write_table(pa.concat_tables(tbls), f"{index_dir}/b{b}/part.parquet")
+
+        want = sorted(r["doc_id"] for r in exact_dedup(
+            ray.data.from_arrow(full), "text", "doc_id").take_all())
+        assert sorted(kept_ids) == want
+
+    def test_first_batch_without_index(self, tmp_path):
+        from insurance_pdf_extractor_ray.pipelines.dedup import exact_dedup_incremental
+
+        tbl = pa.table({"doc_id": pa.array([2, 0, 1], pa.int64()),
+                        "text": pa.array(["a", "a", "b"], pa.string())})
+        kept, idx = exact_dedup_incremental(
+            ray.data.from_arrow(tbl), str(tmp_path / "none"), "text", "doc_id")
+        assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 1]
+        assert idx.count() == 2
