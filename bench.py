@@ -202,6 +202,25 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                      "text", "doc_id").count()
     queries["tfidf_top_term"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.packing import pack_sequences
+
+    t0 = time.time()
+
+    def _count_tokens(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column("text").cast(pa.large_string()))
+        cnt = s.str.count_matches(r"\S+").fill_null(0).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(cnt, pa.int64())})
+
+    pack_sequences(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(_count_tokens, batch_format="pyarrow"),
+        "doc_id", "n_tokens", seq_len=2048, bucket=1000,
+    ).count()
+    queries["pack_sequences"] = round(time.time() - t0, 3)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(emb_path, columns=["embedding"]).column("embedding")
     q = np.asarray(head[:8].to_pylist(), dtype=np.float64)
