@@ -1422,7 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": """
             WITH tok AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
               FROM documents
             ),
             g AS (

@@ -155,42 +155,46 @@ def ngram_overlap_tag(
     the evaluation set.
 
     The eval side is benchmark-sized by contract, so its n-gram set is built
-    once on the driver and broadcast (``ray.put``) — the corpus side streams
-    with zero shuffle.  N-grams are the ``tokenize`` token stream joined by
-    single spaces (lowercase ``[a-z0-9]+`` runs), so the predicate is exactly
-    re-derivable in SQL.  Filter on ``out_col == 0`` to drop contaminated
-    docs, or keep the count for graded policies.
+    once and broadcast (``ray.put``) — the corpus side streams with zero
+    shuffle.  N-grams are windows over the lowercase ``\\S+`` token stream,
+    represented as rolling-polynomial uint64 hashes on BOTH sides
+    (``hashing.shingle_hashes_many`` — shingle strings never materialize, no
+    per-gram Python in the hot path); counts therefore equal the
+    string-n-gram counts up to 64-bit collisions (~|grams|²/2⁶⁵), and the SQL
+    oracle re-derives them from the actual strings.  Filter on
+    ``out_col == 0`` to drop contaminated docs, or keep the count for graded
+    policies.
     """
-    import polars as pl
+    from ..functions.hashing import shingle_hashes_many
 
-    def _tok_lists(batch: pa.Table):
-        s = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
-        return s.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+    def _doc_grams(texts):
+        """(hashes, per-doc counts) with short docs (< n words) contributing
+        ZERO grams — shingle_hashes_many gives short docs one partial
+        shingle, which window semantics excludes."""
+        import polars as pl
 
-    def _ngrams_of(tokens) -> set:
-        out = set()
-        for toks in tokens:
-            toks = list(toks) if toks is not None else []
-            for i in range(len(toks) - n + 1):
-                out.add(" ".join(toks[i:i + n]))
-        return out
+        hashes, lens = shingle_hashes_many(texts, ngram=n)
+        wc = (pl.Series([t or "" for t in texts], dtype=pl.String)
+              .str.count_matches(r"\S+").to_numpy().astype(np.int64))
+        keep = np.repeat(wc >= n, lens)
+        lens = np.where(wc >= n, lens, 0)
+        return hashes[keep], lens
 
     eval_tbls = [ray.get(r) for r in
                  eval_ds.select_columns([text_col]).to_arrow_refs()]
-    eval_grams: set = set()
-    for t in eval_tbls:
-        if t.num_rows:
-            eval_grams |= _ngrams_of(_tok_lists(t).to_list())
-    ref = ray.put(eval_grams)
+    eval_texts = [t for tbl in eval_tbls if tbl.num_rows
+                  for t in tbl.column(text_col).to_pylist()]
+    eval_hashes, _ = _doc_grams(eval_texts)
+    ref = ray.put(np.unique(eval_hashes))
 
     def tag(batch: pa.Table) -> pa.Table:
         grams = ray.get(ref)
-        counts = []
-        for toks in _tok_lists(batch).to_list():
-            toks = toks or []
-            c = sum(1 for i in range(len(toks) - n + 1)
-                    if " ".join(toks[i:i + n]) in grams)
-            counts.append(c)
+        hashes, lens = _doc_grams(batch.column(text_col).to_pylist())
+        hit = np.isin(hashes, grams).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(hit)))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        counts = cs[ends] - cs[starts]
         return batch.append_column(out_col, pa.array(counts, pa.int64()))
 
     return ds.map_batches(tag, batch_format="pyarrow")

@@ -131,10 +131,10 @@ def test_ngram_overlap_tag_matches_sql():
     con.register("d", docs)
     con.register("ev", evald)
     want = dict(con.execute("""
-        WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts FROM d),
+        WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') ts FROM d),
         g AS (SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
               FROM tok, unnest(generate_series(1, len(ts) - 5)) AS t(i)),
-        etok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') ts FROM ev),
+        etok AS (SELECT regexp_extract_all(lower(text), '\\S+') ts FROM ev),
         eg AS (SELECT DISTINCT array_to_string(ts[i:i+5], ' ') AS gram
                FROM etok, unnest(generate_series(1, len(ts) - 5)) AS t(i))
         SELECT tok.doc_id,
