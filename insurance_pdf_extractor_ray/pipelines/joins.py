@@ -23,26 +23,27 @@ import ray.data
 
 
 class _BroadcastLookup:
-    """map_batches actor: resolves the broadcast lookup dict once per actor."""
+    """map_batches actor: resolves the broadcast small-side TABLE once per
+    actor; per-batch probe is one Arrow ``index_in`` + column ``take`` —
+    no per-row Python."""
 
-    def __init__(self, lookup_ref, key: str, add_cols: List[str], how: str,
-                 col_types: Dict[str, pa.DataType]):
-        self.lookup: Dict = ray.get(lookup_ref)
+    def __init__(self, small_ref, key: str, add_cols: List[str], how: str):
+        self.small_keys, self.small_tbl = ray.get(small_ref)
         self.key, self.add_cols, self.how = key, add_cols, how
-        self.col_types = col_types
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).to_pylist()
-        hits = [self.lookup.get(k) for k in keys]
+        keys = batch.column(self.key)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pc.index_in(keys, value_set=self.small_keys)  # null = miss
         if self.how == "inner":
-            mask = pa.array([h is not None for h in hits])
-            batch = batch.filter(mask)
-            hits = [h for h in hits if h is not None]
+            hit = pc.is_valid(idx)
+            batch = batch.filter(hit)
+            idx = idx.filter(hit)
         for col in self.add_cols:
-            vals = [None if h is None else h[col] for h in hits]
-            # explicit type from the small side's schema: an all-miss batch
-            # would otherwise infer null type and break block unification
-            batch = batch.append_column(col, pa.array(vals, type=self.col_types[col]))
+            # take with null indices yields typed nulls — left-join semantics
+            # and stable per-batch schema (no null-type inference) for free
+            batch = batch.append_column(col, self.small_tbl.column(col).take(idx))
         return batch
 
 
@@ -57,38 +58,52 @@ def broadcast_join(
 ) -> ray.data.Dataset:
     """Join a big Dataset against a small one without shuffling the big side.
 
-    ``small`` is materialized on the driver (must be dimension-table sized),
-    broadcast once via ``ray.put``, and probed per batch.
+    ``small`` is collected once (must be dimension-table sized), broadcast as
+    an Arrow table via ``ray.put`` (zero-copy from the object store in every
+    actor), and probed per batch with vectorized ``index_in``.
     ``how``: 'inner' drops unmatched big rows; 'left' keeps them with nulls.
     """
     right_on = right_on or on
     schema = small.schema().base_schema
-    rows = small.take_all()
     if add_cols is None:
         add_cols = [f.name for f in schema if f.name != right_on]
-    col_types = {c: schema.field(c).type for c in add_cols}
-    lookup = {r[right_on]: {c: r[c] for c in add_cols} for r in rows}
-    ref = ray.put(lookup)
+    small_tbl = pa.concat_tables(
+        [t for t in ray.get(small.to_arrow_refs()) if t.num_rows])
+    keys_arr = small_tbl.column(right_on)
+    if isinstance(keys_arr, pa.ChunkedArray):
+        keys_arr = keys_arr.combine_chunks()
+    ref = ray.put((keys_arr, small_tbl.select(add_cols).combine_chunks()))
     return big.map_batches(
         _BroadcastLookup,
-        fn_constructor_kwargs=dict(lookup_ref=ref, key=on, add_cols=add_cols,
-                                   how=how, col_types=col_types),
+        fn_constructor_kwargs=dict(small_ref=ref, key=on, add_cols=add_cols,
+                                   how=how),
         batch_format="pyarrow", concurrency=concurrency,
     )
 
 
 class _BroadcastAnti:
+    """Vectorized membership filter: one Arrow ``is_in`` per batch against
+    the broadcast key array."""
+
     def __init__(self, keys_ref, key: str, keep_matching: bool):
-        self.keys = ray.get(keys_ref)
+        self.keys: pa.Array = ray.get(keys_ref)
         self.key, self.keep_matching = key, keep_matching
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = batch.column(self.key).to_pylist()
-        if self.keep_matching:
-            mask = [v in self.keys for v in vals]
-        else:
-            mask = [v not in self.keys for v in vals]
-        return batch.filter(pa.array(mask))
+        # null keys are never members: semi drops them, anti keeps them
+        mask = pc.fill_null(pc.is_in(batch.column(self.key),
+                                     value_set=self.keys), False)
+        if not self.keep_matching:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def _keys_array(keys) -> pa.Array:
+    if isinstance(keys, pa.Array):
+        return keys
+    if isinstance(keys, pa.ChunkedArray):
+        return keys.combine_chunks()
+    return pa.array(list(keys))
 
 
 def broadcast_anti_join(
@@ -96,7 +111,7 @@ def broadcast_anti_join(
 ) -> ray.data.Dataset:
     """Drop rows whose ``key`` is in ``exclude_keys`` (J3 semi-join delete,
     storage.py:610-628) — key set broadcast once."""
-    ref = ray.put(frozenset(exclude_keys))
+    ref = ray.put(_keys_array(exclude_keys))
     return ds.map_batches(
         _BroadcastAnti,
         fn_constructor_kwargs=dict(keys_ref=ref, key=key, keep_matching=False),
@@ -108,7 +123,7 @@ def broadcast_semi_join(
     ds: ray.data.Dataset, key: str, include_keys, concurrency=(1, 8)
 ) -> ray.data.Dataset:
     """Keep only rows whose ``key`` is in ``include_keys``."""
-    ref = ray.put(frozenset(include_keys))
+    ref = ray.put(_keys_array(include_keys))
     return ds.map_batches(
         _BroadcastAnti,
         fn_constructor_kwargs=dict(keys_ref=ref, key=key, keep_matching=True),
