@@ -974,6 +974,145 @@ def _q_decontaminate(sf_dir: str):
     })
 
 
+def _q_pivot_event_daily(sf_dir: str):
+    """Wide pivot (count(*) FILTER per event_type column, one row per day) —
+    map-side pair pre-aggregation, one keyed shuffle over the (day, type)
+    count table, fixed explicit column domain so every block carries an
+    identical schema (pipelines/behavior.py:pivot_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def add_date(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "date": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+            "event_type": batch.column("event_type"),
+        })
+
+    ev = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        add_date, batch_format="pyarrow")
+    out = pivot_counts(ev, "date", "event_type", types, prefix="n_")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["date"])
+    cols = {"date": pa.array([r["date"] for r in rows], pa.string())}
+    for t in types:
+        cols[f"n_{t}"] = pa.array([r[f"n_{t}"] for r in rows], pa.int64())
+    return pa.table(cols)
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered-step funnel view→click→purchase (min-ts, strictly-after
+    semantics): irrelevant types dropped map-side, ONE user-keyed shuffle,
+    vectorized per-user scan, K-row result
+    (pipelines/behavior.py:funnel_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import funnel_counts
+
+    return funnel_counts(
+        _events(sf_dir, ["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type", steps=["view", "click", "purchase"])
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention: distinct users active N days after their first-ever
+    day (N=0..7).  First-activity = pre-combined keyed min; join-back via
+    the standard broadcast-or-shuffle size policy; distinct counting
+    shuffles deduped (cohort, offset, user) triples
+    (pipelines/behavior.py:cohort_retention)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import cohort_retention
+
+    out = cohort_retention(_events(sf_dir, ["user_id", "ts"]),
+                           "user_id", "ts", max_offset=7)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["cohort_day"], r["day_offset"]))
+    return pa.table({
+        "cohort_day": pa.array([r["cohort_day"] for r in rows], pa.string()),
+        "day_offset": pa.array([r["day_offset"] for r in rows], pa.int64()),
+        "n_users": pa.array([r["n_users"] for r in rows], pa.int64()),
+    })
+
+
+def _q_vocab_top100(sf_dir: str):
+    """Global top-100 vocabulary by corpus frequency (token-asc tiebreak) —
+    per-batch distinct-token counting BEFORE the shuffle, one keyed combine,
+    distributed sort-limit (pipelines/tfidf.py:vocab_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import vocab_counts
+
+    out = vocab_counts(_documents(sf_dir, ["doc_id", "text"]),
+                       "text", "doc_id", k=100)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (-r["n"], r["token"]))
+    return pa.table({
+        "token": pa.array([r["token"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII + denylist scrubbing: ordered regex classes (email/phone/SSN →
+    replacement tokens, then a whole-word denylist), vectorized polars
+    rewrite, zero shuffle; per-class match counts
+    (functions/redact.py:redact_text).  The oracle re-derives the rewritten
+    text character-for-character with nested regexp_replace."""
+    from insurance_pdf_extractor_ray.functions.redact import (
+        PII_PATTERNS,
+        denylist_pattern,
+        redact_text,
+    )
+
+    patterns = list(PII_PATTERNS) + [
+        ("deny", denylist_pattern(["spark", "merge", "hash"]), "[TERM]")]
+    out = redact_text(_documents(sf_dir, ["doc_id", "text"]), "text",
+                      patterns=patterns)
+    out = out.select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ssn", "n_deny", "text_redacted"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_email": pa.array([r["n_email"] for r in rows], pa.int64()),
+        "n_phone": pa.array([r["n_phone"] for r in rows], pa.int64()),
+        "n_ssn": pa.array([r["n_ssn"] for r in rows], pa.int64()),
+        "n_deny": pa.array([r["n_deny"] for r in rows], pa.int64()),
+        "text_redacted": pa.array([r["text_redacted"] for r in rows],
+                                  pa.string()),
+    })
+
+
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src4": 1.75}
+
+
+def _q_mixture(sf_dir: str):
+    """Weighted mixture with repetition (source weights 2.5/1.0/0.25/1.75):
+    per-(id, epoch) arithmetic-hash keep decisions + deterministic shard
+    assignment — ZERO shuffle where the textbook implementation globally
+    shuffles the concatenation (pipelines/mixing.py:mixture_interleave)."""
+    from insurance_pdf_extractor_ray.pipelines.mixing import mixture_interleave
+
+    out = mixture_interleave(_documents(sf_dir, ["doc_id", "source"]),
+                             "source", "doc_id", _MIX_WEIGHTS,
+                             seed=101, n_shards=64)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["doc_id"], r["epoch"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "epoch": pa.array([r["epoch"] for r in rows], pa.int64()),
+        "shard": pa.array([r["shard"] for r in rows], pa.int64()),
+    })
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 top-15 for a bag-of-words query — token stream filtered to the
+    query vocabulary BEFORE its only shuffle, corpus stats from a
+    zero-shuffle counting pass, distributed sort-limit
+    (pipelines/tfidf.py:bm25_search)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import bm25_search
+
+    return bm25_search(_documents(sf_dir, ["doc_id", "text"]),
+                       "text", "doc_id",
+                       query_terms=["shuffle", "spark", "window"], k=15)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1022,7 +1161,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
+        "pivot_event_daily": _q_pivot_event_daily,
+        "funnel_view_click_purchase": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "vocab_top100": _q_vocab_top100,
+        "pii_redact": _q_pii_redact,
+        "mixture_interleave": _q_mixture,
+        "bm25_search": _q_bm25,
     }
+
+
+def _pii_redact_sql() -> str:
+    """Nested regexp_replace + per-class counts mirroring _q_pii_redact's
+    ordered classes (each count on that class's input text)."""
+    from insurance_pdf_extractor_ray.functions.redact import (
+        PII_PATTERNS,
+        denylist_pattern,
+        redact_sql_expr,
+    )
+
+    patterns = list(PII_PATTERNS) + [
+        ("deny", denylist_pattern(["spark", "merge", "hash"]), "[TERM]")]
+    counts = []
+    for i, (name, pat, _repl) in enumerate(patterns):
+        prior = redact_sql_expr("text", patterns[:i])
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({prior}, '{p}')) AS BIGINT)"
+            f" AS n_{name}")
+    full = redact_sql_expr("text", patterns)
+    return (f"SELECT doc_id, {', '.join(counts)}, {full} AS text_redacted "
+            f"FROM documents ORDER BY doc_id")
+
+
+def _mixture_sql() -> str:
+    from insurance_pdf_extractor_ray.pipelines.mixing import mixture_sql
+
+    return mixture_sql("documents", "source", "doc_id", _MIX_WEIGHTS,
+                       seed=101, n_shards=64, columns="doc_id, source")
 
 
 _EMPTY_DIFF_SQL = """
@@ -1438,5 +1614,74 @@ def oracle_sql() -> dict[str, str]:
                                AND g.gram IN (SELECT gram FROM eg)),
                             0) AS n_overlap
             FROM tok ORDER BY tok.doc_id
+        """,
+        "pivot_event_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS date,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "funnel_view_click_purchase": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (VALUES
+              (1, 'view', (SELECT count(*) FROM s1)),
+              (2, 'click', (SELECT count(*) FROM s2)),
+              (3, 'purchase', (SELECT count(*) FROM s3))
+            ) AS t(step_idx, step, n_users)
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, f.cohort,
+                         datediff('day', f.cohort,
+                                  date_trunc('day', e.ts)) AS day_offset
+                  FROM events e JOIN f ON e.user_id = f.user_id)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+                   count(*) AS n_users
+            FROM a WHERE day_offset BETWEEN 0 AND 7
+            GROUP BY cohort, day_offset ORDER BY 1, 2
+        """,
+        "vocab_top100": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS token FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+        """,
+        "pii_redact": _pii_redact_sql(),
+        "mixture_interleave": _mixture_sql(),
+        "bm25_search": """
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('shuffle', 'spark', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            SELECT t.doc_id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                             * t.tf * (1.2 + 1.0)
+                             / (t.tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * l.dl / s.avgdl))),
+                         6) AS score
+            FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 15
         """,
     }

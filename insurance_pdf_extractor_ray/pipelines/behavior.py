@@ -1,0 +1,265 @@
+"""Behavioral / event-sequence analytics — pivot, funnel, cohort retention.
+
+The reference's analytics are single-table GROUP BYs (SURVEY.md §2.6,
+reference ``app/services/storage.py:461-549``); production event pipelines
+also need the sequence-aware operators (who did A *then* B, which signup
+cohort came back on day N) and the wide pivot layout BI tools consume.
+Each is built scale-first:
+
+* ``pivot_counts`` — ``count(*) FILTER (WHERE col = v)`` per row key.  The
+  count matrix is pre-aggregated map-side (one (row, col, n) row per pair per
+  batch), globally combined with ONE keyed shuffle over the pair table, and
+  only the *pivoted* result — |row keys| × |col values| cells — ever exists
+  as a wide table.  The column domain is an explicit argument so every block
+  carries an identical schema (Ray block unification needs fixed columns).
+* ``funnel_counts`` — ordered-step completion (min ts of step k strictly
+  after the user's step k-1 time).  One shuffle on the user key; the
+  per-user interior is a K-step numpy scan over that user's (ts, type)
+  arrays.  Partitioning assumption: one user's events fit in memory (same
+  contract as ``windows.session_windows``; salt hot users upstream if not).
+* ``cohort_retention`` — users grouped by first-active day, distinct-user
+  counts at day offsets 0..H.  First-activity is a pre-combined keyed
+  min; the cohort map joins back via the repo's standard size policy
+  (broadcast ≤ ``broadcast_max`` users, hash-shuffle join above); distinct
+  counting shuffles the already-deduped (cohort, offset, user) triple so no
+  single reducer sees a hot cohort's raw rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+BROADCAST_USERS_MAX = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    row_key: str,
+    col_key: str,
+    col_values: Sequence[str],
+    prefix: str = "",
+) -> ray.data.Dataset:
+    """Wide pivot: one row per ``row_key``, one count column per value in
+    ``col_values`` (SQL ``count(*) FILTER (WHERE col_key = v)``).
+
+    ``col_values`` is the explicit column domain — values outside it are
+    dropped, absent (row, col) cells are 0.  Keeping the domain an argument
+    (not discovered from data) is what makes the operator streamable: every
+    output block has the same schema regardless of which values its rows saw.
+    """
+    col_values = list(col_values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([row_key, col_key]).filter(
+            pc.is_in(batch.column(col_key), value_set=pa.array(col_values)))
+        batch = batch.append_column(
+            "_n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        return batch.group_by([row_key, col_key]).aggregate([("_n", "sum")]) \
+                    .rename_columns([row_key, col_key, "_n"])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    counts = pairs.groupby([row_key, col_key]).aggregate(
+        Sum("_n", alias_name="n"))
+
+    idx = {v: i for i, v in enumerate(col_values)}
+    names = [f"{prefix}{v}" for v in col_values]
+
+    def widen(group: pa.Table) -> pa.Table:
+        row = np.zeros(len(col_values), dtype=np.int64)
+        cols = group.column(col_key).to_pylist()
+        ns = group.column("n").to_numpy(zero_copy_only=False)
+        for c, n in zip(cols, ns):
+            row[idx[c]] = n
+        out: dict = {row_key: pa.array([group.column(row_key)[0].as_py()],
+                                       group.column(row_key).type)}
+        for name, n in zip(names, row):
+            out[name] = pa.array([int(n)], pa.int64())
+        return pa.table(out)
+
+    return counts.groupby(row_key).map_groups(widen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> pa.Table:
+    """How many users completed each ordered-step prefix of ``steps``.
+
+    A user completes step k when an event of type ``steps[k]`` exists
+    STRICTLY after their step k-1 completion time (min-ts semantics, the
+    standard product-analytics funnel).  Returns the K-row table
+    ``(step_idx, step, n_users)`` with n_users monotone non-increasing.
+
+    Shape: irrelevant event types are dropped map-side (shuffle carries only
+    funnel-step rows), ONE keyed shuffle on the user, a vectorized per-user
+    scan emits (user, n_completed), and a tiny groupby + K-element driver
+    suffix-sum finishes.  Per-user state is that user's funnel events only.
+    """
+    steps = list(steps)
+    step_set = pa.array(steps)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        batch = batch.select([user_col, ts_col, type_col])
+        return batch.filter(pc.is_in(batch.column(type_col), value_set=step_set))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = np.asarray(group.column(type_col).to_pylist())
+        done = 0
+        prev = -np.inf
+        for s in steps:
+            cand = ts[(types == s) & (ts > prev)]
+            if cand.size == 0:
+                break
+            prev = cand.min()
+            done += 1
+        return pa.table({
+            user_col: pa.array([group.column(user_col)[0].as_py()],
+                               group.column(user_col).type),
+            "n_completed": pa.array([done], pa.int64()),
+        })
+
+    completed = (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("n_completed")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    by_done = {r["n_completed"]: r["n"] for r in completed}
+    # n_users reaching >= step i  ==  suffix sum of the completion histogram
+    n_users = [sum(v for d, v in by_done.items() if d >= i)
+               for i in range(1, len(steps) + 1)]
+    return pa.table({
+        "step_idx": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "step": pa.array(steps, pa.string()),
+        "n_users": pa.array(n_users, pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+def _day_i64(batch: pa.Table, ts_col: str) -> np.ndarray:
+    """Timestamp column → int64 days since epoch (UTC calendar day)."""
+    us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return us // 86_400_000_000
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    max_offset: int = 7,
+    broadcast_max: int = BROADCAST_USERS_MAX,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """(cohort_day, day_offset, n_users): distinct users active ``day_offset``
+    days after their first-ever active day, for offsets 0..``max_offset``.
+
+    cohort_day is the ISO date string of the user's first activity.  The
+    first-activity table is user-cardinality: it broadcasts when provably
+    under ``broadcast_max`` rows and hash-shuffle joins otherwise (the repo's
+    standard small-side policy, same as ``dedup.filter_by_ids``).
+    """
+
+    def user_day(batch: pa.Table) -> pa.Table:
+        days = _day_i64(batch, ts_col)
+        t = pa.table({user_col: batch.column(user_col),
+                      "day": pa.array(days, pa.int64())})
+        # map-side combine: one (user, min day) row per batch
+        return t.group_by(user_col).aggregate([("day", "min")]) \
+                .rename_columns([user_col, "day"])
+
+    pairs = ds.select_columns([user_col, ts_col]).map_batches(
+        user_day, batch_format="pyarrow")
+    first = pairs.groupby(user_col).aggregate(Min("day", alias_name="cohort"))
+    first = first.materialize()  # user-cardinality, feeds count + join
+    n_users_total = first.count()
+
+    if n_users_total <= broadcast_max:
+        lookup = {r[user_col]: r["cohort"] for r in first.take_all()}
+        ref = ray.put(lookup)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            days = _day_i64(batch, ts_col)
+            users = batch.column(user_col).to_pylist()
+            cohort = np.fromiter((lk[u] for u in users), dtype=np.int64,
+                                 count=batch.num_rows)
+            off = days - cohort
+            t = pa.table({user_col: batch.column(user_col),
+                          "cohort": pa.array(cohort, pa.int64()),
+                          "day_offset": pa.array(off, pa.int64())})
+            return t.filter(pc.and_(pc.greater_equal(t.column("day_offset"), 0),
+                                    pc.less_equal(t.column("day_offset"),
+                                                  max_offset)))
+
+        tagged = ds.select_columns([user_col, ts_col]).map_batches(
+            attach, batch_format="pyarrow")
+    else:
+        def with_day(batch: pa.Table) -> pa.Table:
+            return pa.table({user_col: batch.column(user_col),
+                             "day": pa.array(_day_i64(batch, ts_col),
+                                             pa.int64())})
+
+        ev = ds.select_columns([user_col, ts_col]).map_batches(
+            with_day, batch_format="pyarrow")
+        from .dedup import _join_partitions
+
+        joined = ev.join(first, join_type="inner",
+                         num_partitions=num_partitions or _join_partitions(),
+                         on=(user_col,))
+
+        def offset(batch: pa.Table) -> pa.Table:
+            off = (batch.column("day").to_numpy(zero_copy_only=False)
+                   - batch.column("cohort").to_numpy(zero_copy_only=False))
+            t = pa.table({user_col: batch.column(user_col),
+                          "cohort": batch.column("cohort"),
+                          "day_offset": pa.array(off, pa.int64())})
+            return t.filter(pc.and_(pc.greater_equal(t.column("day_offset"), 0),
+                                    pc.less_equal(t.column("day_offset"),
+                                                  max_offset)))
+
+        tagged = joined.map_batches(offset, batch_format="pyarrow")
+
+    def dedup_triples(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["cohort", "day_offset", user_col]).aggregate([])
+
+    uniq = (
+        tagged.map_batches(dedup_triples, batch_format="pyarrow")
+        .groupby(["cohort", "day_offset", user_col]).aggregate(
+            Count(alias_name="_c"))
+    )
+    counted = uniq.groupby(["cohort", "day_offset"]).aggregate(
+        Count(alias_name="n_users"))
+
+    def to_date(batch: pa.Table) -> pa.Table:
+        days = batch.column("cohort").to_numpy(zero_copy_only=False)
+        iso = pc.strftime(pa.array(days * 86_400_000_000).cast(
+            pa.timestamp("us")), format="%Y-%m-%d")
+        return pa.table({"cohort_day": iso,
+                         "day_offset": batch.column("day_offset"),
+                         "n_users": batch.column("n_users")})
+
+    return counted.map_batches(to_date, batch_format="pyarrow")

@@ -22,7 +22,7 @@ oracle's ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -116,7 +116,10 @@ def tfidf_table(
 
         joined = tf.map_batches(add_df, batch_format="pyarrow")
     else:
-        joined = tf.join(df, join_type="inner", num_partitions=64, on=("token",))
+        from .dedup import _join_partitions
+
+        joined = tf.join(df, join_type="inner",
+                         num_partitions=_join_partitions(), on=("token",))
 
     def score(batch: pa.Table) -> pa.Table:
         tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -141,6 +144,139 @@ def top_term_per_doc(
         scored, id_col,
         order_by=["tf", "df", "token"], descending=[True, False, False], k=1,
     )
+
+
+def vocab_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 100,
+) -> ray.data.Dataset:
+    """Global top-``k`` vocabulary: (token, n) by corpus frequency, token-asc
+    tiebreak.  Map-side per-batch counting collapses each block to its
+    distinct tokens BEFORE the shuffle (the exchange is vocabulary-sized per
+    block, not token-stream-sized); the global combine is one keyed groupby
+    sum; the top-k is a sort-limit over the vocabulary table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "_n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        return batch.group_by("token").aggregate([("_n", "sum")]) \
+                    .rename_columns(["token", "_n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        tokenize(ds, text_col, id_col)
+        .select_columns(["token"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("_n", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def bm25_search(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """BM25 top-``k`` documents for a bag-of-words query.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Robertson/Sparck
+    Jones form Lucene uses).
+
+    Scale shape: the token stream is filtered to the query vocabulary
+    MAP-SIDE, so the only shuffle (tf groupby on (doc, token)) carries just
+    query-term occurrences — |query| ≪ vocabulary makes this near-free at
+    any corpus size.  Document length and corpus stats come from a separate
+    zero-shuffle counting pass (dl is exact per row because each document is
+    one row).  df/N/avgdl are query-vocabulary-sized and broadcast.  Returns
+    the k-row (id, score) table ordered by (score desc, id asc), score
+    rounded to 6 dp so rankings are reduction-order-stable.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    query_terms = sorted({t.lower() for t in query_terms})
+    qset = pa.array(query_terms, pa.string())
+
+    # corpus stats: N docs and mean token count — one streaming pass
+    def doc_len(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        dl = texts.str.to_lowercase().str.count_matches(r"[a-z0-9]+") \
+                  .fill_null(0).to_numpy().astype(np.int64)
+        return pa.table({"dl": pa.array(dl, pa.int64())})
+
+    stats = (ds.select_columns([text_col])
+             .map_batches(doc_len, batch_format="pyarrow")
+             .aggregate(_Sum("dl", alias_name="sum_dl"),
+                        _Count(alias_name="n_docs")))
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sum_dl"]) / float(n_docs)
+
+    # (doc, token, dl) for query terms only — filtered before the shuffle
+    def explode_query(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls().to_arrow().cast(pa.string())
+        rep = pa.array(np.repeat(np.arange(len(lens)), lens))
+        t = pa.table({
+            id_col: batch.column(id_col).take(rep),
+            "token": flat,
+            "dl": pa.array(np.repeat(lens, lens), pa.int64()),
+        })
+        return t.filter(pc.is_in(t.column("token"), value_set=qset))
+
+    tf = (ds.select_columns([id_col, text_col])
+          .map_batches(explode_query, batch_format="pyarrow")
+          .groupby([id_col, "token"])
+          .aggregate(_Count(alias_name="tf"), _Max("dl", alias_name="dl")))
+    tf = tf.materialize()  # query-vocabulary-bounded; feeds df and scoring
+
+    df = {r["token"]: r["df"] for r in
+          tf.groupby("token").aggregate(_Count(alias_name="df")).take_all()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfs = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dls = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfs = np.fromiter((df[t] for t in batch.column("token").to_pylist()),
+                          dtype=np.float64, count=batch.num_rows)
+        idf = np.log((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0)
+        s = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        return pa.table({id_col: batch.column(id_col),
+                         "score": pa.array(s, pa.float64())})
+
+    def round6(batch: pa.Table) -> pa.Table:
+        # DuckDB-ROUND-exact half-away rounding, so the (score, id) order is
+        # reduction-order-stable across engines
+        v = batch.column("score").to_numpy(zero_copy_only=False)
+        r = np.where(v >= 0, np.floor(v * 1e6 + 0.5) / 1e6,
+                     -np.floor(-v * 1e6 + 0.5) / 1e6)
+        return pa.table({id_col: batch.column(id_col),
+                         "score": pa.array(r, pa.float64())})
+
+    per_doc = (tf.map_batches(score, batch_format="pyarrow")
+               .groupby(id_col).aggregate(_Sum("score", alias_name="score"))
+               .map_batches(round6, batch_format="pyarrow"))
+    # distributed top-k: never collects the per-doc score table
+    rows = per_doc.sort(["score", id_col],
+                        descending=[True, False]).limit(k).take_all()
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.float64()),
+    })
 
 
 def ngram_overlap_tag(

@@ -145,3 +145,79 @@ def test_ngram_overlap_tag_matches_sql():
     """).fetchall())
     assert got == want
     assert got[0] == 1 and got[1] == 1 and got[2] == 0 and got[3] == 0
+
+
+def test_vocab_counts_matches_sql(con):
+    from insurance_pdf_extractor_ray.pipelines.tfidf import vocab_counts
+
+    rng = np.random.RandomState(2)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "longword"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 30)))
+             for _ in range(500)]
+    tbl = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = vocab_counts(ray.data.from_arrow(tbl).repartition(8),
+                       "text", "doc_id", k=4).take_all()
+    got = sorted((r["token"], r["n"]) for r in out)
+    con.register("vdocs", tbl)
+    want = sorted(con.execute("""
+        SELECT token, count(*) FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+          FROM vdocs) GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 4
+    """).fetchall())
+    assert got == [tuple(w) for w in want]
+
+
+class TestBM25:
+    def _corpus(self):
+        rng = np.random.RandomState(7)
+        words = ["spark", "shuffle", "window", "merge", "scan", "row",
+                 "table", "agg"]
+        texts = [" ".join(rng.choice(words, rng.randint(1, 60)))
+                 for _ in range(300)]
+        return pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    def test_matches_sql(self):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import bm25_search
+
+        tbl = self._corpus()
+        got = bm25_search(ray.data.from_arrow(tbl).repartition(6),
+                          "text", "doc_id",
+                          query_terms=["spark", "window"], k=10)
+        con2 = duckdb.connect()
+        con2.register("docs", tbl)
+        want = con2.execute("""
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM docs),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl)*1.0/count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM docs),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('spark', 'window') GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            SELECT t.doc_id,
+                   round(sum(ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+                             * t.tf*2.2/(t.tf + 1.2*(0.25 + 0.75*l.dl/s.avgdl))), 6)
+                   AS score
+            FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 10
+        """).fetchall()
+        assert got.column("doc_id").to_pylist() == [w[0] for w in want]
+        for g, w in zip(got.column("score").to_pylist(), want):
+            assert abs(g - w[1]) < 1e-9
+
+    def test_rare_term_outranks_common(self):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import bm25_search
+
+        # 'rare' in one doc, 'common' everywhere: the rare-term doc must win
+        texts = ["common rare"] + ["common filler"] * 50
+        tbl = pa.table({"doc_id": pa.array(range(51), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = bm25_search(ray.data.from_arrow(tbl), "text", "doc_id",
+                          query_terms=["rare", "common"], k=3)
+        assert got.column("doc_id").to_pylist()[0] == 0
