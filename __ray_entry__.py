@@ -1113,6 +1113,57 @@ def _q_bm25(sf_dir: str):
                        query_terms=["shuffle", "spark", "window"], k=15)
 
 
+def _q_ntile(sf_dir: str):
+    """Global row_number + NTILE(10) (curriculum tiering) — one Ray-native
+    sort, then two metadata-weight task waves (per-block counts → zero-copy
+    range append); no row touches the driver
+    (pipelines/ordering.py:with_row_number/ntile)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.ordering import ntile_bucket, with_row_number
+
+    numbered = with_row_number(
+        _events(sf_dir, ["event_id", "value"]),
+        sort_keys=["value", "event_id"], out_col="rn")
+    total = numbered.count()
+
+    def tile(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "rn": batch.column("rn"),
+            "tile": pa.array(ntile_bucket(rn - 1, total, 10), pa.int64()),
+        })
+
+    rows = numbered.map_batches(tile, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["rn"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "rn": pa.array([r["rn"] for r in rows], pa.int64()),
+        "tile": pa.array([r["tile"] for r in rows], pa.int64()),
+    })
+
+
+def _q_rolling_avg(sf_dir: str):
+    """Per-user rolling 3-row average in (ts, event_id) order — SQL ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW; one user-keyed shuffle, oldest-first
+    shifted adds (no cumsum cancellation)
+    (pipelines/windows.py:rolling_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import rolling_by_key
+
+    out = rolling_by_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        "user_id", "ts", "value", window=3, order_tiebreak="event_id")
+    rows = out.select_columns(["event_id", "roll_n", "roll_avg"]).take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "roll_n": pa.array([r["roll_n"] for r in rows], pa.int64()),
+        "roll_avg": pa.array([_round_away(r["roll_avg"], 6) for r in rows],
+                             pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1168,6 +1219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
+        "ntile_by_value": _q_ntile,
+        "rolling_avg_user": _q_rolling_avg,
     }
 
 
@@ -1683,5 +1736,20 @@ def oracle_sql() -> dict[str, str]:
             FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
             CROSS JOIN stats s
             GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 15
+        """,
+        "ntile_by_value": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY value, event_id) AS rn,
+                   ntile(10) OVER (ORDER BY value, event_id) AS tile
+            FROM events ORDER BY rn
+        """,
+        "rolling_avg_user": """
+            SELECT event_id,
+                   count(*) OVER w AS roll_n,
+                   round(avg(value) OVER w, 6) AS roll_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
     }

@@ -221,6 +221,64 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     ).count()
     queries["pack_sequences"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.behavior import (
+        cohort_retention,
+        funnel_counts,
+        pivot_counts,
+    )
+
+    t0 = time.time()
+
+    def _date(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"date": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+                         "event_type": batch.column("event_type")})
+
+    pivot_counts(
+        ray.data.read_parquet(events, columns=["ts", "event_type"])
+        .map_batches(_date, batch_format="pyarrow"),
+        "date", "event_type",
+        ["click", "error", "purchase", "signup", "view"]).count()
+    funnel_counts(ray.data.read_parquet(events, columns=["user_id", "ts", "event_type"]),
+                  "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    cohort_retention(ray.data.read_parquet(events, columns=["user_id", "ts"]),
+                     "user_id", "ts", max_offset=7).count()
+    queries["behavior"] = round(time.time() - t0, 3)
+
+    from insurance_pdf_extractor_ray.pipelines.mixing import mixture_interleave
+
+    t0 = time.time()
+    mixture_interleave(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "source"]),
+        "source", "doc_id",
+        {f"src{i}": w for i, w in enumerate([2.5, 1.0, 0.25, 1.75] * 5)},
+        seed=101).count()
+    queries["mixture_interleave"] = round(time.time() - t0, 3)
+
+    from insurance_pdf_extractor_ray.functions.redact import (
+        PII_PATTERNS,
+        denylist_pattern,
+        redact_text,
+    )
+
+    t0 = time.time()
+    redact_text(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"]), "text",
+        patterns=list(PII_PATTERNS)
+        + [("deny", denylist_pattern(["spark", "merge", "hash"]), "[TERM]")],
+    ).count()
+    queries["pii_redact"] = round(time.time() - t0, 3)
+
+    from insurance_pdf_extractor_ray.pipelines.tfidf import bm25_search, vocab_counts
+
+    t0 = time.time()
+    vocab_counts(ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+                 "text", "doc_id", k=100).count()
+    bm25_search(ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+                "text", "doc_id", ["shuffle", "spark", "window"], k=15)
+    queries["retrieval"] = round(time.time() - t0, 3)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(emb_path, columns=["embedding"]).column("embedding")
     q = np.asarray(head[:8].to_pylist(), dtype=np.float64)

@@ -224,3 +224,46 @@ def session_windows_salted(
         .map_groups(sessionize_local, batch_format="pyarrow")
     )
     return local.groupby(key_col).map_groups(merge_sessions, batch_format="pyarrow")
+
+
+def rolling_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int,
+    order_tiebreak: Optional[str] = None,
+    out_prefix: str = "roll_",
+) -> ray.data.Dataset:
+    """Per-key rolling aggregate over the last ``window`` rows in time order —
+    SQL ``AVG/SUM(value) OVER (PARTITION BY key ORDER BY ts[, tiebreak]
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    ONE keyed shuffle; the per-key interior re-sorts the group by
+    (ts, tiebreak) and computes the sliding sum as ``window`` shifted adds —
+    left-to-right accumulation identical to the SQL definition, no cumsum
+    cancellation error.  Emits ``roll_sum`` / ``roll_avg`` / ``roll_n``.
+    Partitioning assumption: one key's rows fit in worker memory (the same
+    contract as ``session_windows``; salt hot keys upstream if violated).
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        v = group.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        s = np.zeros(n, dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.int64)
+        for lag in range(window - 1, 0, -1):  # oldest term first
+            s[lag:] += v[:-lag]
+            cnt[lag:] += 1
+        s += v
+        cnt += 1
+        out = group.append_column(f"{out_prefix}sum", pa.array(s, pa.float64()))
+        out = out.append_column(f"{out_prefix}n", pa.array(cnt, pa.int64()))
+        return out.append_column(f"{out_prefix}avg",
+                                 pa.array(s / cnt, pa.float64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

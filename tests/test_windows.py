@@ -1,7 +1,9 @@
 """Window aggregations vs DuckDB oracle on events."""
 
 import duckdb
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -116,3 +118,45 @@ def test_salted_sessions_match_plain(ray_session):
                  ds, "user_id", "ts", gap_us=gap, epoch_us=epoch,
                  tiebreak_col="event_id").take_all()))
         assert salted == plain, epoch
+
+
+class TestRollingByKey:
+    def test_matches_duckdb_window(self):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.windows import rolling_by_key
+
+        rng = np.random.RandomState(6)
+        n = 5000
+        tbl = pa.table({
+            "id": pa.array(np.arange(n), pa.int64()),
+            "k": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "ts": pa.array(rng.randint(0, 10**9, n), pa.int64()),
+            "v": pa.array(rng.uniform(0, 100, n).round(3), pa.float64()),
+        })
+        out = rolling_by_key(ray.data.from_arrow(tbl).repartition(7),
+                             "k", "ts", "v", window=4,
+                             order_tiebreak="id").take_all()
+        got = {r["id"]: (r["roll_n"], round(r["roll_avg"], 9)) for r in out}
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = {r[0]: (r[1], round(r[2], 9)) for r in con.execute("""
+            SELECT id, count(*) OVER w, avg(v) OVER w FROM t
+            WINDOW w AS (PARTITION BY k ORDER BY ts, id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """).fetchall()}
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][0] == want[i][0]
+            assert abs(got[i][1] - want[i][1]) < 1e-9
+
+    def test_window_one_is_identity(self):
+        from insurance_pdf_extractor_ray.pipelines.windows import rolling_by_key
+
+        tbl = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                        "ts": pa.array([10, 20, 30], pa.int64()),
+                        "v": pa.array([1.0, 2.0, 5.0], pa.float64())})
+        out = rolling_by_key(ray.data.from_arrow(tbl), "k", "ts", "v",
+                             window=1).take_all()
+        for r in out:
+            assert r["roll_n"] == 1 and r["roll_avg"] == r["v"]
