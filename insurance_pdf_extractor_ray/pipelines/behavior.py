@@ -69,25 +69,26 @@ def pivot_counts(
                     .rename_columns([row_key, col_key, "_n"])
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
-    counts = pairs.groupby([row_key, col_key]).aggregate(
-        Sum("_n", alias_name="n"))
 
     idx = {v: i for i, v in enumerate(col_values)}
     names = [f"{prefix}{v}" for v in col_values]
 
+    # the ONLY shuffle: partial (row, col, n) pairs group by row key; the
+    # widen step sums duplicate cols from different blocks while pivoting —
+    # per-group input is bounded by |col_values| × #blocks, never by rows
     def widen(group: pa.Table) -> pa.Table:
         row = np.zeros(len(col_values), dtype=np.int64)
         cols = group.column(col_key).to_pylist()
-        ns = group.column("n").to_numpy(zero_copy_only=False)
+        ns = group.column("_n").to_numpy(zero_copy_only=False)
         for c, n in zip(cols, ns):
-            row[idx[c]] = n
+            row[idx[c]] += n
         out: dict = {row_key: pa.array([group.column(row_key)[0].as_py()],
                                        group.column(row_key).type)}
         for name, n in zip(names, row):
             out[name] = pa.array([int(n)], pa.int64())
         return pa.table(out)
 
-    return counts.groupby(row_key).map_groups(widen, batch_format="pyarrow")
+    return pairs.groupby(row_key).map_groups(widen, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -137,15 +138,22 @@ def funnel_counts(
             "n_completed": pa.array([done], pa.int64()),
         })
 
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        # K+1 possible values: a per-batch histogram collapses the user table
+        # before it ever leaves the workers (no second shuffle)
+        return batch.group_by("n_completed").aggregate([(user_col, "count")]) \
+                    .rename_columns(["n_completed", "n"])
+
     completed = (
         ds.map_batches(prune, batch_format="pyarrow")
         .groupby(user_col)
         .map_groups(per_user, batch_format="pyarrow")
-        .groupby("n_completed")
-        .aggregate(Count(alias_name="n"))
+        .map_batches(partial_hist, batch_format="pyarrow")
         .take_all()
     )
-    by_done = {r["n_completed"]: r["n"] for r in completed}
+    by_done: dict = {}
+    for r in completed:  # tiny: ≤ (K+1) × #blocks rows
+        by_done[r["n_completed"]] = by_done.get(r["n_completed"], 0) + r["n"]
     # n_users reaching >= step i  ==  suffix sum of the completion histogram
     n_users = [sum(v for d, v in by_done.items() if d >= i)
                for i in range(1, len(steps) + 1)]
@@ -246,20 +254,31 @@ def cohort_retention(
     def dedup_triples(batch: pa.Table) -> pa.Table:
         return batch.group_by(["cohort", "day_offset", user_col]).aggregate([])
 
-    uniq = (
+    def cell_hist(batch: pa.Table) -> pa.Table:
+        # globally-unique triples → per-batch (cohort, offset) histogram;
+        # cells are bounded (#days × offsets), so the final combine is a
+        # driver-side sum over #cells × #blocks rows, not a third shuffle
+        return batch.group_by(["cohort", "day_offset"]).aggregate(
+            [(user_col, "count")]).rename_columns(
+                ["cohort", "day_offset", "n"])
+
+    partials = (
         tagged.map_batches(dedup_triples, batch_format="pyarrow")
         .groupby(["cohort", "day_offset", user_col]).aggregate(
             Count(alias_name="_c"))
+        .map_batches(cell_hist, batch_format="pyarrow")
+        .take_all()
     )
-    counted = uniq.groupby(["cohort", "day_offset"]).aggregate(
-        Count(alias_name="n_users"))
-
-    def to_date(batch: pa.Table) -> pa.Table:
-        days = batch.column("cohort").to_numpy(zero_copy_only=False)
-        iso = pc.strftime(pa.array(days * 86_400_000_000).cast(
-            pa.timestamp("us")), format="%Y-%m-%d")
-        return pa.table({"cohort_day": iso,
-                         "day_offset": batch.column("day_offset"),
-                         "n_users": batch.column("n_users")})
-
-    return counted.map_batches(to_date, batch_format="pyarrow")
+    cells: dict = {}
+    for r in partials:
+        k = (r["cohort"], r["day_offset"])
+        cells[k] = cells.get(k, 0) + r["n"]
+    days = np.array([k[0] for k in cells], dtype=np.int64)
+    iso = pc.strftime(pa.array(days * 86_400_000_000).cast(pa.timestamp("us")),
+                      format="%Y-%m-%d")
+    out = pa.table({
+        "cohort_day": iso,
+        "day_offset": pa.array([k[1] for k in cells], pa.int64()),
+        "n_users": pa.array([cells[k] for k in cells], pa.int64()),
+    })
+    return ray.data.from_arrow(out)
