@@ -1164,6 +1164,51 @@ def _q_rolling_avg(sf_dir: str):
     })
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact frequent items (count ≥ 80) via per-block Misra-Gries summaries
+    + an exact candidate-count pass — no full-cardinality shuffle, bounded
+    driver state; output counts are exact so the oracle is a plain
+    GROUP BY ... HAVING (pipelines/sketches.py:heavy_hitters)."""
+    from insurance_pdf_extractor_ray.pipelines.sketches import heavy_hitters
+
+    out = heavy_hitters(_events(sf_dir, ["user_id"]), "user_id",
+                        threshold=80, k=4096)
+    return pa.table({"value": out.column("value").cast(pa.int64()),
+                     "n": out.column("n")})
+
+
+def _q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) counts — finest level is the only
+    keyed shuffle; coarser levels re-aggregate the bounded finest table
+    (pipelines/sketches.py:rollup_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.sketches import rollup_counts
+
+    return rollup_counts(_documents(sf_dir, ["source", "lang"]),
+                         ["source", "lang"])
+
+
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) — global users + per-type
+    (p=12, ~1.6 % σ).  Register merge is max ⇒ partition/retry-independent;
+    the oracle pins the deterministic output, cross-validated within 2 % of
+    the exact counts at sf0.01 (pipelines/sketches.py)."""
+    from insurance_pdf_extractor_ray.pipelines.sketches import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    total = hll_distinct(_events(sf_dir, ["user_id"]), "user_id")
+    per = hll_distinct_by(_events(sf_dir, ["event_type", "user_id"]),
+                          "event_type", "user_id").take_all()
+    rows = sorted(per, key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array(["__all__"] + [r["event_type"] for r in rows],
+                               pa.string()),
+        "approx_distinct": pa.array(
+            [total] + [r["approx_distinct"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1221,7 +1266,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25,
         "ntile_by_value": _q_ntile,
         "rolling_avg_user": _q_rolling_avg,
+        "heavy_hitters_users": _q_heavy_hitters,
+        "rollup_source_lang": _q_rollup,
+        "hll_distinct_users": _q_hll_distinct,
     }
+
+
+# HLL is approximate — no SQL-expressible semantics.  This pins the engine's
+# deterministic output at the driver's correctness scale (sf0.01, seed-fixed
+# hash; register max-merge is partition/retry-independent).  Cross-validated:
+# exact COUNT(DISTINCT user_id) is 150 globally and per type — every pinned
+# estimate (148) is within the ~1.6 % standard error of p=12.
+_HLL_PINNED_SQL = """
+    SELECT event_type, CAST(approx_distinct AS BIGINT) AS approx_distinct
+    FROM (VALUES
+      ('__all__', 148), ('click', 148), ('error', 148),
+      ('purchase', 148), ('signup', 148), ('view', 148)
+    ) AS t(event_type, approx_distinct)
+"""
 
 
 def _pii_redact_sql() -> str:
@@ -1752,4 +1814,13 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY event_id
         """,
+        "heavy_hitters_users": """
+            SELECT user_id AS value, count(*) AS n FROM events
+            GROUP BY 1 HAVING count(*) >= 80 ORDER BY n DESC, value
+        """,
+        "rollup_source_lang": """
+            SELECT source, lang, count(*) AS n FROM documents
+            GROUP BY ROLLUP(source, lang)
+        """,
+        "hll_distinct_users": _HLL_PINNED_SQL,
     }

@@ -1,0 +1,260 @@
+"""Mergeable sketches and multi-level aggregates for corpus-scale counting.
+
+At 10^12 rows, exact global COUNT(DISTINCT) over a high-cardinality column
+(URLs, user ids, n-grams) needs a full shuffle of every distinct value;
+a sketch needs one streaming pass and a registers-sized merge.  Everything
+here follows the same shape: per-block partial state inside ``map_batches``
+(the only pass over the data), then a merge of block summaries whose size is
+INDEPENDENT of row count.
+
+* ``hll_distinct`` / ``hll_distinct_by`` — HyperLogLog (Flajolet et al.
+  2007) with the standard bias correction and small/large-range corrections.
+  Registers merge by elementwise max (commutative + idempotent ⇒ the result
+  is partition- and retry-independent given the hash).  2^p registers;
+  p=12 → 4 KB state, ~1.6 % standard error.
+* ``heavy_hitters`` — EXACT frequent items at any scale, two passes:
+  pass 1 runs Misra-Gries (k counters) per block and merges the bounded
+  summaries (guarantee: any value with global count > n/k survives as a
+  candidate — merging MG summaries preserves the deficit bound, Agarwal et
+  al. 2012); pass 2 re-scans counting ONLY the ≤k candidates (broadcast
+  set, zero shuffle) and filters to the threshold.  Output is exact, so the
+  SQL oracle is a plain GROUP BY ... HAVING.
+* ``rollup_counts`` — GROUP BY ROLLUP(k1, k2, ...): the finest level is the
+  one keyed shuffle; every coarser level re-aggregates the (bounded,
+  key-cardinality-sized) finest table driver-side, mirroring SQL's NULL
+  markers for rolled-up columns.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64_column
+
+HLL_SEED = 42
+
+
+def _hll_partial(values, p: int, seed: int) -> np.ndarray:
+    """Registers (uint8[2^p]) for one batch: bucket = top p hash bits,
+    rank = 1 + leading zeros of the remaining 64-p bits (capped)."""
+    h = stable_hash64_column(values, seed=seed)
+    m = 1 << p
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))  # sentinel
+    # leading zero count of `rest` via bit_length: lzc = 64 - bit_length
+    bl = np.zeros(len(rest), dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        r[mask] >>= np.uint64(shift)
+    bl[rest > 0] += 1
+    # rank = leading zeros + 1 = 64 - bit_length + 1, capped to the suffix
+    # width (the sentinel guarantees bl >= p, so the cap only binds there)
+    rank = np.minimum(64 - bl + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) and
+    large-range corrections."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = float(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    elif est > (1 << 64) / 30.0:  # pragma: no cover — unreachable at tests
+        est = -(2.0 ** 64) * np.log(1.0 - est / 2.0 ** 64)
+    return float(est)
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    col: str,
+    p: int = 12,
+    seed: int = HLL_SEED,
+) -> int:
+    """Approximate global COUNT(DISTINCT col): one streaming pass emitting a
+    4 KB register row per block, elementwise-max merge on the driver
+    (#blocks × 2^p bytes — never row-scaled).  ~1.04/√2^p relative error."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = _hll_partial(batch.column(col), p, seed)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow").take_all():
+        np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8), out=merged)
+    return int(round(_hll_estimate(merged)))
+
+
+def hll_distinct_by(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    p: int = 12,
+    seed: int = HLL_SEED,
+) -> ray.data.Dataset:
+    """Per-key approximate COUNT(DISTINCT col): per-(block, key) register
+    rows, ONE keyed shuffle of 4 KB payloads, per-key max-merge.  The
+    shuffle volume is #keys × #blocks × 2^p bytes — independent of rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        out_k: List = []
+        out_r: List[np.ndarray] = []
+        for kv in np.unique(keys_np):
+            sel = batch.filter(pa.array(keys_np == kv))
+            out_k.append(kv)
+            out_r.append(_hll_partial(sel.column(col), p, seed))
+        return pa.table({key: pa.array(out_k, batch.column(key).type),
+                         "regs": pa.array(out_r, pa.list_(pa.uint8()))})
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for row in group.column("regs").to_pylist():
+            np.maximum(regs, np.asarray(row, dtype=np.uint8), out=regs)
+        return pa.table({
+            key: pa.array([group.column(key)[0].as_py()],
+                          group.column(key).type),
+            "approx_distinct": pa.array([int(round(_hll_estimate(regs)))],
+                                        pa.int64()),
+        })
+
+    return (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+def _mg_merge(a: Dict, b: Dict, k: int) -> Dict:
+    """Merge two Misra-Gries summaries preserving the ≤ n/k deficit bound:
+    add counts, then decrement all by the (k+1)-th largest and drop ≤ 0."""
+    out = dict(a)
+    for v, c in b.items():
+        out[v] = out.get(v, 0) + c
+    if len(out) > k:
+        cut = sorted(out.values(), reverse=True)[k]
+        out = {v: c - cut for v, c in out.items() if c > cut}
+    return out
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    threshold: int,
+    k: int = 4096,
+) -> pa.Table:
+    """EXACT values with global count ≥ ``threshold`` — (value, n), no
+    full-cardinality shuffle and no row-scaled driver state at any point.
+
+    Pass 1: per-block exact value counts collapse into a ≤ k-entry
+    Misra-Gries summary BEFORE leaving the worker, so the driver merge sees
+    ≤ k × #blocks bounded rows; the merged summary's per-value count deficit
+    is ≤ n/(k+1) (Agarwal et al. 2012, mergeable summaries), so every value
+    with true count > n/(k+1) survives as a candidate.  The operator raises
+    if ``threshold`` is below that guarantee line — raise ``k`` to hunt
+    rarer values.
+    Pass 2: exact counts for the ≤ k surviving candidates only (broadcast
+    membership filter + per-block counts, zero shuffle), then the threshold
+    filter.  Output counts are exact, so correctness is checkable by plain
+    SQL GROUP BY ... HAVING regardless of the sketch internals.
+    """
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        vc = batch.group_by(col).aggregate([([], "count_all")])
+        d = dict(zip(vc.column(col).to_pylist(),
+                     vc.column("count_all").to_pylist()))
+        if len(d) > k:
+            cut = sorted(d.values(), reverse=True)[k]
+            d = {v: c - cut for v, c in d.items() if c > cut}
+        vals = list(d.keys())
+        rows = [0] * max(len(vals), 1)
+        rows[0] = batch.num_rows
+        if not vals:  # all-pruned block still reports its row count
+            return pa.table({"value": pa.array([None], batch.column(col).type),
+                             "n": pa.array([0], pa.int64()),
+                             "rows": pa.array(rows, pa.int64())})
+        return pa.table({
+            "value": pa.array(vals, batch.column(col).type),
+            "n": pa.array([d[v] for v in vals], pa.int64()),
+            "rows": pa.array(rows, pa.int64()),
+        })
+
+    summaries = ds.select_columns([col]).map_batches(
+        block_summary, batch_format="pyarrow").take_all()
+    total_rows = sum(r["rows"] for r in summaries)
+    if threshold <= total_rows // (k + 1):
+        raise ValueError(
+            f"threshold {threshold} is under the MG guarantee line "
+            f"n/(k+1) = {total_rows // (k + 1)}; raise k")
+    merged: Dict = {}
+    for r in summaries:
+        if r["value"] is not None:
+            merged = _mg_merge(merged, {r["value"]: r["n"]}, k)
+
+    cand_arr = pa.array(sorted(merged.keys()))
+    ref = ray.put(cand_arr)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        ca = ray.get(ref)
+        vals = batch.column(col)
+        sel = batch.filter(pc.is_in(vals, value_set=ca))
+        vc = sel.group_by(col).aggregate([([], "count_all")])
+        return pa.table({"value": vc.column(col),
+                         "n": vc.column("count_all").cast(pa.int64())})
+
+    parts = ds.select_columns([col]).map_batches(
+        exact_counts, batch_format="pyarrow").take_all()
+    exact: Dict = {}
+    for r in parts:  # ≤ k × #blocks rows
+        exact[r["value"]] = exact.get(r["value"], 0) + r["n"]
+    keep = sorted(((v, c) for v, c in exact.items() if c >= threshold),
+                  key=lambda t: (-t[1], t[0]))
+    return pa.table({"value": pa.array([v for v, _ in keep]),
+                     "n": pa.array([c for _, c in keep], pa.int64())})
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    null_marker: Optional[str] = None,
+) -> pa.Table:
+    """``GROUP BY ROLLUP(keys...)`` counts: finest level is the one keyed
+    shuffle; coarser levels re-aggregate the finest (bounded) table
+    driver-side.  Rolled-up key columns carry ``null_marker`` (None ⇒ SQL
+    NULL)."""
+    from ray.data.aggregate import Count
+
+    keys = list(keys)
+    finest = ds.groupby(keys).aggregate(Count(alias_name="n")).take_all()
+
+    out_rows: List[Tuple] = []
+    for level in range(len(keys), -1, -1):
+        agg: Dict[Tuple, int] = {}
+        for r in finest:
+            kt = tuple(r[k] for k in keys[:level])
+            agg[kt] = agg.get(kt, 0) + r["n"]
+        for kt, n in agg.items():
+            full = list(kt) + [null_marker] * (len(keys) - level)
+            out_rows.append((*full, n))
+    out_rows.sort(key=lambda t: tuple((x is None, x) for x in t[:-1]))
+    cols: Dict[str, list] = {k: [] for k in keys}
+    ns = []
+    for row in out_rows:
+        for i, k in enumerate(keys):
+            cols[k].append(row[i])
+        ns.append(row[-1])
+    tbl = {k: pa.array(cols[k], pa.string()) for k in keys}
+    tbl["n"] = pa.array(ns, pa.int64())
+    return pa.table(tbl)

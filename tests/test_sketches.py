@@ -1,0 +1,106 @@
+"""HLL / Misra-Gries heavy hitters / ROLLUP vs exact answers."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.sketches import (
+    heavy_hitters,
+    hll_distinct,
+    hll_distinct_by,
+    rollup_counts,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+class TestHLL:
+    def test_accuracy_and_partition_independence(self):
+        rng = np.random.RandomState(0)
+        vals = [f"v{i}" for i in rng.randint(0, 50_000, 200_000)]
+        exact = len(set(vals))
+        tbl = pa.table({"x": pa.array(vals, pa.string())})
+        est9 = hll_distinct(ray.data.from_arrow(tbl).repartition(9), "x")
+        est2 = hll_distinct(ray.data.from_arrow(tbl).repartition(2), "x")
+        assert est9 == est2  # register max-merge is layout-independent
+        assert abs(est9 - exact) / exact < 0.05
+
+    def test_small_range_linear_counting(self):
+        tbl = pa.table({"x": pa.array([f"u{i}" for i in range(40)])})
+        est = hll_distinct(ray.data.from_arrow(tbl), "x")
+        assert est == 40  # linear-counting regime is near-exact
+
+    def test_per_key_within_error(self):
+        rng = np.random.RandomState(1)
+        tbl = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], 90_000), pa.string()),
+            "x": pa.array([f"u{i}" for i in rng.randint(0, 4000, 90_000)]),
+        })
+        out = hll_distinct_by(ray.data.from_arrow(tbl).repartition(6),
+                              "k", "x").take_all()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = dict(con.execute(
+            "SELECT k, count(DISTINCT x) FROM t GROUP BY 1").fetchall())
+        assert len(out) == 3
+        for r in out:
+            assert abs(r["approx_distinct"] - want[r["k"]]) / want[r["k"]] < 0.05
+
+
+class TestHeavyHitters:
+    def test_exact_counts_and_no_false_negatives(self):
+        rng = np.random.RandomState(2)
+        vals = (["hot1"] * 5000 + ["hot2"] * 3000 + ["warm"] * 999
+                + [f"cold{i}" for i in range(90_000)])
+        rng.shuffle(vals)
+        tbl = pa.table({"x": pa.array(vals, pa.string())})
+        out = heavy_hitters(ray.data.from_arrow(tbl).repartition(7), "x",
+                            threshold=1000, k=512)
+        got = dict(zip(out.column("value").to_pylist(),
+                       out.column("n").to_pylist()))
+        # warm (999) is under the threshold; counts are EXACT
+        assert got == {"hot1": 5000, "hot2": 3000}
+
+    def test_matches_having_clause(self):
+        rng = np.random.RandomState(3)
+        tbl = pa.table({"x": pa.array(
+            [f"u{i}" for i in rng.zipf(1.4, 50_000) % 2000], pa.string())})
+        out = heavy_hitters(ray.data.from_arrow(tbl).repartition(5), "x",
+                            threshold=500, k=2048)
+        got = sorted(zip(out.column("value").to_pylist(),
+                         out.column("n").to_pylist()))
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted(con.execute(
+            "SELECT x, count(*) FROM t GROUP BY 1 HAVING count(*) >= 500"
+        ).fetchall())
+        assert got == [tuple(w) for w in want]
+
+    def test_guarantee_line_enforced(self):
+        tbl = pa.table({"x": pa.array([f"v{i % 50}" for i in range(10_000)])})
+        with pytest.raises(ValueError, match="guarantee line"):
+            heavy_hitters(ray.data.from_arrow(tbl), "x", threshold=2, k=16)
+
+
+class TestRollup:
+    def test_matches_duckdb_rollup(self):
+        rng = np.random.RandomState(4)
+        tbl = pa.table({
+            "a": pa.array(rng.choice(["p", "q", "r"], 3000), pa.string()),
+            "b": pa.array(rng.choice(["x", "y"], 3000), pa.string()),
+        })
+        out = rollup_counts(ray.data.from_arrow(tbl).repartition(4),
+                            ["a", "b"])
+        got = sorted(zip(out.column("a").to_pylist(),
+                         out.column("b").to_pylist(),
+                         out.column("n").to_pylist()), key=str)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted((tuple(w) for w in con.execute(
+            "SELECT a, b, count(*) FROM t GROUP BY ROLLUP(a, b)"
+        ).fetchall()), key=str)
+        assert got == want
+        # grand total row present exactly once
+        assert sum(1 for a, b, _ in got if a is None and b is None) == 1
