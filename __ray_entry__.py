@@ -1209,6 +1209,94 @@ def _q_hll_distinct(sf_dir: str):
     })
 
 
+def _q_lag(sf_dir: str):
+    """Per-user LAG(value, 1) in (ts, event_id) order — one keyed shuffle,
+    null-masked take interior (pipelines/windows.py:lag_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import lag_by_key
+
+    out = lag_by_key(_events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+                     "user_id", "ts", "value", offset=1,
+                     order_tiebreak="event_id", out_col="prev_value")
+    rows = out.select_columns(["event_id", "prev_value"]).take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "prev_value": pa.array([r["prev_value"] for r in rows], pa.float64()),
+    })
+
+
+def _q_zscore(sf_dir: str):
+    """Per-type z-score standardization — keyed moment aggregate broadcast
+    into a streaming map (pipelines/analytics.py:zscore_by)."""
+    from insurance_pdf_extractor_ray.pipelines.analytics import zscore_by
+
+    out = zscore_by(_events(sf_dir, ["event_id", "event_type", "value"]),
+                    "event_type", "value")
+    rows = out.select_columns(["event_id", "zscore"]).take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "zscore": pa.array(
+            [None if r["zscore"] is None else _round_away(r["zscore"], 6)
+             for r in rows], pa.float64()),
+    })
+
+
+def _q_histogram(sf_dir: str):
+    """Global fixed-width histogram (20 bins over [0, 1000)) — zero shuffle,
+    per-block bincount partials merged by addition
+    (pipelines/sketches.py:histogram_fixed)."""
+    from insurance_pdf_extractor_ray.pipelines.sketches import histogram_fixed
+
+    return histogram_fixed(_events(sf_dir, ["value"]), "value",
+                           lo=0.0, hi=1000.0, bins=20)
+
+
+def _q_outer_join(sf_dir: str):
+    """LEFT OUTER big-big join: every customer with their order count,
+    zero-order customers included (Dataset.join left_outer + null fill)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey"])
+    from ray.data.aggregate import Count
+
+    counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=_join_partitions(),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch.column("n"), 0)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "n_orders": n.cast(pa.int64())})
+
+    rows = joined.map_batches(fill, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["c_custkey"])
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64()),
+        "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
+    })
+
+
+def _q_union_distinct(sf_dir: str):
+    """Dataset.union of two filtered streams + exact distinct (keyed count)
+    — SQL UNION semantics."""
+    from ray.data.aggregate import Count
+
+    a = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'").select_columns(["user_id"])
+    b = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr="event_type == 'error'").select_columns(["user_id"])
+    uniq = a.union(b).groupby("user_id").aggregate(Count(alias_name="_c"))
+    ids = sorted(r["user_id"] for r in uniq.take_all())
+    return pa.table({"user_id": pa.array(ids, pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1269,6 +1357,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_users": _q_heavy_hitters,
         "rollup_source_lang": _q_rollup,
         "hll_distinct_users": _q_hll_distinct,
+        "lag_prev_value": _q_lag,
+        "zscore_by_type": _q_zscore,
+        "value_histogram": _q_histogram,
+        "customer_order_counts": _q_outer_join,
+        "union_distinct_users": _q_union_distinct,
     }
 
 
@@ -1823,4 +1916,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(source, lang)
         """,
         "hll_distinct_users": _HLL_PINNED_SQL,
+        "lag_prev_value": """
+            SELECT event_id,
+                   lag(value, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_value
+            FROM events ORDER BY event_id
+        """,
+        "zscore_by_type": """
+            SELECT event_id,
+                   round((value - avg(value) OVER (PARTITION BY event_type))
+                         / stddev_pop(value) OVER (PARTITION BY event_type),
+                         6) AS zscore
+            FROM events ORDER BY event_id
+        """,
+        "value_histogram": """
+            WITH b AS (SELECT unnest(generate_series(0, 19)) AS bin),
+            c AS (SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT),
+                                        0), 19) AS bin,
+                         count(*) AS n
+                  FROM events GROUP BY 1)
+            SELECT b.bin, b.bin * 50.0 AS lo_edge, COALESCE(c.n, 0) AS n
+            FROM b LEFT JOIN c USING (bin) ORDER BY b.bin
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, COALESCE(o.n, 0) AS n_orders
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                       GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey
+        """,
+        "union_distinct_users": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              UNION
+              SELECT user_id FROM events WHERE event_type = 'error'
+            ) ORDER BY user_id
+        """,
     }

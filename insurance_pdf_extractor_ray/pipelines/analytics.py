@@ -179,3 +179,62 @@ def most_used(ds: ray.data.Dataset, key: str) -> Optional[str]:
         ["n", key], descending=[True, False]
     ).limit(1).take_all()
     return rows[0][key] if rows else None
+
+
+def zscore_by(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "zscore",
+) -> ray.data.Dataset:
+    """Per-key standardization: z = (v - mean_key) / stddev_pop_key.
+
+    Two passes: a keyed moment aggregate (count/sum/sum-of-squares — ONE
+    shuffle whose output is key-cardinality-sized) broadcast back into a
+    streaming map.  Keys with zero variance emit null (SQL division by
+    zero-stddev semantics)."""
+    import math as _math
+
+    import numpy as _np
+    import ray as _ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(_np.float64)
+        t = pa.table({key: batch.column(key),
+                      "_n": pa.array(_np.ones(len(v), dtype=_np.int64)),
+                      "_s": pa.array(v, pa.float64()),
+                      "_s2": pa.array(v * v, pa.float64())})
+        return (t.group_by(key)
+                .aggregate([("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
+                .rename_columns([key, "_n", "_s", "_s2"]))
+
+    stats_rows = (
+        ds.select_columns([key, value_col])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("_n", alias_name="n"), Sum("_s", alias_name="s"),
+                   Sum("_s2", alias_name="s2"))
+        .take_all()
+    )
+    lookup = {}
+    for r in stats_rows:
+        mean = r["s"] / r["n"]
+        var = max(r["s2"] / r["n"] - mean * mean, 0.0)
+        lookup[r[key]] = (mean, _math.sqrt(var))
+    ref = _ray.put(lookup)
+
+    def standardize(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(_np.float64)
+        keys = batch.column(key).to_pylist()
+        mean = _np.fromiter((lk[k][0] for k in keys), dtype=_np.float64,
+                            count=len(keys))
+        std = _np.fromiter((lk[k][1] for k in keys), dtype=_np.float64,
+                           count=len(keys))
+        z = _np.where(std > 0, (v - mean) / _np.where(std > 0, std, 1.0),
+                      _np.nan)
+        return batch.append_column(
+            out_col, pa.array(z, pa.float64(),
+                              mask=_np.asarray(std == 0)))
+
+    return ds.map_batches(standardize, batch_format="pyarrow")

@@ -258,3 +258,36 @@ def rollup_counts(
     tbl = {k: pa.array(cols[k], pa.string()) for k in keys}
     tbl["n"] = pa.array(ns, pa.int64())
     return pa.table(tbl)
+
+
+def histogram_fixed(
+    ds: ray.data.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> pa.Table:
+    """Global fixed-width histogram over [lo, hi) — bin counts with values
+    outside the range clamped to the edge bins.  Zero shuffle: per-block
+    ``np.bincount`` partials (bins ints each) merge by addition on the
+    driver.  Returns (bin, lo_edge, n) for all ``bins`` rows (empty bins
+    included — fixed output schema and size)."""
+    width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        return pa.table({"counts": pa.array(
+            [np.bincount(b, minlength=bins).astype(np.int64)],
+            pa.list_(pa.int64()))})
+
+    total = np.zeros(bins, dtype=np.int64)
+    for r in ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow").take_all():
+        total += np.asarray(r["counts"], dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(np.arange(bins), pa.int64()),
+        "lo_edge": pa.array(lo + np.arange(bins) * width, pa.float64()),
+        "n": pa.array(total, pa.int64()),
+    })

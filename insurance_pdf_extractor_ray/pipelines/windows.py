@@ -267,3 +267,33 @@ def rolling_by_key(
                                  pa.array(s / cnt, pa.float64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def lag_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    offset: int = 1,
+    order_tiebreak: Optional[str] = None,
+    out_col: str = "lag_value",
+) -> ray.data.Dataset:
+    """Per-key LAG/LEAD — SQL ``LAG(value, offset) OVER (PARTITION BY key
+    ORDER BY ts[, tiebreak])`` (negative ``offset`` = LEAD).  One keyed
+    shuffle; the interior is a sort + vectorized shift.  Same per-key
+    memory contract as ``session_windows``."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = group.num_rows
+        idx = np.arange(n, dtype=np.int64) - offset
+        invalid = (idx < 0) | (idx >= n)
+        take_idx = pa.array(np.where(invalid, 0, idx), pa.int64(),
+                            mask=invalid)  # null index -> null output
+        shifted = group.column(value_col).take(take_idx)
+        return group.append_column(out_col, shifted)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -104,3 +104,19 @@ class TestRollup:
         assert got == want
         # grand total row present exactly once
         assert sum(1 for a, b, _ in got if a is None and b is None) == 1
+
+
+class TestHistogram:
+    def test_clamping_and_empty_bins(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import histogram_fixed
+
+        tbl = pa.table({"v": pa.array([-5.0, 0.0, 4.9, 5.0, 99.0, 200.0],
+                                      pa.float64())})
+        out = histogram_fixed(ray.data.from_arrow(tbl).repartition(3),
+                              "v", lo=0.0, hi=100.0, bins=20)
+        ns = out.column("n").to_pylist()
+        assert len(ns) == 20 and sum(ns) == 6
+        assert ns[0] == 3   # -5 clamps in, 0 and 4.9 belong
+        assert ns[1] == 1   # 5.0
+        assert ns[19] == 2  # 99 + 200 clamped
+        assert out.column("lo_edge").to_pylist()[1] == 5.0

@@ -160,3 +160,52 @@ class TestRollingByKey:
                              window=1).take_all()
         for r in out:
             assert r["roll_n"] == 1 and r["roll_avg"] == r["v"]
+
+
+class TestLagByKey:
+    def test_lag_and_lead_match_duckdb(self):
+        from insurance_pdf_extractor_ray.pipelines.windows import lag_by_key
+
+        rng = np.random.RandomState(8)
+        n = 3000
+        tbl = pa.table({
+            "id": pa.array(np.arange(n), pa.int64()),
+            "k": pa.array(rng.randint(0, 25, n), pa.int64()),
+            "ts": pa.array(rng.randint(0, 10**7, n), pa.int64()),
+            "v": pa.array(rng.uniform(0, 9, n).round(3), pa.float64()),
+        })
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for off, fn in [(1, "lag(v, 1)"), (2, "lag(v, 2)"), (-1, "lead(v, 1)")]:
+            out = lag_by_key(ray.data.from_arrow(tbl).repartition(5),
+                             "k", "ts", "v", offset=off,
+                             order_tiebreak="id").take_all()
+            got = {r["id"]: r["lag_value"] for r in out}
+            want = dict(con.execute(
+                f"SELECT id, {fn} OVER (PARTITION BY k ORDER BY ts, id) FROM t"
+            ).fetchall())
+            assert got == want, f"offset {off}"
+
+
+class TestZscore:
+    def test_zero_variance_is_null_and_values_match(self):
+        from insurance_pdf_extractor_ray.pipelines.analytics import zscore_by
+
+        tbl = pa.table({
+            "k": pa.array(["a"] * 4 + ["flat"] * 3, pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 6.0, 5.0, 5.0, 5.0], pa.float64()),
+        })
+        out = zscore_by(ray.data.from_arrow(tbl).repartition(2), "k", "v") \
+            .take_all()
+        flat = [r for r in out if r["k"] == "flat"]
+        assert all(r["zscore"] is None for r in flat)
+        a = sorted((r["v"], r["zscore"]) for r in out if r["k"] == "a")
+        import duckdb as dk
+        con = dk.connect()
+        con.register("t", tbl)
+        want = sorted(con.execute("""
+            SELECT v, (v - avg(v) OVER (PARTITION BY k))
+                      / stddev_pop(v) OVER (PARTITION BY k)
+            FROM t WHERE k = 'a'""").fetchall())
+        for (gv, gz), (wv, wz) in zip(a, want):
+            assert gv == wv and abs(gz - wz) < 1e-9
