@@ -1297,6 +1297,26 @@ def _q_union_distinct(sf_dir: str):
     return pa.table({"user_id": pa.array(ids, pa.int64())})
 
 
+def _q_mode_lang(sf_dir: str):
+    """Per-group MODE (most frequent value, tiebreak asc) — composition:
+    keyed pair counts (one shuffle) → grouped top-1 under the total integer
+    order (n desc, lang asc)."""
+    from ray.data.aggregate import Count
+
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    counts = _documents(sf_dir, ["source", "lang"]).groupby(
+        ["source", "lang"]).aggregate(Count(alias_name="n"))
+    out = grouped_top_k(counts, "source", order_by=["n", "lang"],
+                        descending=[True, False], k=1)
+    rows = sorted(out.take_all(), key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1362,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_histogram,
         "customer_order_counts": _q_outer_join,
         "union_distinct_users": _q_union_distinct,
+        "mode_lang_per_source": _q_mode_lang,
     }
 
 
@@ -1952,5 +1973,13 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT user_id FROM events WHERE event_type = 'error'
             ) ORDER BY user_id
+        """,
+        "mode_lang_per_source": """
+            SELECT source, lang, n FROM (
+              SELECT source, lang, count(*) AS n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY count(*) DESC, lang) AS rk
+              FROM documents GROUP BY source, lang
+            ) WHERE rk = 1 ORDER BY source
         """,
     }

@@ -197,6 +197,65 @@ def cmd_pack(args) -> None:
     ray.shutdown()
 
 
+def cmd_mix(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.mixing import mixture_interleave
+    from .sources.io import write_table
+
+    weights = {}
+    for spec in args.weights:
+        name, _, w = spec.partition("=")
+        weights[name] = float(w)
+    ds = ray.data.read_parquet(args.input)
+    n_in = ds.count()
+    out = mixture_interleave(ds, args.source_col, args.id_col, weights,
+                             seed=args.seed, n_shards=args.shards)
+    write_table(out, args.out, partition_cols=["shard"] if args.by_shard else None)
+    n_out = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out, "weights": weights,
+                      "n_shards": args.shards}))
+    ray.shutdown()
+
+
+def cmd_redact(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .functions.redact import PII_PATTERNS, denylist_pattern, redact_text
+    from .sources.io import write_table
+
+    patterns = list(PII_PATTERNS)
+    if args.deny:
+        patterns.append(("deny", denylist_pattern(args.deny), "[TERM]"))
+    ds = ray.data.read_parquet(args.input)
+    out = redact_text(ds, args.col, patterns=patterns)
+    write_table(out, args.out)
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{name}" for name, _, _ in patterns]
+    sums = ray.data.read_parquet(args.out, columns=cols).aggregate(
+        *[Sum(c, alias_name=c) for c in cols])
+    print(json.dumps({"redactions": {c: int(sums[c]) for c in cols}}))
+    ray.shutdown()
+
+
+def cmd_hh(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.sketches import heavy_hitters
+
+    ds = ray.data.read_parquet(args.input, columns=[args.col])
+    tbl = heavy_hitters(ds, args.col, threshold=args.threshold, k=args.k)
+    print(json.dumps({"values": [
+        {"value": v, "n": n}
+        for v, n in zip(tbl.column("value").to_pylist(),
+                        tbl.column("n").to_pylist())]}))
+    ray.shutdown()
+
+
 def cmd_manifest(args) -> None:
     from .state.checkpoint import committed_partitions
 
@@ -283,6 +342,34 @@ def main(argv=None) -> None:
     p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
     p.add_argument("--bucket", type=int, default=100_000)
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("mix", help="weighted mixture interleave with repetition")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--source-col", dest="source_col", default="source")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--weights", nargs="+", required=True,
+                   metavar="SOURCE=W", help="e.g. wiki=2.5 cc=0.3")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--by-shard", action="store_true",
+                   help="write output partitioned by shard")
+    p.set_defaults(fn=cmd_mix)
+
+    p = sub.add_parser("redact", help="PII / denylist text scrubbing")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--col", default="text")
+    p.add_argument("--deny", nargs="*", default=None,
+                   help="extra whole-word denylist terms")
+    p.set_defaults(fn=cmd_redact)
+
+    p = sub.add_parser("hh", help="exact heavy hitters of a column")
+    p.add_argument("--input", required=True)
+    p.add_argument("--col", required=True)
+    p.add_argument("--threshold", type=int, required=True)
+    p.add_argument("--k", type=int, default=4096)
+    p.set_defaults(fn=cmd_hh)
 
     p = sub.add_parser("manifest", help="show committed partitions of a run")
     p.add_argument("--out", required=True)

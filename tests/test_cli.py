@@ -113,3 +113,29 @@ def test_cli_sample_profile_pack(tmp_path):
     packed = pq.read_table(str(tmp_path / "p"))
     assert packed.num_rows >= n  # every doc appears at least once
     assert set(packed.column_names) == {"doc_id", "seq_id", "start_tok", "end_tok"}
+
+
+def test_cli_mix_redact_hh(tmp_path):
+    corpus = tmp_path / "c"
+    r = _cli("synth", "--num-docs", "200", "--out", str(corpus))
+    docs = r["documents"]
+
+    # the synthetic corpus has no `source`/plain-text cols; use the sf table
+    sf_docs = "/root/testdata/sf0.001/documents.parquet"
+    mix_out = tmp_path / "mix"
+    r = _cli("mix", "--input", sf_docs, "--out", str(mix_out),
+             "--weights", "src0=2.0", "src1=0.5", "--shards", "4")
+    assert r["rows_in"] == 500
+    # src0: 2 full epochs of 25; src1: ~12-13 of 25
+    assert 55 <= r["rows_out"] <= 70
+
+    red_out = tmp_path / "red"
+    r = _cli("redact", "--input", sf_docs, "--out", str(red_out),
+             "--deny", "table", "row")
+    assert r["redactions"]["n_email"] == 0
+    assert r["redactions"]["n_deny"] > 0
+
+    r = _cli("hh", "--input", "/root/testdata/sf0.001/events.parquet",
+             "--col", "event_type", "--threshold", "100")
+    vals = {v["value"] for v in r["values"]}
+    assert vals == {"click", "error", "purchase", "signup", "view"}
