@@ -100,8 +100,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     # adaptive shuffle avoidance (mode='auto'): detects split docs and
     # shuffles only those — reported alongside the general shuffle path
     t0 = time.time()
-    src = ray.data.read_parquet(corpus, override_num_blocks=4 * num_cpus)
-    extract_pipeline(src, mode="auto").count()
+    # pass the PATH so auto's detector re-reads only the doc_id column
+    # (id_only_source) instead of decoding the heavy spans column twice
+    extract_pipeline(corpus, mode="auto").count()
     queries["extract_auto"] = round(time.time() - t0, 3)
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
