@@ -1317,6 +1317,38 @@ def _q_mode_lang(sf_dir: str):
     })
 
 
+def _q_unpivot(sf_dir: str):
+    """Pivot → UNPIVOT round-trip: the daily event-type count matrix melted
+    back to long form (date, metric, n), zero cells preserved — unpivot is a
+    zero-shuffle vectorized melt (pipelines/behavior.py:unpivot)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import (
+        pivot_counts,
+        unpivot,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def add_date(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "date": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+            "event_type": batch.column("event_type"),
+        })
+
+    wide = pivot_counts(
+        _events(sf_dir, ["ts", "event_type"]).map_batches(
+            add_date, batch_format="pyarrow"),
+        "date", "event_type", types, prefix="n_")
+    out = unpivot(wide, ["date"], [f"n_{t}" for t in types],
+                  var_name="metric", value_name="n", var_labels=types)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["date"], r["metric"]))
+    return pa.table({
+        "date": pa.array([r["date"] for r in rows], pa.string()),
+        "metric": pa.array([r["metric"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1383,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_outer_join,
         "union_distinct_users": _q_union_distinct,
         "mode_lang_per_source": _q_mode_lang,
+        "unpivot_daily_counts": _q_unpivot,
     }
 
 
@@ -1981,5 +2014,18 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY count(*) DESC, lang) AS rk
               FROM documents GROUP BY source, lang
             ) WHERE rk = 1 ORDER BY source
+        """,
+        "unpivot_daily_counts": """
+            WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date
+                       FROM events),
+            t AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                                 'view']) AS metric),
+            c AS (SELECT strftime(ts, '%Y-%m-%d') AS date,
+                         event_type AS metric, count(*) AS n
+                  FROM events GROUP BY 1, 2)
+            SELECT d.date, t.metric, COALESCE(c.n, 0) AS n
+            FROM d CROSS JOIN t
+            LEFT JOIN c ON c.date = d.date AND c.metric = t.metric
+            ORDER BY d.date, t.metric
         """,
     }

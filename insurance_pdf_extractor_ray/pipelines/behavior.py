@@ -282,3 +282,41 @@ def cohort_retention(
         "n_users": pa.array([cells[k] for k in cells], pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    var_labels: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    """Melt wide → long (SQL UNPIVOT): each input row emits one row per
+    ``value_cols`` entry.  Pure vectorized ``map_batches`` replication —
+    zero shuffle, streams at any scale.  ``var_labels`` renames the emitted
+    variable values (defaults to the column names)."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+    labels = list(var_labels) if var_labels else value_cols
+    if len(labels) != len(value_cols):
+        raise ValueError("var_labels must match value_cols")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = len(value_cols)
+        rep = pa.array(np.repeat(np.arange(n), m))
+        out: dict = {c: batch.column(c).take(rep) for c in id_cols}
+        out[var_name] = pa.array(np.tile(np.asarray(labels, dtype=object), n),
+                                 pa.string())
+        vals = pa.concat_arrays([
+            batch.column(c).combine_chunks().cast(
+                batch.column(value_cols[0]).type)
+            for c in value_cols])
+        # vals is column-major (c0 rows, c1 rows, ...); reorder row-major
+        # (row0 c0, row0 c1, ...) with one vectorized take
+        order = np.arange(n * m).reshape(m, n).T.reshape(-1)
+        out[value_name] = vals.take(pa.array(order))
+        return pa.table(out)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

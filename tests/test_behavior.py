@@ -135,3 +135,34 @@ class TestCohort:
                        for r in got_b)) == \
                sorted(((r["cohort_day"], r["day_offset"], r["n_users"])
                        for r in got_s))
+
+
+class TestUnpivot:
+    def test_melt_matches_duckdb_unpivot(self):
+        from insurance_pdf_extractor_ray.pipelines.behavior import unpivot
+
+        tbl = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "a": pa.array([10, 20, 30], pa.int64()),
+            "b": pa.array([-1, -2, -3], pa.int64()),
+        })
+        out = unpivot(ray.data.from_arrow(tbl).repartition(2), ["id"],
+                      ["a", "b"]).take_all()
+        got = sorted((r["id"], r["variable"], r["value"]) for r in out)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = sorted(tuple(w) for w in con.execute(
+            "SELECT id, name, value FROM (UNPIVOT t ON a, b"
+            " INTO NAME name VALUE value)").fetchall())
+        assert got == want
+
+    def test_labels_and_nulls_survive(self):
+        from insurance_pdf_extractor_ray.pipelines.behavior import unpivot
+
+        tbl = pa.table({"id": pa.array([7], pa.int64()),
+                        "x": pa.array([None], pa.int64()),
+                        "y": pa.array([5], pa.int64())})
+        out = unpivot(ray.data.from_arrow(tbl), ["id"], ["x", "y"],
+                      var_labels=["ex", "why"]).take_all()
+        got = {(r["variable"]): r["value"] for r in out}
+        assert got == {"ex": None, "why": 5}
