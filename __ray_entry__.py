@@ -681,6 +681,32 @@ def _q_media_decode(sf_dir: str):
     return decode_media(gated)
 
 
+def _q_media_decode_check(sf_dir: str):
+    """Deterministic digest of the media_decode output (count / thumbnail
+    area / first-feature sum per kind × consistency cell) so the multimodal
+    plumbing is driver-checkable against a pinned oracle — decode is the
+    documented deterministic stand-in (real codecs aren't in this
+    container), but the Ray-side schema, gate and actor plumbing are real."""
+    out = _q_media_decode(sf_dir)
+    rows = out.take_all()
+    cells: dict = {}
+    for r in rows:
+        key = (r["kind"], bool(r["kind_consistent"]))
+        c = cells.setdefault(key, [0, 0, 0.0])
+        c[0] += 1
+        c[1] += int(r["thumb_w"]) * int(r["thumb_h"])
+        c[2] += float(r["features"][0])
+    keys = sorted(cells)
+    return pa.table({
+        "kind": pa.array([k[0] for k in keys], pa.string()),
+        "consistent": pa.array([k[1] for k in keys], pa.bool_()),
+        "n": pa.array([cells[k][0] for k in keys], pa.int64()),
+        "thumb_area": pa.array([cells[k][1] for k in keys], pa.int64()),
+        "f0_sum": pa.array([_round_away(cells[k][2], 6) for k in keys],
+                           pa.float64()),
+    })
+
+
 def _q_grouped_topk(sf_dir: str):
     """Per-group top-k (row_number() OVER (PARTITION BY ...) <= k): top-3
     events per type by value, event_id tiebreak — map-side partial top-k,
@@ -1416,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_users": _q_union_distinct,
         "mode_lang_per_source": _q_mode_lang,
         "unpivot_daily_counts": _q_unpivot,
+        "media_decode_check": _q_media_decode_check,
     }
 
 
@@ -2027,5 +2054,19 @@ def oracle_sql() -> dict[str, str]:
             FROM d CROSS JOIN t
             LEFT JOIN c ON c.date = d.date AND c.metric = t.metric
             ORDER BY d.date, t.metric
+        """,
+        # media_decode's digest pinned at sf0.01 (deterministic synthetic
+        # decode; proven identical across runs and block layouts) — makes
+        # the multimodal plumbing driver-checkable
+        "media_decode_check": """
+            SELECT kind, consistent, CAST(n AS BIGINT) AS n,
+                   CAST(thumb_area AS BIGINT) AS thumb_area, f0_sum
+            FROM (VALUES
+              ('audio', false, 5, 0, 2.830273),
+              ('audio', true, 27, 0, 10.902026),
+              ('image', false, 1, 256, 0.936732),
+              ('image', true, 23, 40315, 11.746857),
+              ('video', true, 26, 0, 12.795594)
+            ) AS t(kind, consistent, n, thumb_area, f0_sum)
         """,
     }
