@@ -64,6 +64,15 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     import pyarrow.parquet as pq
     import ray.data
 
+    # At bench scale (50k docs) the reassembly sort emits ~0.7 MB partition
+    # blocks; Ray's map-input bundling floor (target_min_block_size, 1 MB
+    # default) coalesces them into ~11 tasks and the fused merge+extract
+    # stage runs 11-wide on 32 CPUs.  Lowering the floor restores full-width
+    # execution (7.2 s -> 4.7 s measured).  At production block sizes
+    # (>= 128 MB partitions) the floor never binds — this is harness tuning
+    # for the small-corpus regime, not a library requirement.
+    ray.data.DataContext.get_current().target_min_block_size = 256 * 1024
+
     from insurance_pdf_extractor_ray.pipelines import analytics
     from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
     from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline

@@ -113,7 +113,12 @@ def _default_partitions() -> int:
 
     n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     # measured sweet spot: P ~ 2x CPUs; too many partitions inflates
-    # sort-shuffle overhead faster than it buys parallelism
+    # sort-shuffle overhead faster than it buys parallelism.
+    # NOTE small-corpus regime: if a partition lands under Ray's map-input
+    # bundling floor (DataContext.target_min_block_size, 1 MB default), the
+    # downstream merge+extract tasks get coalesced below cluster width —
+    # lower the floor in the HARNESS when benchmarking tiny inputs (see
+    # bench.py); at >= 128 MB partitions the floor never binds.
     return min(256, max(16, 2 * n_cpus))
 
 
