@@ -1375,6 +1375,92 @@ def _q_unpivot(sf_dir: str):
     })
 
 
+def _q_corr_by_flag(sf_dir: str):
+    """Grouped Pearson corr + sample covariance from mergeable moment sums —
+    one keyed shuffle of six-number rows (pipelines/statagg.py:corr_by_key)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.statagg import corr_by_key
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+    out = corr_by_key(li, "l_returnflag", "l_quantity", "l_discount")
+    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _round_col(_round_col(tbl, "corr", 9), "covar_samp", 9)
+    return tbl.select(["l_returnflag", "corr", "covar_samp"])
+
+
+def _q_median_by_type(sf_dir: str):
+    """EXACT median over a continuous domain — distributed sort + positional
+    pick, no bounded-distinct assumption (pipelines/statagg.py:median_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import median_by_key
+
+    out = median_by_key(_events(sf_dir, ["event_type", "value"]),
+                        "event_type", "value", out_col="med")
+    return _round_col(pa.Table.from_pylist(out.take_all()), "med", 9)
+
+
+def _q_string_agg_purchases(sf_dir: str):
+    """Ordered per-group concatenation — sort + per-block run partials +
+    block-ordered merge (pipelines/statagg.py:string_agg_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import string_agg_by_key
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"]).filter(
+        expr="event_type == 'purchase'")
+    out = string_agg_by_key(ev, "user_id", "event_id", ["ts", "event_id"],
+                            sep=",", out_col="agg")
+    return pa.Table.from_pylist(out.take_all())
+
+
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance<=1 pair join via deletion-neighborhood (FastSS) blocking
+    — linear shuffle volume instead of the O(n^2) cross join the oracle runs
+    (pipelines/fuzzy.py:fuzzy_pairs)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.fuzzy import fuzzy_pairs
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    return pa.Table.from_pylist(
+        fuzzy_pairs(cust, "c_custkey", "c_name").take_all())
+
+
+def _q_except_all_viewers(sf_dir: str):
+    """Bag difference (EXCEPT ALL) via signed multiplicities — one keyed
+    shuffle of per-block signed counts (pipelines/bagops.py:except_all)."""
+    from insurance_pdf_extractor_ray.pipelines.bagops import except_all
+
+    a = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr="event_type == 'view'").select_columns(["user_id"])
+    b = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr="event_type == 'click'").select_columns(["user_id"])
+    return pa.Table.from_pylist(except_all(a, b, ["user_id"]).take_all())
+
+
+def _q_salted_sum(sf_dir: str):
+    """Two-phase hot-key-salted SUM — identical result to plain GROUP BY,
+    which is exactly what the oracle runs (pipelines/bagops.py:salted_sum)."""
+    from insurance_pdf_extractor_ray.pipelines.bagops import salted_sum
+
+    out = salted_sum(_events(sf_dir, ["event_type", "value", "event_id"]),
+                     "event_type", "value", "event_id", salt=16, alias="total")
+    return _round_col(pa.Table.from_pylist(out.take_all()), "total", 6)
+
+
+def _q_fixed_k_sample(sf_dir: str):
+    """Deterministic fixed-k-per-stratum reservoir (Knuth-hash ranking,
+    partition-independent) — map-side partial top-k, shuffle carries <=
+    k x blocks rows per key (pipelines/sampling.py:stratified_fixed_k)."""
+    from insurance_pdf_extractor_ray.pipelines.sampling import stratified_fixed_k
+
+    out = stratified_fixed_k(_events(sf_dir, ["event_type", "event_id"]),
+                             "event_type", "event_id", 25, seed=7)
+    return pa.Table.from_pylist(
+        out.select_columns(["event_type", "event_id"]).take_all())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1443,6 +1529,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_lang_per_source": _q_mode_lang,
         "unpivot_daily_counts": _q_unpivot,
         "media_decode_check": _q_media_decode_check,
+        "corr_by_flag": _q_corr_by_flag,
+        "median_by_type": _q_median_by_type,
+        "string_agg_purchases": _q_string_agg_purchases,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "except_all_viewers": _q_except_all_viewers,
+        "salted_value_sum": _q_salted_sum,
+        "fixed_k_sample": _q_fixed_k_sample,
     }
 
 
@@ -2068,5 +2161,45 @@ def oracle_sql() -> dict[str, str]:
               ('image', true, 23, 40315, 11.746857),
               ('video', true, 26, 0, 12.795594)
             ) AS t(kind, consistent, n, thumb_area, f0_sum)
+        """,
+        "corr_by_flag": """
+            SELECT l_returnflag, ROUND(corr(l_quantity, l_discount), 9) AS corr,
+                   ROUND(covar_samp(l_quantity, l_discount), 9) AS covar_samp
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "median_by_type": """
+            SELECT event_type, ROUND(median(value), 9) AS med
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "string_agg_purchases": """
+            SELECT user_id,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY ts, event_id) AS agg
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY 1, 2
+        """,
+        "except_all_viewers": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "salted_value_sum": """
+            SELECT event_type, ROUND(SUM(value), 6) AS total
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "fixed_k_sample": """
+            SELECT event_type, event_id FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY
+                ((CAST(event_id AS HUGEINT) * 2654435761 + 7) % 4294967296),
+                event_id) <= 25
+            ORDER BY 1, 2
         """,
     }

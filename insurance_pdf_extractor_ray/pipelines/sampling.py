@@ -104,6 +104,45 @@ def assign_split(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def stratified_fixed_k(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """EXACTLY ``k`` rows per stratum (fewer if the stratum is smaller) —
+    the fixed-budget counterpart of ``stratified_hash_sample``'s fixed-rate.
+
+    Deterministic reservoir: rank rows within each key by the Knuth hash of
+    their id (ties broken by id) and keep rank <= k — equivalent SQL is
+    ``row_number() OVER (PARTITION BY key ORDER BY h(id), id) <= k``.
+    Scale shape is ``rankagg.grouped_top_k``'s: map-side partial top-k per
+    key inside each batch, so the one keyed shuffle carries at most
+    ``k × blocks`` rows per key — never the stratum's full population.
+    Partition-independent like the rest of the family: re-running on a
+    different block layout selects the same rows.
+    """
+    from .rankagg import grouped_top_k
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_h", pa.array(_hash32(ids, seed), pa.uint64()))
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow")
+    top = grouped_top_k(hashed, key_col, ["_h", id_col], [False, False], k)
+    return top.drop_columns(["_h"])
+
+
+def fixed_k_sql_rank(key_col: str, id_col: str, seed: int = 0) -> str:
+    """The DuckDB window ORDER that reproduces ``stratified_fixed_k``'s
+    ranking (pair with ``QUALIFY row_number() OVER (...) <= k``)."""
+    return (f"PARTITION BY {key_col} ORDER BY "
+            f"((CAST({id_col} AS HUGEINT) * 2654435761 + {seed}) % 4294967296),"
+            f" {id_col}")
+
+
 def sample_sql_predicate(id_col: str, rate: float, seed: int = 0) -> str:
     """The DuckDB-exact predicate for ``hash_sample`` — HUGEINT arithmetic,
     no wraparound, identical integer compare."""

@@ -1,0 +1,223 @@
+"""Statistical aggregates the reference's GROUP BY family stops short of —
+grouped correlation/covariance, EXACT median over unbounded continuous
+domains, and ordered per-group string concatenation.
+
+Why these shapes (and not `map_groups` over raw rows):
+
+* ``corr_by_key`` / ``covar_by_key`` — Pearson correlation and sample
+  covariance per key from *mergeable moment sums* (n, Σx, Σy, Σxy, Σx²,
+  Σy²).  The six sums combine map-side inside each Arrow batch, so the one
+  keyed shuffle carries ≤ ``keys × blocks`` six-number rows regardless of
+  input size — the classic algebraic-aggregate decomposition (same family
+  as AVG = SUM/COUNT, reference analytics SURVEY.md §2.6 only has those).
+* ``median_by_key`` — exact ``median()`` per key with NO bounded-distinct
+  assumption (``rankagg.quantiles_by`` requires a quantized value domain;
+  this does not).  One distributed sort by (key, value) + the
+  ``ordering.with_row_number`` metadata wave, then a *positional pick*:
+  per-key counts (metadata-scale) give each key's global median positions;
+  only those ≤ 2·keys rows are pulled through a final tiny aggregate.
+  Nothing per-group ever materializes — a hot key costs the same as a cold
+  one because the sort spreads its rows over many blocks.
+* ``string_agg_by_key`` — SQL ``string_agg(v, sep ORDER BY ...)``.  Sort by
+  (key, order), then each sorted block emits one partial string per key-run
+  (vectorized run detection), and a per-key merge joins the ≤ blocks-per-key
+  partials in block order.  The merge group is bounded by #blocks touching
+  the key, never by the key's row count.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Mean, Sum
+
+from .ordering import with_row_number
+
+# ---------------------------------------------------------------------------
+# grouped correlation / covariance
+# ---------------------------------------------------------------------------
+
+_MOMENTS = ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]
+
+
+def _moment_partial(key: str, x: str, y: str):
+    """Per-batch moment sums per key — the map-side combiner."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch.column(x)), pc.is_valid(batch.column(y)))
+        batch = batch.filter(mask)
+        xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({
+            key: batch.column(key),
+            "_n": np.ones(len(xv), dtype=np.float64),
+            "_sx": xv, "_sy": yv,
+            "_sxx": xv * xv, "_syy": yv * yv, "_sxy": xv * yv,
+        })
+        # pa group_by puts key columns FIRST in the result
+        agg = t.group_by([key]).aggregate([(c, "sum") for c in _MOMENTS])
+        return agg.rename_columns([key] + _MOMENTS)
+
+    return partial
+
+
+def _moments_by_key(ds: ray.data.Dataset, key: str, x: str, y: str) -> ray.data.Dataset:
+    partials = ds.select_columns([key, x, y]).map_batches(
+        _moment_partial(key, x, y), batch_format="pyarrow")
+    agg = partials.groupby(key).aggregate(
+        *[Sum(c, alias_name=c) for c in _MOMENTS])
+    return agg
+
+
+def corr_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    corr_col: str = "corr",
+    covar_col: Optional[str] = "covar_samp",
+) -> ray.data.Dataset:
+    """``SELECT key, corr(x, y), covar_samp(x, y) GROUP BY key`` — exact
+    (same closed forms DuckDB's kernels compute), one keyed shuffle of
+    six-number moment rows."""
+    agg = _moments_by_key(ds, key, x, y)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("_n").to_numpy(zero_copy_only=False)
+        sx = batch.column("_sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("_sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("_sxx").to_numpy(zero_copy_only=False)
+        syy = batch.column("_syy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("_sxy").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            num = n * sxy - sx * sy
+            den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            corr = np.where(den > 0, num / den, np.nan)
+            covar = np.where(n > 1, (sxy - sx * sy / n) / (n - 1), np.nan)
+        cols = {key: batch.column(key), corr_col: pa.array(corr, pa.float64())}
+        if covar_col:
+            cols[covar_col] = pa.array(covar, pa.float64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact median per key (continuous domain, sort-based)
+# ---------------------------------------------------------------------------
+
+def median_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    out_col: str = "median",
+) -> ray.data.Dataset:
+    """Exact ``median(value) GROUP BY key`` (``quantile_cont(0.5)``: even
+    groups average the two middle order statistics).
+
+    Scale shape: ONE distributed sort by (key, value); global positions from
+    ``with_row_number``'s metadata wave; per-key counts collected as
+    keys×blocks partial rows (metadata-scale — the same budget the row-number
+    wave already spends); the ≤ 2·keys median-position rows are filtered
+    map-side against a broadcast position array and reduced with a tiny
+    ``groupby.mean``.  No per-group materialization anywhere, so key skew is
+    irrelevant — a 10⁹-row hot key's median costs one extra block scan, not
+    one giant in-memory group.
+    """
+    import ray as _ray
+
+    slim = ds.select_columns([key, value])
+    numbered = with_row_number(
+        slim, [key, value], out_col="_rn0", one_based=False)
+
+    # per-key counts: one partial row per (key, block) — metadata-scale
+    def pcount(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "_c"])
+
+    parts = numbered.map_batches(pcount, batch_format="pyarrow").take_all()
+    counts: dict = {}
+    for r in parts:
+        counts[r[key]] = counts.get(r[key], 0) + r["_c"]
+
+    # key sort order here must match the distributed sort's (Arrow ascending)
+    offsets, off = {}, 0
+    for k in sorted(counts):
+        offsets[k] = off
+        off += counts[k]
+    targets = np.sort(np.array(
+        [offsets[k] + (counts[k] - 1) // 2 for k in counts]
+        + [offsets[k] + counts[k] // 2 for k in counts], dtype=np.int64))
+    ref = _ray.put(targets)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        tg = _ray.get(ref)
+        rn = batch.column("_rn0").to_numpy(zero_copy_only=False)
+        hit = batch.filter(pa.array(np.isin(rn, tg)))
+        return hit.select([key, value])
+
+    picked = numbered.map_batches(pick, batch_format="pyarrow")
+    med = picked.groupby(key).aggregate(Mean(value, alias_name=out_col))
+    return med
+
+
+# ---------------------------------------------------------------------------
+# ordered string_agg per key
+# ---------------------------------------------------------------------------
+
+def string_agg_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    order_by: Sequence[str],
+    sep: str = ",",
+    out_col: str = "agg",
+) -> ray.data.Dataset:
+    """``string_agg(value, sep ORDER BY order_by) GROUP BY key`` — pass a
+    tiebreak column in ``order_by`` to make the order total.
+
+    One sort by (key, *order_by); each sorted block folds its key-runs into
+    one partial string per key (vectorized run detection + a single
+    ``"".join`` per run); the final per-key merge sees only blocks-per-key
+    partials, ordered by their global position.
+    """
+    order_by = list(order_by)
+    cols = list(dict.fromkeys([key, value] + order_by))
+    numbered = with_row_number(
+        ds.select_columns(cols), [key] + order_by, out_col="_rn0",
+        one_based=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             "_part": pa.array([], pa.string()),
+                             "_ord": pa.array([], pa.int64())})
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        vals = pc.cast(batch.column(value), pa.string()).to_pylist()
+        rn = batch.column("_rn0").to_numpy(zero_copy_only=False)
+        change = np.empty(len(keys), dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        return pa.table({
+            key: pa.array(keys[starts]),
+            "_part": pa.array([sep.join(vals[s:e]) for s, e in zip(starts, ends)],
+                              pa.string()),
+            "_ord": pa.array(rn[starts], pa.int64()),
+        })
+
+    parts = numbered.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("_ord", kind="mergesort")
+        return pd.DataFrame({key: [group[key].iloc[0]],
+                             out_col: [sep.join(group["_part"])]})
+
+    return parts.groupby(key).map_groups(merge, batch_format="pandas")

@@ -1,0 +1,171 @@
+"""statagg / fuzzy / bagops / fixed-k sampling vs DuckDB on synthetic data."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.bagops import except_all, salted_sum
+from insurance_pdf_extractor_ray.pipelines.fuzzy import _lev_le1, fuzzy_pairs
+from insurance_pdf_extractor_ray.pipelines.sampling import stratified_fixed_k
+from insurance_pdf_extractor_ray.pipelines.statagg import (
+    corr_by_key,
+    median_by_key,
+    string_agg_by_key,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _tbl(n=4000, seed=11):
+    rng = np.random.RandomState(seed)
+    x = rng.normal(10.0, 3.0, n)
+    return pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(rng.choice(["a", "b", "c"], n), pa.string()),
+        "x": pa.array(x, pa.float64()),
+        # y correlated with x per construction
+        "y": pa.array(0.5 * x + rng.normal(0, 1.0, n), pa.float64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def tbl():
+    return _tbl()
+
+
+@pytest.fixture(scope="module")
+def con(tbl):
+    c = duckdb.connect()
+    c.register("t", tbl)
+    return c
+
+
+def _sorted_df(x) -> pd.DataFrame:
+    if isinstance(x, ray.data.Dataset):
+        x = x.to_pandas()
+    elif isinstance(x, pa.Table):
+        x = x.to_pandas()
+    return x[sorted(x.columns)].sort_values(
+        sorted(x.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_corr_by_key_matches_duckdb(tbl, con):
+    mine = corr_by_key(ray.data.from_arrow(tbl), "k", "x", "y")
+    want = con.execute("""
+        SELECT k, corr(x, y) AS corr, covar_samp(x, y) AS covar_samp
+        FROM t GROUP BY 1""").fetchdf()
+    pd.testing.assert_frame_equal(_sorted_df(mine), _sorted_df(want),
+                                  check_dtype=False, rtol=1e-9)
+
+
+def test_corr_degenerate_group():
+    # constant x in one group -> zero variance -> NaN corr, covar 0
+    t = pa.table({"k": ["g", "g", "g"], "x": [1.0, 1.0, 1.0],
+                  "y": [1.0, 2.0, 3.0]})
+    out = corr_by_key(ray.data.from_arrow(t), "k", "x", "y").to_pandas()
+    assert np.isnan(out["corr"].iloc[0])
+    assert out["covar_samp"].iloc[0] == pytest.approx(0.0)
+
+
+def test_median_by_key_continuous(tbl, con):
+    mine = median_by_key(ray.data.from_arrow(tbl), "k", "x", out_col="med")
+    want = con.execute(
+        "SELECT k, median(x) AS med FROM t GROUP BY 1").fetchdf()
+    pd.testing.assert_frame_equal(_sorted_df(mine), _sorted_df(want),
+                                  check_dtype=False, rtol=1e-12)
+
+
+def test_median_odd_even_groups():
+    # odd group -> middle element; even group -> average of the two middles
+    t = pa.table({"k": ["o"] * 3 + ["e"] * 4,
+                  "v": [3.0, 1.0, 2.0, 40.0, 10.0, 20.0, 30.0]})
+    out = median_by_key(ray.data.from_arrow(t), "k", "v").to_pandas()
+    got = dict(zip(out["k"], out["median"]))
+    assert got == {"o": 2.0, "e": 25.0}
+
+
+def test_string_agg_by_key_ordered(tbl, con):
+    ds = ray.data.from_arrow(tbl)
+    mine = string_agg_by_key(ds, "k", "id", ["id"], sep="|", out_col="s")
+    want = con.execute("""
+        SELECT k, string_agg(CAST(id AS VARCHAR), '|' ORDER BY id) AS s
+        FROM t GROUP BY 1""").fetchdf()
+    pd.testing.assert_frame_equal(_sorted_df(mine), _sorted_df(want),
+                                  check_dtype=False)
+
+
+def test_lev_le1_cases():
+    assert _lev_le1("abc", "abc")
+    assert _lev_le1("abc", "abd")      # substitution
+    assert _lev_le1("abc", "abcd")     # insertion at end
+    assert _lev_le1("abc", "xabc")     # insertion at front
+    assert _lev_le1("abc", "ac")       # deletion
+    assert not _lev_le1("abc", "adc_x")
+    assert not _lev_le1("abc", "axy")
+    assert not _lev_le1("abcd", "dcba")
+
+
+def test_fuzzy_pairs_ragged_strings():
+    # mixed lengths exercise the non-uniform fallback; expected pairs by hand
+    names = ["kitten", "sitten", "mitten", "kitte", "cat", "cart", "dog"]
+    t = pa.table({"id": pa.array(np.arange(len(names)), pa.int64()),
+                  "name": pa.array(names, pa.string())})
+    out = fuzzy_pairs(ray.data.from_arrow(t), "id", "name").to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    want = {(0, 1), (0, 2), (1, 2),   # *itten substitutions
+            (0, 3),                   # kitten/kitte deletion
+            (4, 5)}                   # cat/cart insertion
+    assert got == want
+
+
+def test_fuzzy_pairs_vs_duckdb_uniform(con):
+    # uniform-length ASCII names exercise the vectorized deletion path
+    names = [f"name{str(i).zfill(4)}" for i in range(300)]
+    t = pa.table({"id": pa.array(np.arange(300), pa.int64()),
+                  "name": pa.array(names, pa.string())})
+    c = duckdb.connect()
+    c.register("s", t)
+    want = c.execute("""
+        SELECT a.id AS id_a, b.id AS id_b FROM s a, s b
+        WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1""").fetchdf()
+    mine = fuzzy_pairs(ray.data.from_arrow(t), "id", "name")
+    pd.testing.assert_frame_equal(_sorted_df(mine), _sorted_df(want),
+                                  check_dtype=False)
+
+
+def test_except_all_multiplicity():
+    a = ray.data.from_arrow(pa.table({"v": [1, 1, 1, 2, 3]}))
+    b = ray.data.from_arrow(pa.table({"v": [1, 3, 3, 4]}))
+    out = sorted(r["v"] for r in except_all(a, b, ["v"]).take_all())
+    assert out == [1, 1, 2]  # 3x1 - 1x1 = 2; 2 unmatched; 3 cancelled; 4 ignored
+
+
+def test_salted_sum_equals_plain_groupby(tbl, con):
+    ds = ray.data.from_arrow(tbl)
+    mine = salted_sum(ds, "k", "x", "id", salt=8, alias="total").to_pandas()
+    want = con.execute(
+        "SELECT k, SUM(x) AS total FROM t GROUP BY 1").fetchdf()
+    pd.testing.assert_frame_equal(_sorted_df(mine), _sorted_df(want),
+                                  check_dtype=False, rtol=1e-9)
+
+
+def test_fixed_k_partition_independent(tbl):
+    ds1 = ray.data.from_arrow(tbl)
+    ds2 = ray.data.from_arrow(tbl).repartition(13)
+    s1 = _sorted_df(stratified_fixed_k(ds1, "k", "id", 10, seed=3)
+                    .select_columns(["k", "id"]))
+    s2 = _sorted_df(stratified_fixed_k(ds2, "k", "id", 10, seed=3)
+                    .select_columns(["k", "id"]))
+    pd.testing.assert_frame_equal(s1, s2)
+    assert s1.groupby("k").size().eq(10).all()
+
+
+def test_fixed_k_small_stratum():
+    t = pa.table({"k": ["a"] * 3 + ["b"] * 50,
+                  "id": pa.array(np.arange(53), pa.int64())})
+    out = stratified_fixed_k(ray.data.from_arrow(t), "k", "id", 10).to_pandas()
+    sizes = out.groupby("k").size()
+    assert sizes["a"] == 3 and sizes["b"] == 10
