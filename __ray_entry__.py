@@ -1461,6 +1461,40 @@ def _q_fixed_k_sample(sf_dir: str):
         out.select_columns(["event_type", "event_id"]).take_all())
 
 
+def _q_bucketed_join(sf_dir: str):
+    """SMB-style zero-shuffle join: both sides written hash-bucketed once,
+    then one Arrow hash-join task per co-located bucket pair — no exchange
+    (pipelines/bucketed.py:bucketed_join).  Arrow join coalesces the key
+    (USING semantics), so the oracle projects o_custkey once."""
+    import tempfile
+
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.bucketed import (
+        bucketed_join, write_bucketed)
+
+    root = tempfile.mkdtemp(prefix="ipe_bucketed_")
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    write_bucketed(orders, os.path.join(root, "orders"), "o_custkey", 16)
+    write_bucketed(cust, os.path.join(root, "cust"), "c_custkey", 16)
+    out = bucketed_join(os.path.join(root, "orders"), os.path.join(root, "cust"))
+    return pa.Table.from_pylist(
+        out.take_all()).select(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
+def _q_quantiles_exact(sf_dir: str):
+    """Exact continuous-domain quantile_cont per key — distributed sort +
+    positional pick (pipelines/statagg.py:quantiles_exact_by)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import quantiles_exact_by
+
+    out = quantiles_exact_by(_events(sf_dir, ["event_type", "value"]),
+                             "event_type", "value", [0.25, 0.5, 0.75])
+    return _round_col(out, "quantile", 9)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1536,6 +1570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_viewers": _q_except_all_viewers,
         "salted_value_sum": _q_salted_sum,
         "fixed_k_sample": _q_fixed_k_sample,
+        "bucketed_join_orders": _q_bucketed_join,
+        "quantiles_exact_by_type": _q_quantiles_exact,
     }
 
 
@@ -2201,5 +2237,23 @@ def oracle_sql() -> dict[str, str]:
                 ((CAST(event_id AS HUGEINT) * 2654435761 + 7) % 4294967296),
                 event_id) <= 25
             ORDER BY 1, 2
+        """,
+        "bucketed_join_orders": """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY 1
+        """,
+        "quantiles_exact_by_type": """
+            SELECT event_type, q, ROUND(quantile, 9) AS quantile FROM (
+              SELECT event_type, 0.25 AS q,
+                     quantile_cont(value, 0.25) AS quantile
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT event_type, 0.5, quantile_cont(value, 0.5)
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT event_type, 0.75, quantile_cont(value, 0.75)
+              FROM events GROUP BY 1
+            ) ORDER BY 1, 2
         """,
     }

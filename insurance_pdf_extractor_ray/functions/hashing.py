@@ -13,6 +13,7 @@ from typing import List, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _MAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -53,6 +54,54 @@ def stable_hash64_column(col, seed: int = 42) -> np.ndarray:
         )
     except ImportError:  # pragma: no cover - polars is in the image
         return stable_hash64_array(col.to_pylist())
+
+
+_POLY_P = np.uint64(1099511628211)  # FNV-1a 64-bit prime (odd — invertible mod 2^64)
+
+
+def durable_hash64_column(col) -> np.ndarray:
+    """Vectorized DURABLE 64-bit hash of an Arrow string/binary column —
+    safe to persist (bucketed layouts, at-rest dedup indexes), unlike the
+    polars-backed :func:`stable_hash64_column`.
+
+    Polynomial hash over UTF-8 bytes in wrapping uint64 numpy:
+    ``H(s) = Σ (b_i + 1) · p^(L-1-i)``, finalized with a splitmix-style mix.
+    Everything is flat-buffer arithmetic straight off the Arrow offsets —
+    no per-row Python, no string materialization.  Nulls hash like ``""``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(col, pa.string())
+    col = pc.fill_null(col, "" if pa.types.is_string(col.type) else b"")
+    arr = col.cast(pa.large_binary())
+    off_buf = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    offsets = off_buf[arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0]: offsets[-1]].astype(np.uint64)
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    ends = (offsets[1:] - offsets[0]).astype(np.int64)
+    lens = ends - starts
+    if len(data):
+        maxlen = int(lens.max())
+        powers = np.empty(maxlen + 1, dtype=np.uint64)
+        powers[0] = 1
+        if maxlen:
+            np.cumprod(np.full(maxlen, _POLY_P, dtype=np.uint64),
+                       out=powers[1:])
+        within = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - within
+        contrib = (data + np.uint64(1)) * powers[exp]
+        csum = np.concatenate([np.zeros(1, np.uint64),
+                               np.cumsum(contrib, dtype=np.uint64)])
+        h = csum[ends] - csum[starts]
+    else:
+        h = np.zeros(len(arr), dtype=np.uint64)
+    # splitmix-style finalizer (mix in the length so "a" != "a\0"-style runs)
+    h = h ^ lens.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
 
 
 _SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier

@@ -1,0 +1,131 @@
+"""Hash-bucketed storage layout + zero-shuffle co-located joins (SMB-style).
+
+`Dataset.join` is an all-to-all exchange — at 100 TB, joining two corpora
+that are joined REPEATEDLY (documents × scores, spans × metadata, crawl ×
+dedup verdicts) should not re-shuffle both sides every run.  The public
+sort-merge-bucket idea: pay one hash-partitioned write per side, then every
+subsequent join is *embarrassingly parallel* — one task per bucket reads the
+two matching bucket directories and joins them locally with the Arrow
+(Acero) hash-join kernel.  No driver-side data, no exchange, resumable per
+bucket.
+
+Invariants the layout guarantees (and ``bucketed_join`` relies on):
+  * the SAME deterministic key hash on both sides (int keys: the Knuth
+    multiplicative hash; strings: the engine's stable 64-bit hash) — equal
+    keys land in equal bucket ids;
+  * ``n_buckets`` recorded in the layout (a join across mismatched bucket
+    counts refuses rather than silently dropping rows);
+  * Parquet partition dirs (``_bucket=i/``) so a failed write resumes per
+    bucket and readers prune to single buckets for point lookups.
+
+Bucket tasks stream through the normal Dataset path (`from_items` over
+bucket ids → ``map_batches``), so concurrency, backpressure and spill are
+Ray Data's problem, not ours.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.hashing import durable_hash64_column
+
+_KNUTH64 = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / phi — public splitmix piece
+
+
+def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Deterministic DURABLE bucket id per value — identical for both join
+    sides and across jobs/environments (layouts persist)."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * _KNUTH64) >> np.uint64(33)
+    else:
+        h = durable_hash64_column(col)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def write_bucketed(
+    ds: ray.data.Dataset,
+    path: str,
+    key: str,
+    n_buckets: int,
+) -> str:
+    """Write ``ds`` hash-partitioned on ``key`` into ``path/_bucket=i/``
+    Parquet dirs + a tiny layout manifest.  One pass, no shuffle — each task
+    appends its rows to the partition dirs it touches."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch.column(key), n_buckets),
+                                pa.int64()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["_bucket"])
+    with open(os.path.join(path, "_layout.json"), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets}, f)
+    return path
+
+
+def _read_bucket(path: str, bucket: int, columns: Optional[List[str]]) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(path, f"_bucket={bucket}", "*.parquet")))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+
+
+def layout_of(path: str) -> dict:
+    with open(os.path.join(path, "_layout.json")) as f:
+        return json.load(f)
+
+
+def bucketed_join(
+    path_a: str,
+    path_b: str,
+    join_type: str = "inner",
+    columns_a: Optional[List[str]] = None,
+    columns_b: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Join two bucketed layouts on their layout keys with ZERO shuffle —
+    one Arrow hash-join task per co-located bucket pair.
+
+    Refuses mismatched bucket counts (a silent mismatch would drop rows).
+    ``columns_*`` prune the per-bucket reads just like a pruned scan.
+    """
+    la, lb = layout_of(path_a), layout_of(path_b)
+    if la["n_buckets"] != lb["n_buckets"]:
+        raise ValueError(
+            f"bucket count mismatch: {la['n_buckets']} vs {lb['n_buckets']}"
+            " — rewrite one side with write_bucketed at the other's count")
+    key_a, key_b = la["key"], lb["key"]
+    n = la["n_buckets"]
+
+    def join_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for bucket in batch.column("bucket").to_pylist():
+            ta = _read_bucket(path_a, bucket, columns_a)
+            tb = _read_bucket(path_b, bucket, columns_b)
+            if ta is None or (tb is None and join_type == "inner"):
+                continue
+            if tb is None:
+                tb = pa.table({key_b: pa.array([], ta.column(key_a).type)})
+            # disambiguate non-key right columns colliding with left names
+            # (SQL's "t2.x AS x_r"): Arrow join refuses duplicate fields
+            clash = (set(ta.column_names) & set(tb.column_names)) - {key_b}
+            if clash:
+                tb = tb.rename_columns([
+                    c + "_r" if c in clash else c for c in tb.column_names])
+            out.append(ta.join(tb, keys=[key_a], right_keys=[key_b],
+                               join_type=join_type))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="default")
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    return buckets.map_batches(join_one, batch_size=1, batch_format="pyarrow")

@@ -167,6 +167,73 @@ def median_by_key(
     return med
 
 
+def quantiles_exact_by(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    qs: Sequence[float],
+) -> "pa.Table":
+    """Exact ``quantile_cont(value, q) GROUP BY key`` for CONTINUOUS domains
+    — the generalization of ``median_by_key`` (and of
+    ``rankagg.quantiles_by``, which requires a bounded distinct-value set).
+
+    Same scale shape as the median: one distributed sort, metadata-weight
+    position arithmetic, and a broadcast-filter that pulls only the
+    <= 2·keys·|qs| order statistics any interpolation touches.  Returns the
+    result as an Arrow table (keys × qs rows — result-scale by definition).
+    """
+    import ray as _ray
+
+    qs = list(qs)
+    numbered = with_row_number(
+        ds.select_columns([key, value]), [key, value], out_col="_rn0",
+        one_based=False)
+
+    def pcount(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "_c"])
+
+    parts = numbered.map_batches(pcount, batch_format="pyarrow").take_all()
+    counts: dict = {}
+    for r in parts:
+        counts[r[key]] = counts.get(r[key], 0) + r["_c"]
+
+    offsets, off = {}, 0
+    for k in sorted(counts):
+        offsets[k] = off
+        off += counts[k]
+    # every global position any (key, q) interpolation reads
+    want = set()
+    for k, n in counts.items():
+        for q in qs:
+            h = (n - 1) * q
+            want.add(offsets[k] + math.floor(h))
+            want.add(offsets[k] + math.ceil(h))
+    targets = np.sort(np.fromiter(want, dtype=np.int64, count=len(want)))
+    ref = _ray.put(targets)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        tg = _ray.get(ref)
+        rn = batch.column("_rn0").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(rn, tg)))
+
+    hits = numbered.map_batches(pick, batch_format="pyarrow").take_all()
+    pos_to_val = {r["_rn0"]: r[value] for r in hits}
+    out_k, out_q, out_v = [], [], []
+    for k in sorted(counts):
+        n = counts[k]
+        for q in qs:
+            h = (n - 1) * q
+            lo, hi = math.floor(h), math.ceil(h)
+            v_lo = float(pos_to_val[offsets[k] + lo])
+            v_hi = float(pos_to_val[offsets[k] + hi])
+            out_k.append(k)
+            out_q.append(q)
+            out_v.append(v_lo + (h - lo) * (v_hi - v_lo))
+    return pa.table({key: pa.array(out_k), "q": pa.array(out_q, pa.float64()),
+                     "quantile": pa.array(out_v, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # ordered string_agg per key
 # ---------------------------------------------------------------------------
