@@ -1495,6 +1495,42 @@ def _q_quantiles_exact(sf_dir: str):
     return _round_col(out, "quantile", 9)
 
 
+def _q_skew_join(sf_dir: str):
+    """Hybrid skew-aware join — MG hot-key detection, broadcast path for hot
+    keys, hash shuffle for the tail, union (pipelines/joins.py:skew_join).
+    hot_threshold=70 puts a real fraction of user_ids on EACH path at
+    sf0.01, so both branches are oracle-exercised."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.joins import skew_join
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    out = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                    how="inner", hot_threshold=70, mg_k=4096)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "c_mktsegment": pa.array([r["c_mktsegment"] for r in rows],
+                                 pa.string()),
+    })
+
+
+def _q_percent_rank(sf_dir: str):
+    """Per-key percent_rank over a total order — sort + metadata wave +
+    broadcast offset probe (pipelines/statagg.py:percent_rank_by)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import percent_rank_by
+
+    out = percent_rank_by(_events(sf_dir, ["event_type", "value", "event_id"]),
+                          "event_type", "value", "event_id", out_col="pr")
+    tbl = pa.Table.from_pylist(
+        out.select_columns(["event_id", "pr"]).take_all())
+    return _round_col(tbl, "pr", 9)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -1572,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fixed_k_sample": _q_fixed_k_sample,
         "bucketed_join_orders": _q_bucketed_join,
         "quantiles_exact_by_type": _q_quantiles_exact,
+        "skew_join_events": _q_skew_join,
+        "percent_rank_values": _q_percent_rank,
     }
 
 
@@ -2255,5 +2293,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, 0.75, quantile_cont(value, 0.75)
               FROM events GROUP BY 1
             ) ORDER BY 1, 2
+        """,
+        "skew_join_events": """
+            SELECT event_id, user_id, c_mktsegment
+            FROM events JOIN customer ON user_id = c_custkey
+            ORDER BY event_id
+        """,
+        "percent_rank_values": """
+            SELECT event_id,
+                   ROUND(percent_rank() OVER (
+                     PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
+            FROM events ORDER BY event_id
         """,
     }

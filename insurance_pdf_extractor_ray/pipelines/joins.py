@@ -519,3 +519,95 @@ def range_join(
 
     keys = [by, "_bucket"] if by else ["_bucket"]
     return both.groupby(keys).map_groups(match, batch_format="pyarrow")
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    hot_threshold: int = 100_000,
+    mg_k: int = 4096,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Hybrid skew-aware join: hot left keys take the broadcast path, the
+    long tail takes the hash shuffle — the standard cure for the one-reducer
+    hot spot a plain shuffle join hits on power-law keys (user ids, domains).
+
+      1. detect hot keys with the exact Misra-Gries heavy-hitter pass over
+         the LEFT key column (bounded summaries, no full-cardinality state);
+      2. the right rows matching hot keys (≤ heavy-hitter count × right
+         multiplicity — small because hot keys are FEW by definition) are
+         broadcast-joined against the hot left rows: those rows never enter
+         a shuffle, so the hottest key adds map-side work only;
+      3. everything else goes through ``Dataset.join`` as usual;
+      4. union — both paths emit left columns + right value columns.
+
+    ``how``: 'inner' or 'left'.  ``hot_threshold`` is the per-key row count
+    above which a key is handled on the broadcast path; it must stay above
+    the MG guarantee line n/(mg_k+1) (the detector raises otherwise).
+    Assumes the right side is key-unique (dimension semantics), like
+    ``broadcast_join``.
+    """
+    from .sketches import heavy_hitters
+
+    right_on = right_on or on
+    hot_tbl, left_total = heavy_hitters(
+        left.select_columns([on]), on, threshold=hot_threshold, k=mg_k,
+        with_total=True)
+    hot_keys = hot_tbl.column("value").combine_chunks() if hot_tbl.num_rows \
+        else pa.array([], left.schema().base_schema.field(on).type)
+    right_cols = [f.name for f in right.schema().base_schema
+                  if f.name != right_on]
+    hot_rows = int(pc.sum(hot_tbl.column("n")).as_py() or 0)
+    all_hot = hot_rows >= left_total  # exact counts: cold side is empty
+    no_hot = hot_tbl.num_rows == 0
+
+    def split(want_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.is_in(batch.column(on), value_set=hot_keys),
+                             False)
+            return batch.filter(m if want_hot else pc.invert(m))
+        return f
+
+    def hot_path():
+        hot_right = right.map_batches(
+            lambda b: b.filter(pc.fill_null(
+                pc.is_in(b.column(right_on), value_set=hot_keys), False)),
+            batch_format="pyarrow")
+        return broadcast_join(
+            left.map_batches(split(True), batch_format="pyarrow"),
+            hot_right, on=on, right_on=right_on, add_cols=right_cols, how=how)
+
+    def cold_path(cold_left):
+        jt = "inner" if how == "inner" else "left_outer"
+        cold_j = cold_left.join(
+            right, join_type=jt,
+            num_partitions=num_partitions or _skew_partitions(),
+            on=(on,), right_on=(right_on,))
+
+        def align(batch: pa.Table) -> pa.Table:
+            # Dataset.join keeps the right key column; drop it so both paths
+            # share one schema (left cols + right value cols)
+            if right_on != on and right_on in batch.column_names:
+                batch = batch.drop_columns([right_on])
+            return batch
+
+        return cold_j.map_batches(align, batch_format="pyarrow")
+
+    # degenerate ends (exact, from the heavy-hitter counts): a fully-empty
+    # join side would reach the shuffle aggregator schema-less and fail —
+    # and the single-path plan is cheaper anyway
+    if all_hot:
+        return hot_path()
+    if no_hot:
+        return cold_path(left)
+    return hot_path().union(
+        cold_path(left.map_batches(split(False), batch_format="pyarrow")))
+
+
+def _skew_partitions() -> int:
+    from .dedup import _join_partitions
+
+    return _join_partitions()

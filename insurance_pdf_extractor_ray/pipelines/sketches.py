@@ -154,7 +154,8 @@ def heavy_hitters(
     col: str,
     threshold: int,
     k: int = 4096,
-) -> pa.Table:
+    with_total: bool = False,
+):
     """EXACT values with global count ≥ ``threshold`` — (value, n), no
     full-cardinality shuffle and no row-scaled driver state at any point.
 
@@ -221,8 +222,12 @@ def heavy_hitters(
         exact[r["value"]] = exact.get(r["value"], 0) + r["n"]
     keep = sorted(((v, c) for v, c in exact.items() if c >= threshold),
                   key=lambda t: (-t[1], t[0]))
-    return pa.table({"value": pa.array([v for v, _ in keep]),
-                     "n": pa.array([c for _, c in keep], pa.int64())})
+    tbl = pa.table({"value": pa.array([v for v, _ in keep]),
+                    "n": pa.array([c for _, c in keep], pa.int64())})
+    # with_total: also report the scanned row count (already tallied for the
+    # MG guarantee check) — lets callers like skew_join detect "every row is
+    # hot" without a second pass
+    return (tbl, total_rows) if with_total else tbl
 
 
 def rollup_counts(

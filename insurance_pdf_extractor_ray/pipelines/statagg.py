@@ -234,6 +234,56 @@ def quantiles_exact_by(
                      "quantile": pa.array(out_v, pa.float64())})
 
 
+def percent_rank_by(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    tiebreak: str,
+    out_col: str = "percent_rank",
+) -> ray.data.Dataset:
+    """``percent_rank() OVER (PARTITION BY key ORDER BY value, tiebreak)`` —
+    the quality-curriculum primitive ("keep the top 30 % per language").
+
+    The ``tiebreak`` column makes the order total, so rank == row_number and
+    the result is deterministic.  Same machinery as ``median_by_key``: one
+    sort + the row-number metadata wave; per-key (offset, count) pairs are
+    metadata-scale and broadcast once; the rank map is a vectorized
+    dictionary probe per batch.  Rows never group, so key skew is free.
+    """
+    import ray as _ray
+
+    numbered = with_row_number(
+        ds.select_columns(list(dict.fromkeys([key, value, tiebreak]))),
+        [key, value, tiebreak], out_col="_rn0", one_based=False)
+
+    def pcount(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "_c"])
+
+    parts = numbered.map_batches(pcount, batch_format="pyarrow").take_all()
+    counts: dict = {}
+    for r in parts:
+        counts[r[key]] = counts.get(r[key], 0) + r["_c"]
+    offsets, off = {}, 0
+    for k in sorted(counts):
+        offsets[k] = off
+        off += counts[k]
+    ref = _ray.put((offsets, counts))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        offs, cnts = _ray.get(ref)
+        keys = pd.Series(batch.column(key).to_pylist())
+        o = keys.map(offs).to_numpy(dtype=np.int64)
+        n = keys.map(cnts).to_numpy(dtype=np.int64)
+        rn = batch.column("_rn0").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            pr = np.where(n > 1, (rn - o) / np.maximum(n - 1, 1), 0.0)
+        return (batch.drop_columns(["_rn0"])
+                .append_column(out_col, pa.array(pr, pa.float64())))
+
+    return numbered.map_batches(rank, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # ordered string_agg per key
 # ---------------------------------------------------------------------------
