@@ -289,6 +289,58 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                 "text", "doc_id", ["shuffle", "spark", "window"], k=15)
     queries["retrieval"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.statagg import (
+        corr_by_key,
+        median_by_key,
+        percent_rank_by,
+    )
+
+    t0 = time.time()
+    corr_by_key(ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"]),
+        "l_returnflag", "l_quantity", "l_discount").take_all()
+    median_by_key(ray.data.read_parquet(events, columns=["event_type", "value"]),
+                  "event_type", "value").take_all()
+    percent_rank_by(ray.data.read_parquet(
+        events, columns=["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id").count()
+    queries["statagg"] = round(time.time() - t0, 3)
+
+    from insurance_pdf_extractor_ray.pipelines.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from insurance_pdf_extractor_ray.pipelines.fuzzy import fuzzy_pairs
+
+    t0 = time.time()
+    fuzzy_pairs(
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_name"]),
+        "c_custkey", "c_name").count()
+    queries["fuzzy_pairs"] = round(time.time() - t0, 3)
+
+    import shutil
+    import tempfile
+
+    broot = tempfile.mkdtemp(prefix="ipe_bench_bucketed_")
+    try:
+        t0 = time.time()
+        write_bucketed(
+            ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                  columns=["o_orderkey", "o_custkey"]),
+            os.path.join(broot, "o"), "o_custkey", 32)
+        write_bucketed(
+            ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                  columns=["c_custkey", "c_mktsegment"]),
+            os.path.join(broot, "c"), "c_custkey", 32)
+        queries["bucketed_write"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bucketed_join(os.path.join(broot, "o"), os.path.join(broot, "c")).count()
+        queries["bucketed_join"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(broot, ignore_errors=True)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(emb_path, columns=["embedding"]).column("embedding")
     q = np.asarray(head[:8].to_pylist(), dtype=np.float64)
