@@ -1439,6 +1439,29 @@ def _q_except_all_viewers(sf_dir: str):
     return pa.Table.from_pylist(except_all(a, b, ["user_id"]).take_all())
 
 
+def _q_intersect_all_engaged(sf_dir: str):
+    """Bag intersection (INTERSECT ALL) via two-column per-block counts —
+    one keyed shuffle, min(sum_a, sum_b) re-expansion
+    (pipelines/bagops.py:intersect_all)."""
+    from insurance_pdf_extractor_ray.pipelines.bagops import intersect_all
+
+    a = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr="event_type == 'view'").select_columns(["user_id"])
+    b = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr="event_type == 'click'").select_columns(["user_id"])
+    return pa.Table.from_pylist(intersect_all(a, b, ["user_id"]).take_all())
+
+
+def _q_cube_source_lang(sf_dir: str):
+    """GROUP BY CUBE(source, lang) counts — one finest-level keyed shuffle;
+    all 4 grouping sets re-aggregate the bounded finest table
+    (pipelines/sketches.py:cube_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.sketches import cube_counts
+
+    return cube_counts(_documents(sf_dir, ["source", "lang"]),
+                       ["source", "lang"])
+
+
 def _q_salted_sum(sf_dir: str):
     """Two-phase hot-key-salted SUM — identical result to plain GROUP BY,
     which is exactly what the oracle runs (pipelines/bagops.py:salted_sum)."""
@@ -1604,6 +1627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_purchases": _q_string_agg_purchases,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "except_all_viewers": _q_except_all_viewers,
+        "intersect_all_engaged": _q_intersect_all_engaged,
+        "cube_source_lang": _q_cube_source_lang,
         "salted_value_sum": _q_salted_sum,
         "fixed_k_sample": _q_fixed_k_sample,
         "bucketed_join_orders": _q_bucketed_join,
@@ -2263,6 +2288,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'view'
             EXCEPT ALL
             SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "intersect_all_engaged": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "cube_source_lang": """
+            SELECT source, lang, COUNT(*) AS n FROM documents
+            GROUP BY CUBE(source, lang)
         """,
         "salted_value_sum": """
             SELECT event_type, ROUND(SUM(value), 6) AS total

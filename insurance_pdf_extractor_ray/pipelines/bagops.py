@@ -79,3 +79,51 @@ def salted_sum(
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
     p1 = salted.groupby([key, "_salt"]).aggregate(Sum(value, alias_name="_p"))
     return p1.groupby(key).aggregate(Sum("_p", alias_name=alias))
+
+
+def intersect_all(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    cols: Sequence[str],
+) -> ray.data.Dataset:
+    """Bag intersection A ∩ B over ``cols`` (SQL ``INTERSECT ALL``): each
+    distinct row value appears min(count_A, count_B) times.
+
+    Same map-side pre-combine shape as :func:`except_all`, but min() is not
+    expressible as one signed sum — each side's per-batch distinct counts
+    go into its OWN column (``_a`` or ``_b``, zero-filled on the other
+    side), ONE keyed shuffle sums both columns, and the emit step repeats
+    each key min(Σa, Σb) times via a vectorized ``np.repeat``.  The shuffle
+    again carries one row per distinct key per block, never the raw bags.
+    (Reference analog: set-membership reconciliation between run manifests,
+    reference ``scripts/analyze_results.py`` / SURVEY §2.8.)
+    """
+    cols = list(cols)
+
+    def tagged(side: str):
+        other = "_b" if side == "_a" else "_a"
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+            g = g.rename_columns(cols + [side])
+            g = g.set_column(g.schema.get_field_index(side), side,
+                             g.column(side).cast(pa.int64()))
+            zero = pa.array(np.zeros(g.num_rows, dtype=np.int64), pa.int64())
+            return g.append_column(other, zero).select(cols + ["_a", "_b"])
+
+        return partial
+
+    counted = ds_a.select_columns(cols).map_batches(
+        tagged("_a"), batch_format="pyarrow").union(
+        ds_b.select_columns(cols).map_batches(tagged("_b"), batch_format="pyarrow"))
+    summed = counted.groupby(cols).aggregate(
+        Sum("_a", alias_name="_a"), Sum("_b", alias_name="_b"))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        a = batch.column("_a").to_numpy(zero_copy_only=False)
+        b = batch.column("_b").to_numpy(zero_copy_only=False)
+        reps = np.minimum(a, b).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        return batch.select(cols).take(pa.array(idx, pa.int64()))
+
+    return summed.map_batches(emit, batch_format="pyarrow")

@@ -265,6 +265,48 @@ def rollup_counts(
     return pa.table(tbl)
 
 
+def cube_counts(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    null_marker: Optional[str] = None,
+) -> pa.Table:
+    """``GROUP BY CUBE(keys...)`` counts — every subset of ``keys`` as a
+    grouping set.  Same shape as :func:`rollup_counts`: the finest-level
+    groupby is the ONE keyed shuffle over the data; all 2^k coarser grouping
+    sets re-aggregate the finest (bounded: |distinct key combos| rows)
+    table driver-side, so adding grouping sets costs no extra passes.
+    Rolled-up key columns carry ``null_marker`` (None => SQL NULL)."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count
+
+    keys = list(keys)
+    finest = ds.groupby(keys).aggregate(Count(alias_name="n")).take_all()
+
+    out_rows: List[Tuple] = []
+    for level in range(len(keys), -1, -1):
+        for subset in combinations(range(len(keys)), level):
+            agg: Dict[Tuple, int] = {}
+            for r in finest:
+                kt = tuple(r[keys[i]] for i in subset)
+                agg[kt] = agg.get(kt, 0) + r["n"]
+            for kt, n in agg.items():
+                full: List = [null_marker] * len(keys)
+                for pos, i in enumerate(subset):
+                    full[i] = kt[pos]
+                out_rows.append((*full, n))
+    out_rows.sort(key=lambda t: tuple((x is None, x) for x in t[:-1]))
+    cols: Dict[str, list] = {k: [] for k in keys}
+    ns = []
+    for row in out_rows:
+        for i, k in enumerate(keys):
+            cols[k].append(row[i])
+        ns.append(row[-1])
+    tbl = {k: pa.array(cols[k], pa.string()) for k in keys}
+    tbl["n"] = pa.array(ns, pa.int64())
+    return pa.table(tbl)
+
+
 def histogram_fixed(
     ds: ray.data.Dataset,
     col: str,

@@ -120,3 +120,27 @@ class TestHistogram:
         assert ns[1] == 1   # 5.0
         assert ns[19] == 2  # 99 + 200 clamped
         assert out.column("lo_edge").to_pylist()[1] == 5.0
+
+
+class TestCube:
+    def test_matches_duckdb_cube(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import cube_counts
+
+        rng = np.random.RandomState(5)
+        t = pa.table({
+            "a": pa.array([f"a{i}" for i in rng.randint(0, 4, 3000)]),
+            "b": pa.array([f"b{i}" for i in rng.randint(0, 6, 3000)]),
+        })
+        mine = cube_counts(ray.data.from_arrow(t).repartition(7), ["a", "b"])
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT a, b, COUNT(*) AS n FROM t GROUP BY CUBE(a, b)"
+            " ORDER BY a NULLS LAST, b NULLS LAST").fetch_arrow_table()
+        mines = sorted(mine.to_pylist(),
+                       key=lambda r: ((r["a"] is None, r["a"]),
+                                      (r["b"] is None, r["b"])))
+        wants = sorted(want.to_pylist(),
+                       key=lambda r: ((r["a"] is None, r["a"]),
+                                      (r["b"] is None, r["b"])))
+        assert mines == wants

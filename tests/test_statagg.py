@@ -169,3 +169,12 @@ def test_fixed_k_small_stratum():
     out = stratified_fixed_k(ray.data.from_arrow(t), "k", "id", 10).to_pandas()
     sizes = out.groupby("k").size()
     assert sizes["a"] == 3 and sizes["b"] == 10
+
+
+def test_intersect_all_multiplicity():
+    from insurance_pdf_extractor_ray.pipelines.bagops import intersect_all
+
+    a = ray.data.from_arrow(pa.table({"v": [1, 1, 1, 2, 3]})).repartition(3)
+    b = ray.data.from_arrow(pa.table({"v": [1, 1, 3, 3, 4]})).repartition(2)
+    out = sorted(r["v"] for r in intersect_all(a, b, ["v"]).take_all())
+    assert out == [1, 1, 3]  # min(3,2)=2 ones; 2 unmatched; min(1,2)=1 three
