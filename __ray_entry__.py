@@ -1439,6 +1439,44 @@ def _q_except_all_viewers(sf_dir: str):
     return pa.Table.from_pylist(except_all(a, b, ["user_id"]).take_all())
 
 
+def _q_dense_rank_values(sf_dir: str):
+    """DENSE_RANK over the distinct (event_type, value) pairs, top-100 per
+    type — map-side pair dedup, one composite shuffle, per-key rank over the
+    bounded distinct-value histogram (pipelines/rankagg.py:dense_rank_by)."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import dense_rank_by
+
+    out = dense_rank_by(_events(sf_dir, ["event_type", "value"]),
+                        "event_type", "value", descending=True, max_rank=100)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["event_type"], r["drank"]))
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+        "drank": pa.array([r["drank"] for r in rows], pa.int64()),
+    })
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """Log compaction — latest event row per user (ts desc, event_id desc
+    tiebreak): k=1 grouped top-k, ≤ 1 candidate per key per block crosses
+    the shuffle (pipelines/rankagg.py:latest_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import latest_by_key
+
+    out = latest_by_key(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"]),
+        "user_id", order_by=["ts", "event_id"], descending=[True, True],
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+
+
 def _q_intersect_all_engaged(sf_dir: str):
     """Bag intersection (INTERSECT ALL) via two-column per-block counts —
     one keyed shuffle, min(sum_a, sum_b) re-expansion
@@ -1628,6 +1666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "except_all_viewers": _q_except_all_viewers,
         "intersect_all_engaged": _q_intersect_all_engaged,
+        "dense_rank_values": _q_dense_rank_values,
+        "latest_event_per_user": _q_latest_event_per_user,
         "cube_source_lang": _q_cube_source_lang,
         "salted_value_sum": _q_salted_sum,
         "fixed_k_sample": _q_fixed_k_sample,
@@ -2297,6 +2337,20 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "dense_rank_values": """
+            SELECT event_type, value, drank FROM (
+              SELECT DISTINCT event_type, value,
+                     DENSE_RANK() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC) AS drank
+              FROM events)
+            WHERE drank <= 100 ORDER BY event_type, drank
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id
         """,
         "salted_value_sum": """
             SELECT event_type, ROUND(SUM(value), 6) AS total

@@ -213,3 +213,68 @@ def quantiles_by_binned(
         ds.map_batches(to_bins, batch_format="pyarrow"),
         key, value_col, qs=qs, names=names,
     )
+
+
+def dense_rank_by(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    descending: bool = True,
+    max_rank: Optional[int] = None,
+    alias: str = "drank",
+) -> ray.data.Dataset:
+    """``DENSE_RANK() OVER (PARTITION BY key ORDER BY value)`` over the
+    DISTINCT (key, value) pairs — one row per distinct pair with its dense
+    rank, optionally truncated to ``max_rank``.
+
+    Dense rank depends only on the distinct value set per key, so the
+    operator never ranks raw rows: map-side pair dedup (same trick as
+    :func:`distinct_count_by`) collapses repeats before the ONE composite
+    (key, value) shuffle, and the per-key ranking then runs over the
+    distinct-value histogram — bounded by value cardinality, not row count.
+    Callers needing ranks on the raw rows can broadcast-join this (small)
+    result back (``pipelines/joins.py:broadcast_join``).
+    """
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key, value_col]).filter(
+            pc.is_valid(batch.column(value_col)))
+        return batch.group_by([key, value_col]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    uniq = pairs.groupby([key, value_col]).aggregate(Count(alias_name="_c"))
+
+    def rank(group: pa.Table) -> pa.Table:
+        order = "descending" if descending else "ascending"
+        idx = pc.sort_indices(group, sort_keys=[(value_col, order)])
+        g = group.take(idx).select([key, value_col])
+        # distinct pairs => every row is a new rank within the key
+        ranks = np.arange(1, g.num_rows + 1, dtype=np.int64)
+        g = g.append_column(alias, pa.array(ranks, pa.int64()))
+        if max_rank is not None:
+            g = g.filter(pa.array(ranks <= max_rank))
+        return g
+
+    return uniq.groupby(key).map_groups(rank, batch_format="pyarrow")
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: Sequence[str],
+    descending: Sequence[bool],
+    columns: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Log compaction: the single latest row per ``key`` under a total order
+    — the "upsert log → current state" primitive (reference analog:
+    re-processing a document appends a new extraction row to the store,
+    reference ``app/services/storage.py:167``, and readers want the latest
+    row per document; SURVEY §2.5).
+
+    Delegates to :func:`grouped_top_k` with ``k=1``: each block keeps at
+    most ONE candidate row per key before the shuffle, so the exchange
+    volume is #keys × #blocks rows regardless of how many updates a key
+    has — the compaction itself never materializes a key's history.
+    Pass a unique tiebreak column in ``order_by`` to make the order total.
+    """
+    return grouped_top_k(ds, key, order_by, descending, k=1, columns=columns)

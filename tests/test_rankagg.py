@@ -141,3 +141,50 @@ def test_quantiles_binned_within_bin_width(evt, con):
     for t, (p50, p90) in exact.items():
         assert abs(approx[t][0] - p50) <= width
         assert abs(approx[t][1] - p90) <= width
+
+
+class TestDenseRank:
+    def test_matches_duckdb_and_partition_independent(self):
+        from insurance_pdf_extractor_ray.pipelines.rankagg import dense_rank_by
+
+        rng = np.random.RandomState(11)
+        t = pa.table({
+            "k": pa.array([f"k{i}" for i in rng.randint(0, 3, 2000)]),
+            "v": pa.array(rng.randint(0, 40, 2000).astype("float64")),
+        })
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute("""
+            SELECT k, v, drank FROM (
+              SELECT DISTINCT k, v,
+                     DENSE_RANK() OVER (PARTITION BY k ORDER BY v DESC) AS drank
+              FROM t) WHERE drank <= 10 ORDER BY k, drank
+        """).fetch_arrow_table()
+        for parts in (2, 9):
+            mine = dense_rank_by(ray.data.from_arrow(t).repartition(parts),
+                                 "k", "v", descending=True, max_rank=10)
+            rows = sorted(mine.take_all(), key=lambda r: (r["k"], r["drank"]))
+            assert rows == want.to_pylist()
+
+
+class TestLatestByKey:
+    def test_compaction_matches_window(self):
+        from insurance_pdf_extractor_ray.pipelines.rankagg import latest_by_key
+
+        rng = np.random.RandomState(12)
+        t = pa.table({
+            "k": pa.array(rng.randint(0, 50, 1500)),
+            "seq": pa.array(np.arange(1500)),
+            "val": pa.array(rng.rand(1500)),
+        })
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute("""
+            SELECT k, seq, val FROM t
+            QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+            ORDER BY k
+        """).fetch_arrow_table()
+        out = latest_by_key(ray.data.from_arrow(t).repartition(8), "k",
+                            ["seq"], [True], columns=["k", "seq", "val"])
+        rows = sorted(out.take_all(), key=lambda r: r["k"])
+        assert rows == want.to_pylist()
