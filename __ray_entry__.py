@@ -1439,6 +1439,39 @@ def _q_except_all_viewers(sf_dir: str):
     return pa.Table.from_pylist(except_all(a, b, ["user_id"]).take_all())
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted (by n_chars) sample of 100 docs — A-Res
+    reservoir keys from the Knuth hash, map-side top-k, k x blocks merge
+    (pipelines/sampling.py:weighted_sample_k)."""
+    from insurance_pdf_extractor_ray.pipelines.sampling import weighted_sample_k
+
+    out = weighted_sample_k(_documents(sf_dir, ["doc_id", "n_chars"]),
+                            "doc_id", "n_chars", k=100, seed=3)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+    })
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking (200 chars, 40 overlap) — zero-shuffle
+    vectorized polars explode (pipelines/packing.py:chunk_text).  The chunk
+    text is returned verbatim so the driver's hash check is char-exact
+    against the substr oracle."""
+    from insurance_pdf_extractor_ray.pipelines.packing import chunk_text
+
+    out = chunk_text(_documents(sf_dir, ["doc_id", "text"]),
+                     "doc_id", "text", size=200, overlap=40)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "chunk_id": pa.array([r["chunk_id"] for r in rows], pa.int64()),
+        "chunk_text": pa.array([r["chunk_text"] for r in rows], pa.string()),
+    })
+
+
 def _q_dense_rank_values(sf_dir: str):
     """DENSE_RANK over the distinct (event_type, value) pairs, top-100 per
     type — map-side pair dedup, one composite shuffle, per-key rank over the
@@ -1667,6 +1700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_viewers": _q_except_all_viewers,
         "intersect_all_engaged": _q_intersect_all_engaged,
         "dense_rank_values": _q_dense_rank_values,
+        "weighted_sample": _q_weighted_sample,
+        "chunk_documents": _q_chunk_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "cube_source_lang": _q_cube_source_lang,
         "salted_value_sum": _q_salted_sum,
@@ -2337,6 +2372,24 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (ORDER BY
+              ln((((CAST(doc_id AS HUGEINT) * 2654435761 + 3)
+                   % 4294967296) + 1) / 4294967296.0) / n_chars DESC,
+              doc_id) <= 100
+            ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(
+                       0, CAST(length(text) AS BIGINT) - 1, 160)) AS gs
+              FROM documents)
+            SELECT doc_id, CAST(gs / 160 AS BIGINT) AS chunk_id,
+                   substr(text, CAST(gs AS BIGINT) + 1, 200) AS chunk_text
+            FROM s ORDER BY doc_id, chunk_id
         """,
         "dense_rank_values": """
             SELECT event_type, value, drank FROM (

@@ -88,3 +88,47 @@ def pack_sequences(
         })
 
     return with_b.groupby("_bucket").map_groups(explode, batch_format="pyarrow")
+
+
+def chunk_text(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+) -> ray.data.Dataset:
+    """Sliding-window text chunking — the retrieval-indexing layout step
+    (cut each document into ``size``-char windows advancing by
+    ``size − overlap``), dual of :func:`pack_sequences`' concat-and-chunk.
+
+    One row per (doc, chunk): (id, chunk_id, chunk_text) with
+    chunk_id·stride the character start offset; the last chunk is short
+    rather than padded, empty docs emit no chunks.  Pure per-row function ⇒
+    zero shuffle, streams at any scale; the interior is all vectorized
+    polars (len/int_ranges/explode/slice — no Python over rows), and
+    offsets are CHARACTERS in both the engine (polars ``str.slice``) and
+    the SQL oracle (``substr``), so outputs are hash-comparable even on
+    non-ASCII text.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        df = df.with_columns(
+            pl.col(text_col).str.len_chars().cast(pl.Int64).alias("_n"))
+        df = df.with_columns(
+            ((pl.col("_n") - 1) // stride + 1).clip(0).alias("_k"))
+        df = (df.with_columns(pl.int_ranges(0, pl.col("_k")).alias("chunk_id"))
+              .explode("chunk_id")
+              .filter(pl.col("chunk_id").is_not_null()))
+        df = df.with_columns(
+            pl.col(text_col).str.slice(pl.col("chunk_id") * stride, size)
+            .alias("chunk_text"))
+        return df.select([id_col, "chunk_id", "chunk_text"]).to_arrow()
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode_chunks, batch_format="pyarrow")

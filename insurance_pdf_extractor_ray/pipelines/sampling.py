@@ -149,3 +149,50 @@ def sample_sql_predicate(id_col: str, rate: float, seed: int = 0) -> str:
     threshold = int(rate * float(MOD32))
     return (f"((CAST({id_col} AS HUGEINT) * 2654435761 + {seed}) % 4294967296)"
             f" < {threshold}")
+
+
+def weighted_sample_k(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement of exactly ``k``
+    rows — inclusion probability proportional to ``weight_col``.
+
+    Efraimidis–Spirakis A-Res reservoir made partition-independent: each
+    row's reservoir key is ln(u)/w with u = (h(id)+1)/2^32 from the same
+    Knuth hash as the rest of the family (u^(1/w) ranking, log-transformed
+    so no pow), and the sample is the global top-k by key.  Pure function of
+    (id, weight, seed) ⇒ identical across partitionings, retries and
+    cluster sizes, and the SQL oracle re-derives the exact ranking
+    (:func:`weighted_sql_rank`).  Scale shape: map-side per-block top-k
+    keeps ≤ k rows per block before the single k×blocks-row merge — the
+    corpus itself is never sorted or shuffled.  Weights must be > 0
+    (w == 0 ⇒ key −inf, never sampled — same in SQL).
+    """
+    from .rankagg import grouped_top_k
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        u = (_hash32(ids, seed).astype(np.float64) + 1.0) / float(MOD32)
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / w
+        batch = batch.append_column("_wkey", pa.array(key, pa.float64()))
+        return batch.append_column("_g", pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8), pa.int8()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    top = grouped_top_k(keyed, "_g", ["_wkey", id_col], [True, False], k)
+    return top.drop_columns(["_wkey", "_g"])
+
+
+def weighted_sql_rank(id_col: str, weight_col: str, seed: int = 0) -> str:
+    """The DuckDB window ORDER reproducing ``weighted_sample_k``'s ranking
+    (pair with ``QUALIFY row_number() OVER (ORDER BY ...) <= k``)."""
+    return (f"ln((((CAST({id_col} AS HUGEINT) * 2654435761 + {seed})"
+            f" % 4294967296) + 1) / 4294967296.0) / {weight_col} DESC,"
+            f" {id_col}")

@@ -57,3 +57,41 @@ def test_pack_partition_independent():
                        "doc_id", "n_tokens", 256, bucket=200).take_all()
     key = lambda rows: sorted((r["doc_id"], r["seq_id"]) for r in rows)
     assert key(a) == key(b)
+
+
+class TestChunkText:
+    def test_char_exact_vs_substr_including_unicode(self):
+        from insurance_pdf_extractor_ray.pipelines.packing import chunk_text
+
+        texts = ["hello world, this is a doc", "xy", "", "héllo wörld ünïcode!",
+                 "a" * 37]
+        t = pa.table({"doc_id": pa.array(range(len(texts))),
+                      "text": pa.array(texts)})
+        out = chunk_text(ray.data.from_arrow(t).repartition(3),
+                         "doc_id", "text", size=10, overlap=4)
+        mine = sorted(out.take_all(),
+                      key=lambda r: (r["doc_id"], r["chunk_id"]))
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute("""
+            WITH s AS (SELECT doc_id, text, unnest(generate_series(
+                0, CAST(length(text) AS BIGINT) - 1, 6)) AS gs FROM t)
+            SELECT doc_id, CAST(gs / 6 AS BIGINT) AS chunk_id,
+                   substr(text, CAST(gs AS BIGINT) + 1, 10) AS chunk_text
+            FROM s ORDER BY 1, 2
+        """).fetch_arrow_table().to_pylist()
+        assert mine == want
+        # empty doc emits nothing; every doc covered to its last char
+        assert all(r["doc_id"] != 2 for r in mine)
+
+    def test_overlap_continuity(self):
+        from insurance_pdf_extractor_ray.pipelines.packing import chunk_text
+
+        t = pa.table({"doc_id": pa.array([1]), "text": pa.array(["abcdefghij"])})
+        rows = sorted(chunk_text(ray.data.from_arrow(t), "doc_id", "text",
+                                 size=6, overlap=2).take_all(),
+                      key=lambda r: r["chunk_id"])
+        chunks = [r["chunk_text"] for r in rows]
+        assert chunks == ["abcdef", "efghij", "ij"]
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-2:] == b[:2]

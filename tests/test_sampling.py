@@ -78,3 +78,41 @@ def test_assign_split_partitions_exactly():
                          test_rate=0.1, val_rate=0.05, seed=11).take_all()
     assert {r["doc_id"]: r["split"] for r in out} == \
            {r["doc_id"]: r["split"] for r in again}
+
+
+class TestWeightedSample:
+    def test_partition_independent_and_matches_sql(self):
+        from insurance_pdf_extractor_ray.pipelines.sampling import (
+            weighted_sample_k,
+            weighted_sql_rank,
+        )
+
+        rng = np.random.RandomState(21)
+        t = pa.table({
+            "id": pa.array(np.arange(5000)),
+            "w": pa.array(rng.randint(1, 100, 5000).astype("float64")),
+        })
+        s1 = sorted(r["id"] for r in weighted_sample_k(
+            ray.data.from_arrow(t), "id", "w", 50, seed=3).take_all())
+        s2 = sorted(r["id"] for r in weighted_sample_k(
+            ray.data.from_arrow(t).repartition(11), "id", "w", 50,
+            seed=3).take_all())
+        assert s1 == s2
+        con = duckdb.connect()
+        con.register("t", t)
+        want = sorted(r[0] for r in con.execute(
+            "SELECT id FROM t QUALIFY row_number() OVER (ORDER BY "
+            + weighted_sql_rank("id", "w", seed=3) + ") <= 50").fetchall())
+        assert s1 == want
+
+    def test_weights_bias_inclusion(self):
+        from insurance_pdf_extractor_ray.pipelines.sampling import weighted_sample_k
+
+        # half the ids have 50x the weight; they should dominate the sample
+        n = 2000
+        w = np.where(np.arange(n) < n // 2, 50.0, 1.0)
+        t = pa.table({"id": pa.array(np.arange(n)), "w": pa.array(w)})
+        got = [r["id"] for r in weighted_sample_k(
+            ray.data.from_arrow(t), "id", "w", 200, seed=0).take_all()]
+        heavy = sum(1 for i in got if i < n // 2)
+        assert heavy > 170
