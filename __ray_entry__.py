@@ -75,6 +75,13 @@ def _documents(sf_dir: str, columns=None):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
 def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:
     """Round a float column mirroring DuckDB's ROUND bit-exactly
     (std::round(v*10^nd)/10^nd, half away from zero) — pc.round can land one
@@ -1439,6 +1446,42 @@ def _q_except_all_viewers(sf_dir: str):
     return pa.Table.from_pylist(except_all(a, b, ["user_id"]).take_all())
 
 
+def _q_star_revenue(sf_dir: str):
+    """Star-schema rollup orders→customer→nation→region: aggregate-below-
+    join (fact reduced to per-custkey rows BEFORE any join), hash-shuffle
+    bridge join, broadcast leaf dims (pipelines/joins.py:star_aggregate)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import star_aggregate
+
+    out = star_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        "o_custkey", "o_totalprice",
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]), "c_custkey",
+        dims=[
+            (_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]),
+             "c_nationkey", "n_nationkey", ["n_regionkey"]),
+            (_read(sf_dir, "region", ["r_regionkey", "r_name"]),
+             "n_regionkey", "r_regionkey", ["r_name"]),
+        ],
+        group_by=["r_name"], total_alias="revenue", count_alias="n_orders")
+    rows = sorted(out.take_all(), key=lambda r: r["r_name"])
+    t = pa.table({
+        "r_name": pa.array([r["r_name"] for r in rows], pa.string()),
+        "revenue": pa.array([r["revenue"] for r in rows], pa.float64()),
+        "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
+    })
+    return _round_col(t, "revenue", 2)
+
+
+def _q_cumulative_daily_value(sf_dir: str):
+    """Running daily totals — aggregate-first (one keyed shuffle to #days
+    rows), prefix sum over the bounded sorted result
+    (pipelines/analytics.py:cumulative_daily)."""
+    from insurance_pdf_extractor_ray.pipelines.analytics import cumulative_daily
+
+    t = cumulative_daily(_events(sf_dir, ["ts", "value"]), "ts", "value")
+    return _round_col(t, "cum_total", 4)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted (by n_chars) sample of 100 docs — A-Res
     reservoir keys from the Knuth hash, map-side top-k, k x blocks merge
@@ -1701,6 +1744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_all_engaged": _q_intersect_all_engaged,
         "dense_rank_values": _q_dense_rank_values,
         "weighted_sample": _q_weighted_sample,
+        "star_revenue": _q_star_revenue,
+        "cumulative_daily_value": _q_cumulative_daily_value,
         "chunk_documents": _q_chunk_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "cube_source_lang": _q_cube_source_lang,
@@ -2372,6 +2417,23 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "star_revenue": """
+            SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "cumulative_daily_value": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+                   CAST(SUM(COUNT(*)) OVER (ORDER BY CAST(ts AS DATE))
+                        AS BIGINT) AS cum_n,
+                   ROUND(SUM(SUM(value)) OVER (ORDER BY CAST(ts AS DATE)), 4)
+                     AS cum_total
+            FROM events GROUP BY CAST(ts AS DATE) ORDER BY date
         """,
         "weighted_sample": """
             SELECT doc_id, n_chars FROM documents

@@ -238,3 +238,42 @@ def zscore_by(
                               mask=_np.asarray(std == 0)))
 
     return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+def cumulative_daily(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+) -> pa.Table:
+    """Running total by day — ``SUM(SUM(v)) OVER (ORDER BY day)``.
+
+    One keyed shuffle reduces the stream to a #days-sized table (map-side
+    partial sums make the exchange per-block-per-day rows); the prefix sum
+    then runs over that tiny sorted result on the driver — running totals
+    over an ordered corpus-scale stream are inherently sequential, so the
+    scale trick is to aggregate FIRST and only cumsum the bounded result
+    (same shape as ``packing.pack_sequences``' bucket offsets).
+    """
+
+    def add_date(batch: pa.Table) -> pa.Table:
+        date = pc.strftime(batch.column(ts_col), format="%Y-%m-%d")
+        return batch.append_column("date", date)
+
+    daily = (ds.map_batches(add_date, batch_format="pyarrow")
+             .groupby("date")
+             .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="_t"))
+             .take_all())
+    daily.sort(key=lambda r: r["date"])
+    acc = 0.0
+    n_acc = 0
+    run, n_run = [], []
+    for r in daily:
+        acc += float(r["_t"])
+        n_acc += int(r["n"])
+        run.append(acc)
+        n_run.append(n_acc)
+    return pa.table({
+        "date": pa.array([r["date"] for r in daily], pa.string()),
+        "cum_n": pa.array(n_run, pa.int64()),
+        "cum_total": pa.array(run, pa.float64()),
+    })

@@ -611,3 +611,52 @@ def _skew_partitions() -> int:
     from .dedup import _join_partitions
 
     return _join_partitions()
+
+
+def star_aggregate(
+    fact: ray.data.Dataset,
+    fact_key: str,
+    measure: str,
+    bridge: ray.data.Dataset,
+    bridge_key: str,
+    dims: List[tuple],
+    group_by: List[str],
+    num_partitions: Optional[int] = None,
+    total_alias: str = "total",
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """Star/snowflake rollup — SUM(measure) + COUNT per dimension attribute
+    reached through a bridge table and a chain of leaf dimensions
+    (``SELECT attrs, SUM(m), COUNT(*) FROM fact JOIN bridge JOIN dims...``).
+
+    The scale plan, in order of what it avoids shipping:
+      1. AGGREGATE BELOW THE JOIN: the fact is first reduced to one row per
+         ``fact_key`` (map-side partial + one keyed shuffle) — the join
+         input is key-cardinality-sized, never fact-sized.
+      2. The bridge (mid-size dimension, e.g. customers) joins hash-shuffle
+         on that same key (``Dataset.join``, partitions capped to cluster
+         CPUs — see dedup._join_partitions rationale).
+      3. Leaf dimensions in ``dims`` — each ``(ds, on, right_on,
+         add_cols)`` — are genuinely small at EVERY scale (countries,
+         regions, configs) and broadcast once via ``ray.put``; probes are
+         vectorized ``index_in`` (zero shuffle).
+      4. The final rollup groups the (still key-cardinality-sized) stream
+         by ``group_by`` — a tiny shuffle.
+    Reference analog: the per-dimension statistics joins of
+    ``app/services/storage.py:435-584`` (token-usage and field stats by
+    document attributes), widened to a proper multiway star.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _join_partitions
+
+    per_key = fact.groupby(fact_key).aggregate(
+        Sum(measure, alias_name="_m"), Count(alias_name="_n"))
+    joined = shuffle_join(
+        per_key, bridge, on=fact_key, right_on=bridge_key,
+        num_partitions=num_partitions or _join_partitions())
+    for dim, on, right_on, add_cols in dims:
+        joined = broadcast_join(joined, dim, on=on, right_on=right_on,
+                                add_cols=list(add_cols))
+    return joined.groupby(list(group_by)).aggregate(
+        Sum("_m", alias_name=total_alias), Sum("_n", alias_name=count_alias))

@@ -1,6 +1,8 @@
 """Analytics aggregates vs DuckDB oracle on the events testdata table."""
 
 import duckdb
+import numpy as np
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -98,3 +100,26 @@ def test_most_used(events, con):
         "SELECT event_type FROM events GROUP BY event_type ORDER BY count(*) DESC, event_type LIMIT 1"
     ).fetchone()[0]
     assert got == want
+
+
+def test_cumulative_daily_matches_window_sql():
+    from insurance_pdf_extractor_ray.pipelines.analytics import cumulative_daily
+
+    rng = np.random.RandomState(32)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (rng.randint(0, 20, 3000) * 86_400_000_000
+                 + rng.randint(0, 86_400_000_000, 3000)).astype("timedelta64[us]")
+    t = pa.table({"ts": pa.array(ts), "value": pa.array(rng.rand(3000) * 10)})
+    mine = cumulative_daily(ray.data.from_arrow(t).repartition(6), "ts", "value")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY CAST(ts AS DATE)) AS BIGINT) AS cum_n,
+               SUM(SUM(value)) OVER (ORDER BY CAST(ts AS DATE)) AS cum_total
+        FROM t GROUP BY CAST(ts AS DATE) ORDER BY date""").fetchall()
+    got = mine.to_pylist()
+    assert [r["date"] for r in got] == [w[0] for w in want]
+    assert [r["cum_n"] for r in got] == [w[1] for w in want]
+    for r, w in zip(got, want):
+        assert abs(r["cum_total"] - w[2]) < 1e-6

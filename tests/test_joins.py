@@ -1,5 +1,7 @@
 """Join operators (pipelines/joins.py): broadcast hash/anti/semi join."""
 
+import duckdb
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -225,3 +227,40 @@ def test_range_join_no_by_key():
                      on="t", start_col="s", end_col="e", epoch=10,
                      interval_cols=["iid"]).take_all()
     assert sorted((r["pid"], r["iid"]) for r in out) == [(0, 10)]
+
+
+class TestStarAggregate:
+    def test_matches_three_way_join_sql(self):
+        from insurance_pdf_extractor_ray.pipelines.joins import star_aggregate
+
+        rng = np.random.RandomState(31)
+        fact = pa.table({
+            "fk": pa.array(rng.randint(0, 40, 4000)),
+            "m": pa.array(rng.rand(4000) * 100),
+        })
+        bridge = pa.table({
+            "bk": pa.array(np.arange(40)),
+            "mid": pa.array(rng.randint(0, 6, 40)),
+        })
+        leaf = pa.table({
+            "lk": pa.array(np.arange(6)),
+            "name": pa.array([f"g{i}" for i in range(6)]),
+        })
+        out = star_aggregate(
+            ray.data.from_arrow(fact).repartition(5), "fk", "m",
+            ray.data.from_arrow(bridge), "bk",
+            dims=[(ray.data.from_arrow(leaf), "mid", "lk", ["name"])],
+            group_by=["name"], num_partitions=4)
+        mine = sorted(out.take_all(), key=lambda r: r["name"])
+        con = duckdb.connect()
+        con.register("f", fact)
+        con.register("b", bridge)
+        con.register("l", leaf)
+        want = con.execute("""
+            SELECT name, SUM(m) AS total, COUNT(*) AS n FROM f
+            JOIN b ON fk = bk JOIN l ON mid = lk
+            GROUP BY name ORDER BY name""").fetchall()
+        for mrow, (name, total, n) in zip(mine, want):
+            assert mrow["name"] == name
+            assert abs(mrow["total"] - total) < 1e-6
+            assert mrow["n"] == n
