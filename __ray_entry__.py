@@ -1446,6 +1446,49 @@ def _q_except_all_viewers(sf_dir: str):
     return pa.Table.from_pylist(except_all(a, b, ["user_id"]).take_all())
 
 
+def _q_bigram_top100(sf_dir: str):
+    """Top-100 word bigrams — map-side n-gram pre-count (blocks ship
+    distinct grams, not token streams), one keyed combine, sort-limit
+    (pipelines/tfidf.py:ngram_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import ngram_counts
+
+    out = ngram_counts(_documents(sf_dir, ["doc_id", "text"]),
+                       "text", "doc_id", n=2, k=100)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (-r["n"], r["ngram"]))
+    return pa.table({
+        "bigram": pa.array([r["ngram"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_cooccur_event_types(sf_dir: str):
+    """Per-user event-type co-occurrence counts — distinct-pair shuffle,
+    bounded per-key triu pair explode, final keyed count
+    (pipelines/behavior.py:cooccurrence_pairs)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import cooccurrence_pairs
+
+    out = cooccurrence_pairs(_events(sf_dir, ["user_id", "event_type"]),
+                             "user_id", "event_type")
+    rows = sorted(out.take_all(), key=lambda r: (r["item_a"], r["item_b"]))
+    return pa.table({
+        "item_a": pa.array([r["item_a"] for r in rows], pa.string()),
+        "item_b": pa.array([r["item_b"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_lang_entropy_by_source(sf_dir: str):
+    """Shannon entropy of the language mix per source — one (source, lang)
+    count shuffle, vectorized entropy over the bounded table
+    (pipelines/analytics.py:entropy_by)."""
+    from insurance_pdf_extractor_ray.pipelines.analytics import entropy_by
+
+    t = entropy_by(_documents(sf_dir, ["source", "lang"]), "source", "lang")
+    idx = pc.sort_indices(t, sort_keys=[("source", "ascending")])
+    return t.take(idx)
+
+
 def _q_star_revenue(sf_dir: str):
     """Star-schema rollup orders→customer→nation→region: aggregate-below-
     join (fact reduced to per-custkey rows BEFORE any join), hash-shuffle
@@ -1745,6 +1788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_values": _q_dense_rank_values,
         "weighted_sample": _q_weighted_sample,
         "star_revenue": _q_star_revenue,
+        "bigram_top100": _q_bigram_top100,
+        "cooccur_event_types": _q_cooccur_event_types,
+        "lang_entropy_by_source": _q_lang_entropy_by_source,
         "cumulative_daily_value": _q_cumulative_daily_value,
         "chunk_documents": _q_chunk_documents,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -2417,6 +2463,32 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "bigram_top100": """
+            WITH w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                       FROM documents),
+            b AS (SELECT unnest(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100
+        """,
+        "cooccur_event_types": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS n
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lang_entropy_by_source": """
+            SELECT source, ROUND(-SUM(p * ln(p)), 6) AS entropy FROM (
+              SELECT source,
+                     COUNT(*) * 1.0
+                       / SUM(COUNT(*)) OVER (PARTITION BY source) AS p
+              FROM documents GROUP BY source, lang)
+            GROUP BY source ORDER BY source
         """,
         "star_revenue": """
             SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue,

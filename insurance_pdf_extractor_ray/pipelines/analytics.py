@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -277,3 +278,42 @@ def cumulative_daily(
         "cum_n": pa.array(n_run, pa.int64()),
         "cum_total": pa.array(run, pa.float64()),
     })
+
+
+def entropy_by(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    nd: int = 6,
+) -> pa.Table:
+    """Shannon entropy (nats) of the ``val_col`` distribution within each
+    ``key_col`` group — the diversity / skew monitor for corpus composition
+    (is one language swamping a source?).
+
+    One keyed shuffle reduces the stream to (key, val) counts — map-side
+    partials make the exchange per-block-distinct-pairs — and the entropy
+    arithmetic runs over that bounded (|keys| × |vals|) table driver-side,
+    vectorized.  Assumes both columns are category-like (bounded
+    cardinality); entropy over an unbounded value space needs a sketch, not
+    this operator.
+    """
+    counts = (ds.groupby([key_col, val_col])
+              .aggregate(Count(alias_name="_n")).take_all())
+    counts.sort(key=lambda r: (str(r[key_col]), str(r[val_col])))
+    keys = np.array([r[key_col] for r in counts])
+    ns = np.array([r["_n"] for r in counts], dtype=np.float64)
+    out_keys: List = []
+    out_h: List[float] = []
+    i = 0
+    while i < len(counts):
+        j = i
+        while j < len(counts) and keys[j] == keys[i]:
+            j += 1
+        p = ns[i:j] / ns[i:j].sum()
+        h = float(-(p * np.log(p)).sum())
+        m = 10.0 ** nd
+        out_keys.append(keys[i])
+        out_h.append(np.floor(h * m + 0.5) / m if h >= 0 else h)
+        i = j
+    return pa.table({key_col: pa.array(out_keys),
+                     "entropy": pa.array(out_h, pa.float64())})

@@ -320,3 +320,49 @@ def unpivot(
         return pa.table(out)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def cooccurrence_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    item_col: str,
+    alias: str = "n",
+) -> ray.data.Dataset:
+    """Item co-occurrence — for every unordered item pair, in how many keys
+    (users/sessions/baskets) both items appear.  The market-basket /
+    related-content primitive.
+
+    Scale shape: (1) map-side distinct (key, item) pairs + ONE composite
+    shuffle dedups globally (the hot-key spread trick of
+    ``rankagg.distinct_count_by``); (2) per-key pair explode inside
+    ``map_groups`` — the group is a key's DISTINCT item set, bounded by
+    item-vocabulary size, never by the key's event count, and pairs are
+    built with vectorized triu indices; (3) a final keyed count over
+    (item_a, item_b), input one row per (key, pair).  Assumes per-key
+    distinct-item cardinality is bounded (true for type/category vocabs);
+    for unbounded item spaces cap or bucket the per-key set first.
+    """
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, item_col]).filter(
+            pc.is_valid(batch.column(item_col)))
+        return batch.group_by([key_col, item_col]).aggregate([])
+
+    uniq = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby([key_col, item_col]).aggregate(Count(alias_name="_c")))
+
+    def explode_pairs(group: pa.Table) -> pa.Table:
+        items = group.column(item_col)
+        idx = pc.sort_indices(items)
+        items = items.take(idx)
+        m = len(items)
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({
+            "item_a": items.take(pa.array(ii, pa.int64())),
+            "item_b": items.take(pa.array(jj, pa.int64())),
+        })
+
+    pairs = uniq.groupby(key_col).map_groups(
+        explode_pairs, batch_format="pyarrow")
+    return pairs.groupby(["item_a", "item_b"]).aggregate(
+        Count(alias_name=alias))

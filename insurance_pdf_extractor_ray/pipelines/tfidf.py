@@ -334,3 +334,52 @@ def ngram_overlap_tag(
         return batch.append_column(out_col, pa.array(counts, pa.int64()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def ngram_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    k: int = 100,
+) -> ray.data.Dataset:
+    """Global top-``k`` word n-grams (token windows WITHIN a document, space-
+    joined) by corpus frequency — the language-model / contamination-check
+    counterpart of :func:`vocab_counts`.
+
+    Same scale shape as vocab_counts: n-grams are built and pre-counted
+    map-side (each block ships its distinct n-grams, not its token stream),
+    one keyed combine, sort-limit over the n-gram table.  The window join is
+    fully vectorized: per-batch token explode (polars extract_all), then n
+    shifted Arrow slices joined with ``binary_join_element_wise`` under a
+    same-document numpy mask — no Python over tokens.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode_ngrams(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls().to_arrow().cast(pa.string())
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        # windows whose n tokens all come from the same document
+        same = doc_of[: m] == doc_of[n - 1:]
+        parts = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        grams = grams.filter(pa.array(same))
+        t = pa.table({"ngram": grams})
+        g = t.group_by("ngram").aggregate([([], "count_all")])
+        return g.rename_columns(["ngram", "_n"]).set_column(
+            1, "_n", g.column("count_all").cast(pa.int64()))
+
+    counts = (ds.select_columns([id_col, text_col])
+              .map_batches(explode_ngrams, batch_format="pyarrow")
+              .groupby("ngram")
+              .aggregate(Sum("_n", alias_name="n")))
+    return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)

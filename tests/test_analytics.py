@@ -123,3 +123,31 @@ def test_cumulative_daily_matches_window_sql():
     assert [r["cum_n"] for r in got] == [w[1] for w in want]
     for r, w in zip(got, want):
         assert abs(r["cum_total"] - w[2]) < 1e-6
+
+
+def test_entropy_by_matches_duckdb():
+    rng = np.random.RandomState(3)
+    tbl = pa.table({
+        "source": pa.array(rng.choice(["s1", "s2", "s3"], 400), pa.string()),
+        "lang": pa.array(rng.choice(["en", "fr", "de", "es"], 400),
+                         pa.string()),
+    })
+    out = analytics.entropy_by(
+        ray.data.from_arrow(tbl).repartition(4), "source", "lang")
+    got = {r["source"]: r["entropy"] for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("d", tbl)
+    want = dict(con.execute("""
+        SELECT source, ROUND(-SUM(p * ln(p)), 6) FROM (
+          SELECT source, COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY source) AS p
+          FROM d GROUP BY source, lang)
+        GROUP BY source""").fetchall())
+    assert got == want
+
+
+def test_entropy_by_single_value_group_is_zero():
+    tbl = pa.table({"source": pa.array(["a", "a"], pa.string()),
+                    "lang": pa.array(["en", "en"], pa.string())})
+    out = analytics.entropy_by(ray.data.from_arrow(tbl), "source", "lang")
+    assert out.to_pylist() == [{"source": "a", "entropy": 0.0}]

@@ -166,3 +166,45 @@ class TestUnpivot:
                       var_labels=["ex", "why"]).take_all()
         got = {(r["variable"]): r["value"] for r in out}
         assert got == {"ex": None, "why": 5}
+
+
+class TestCooccurrencePairs:
+    def test_matches_duckdb_self_join(self):
+        from insurance_pdf_extractor_ray.pipelines.behavior import (
+            cooccurrence_pairs,
+        )
+
+        rng = np.random.RandomState(11)
+        items = ["view", "click", "buy", "share", "save"]
+        n = 600
+        tbl = pa.table({
+            "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "event_type": pa.array(rng.choice(items, n), pa.string()),
+        })
+        out = cooccurrence_pairs(
+            ray.data.from_arrow(tbl).repartition(6), "user_id",
+            "event_type").take_all()
+        got = sorted((r["item_a"], r["item_b"], r["n"]) for r in out)
+        con = duckdb.connect()
+        con.register("ev", tbl)
+        want = sorted(tuple(w) for w in con.execute("""
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM ev)
+            SELECT a.event_type, b.event_type, count(*) FROM d a
+            JOIN d b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+            GROUP BY 1, 2""").fetchall())
+        assert got == want
+
+    def test_repeat_events_count_once_and_nulls_drop(self):
+        from insurance_pdf_extractor_ray.pipelines.behavior import (
+            cooccurrence_pairs,
+        )
+
+        tbl = pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", None, "a"], pa.string()),
+        })
+        out = cooccurrence_pairs(ray.data.from_arrow(tbl), "user_id",
+                                 "event_type").take_all()
+        assert [(r["item_a"], r["item_b"], r["n"]) for r in out] == [
+            ("a", "b", 1)]

@@ -221,3 +221,38 @@ class TestBM25:
         got = bm25_search(ray.data.from_arrow(tbl), "text", "doc_id",
                           query_terms=["rare", "common"], k=3)
         assert got.column("doc_id").to_pylist()[0] == 0
+
+
+def test_ngram_counts_matches_sql(con):
+    from insurance_pdf_extractor_ray.pipelines.tfidf import ngram_counts
+
+    rng = np.random.RandomState(5)
+    words = ["red", "blue", "green", "car", "boat"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 12)))
+             for _ in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = ngram_counts(ray.data.from_arrow(tbl).repartition(8),
+                       "text", "doc_id", n=2, k=10).take_all()
+    got = sorted((r["ngram"], r["n"]) for r in out)
+    con2 = duckdb.connect()
+    con2.register("ndocs", tbl)
+    want = sorted(tuple(w) for w in con2.execute("""
+        WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                   FROM ndocs),
+        b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS g FROM w)
+        SELECT g, count(*) FROM b GROUP BY 1
+        ORDER BY 2 DESC, 1 LIMIT 10""").fetchall())
+    assert got == [tuple(w) for w in want]
+
+
+def test_ngram_counts_no_cross_document_windows(con):
+    from insurance_pdf_extractor_ray.pipelines.tfidf import ngram_counts
+
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["one two", "three four"], pa.string())})
+    out = ngram_counts(ray.data.from_arrow(tbl), "text", "doc_id",
+                       n=2, k=10).take_all()
+    grams = sorted(r["ngram"] for r in out)
+    assert grams == ["one two", "three four"]
