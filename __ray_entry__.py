@@ -1489,6 +1489,62 @@ def _q_lang_entropy_by_source(sf_dir: str):
     return t.take(idx)
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over each user's time-ordered event stream —
+    one keyed shuffle emitting per-key partial (from, to) counts, tiny final
+    combine (pipelines/behavior.py:transition_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import transition_counts
+
+    out = transition_counts(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "ts"]),
+        "user_id", "event_type", "ts", order_tiebreak="event_id")
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["from_item"], r["to_item"]))
+    return pa.table({
+        "from_type": pa.array([r["from_item"] for r in rows], pa.string()),
+        "to_type": pa.array([r["to_item"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_debounce_events(sf_dir: str):
+    """Clickstream de-bounce: drop rows repeating the user's previous event
+    type within 60s — one keyed shuffle, vectorized shifted compares
+    (pipelines/windows.py:debounce_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import debounce_by_key
+
+    out = debounce_by_key(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "ts"]),
+        "user_id", "ts", "event_type", gap=60_000_000,
+        order_tiebreak="event_id")
+    rows = sorted(out.select_columns(
+        ["event_id", "user_id", "event_type"]).take_all(),
+        key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+    })
+
+
+def _q_entity_components(sf_dir: str):
+    """Entity resolution: nation-blocked edit-distance<=1 name edges ->
+    connected components (root = min custkey).  FastSS pair generation, two
+    edge-bounded dim joins for the block filter, union-find / label-
+    propagation closure (pipelines/fuzzy.py:entity_components)."""
+    from insurance_pdf_extractor_ray.pipelines.fuzzy import entity_components
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"])
+    out = entity_components(cust, "c_custkey", "c_name",
+                            block_col="c_nationkey")
+    rows = sorted(out.take_all(), key=lambda r: r["id"])
+    return pa.table({
+        "id": pa.array([r["id"] for r in rows], pa.int64()),
+        "root": pa.array([r["root"] for r in rows], pa.int64()),
+    })
+
+
 def _q_star_revenue(sf_dir: str):
     """Star-schema rollup orders→customer→nation→region: aggregate-below-
     join (fact reduced to per-custkey rows BEFORE any join), hash-shuffle
@@ -1788,6 +1844,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_values": _q_dense_rank_values,
         "weighted_sample": _q_weighted_sample,
         "star_revenue": _q_star_revenue,
+        "event_transitions": _q_event_transitions,
+        "debounce_events": _q_debounce_events,
+        "entity_components": _q_entity_components,
         "bigram_top100": _q_bigram_top100,
         "cooccur_event_types": _q_cooccur_event_types,
         "lang_entropy_by_source": _q_lang_entropy_by_source,
@@ -2463,6 +2522,48 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "event_transitions": """
+            WITH m AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM m WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "debounce_events": """
+            WITH m AS (SELECT event_id, user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS ptype,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                       FROM events)
+            SELECT event_id, user_id, event_type FROM m
+            WHERE ptype IS DISTINCT FROM event_type OR gap > 60000000
+            ORDER BY event_id
+        """,
+        "entity_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a, customer b
+              WHERE a.c_custkey < b.c_custkey
+                AND a.c_nationkey = b.c_nationkey
+                AND levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.dst AS id, reach.r FROM reach
+              JOIN edges e ON reach.id = e.src
+            )
+            SELECT id, MIN(r) AS root FROM reach GROUP BY id ORDER BY id
         """,
         "bigram_top100": """
             WITH w AS (SELECT doc_id,

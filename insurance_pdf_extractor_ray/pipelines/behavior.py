@@ -366,3 +366,45 @@ def cooccurrence_pairs(
         explode_pairs, batch_format="pyarrow")
     return pairs.groupby(["item_a", "item_b"]).aggregate(
         Count(alias_name=alias))
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    item_col: str,
+    ts_col: str,
+    order_tiebreak: Optional[str] = None,
+    alias: str = "n",
+) -> ray.data.Dataset:
+    """Markov transition counts — for each (from_item, to_item), how many
+    times an item immediately follows another within a key's time-ordered
+    stream.  SQL ``LAG(item) OVER (PARTITION BY key ORDER BY ts[, tiebreak])``
+    + GROUP BY (prev, item).
+
+    Scale shape: ONE keyed shuffle; the per-key interior sorts the group,
+    shifts the item array once, and emits its (from, to) PARTIAL counts —
+    groups ship a bounded |vocab|^2 table out of the shuffle, never their
+    row stream.  A final tiny keyed combine sums partials.  Same per-key
+    memory contract as ``session_windows``.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        items = group.column(item_col).combine_chunks()
+        n = len(items)
+        if n < 2:
+            return pa.table({"from_item": pa.array([], items.type),
+                             "to_item": pa.array([], items.type),
+                             "_n": pa.array([], pa.int64())})
+        t = pa.table({"from_item": items.slice(0, n - 1),
+                      "to_item": items.slice(1, n)})
+        g = t.group_by(["from_item", "to_item"]).aggregate([([], "count_all")])
+        return g.rename_columns(["from_item", "to_item", "_n"]).set_column(
+            2, "_n", g.column("count_all").cast(pa.int64()))
+
+    partials = ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return partials.groupby(["from_item", "to_item"]).aggregate(
+        Sum("_n", alias_name=alias))

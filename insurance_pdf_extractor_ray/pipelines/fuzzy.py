@@ -249,3 +249,59 @@ def fuzzy_pairs(
 
     return (pairs.map_batches(tag_pair, batch_format="pyarrow")
             .groupby("_pb").map_groups(uniq_group, batch_format="pyarrow"))
+
+
+def entity_components(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    block_col: Optional[str] = None,
+    max_broadcast: int = 2_000_000,
+    distributed: Optional[bool] = None,
+) -> ray.data.Dataset:
+    """Entity resolution: cluster ids whose ``text_col`` values chain together
+    within Levenshtein distance 1 — Dataset(id, root) with ``root`` = the
+    component's min id.  The record-linkage counterpart of
+    ``dedup.jaccard_component_dedup`` (same closure semantics, edit-distance
+    edges).
+
+    Edges come from :func:`fuzzy_pairs` (deletion-neighborhood blocking — no
+    cross join).  ``block_col`` optionally restricts edges to same-block pairs
+    (e.g. same region/nation): the pair list is re-joined against the
+    (id, block) dim — two keyed joins over the *pair* list, which is
+    edge-bounded, never corpus-squared.  Components use driver union-find
+    while the edge list fits (``<= max_broadcast`` pairs), else the all-
+    Dataset min-label-propagation rounds of
+    ``dedup.dup_components_distributed``; pass ``distributed`` to force.
+    """
+    from .dedup import (_join_partitions, dup_components,
+                        dup_components_distributed)
+
+    pairs = fuzzy_pairs(ds.select_columns([id_col, text_col]),
+                        id_col, text_col)
+    if block_col is not None:
+        P = _join_partitions()
+        dim = ds.select_columns([id_col, block_col])
+        pairs = pairs.join(dim, join_type="inner", num_partitions=P,
+                           on=("id_a",), right_on=(id_col,),
+                           right_suffix="_ra")
+        pairs = pairs.join(dim, join_type="inner", num_partitions=P,
+                           on=("id_b",), right_on=(id_col,),
+                           right_suffix="_rb")
+        pairs = pairs.map_batches(
+            lambda t: t.filter(pc.equal(t.column(block_col),
+                                        t.column(block_col + "_rb")))
+                       .select(["id_a", "id_b"]),
+            batch_format="pyarrow")
+
+    pairs = pairs.materialize()  # edge-bounded; reused count + components
+    if distributed is None:
+        distributed = pairs.count() > max_broadcast
+    if distributed:
+        return dup_components_distributed(pairs)
+    comp = dup_components(pairs)
+    ids = sorted(comp)
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(ids),
+        "root": pa.array([comp[i] for i in ids]),
+    }))

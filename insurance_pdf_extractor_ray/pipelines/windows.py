@@ -297,3 +297,47 @@ def lag_by_key(
         return group.append_column(out_col, shifted)
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def debounce_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    signal_col: str,
+    gap: int,
+    order_tiebreak: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Drop a row when it repeats the key's previous ``signal_col`` value
+    within ``gap`` microseconds — the sensor / clickstream de-bounce (log
+    de-duplication that exact dedup can't express because the *timestamps*
+    differ).  Keeps the first row of every burst.
+
+    SQL: ``WHERE NOT (LAG(signal) = signal AND ts - LAG(ts) <= gap)`` over
+    ``PARTITION BY key ORDER BY ts[, tiebreak]``.  ONE keyed shuffle; the
+    interior is a sort + two vectorized shifted compares.  Note the SQL
+    semantics are *non-cascading*: each row compares against its raw
+    predecessor, so of three rapid repeats the 1st and 3rd survive (row 3's
+    predecessor is row 2, dropped or not).  Same per-key memory contract as
+    ``session_windows``.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = group.num_rows
+        if n <= 1:
+            return group
+        sig = group.column(signal_col).combine_chunks()
+        ts = group.column(ts_col).combine_chunks().cast(pa.int64())
+        same = pc.equal(sig.slice(1, n - 1), sig.slice(0, n - 1))
+        close = pc.less_equal(
+            pc.subtract(ts.slice(1, n - 1), ts.slice(0, n - 1)), gap)
+        drop = pc.and_kleene(same, close)  # null signal/ts -> null -> keep
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~np.asarray(
+            drop.fill_null(False).to_numpy(zero_copy_only=False))
+        return group.filter(pa.array(keep))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

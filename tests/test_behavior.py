@@ -208,3 +208,43 @@ class TestCooccurrencePairs:
                                  "event_type").take_all()
         assert [(r["item_a"], r["item_b"], r["n"]) for r in out] == [
             ("a", "b", 1)]
+
+
+class TestTransitionCounts:
+    def test_matches_duckdb_lag(self):
+        from insurance_pdf_extractor_ray.pipelines.behavior import (
+            transition_counts,
+        )
+
+        rng = np.random.RandomState(13)
+        n = 500
+        tbl = pa.table({
+            "eid": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 25, n), pa.int64()),
+            "etype": pa.array(rng.choice(["a", "b", "c"], n), pa.string()),
+            "ts": pa.array(rng.randint(0, 10_000, n), pa.int64()),
+        })
+        out = transition_counts(
+            ray.data.from_arrow(tbl).repartition(5), "user_id", "etype",
+            "ts", order_tiebreak="eid").take_all()
+        got = sorted((r["from_item"], r["to_item"], r["n"]) for r in out)
+        con = duckdb.connect()
+        con.register("ev", tbl)
+        want = sorted(tuple(w) for w in con.execute("""
+            WITH m AS (SELECT etype, lag(etype) OVER (PARTITION BY user_id
+                         ORDER BY ts, eid) AS prev FROM ev)
+            SELECT prev, etype, count(*) FROM m
+            WHERE prev IS NOT NULL GROUP BY 1, 2""").fetchall())
+        assert got == want
+
+    def test_single_event_user_emits_nothing(self):
+        from insurance_pdf_extractor_ray.pipelines.behavior import (
+            transition_counts,
+        )
+
+        tbl = pa.table({"user_id": pa.array([1], pa.int64()),
+                        "etype": pa.array(["a"], pa.string()),
+                        "ts": pa.array([0], pa.int64())})
+        out = transition_counts(ray.data.from_arrow(tbl), "user_id",
+                                "etype", "ts").take_all()
+        assert out == []

@@ -209,3 +209,52 @@ class TestZscore:
             FROM t WHERE k = 'a'""").fetchall())
         for (gv, gz), (wv, wz) in zip(a, want):
             assert gv == wv and abs(gz - wz) < 1e-9
+
+
+class TestDebounceByKey:
+    def test_matches_duckdb_lag_filter(self):
+        from insurance_pdf_extractor_ray.pipelines.windows import (
+            debounce_by_key,
+        )
+
+        rng = np.random.RandomState(17)
+        n = 800
+        tbl = pa.table({
+            "eid": pa.array(range(n), pa.int64()),
+            "k": pa.array(rng.randint(0, 30, n), pa.int64()),
+            "sig": pa.array(rng.choice(["x", "y"], n), pa.string()),
+            "ts": pa.array(rng.randint(0, 5_000, n), pa.int64()),
+        })
+        out = debounce_by_key(ray.data.from_arrow(tbl).repartition(6),
+                              "k", "ts", "sig", gap=100,
+                              order_tiebreak="eid").take_all()
+        got = sorted(r["eid"] for r in out)
+        con = duckdb.connect()
+        con.register("ev", tbl)
+        want = sorted(w[0] for w in con.execute("""
+            WITH m AS (SELECT eid, sig,
+                         lag(sig) OVER (PARTITION BY k ORDER BY ts, eid)
+                           AS psig,
+                         ts - lag(ts) OVER (PARTITION BY k ORDER BY ts, eid)
+                           AS gap
+                       FROM ev)
+            SELECT eid FROM m
+            WHERE psig IS DISTINCT FROM sig OR gap > 100""").fetchall())
+        assert got == want
+
+    def test_burst_keeps_first_non_cascading(self):
+        from insurance_pdf_extractor_ray.pipelines.windows import (
+            debounce_by_key,
+        )
+
+        # three rapid repeats: row2 dropped (vs row1), row3 dropped (vs raw
+        # predecessor row2), a later repeat past the gap survives
+        tbl = pa.table({
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([0, 0, 0, 0], pa.int64()),
+            "sig": pa.array(["x", "x", "x", "x"], pa.string()),
+            "ts": pa.array([0, 10, 20, 500], pa.int64()),
+        })
+        out = debounce_by_key(ray.data.from_arrow(tbl), "k", "ts", "sig",
+                              gap=100).take_all()
+        assert sorted(r["eid"] for r in out) == [1, 4]
