@@ -1545,6 +1545,113 @@ def _q_entity_components(sf_dir: str):
     })
 
 
+def _round_half_away(x: float, nd: int) -> float:
+    """DuckDB ROUND semantics (half away from zero) — Python round() is
+    banker's and diverges on exact .5 boundaries."""
+    m = 10.0 ** nd
+    import math
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
+def _q_vector_centroids(sf_dir: str):
+    """Per-label mean embedding (label, dim, centroid) — per-block
+    sum-vector/count partials via one zero-copy reshape + np.add.at, one
+    tiny keyed combine (pipelines/similarity.py:group_centroids)."""
+    from insurance_pdf_extractor_ray.pipelines.similarity import group_centroids
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    t = group_centroids(emb, "embedding", "label")
+    cent = [_round_half_away(v, 6) for v in t.column("centroid").to_pylist()]
+    return pa.table({
+        "label": t.column("label").cast(pa.int32()),
+        "dim": t.column("dim"),
+        "centroid": pa.array(cent, pa.float64()),
+    })
+
+
+def _q_quality_audit(sf_dir: str):
+    """Data-quality expectations over documents — every rule evaluated in
+    one pass, blocks ship (rule, n_bad, n_rows) partials only
+    (pipelines/profile.py:quality_audit)."""
+    from insurance_pdf_extractor_ray.pipelines.profile import quality_audit
+
+    known = {"en", "fr", "es", "de", "zh"}
+
+    rules = [
+        ("empty_text", lambda b: pc.or_kleene(
+            pc.is_null(b.column("text")),
+            pc.equal(b.column("text"), ""))),
+        ("len_mismatch", lambda b: pc.not_equal(
+            b.column("n_chars"), pc.utf8_length(b.column("text")))),
+        ("unknown_lang", lambda b: pc.invert(pc.is_in(
+            b.column("lang"), value_set=pa.array(sorted(known))))),
+        ("oversize", lambda b: pc.greater(b.column("n_chars"), 500)),
+    ]
+    return quality_audit(
+        _documents(sf_dir, ["text", "lang", "n_chars"]), rules)
+
+
+def _q_events_in_outages(sf_dir: str):
+    """Keyless point-in-interval join: every event falling inside any
+    10-minute outage window opened by an error event — intervals replicate
+    to the epoch buckets they overlap, points go to one bucket, one keyed
+    shuffle + vectorized in-group mask (pipelines/joins.py:range_join,
+    by=None path)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+        })
+
+    points = ev.map_batches(to_us, batch_format="pyarrow")
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        start = t.column("ts").cast(pa.int64())
+        return pa.table({
+            "outage_id": t.column("event_id"),
+            "start_us": start,
+            "end_us": pc.add(start, 600_000_000),
+        })
+
+    ivals = ev.map_batches(windows, batch_format="pyarrow")
+    out = range_join(points, ivals, on="ts_us", start_col="start_us",
+                     end_col="end_us", epoch=600_000_000,
+                     interval_cols=["outage_id"])
+    rows = sorted(
+        ((r["event_id"], r["outage_id"]) for r in
+         out.select_columns(["event_id", "outage_id"]).take_all()))
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "outage_id": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _q_apply_changes_balances(sf_dir: str):
+    """CDC MERGE INTO: fold the event log into customer balances — latest
+    change per key (compaction shuffle, <=1 row/key/block), ONE keyed
+    full-outer join, vectorized delete/upsert/passthrough resolution
+    (pipelines/cdc.py:apply_changes)."""
+    from insurance_pdf_extractor_ray.pipelines.cdc import apply_changes
+
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    changes = _events(sf_dir,
+                      ["user_id", "ts", "event_id", "event_type", "value"])
+    out = apply_changes(base, changes, "c_custkey", "user_id",
+                        order_by=["ts", "event_id"], op_col="event_type",
+                        payload_map={"value": "c_acctbal"},
+                        delete_op="error")
+    rows = sorted(out.take_all(), key=lambda r: r["c_custkey"])
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64()),
+        "c_acctbal": pa.array([r["c_acctbal"] for r in rows], pa.float64()),
+    })
+
+
 def _q_star_revenue(sf_dir: str):
     """Star-schema rollup orders→customer→nation→region: aggregate-below-
     join (fact reduced to per-custkey rows BEFORE any join), hash-shuffle
@@ -1844,6 +1951,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_values": _q_dense_rank_values,
         "weighted_sample": _q_weighted_sample,
         "star_revenue": _q_star_revenue,
+        "vector_centroids": _q_vector_centroids,
+        "quality_audit": _q_quality_audit,
+        "events_in_outages": _q_events_in_outages,
+        "apply_changes_balances": _q_apply_changes_balances,
         "event_transitions": _q_event_transitions,
         "debounce_events": _q_debounce_events,
         "entity_components": _q_entity_components,
@@ -2522,6 +2633,60 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "vector_centroids": """
+            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                   ROUND(AVG(e), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i ORDER BY label, dim
+        """,
+        "quality_audit": """
+            SELECT * FROM (
+              SELECT 'empty_text' AS rule,
+                     COALESCE(SUM(CASE WHEN text IS NULL OR text = ''
+                                       THEN 1 ELSE 0 END), 0) AS violations,
+                     COUNT(*) AS total FROM documents
+              UNION ALL
+              SELECT 'len_mismatch',
+                     COALESCE(SUM(CASE WHEN n_chars <> length(text)
+                                       THEN 1 ELSE 0 END), 0),
+                     COUNT(*) FROM documents
+              UNION ALL
+              SELECT 'unknown_lang',
+                     COALESCE(SUM(CASE WHEN lang NOT IN
+                                       ('de','en','es','fr','zh')
+                                       THEN 1 ELSE 0 END), 0),
+                     COUNT(*) FROM documents
+              UNION ALL
+              SELECT 'oversize',
+                     COALESCE(SUM(CASE WHEN n_chars > 500
+                                       THEN 1 ELSE 0 END), 0),
+                     COUNT(*) FROM documents)
+            ORDER BY rule
+        """,
+        "events_in_outages": """
+            SELECT e.event_id AS event_id, w.event_id AS outage_id
+            FROM events e JOIN events w
+              ON w.event_type = 'error'
+             AND e.ts >= w.ts AND e.ts <= w.ts + INTERVAL 600 SECOND
+            ORDER BY 1, 2
+        """,
+        "apply_changes_balances": """
+            WITH latest AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1)
+            SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+                   CASE WHEN l.user_id IS NOT NULL THEN l.value
+                        ELSE c.c_acctbal END AS c_acctbal
+            FROM customer c FULL OUTER JOIN latest l
+              ON c.c_custkey = l.user_id
+            WHERE l.event_type IS DISTINCT FROM 'error'
+            ORDER BY 1
         """,
         "event_transitions": """
             WITH m AS (SELECT user_id, event_type,

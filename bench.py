@@ -348,6 +348,101 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     knn_brute_force(ray.data.read_parquet(emb_path), q, k=10)
     queries["knn"] = round(time.time() - t0, 3)
 
+    # graph / CDC family: entity components (FastSS edges + closure),
+    # MERGE-style change apply, keyless interval join
+    from insurance_pdf_extractor_ray.pipelines.cdc import apply_changes
+    from insurance_pdf_extractor_ray.pipelines.fuzzy import entity_components
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+
+    t0 = time.time()
+    entity_components(
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_name", "c_nationkey"]),
+        "c_custkey", "c_name", block_col="c_nationkey").count()
+    apply_changes(
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_acctbal"]),
+        ray.data.read_parquet(
+            events, columns=["user_id", "ts", "event_id",
+                             "event_type", "value"]),
+        "c_custkey", "user_id", order_by=["ts", "event_id"],
+        op_col="event_type", payload_map={"value": "c_acctbal"},
+        delete_op="error").count()
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "ts_us": batch.column("ts").cast(pa.int64())})
+
+    def _wins(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("event_type"), "error"))
+        s = batch.column("ts").cast(pa.int64())
+        return pa.table({"outage_id": batch.column("event_id"),
+                         "start_us": s, "end_us": pc.add(s, 600_000_000)})
+
+    evr = ray.data.read_parquet(events,
+                                columns=["event_id", "ts", "event_type"])
+    range_join(evr.map_batches(_pts, batch_format="pyarrow"),
+               evr.map_batches(_wins, batch_format="pyarrow"),
+               on="ts_us", start_col="start_us", end_col="end_us",
+               epoch=600_000_000, interval_cols=["outage_id"]).count()
+    queries["graph_cdc"] = round(time.time() - t0, 3)
+
+    # sequence/composition family: word bigrams, co-occurrence, Markov
+    # transitions, de-bounce, entropy, quality audit, embedding centroids
+    from insurance_pdf_extractor_ray.pipelines.analytics import entropy_by
+    from insurance_pdf_extractor_ray.pipelines.behavior import (
+        cooccurrence_pairs,
+        transition_counts,
+    )
+    from insurance_pdf_extractor_ray.pipelines.profile import quality_audit
+    from insurance_pdf_extractor_ray.pipelines.similarity import group_centroids
+    from insurance_pdf_extractor_ray.pipelines.tfidf import ngram_counts
+    from insurance_pdf_extractor_ray.pipelines.windows import debounce_by_key
+
+    t0 = time.time()
+    ngram_counts(ray.data.read_parquet(docs_path,
+                                       columns=["doc_id", "text"]),
+                 "text", "doc_id", n=2, k=100).count()
+    queries["bigrams"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cooccurrence_pairs(
+        ray.data.read_parquet(events, columns=["user_id", "event_type"]),
+        "user_id", "event_type").count()
+    transition_counts(
+        ray.data.read_parquet(events,
+                              columns=["event_id", "user_id",
+                                       "event_type", "ts"]),
+        "user_id", "event_type", "ts", order_tiebreak="event_id").count()
+    debounce_by_key(
+        ray.data.read_parquet(events,
+                              columns=["event_id", "user_id",
+                                       "event_type", "ts"]),
+        "user_id", "ts", "event_type", gap=60_000_000,
+        order_tiebreak="event_id").count()
+    queries["sequence_ops"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entropy_by(ray.data.read_parquet(docs_path,
+                                     columns=["source", "lang"]),
+               "source", "lang")
+    import pyarrow.compute as _pc
+
+    quality_audit(
+        ray.data.read_parquet(docs_path,
+                              columns=["text", "lang", "n_chars"]),
+        [("empty_text", lambda b: _pc.or_kleene(
+            _pc.is_null(b.column("text")), _pc.equal(b.column("text"), ""))),
+         ("len_mismatch", lambda b: _pc.not_equal(
+             b.column("n_chars"), _pc.utf8_length(b.column("text")))),
+         ("oversize", lambda b: _pc.greater(b.column("n_chars"), 500))])
+    group_centroids(ray.data.read_parquet(emb_path,
+                                          columns=["embedding", "label"]),
+                    "embedding", "label")
+    queries["audit_centroids"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

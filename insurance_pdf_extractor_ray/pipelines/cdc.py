@@ -1,0 +1,96 @@
+"""Change-data-capture apply: fold an upsert/delete change log into a base
+table — the lakehouse MERGE INTO / SCD-type-1 primitive.
+
+Reference analog: re-processing a document overwrites its stored extraction
+row (reference ``app/services/storage.py:167-204`` upsert-on-conflict); this
+module generalizes that to a *batch* of changes applied to a corpus-scale
+base in one pass.
+
+Scale shape: the change log is first compacted to its latest row per key
+(``rankagg.latest_by_key`` — <=1 candidate per key per block crosses that
+shuffle), then ONE keyed full-outer join against the base resolves every key:
+deleted keys drop, changed keys take the change payload, untouched base rows
+pass through, and never-seen keys insert.  Nothing is driver-resident; both
+shuffles are keyed on the same column so a bucketed-by-key base layout
+(``bucketed.py``) can elide the join exchange entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import _join_partitions
+from .rankagg import latest_by_key
+
+
+def apply_changes(
+    base: ray.data.Dataset,
+    changes: ray.data.Dataset,
+    key_col: str,
+    change_key_col: str,
+    order_by: Sequence[str],
+    op_col: str,
+    payload_map: Dict[str, str],
+    delete_op: str = "delete",
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Apply ``changes`` to ``base`` and return the new state of the table.
+
+    For each key, the latest change row (under ``order_by``, descending,
+    ties broken by later entries — pass a unique column last to make the
+    order total) decides the outcome: ``op == delete_op`` removes the key;
+    any other op upserts, writing each change column in ``payload_map``
+    (change col -> base col) and nulling unmapped base columns for brand-new
+    keys.  Keys without changes keep their base row.
+    """
+    P = num_partitions or _join_partitions()
+    chg_cols = [change_key_col, op_col] + list(payload_map)
+    latest = latest_by_key(changes, change_key_col,
+                           order_by=list(order_by),
+                           descending=[True] * len(order_by),
+                           columns=chg_cols)
+
+    rename = {change_key_col: "__k", op_col: "__op",
+              **{c: f"__p_{c}" for c in payload_map}}
+
+    def ren(t: pa.Table) -> pa.Table:
+        t = t.select(chg_cols)
+        return t.rename_columns([rename[c] for c in t.column_names])
+
+    latest = latest.map_batches(ren, batch_format="pyarrow")
+
+    base_schema = base.schema()
+    base_names = base_schema.names
+    base_types = dict(zip(base_schema.names, base_schema.types))
+    inv_payload = {b: c for c, b in payload_map.items()}
+
+    joined = base.join(latest, join_type="full_outer", num_partitions=P,
+                       on=(key_col,), right_on=("__k",))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        op = t.column("__op")
+        # delete: latest op says so; null op (no change) keeps the row
+        t = t.filter(pc.fill_null(pc.invert(pc.equal(op, delete_op)), True))
+        has_chg = pc.is_valid(t.column("__op"))
+        cols = {}
+        for c in base_names:
+            if c == key_col:
+                # Ray's full_outer join may coalesce the right key into the
+                # left key column (no "__k" in the output) — handle both
+                if "__k" in t.column_names:
+                    cols[c] = pc.coalesce(
+                        t.column(c), t.column("__k").cast(base_types[c]))
+                else:
+                    cols[c] = t.column(c)
+            elif c in inv_payload:
+                newv = t.column(f"__p_{inv_payload[c]}").cast(base_types[c])
+                cols[c] = pc.if_else(has_chg, newv, t.column(c))
+            else:
+                cols[c] = t.column(c)  # inserts get nulls here
+        return pa.table(cols)
+
+    return joined.map_batches(resolve, batch_format="pyarrow")

@@ -277,8 +277,15 @@ def entity_components(
     from .dedup import (_join_partitions, dup_components,
                         dup_components_distributed)
 
-    pairs = fuzzy_pairs(ds.select_columns([id_col, text_col]),
-                        id_col, text_col)
+    from ..dsutil import drop_empty_blocks
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    # fuzzy_pairs' map_groups interior can emit empty zero-column blocks;
+    # the downstream hash-shuffle joins (block filter, label propagation)
+    # choke on the schema mismatch — rebuild from non-empty blocks first
+    pairs = drop_empty_blocks(
+        fuzzy_pairs(ds.select_columns([id_col, text_col]), id_col, text_col),
+        empty_schema=pa.schema([("id_a", id_type), ("id_b", id_type)]))
     if block_col is not None:
         P = _join_partitions()
         dim = ds.select_columns([id_col, block_col])

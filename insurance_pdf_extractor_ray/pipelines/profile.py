@@ -110,3 +110,49 @@ def profile_columns(
         "mean_num": pa.array([r["mean_num"] for r in rows], pa.float64()),
         "avg_len": pa.array([r["avg_len"] for r in rows], pa.float64()),
     })
+
+
+def quality_audit(
+    ds: ray.data.Dataset,
+    rules,
+) -> pa.Table:
+    """Data-quality expectations: count violations of each named rule —
+    Table(rule, violations, total).  The pre-training corpus gatekeeper
+    (null text, length mismatches, out-of-vocabulary enum values, ...).
+
+    ``rules`` is a list of ``(name, fn)`` where ``fn(batch: pa.Table)``
+    returns a boolean mask (Arrow or numpy) marking VIOLATING rows.  Every
+    rule is evaluated in the same single pass; each block ships one tiny
+    (rule, n_bad, n_rows) partial table and a final keyed combine sums them
+    — zero corpus-scale shuffle, output bounded by |rules|.
+    """
+    from ray.data.aggregate import Sum
+
+    names = [n for n, _ in rules]
+    fns = [f for _, f in rules]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        bad: List[int] = []
+        for f in fns:
+            mask = f(batch)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                n = pc.sum(pc.fill_null(mask, False)).as_py() or 0
+            else:
+                n = int(np.count_nonzero(mask))
+            bad.append(n)
+        return pa.table({
+            "rule": pa.array(names, pa.string()),
+            "_bad": pa.array(bad, pa.int64()),
+            "_rows": pa.array([batch.num_rows] * len(names), pa.int64()),
+        })
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("rule")
+           .aggregate(Sum("_bad", alias_name="violations"),
+                      Sum("_rows", alias_name="total")))
+    rows = sorted(out.take_all(), key=lambda r: r["rule"])
+    return pa.table({
+        "rule": pa.array([r["rule"] for r in rows], pa.string()),
+        "violations": pa.array([r["violations"] for r in rows], pa.int64()),
+        "total": pa.array([r["total"] for r in rows], pa.int64()),
+    })

@@ -371,3 +371,56 @@ def knn_lsh(
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      id_col: pa.array(out_id),
                      "score": pa.array(out_s, pa.float64())})
+
+
+def group_centroids(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    group_col: str,
+) -> pa.Table:
+    """Per-group mean embedding — Dataset(group, dim, centroid), one row per
+    (group, vector dimension).  The class-prototype / cluster-summary
+    primitive (seed vectors for IVF, per-source drift monitors, nearest-
+    centroid classification).
+
+    Scale shape: each block reduces to per-group (sum-vector, count)
+    PARTIALS via one zero-copy matrix reshape + ``np.add.at`` scatter —
+    blocks ship |groups in block| x dim rows, never vectors.  A final keyed
+    combine sums partials per (group, dim); output is bounded by
+    |groups| x dim.  Exploding partials to (group, dim, s) rows keeps the
+    combine a plain columnar Sum — no list-typed aggregate state needed.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch.column(emb_col))
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        if m.size == 0:
+            return pa.table({group_col: pa.array([], batch.schema.field(group_col).type),
+                             "dim": pa.array([], pa.int32()),
+                             "_s": pa.array([], pa.float64()),
+                             "_n": pa.array([], pa.int64())})
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k, d = sums.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int32), k)),
+            "_s": pa.array(sums.ravel(), pa.float64()),
+            "_n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    combined = (ds.select_columns([group_col, emb_col])
+                .map_batches(partials, batch_format="pyarrow")
+                .groupby([group_col, "dim"])
+                .aggregate(Sum("_s", alias_name="_s"),
+                           Sum("_n", alias_name="_n")))
+    rows = combined.take_all()  # |groups| x dim — bounded, never corpus-scale
+    rows.sort(key=lambda r: (r[group_col], r["dim"]))
+    return pa.table({
+        group_col: pa.array([r[group_col] for r in rows]),
+        "dim": pa.array([r["dim"] for r in rows], pa.int32()),
+        "centroid": pa.array([r["_s"] / r["_n"] for r in rows], pa.float64()),
+    })

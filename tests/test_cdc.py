@@ -1,0 +1,61 @@
+"""CDC apply_changes vs DuckDB MERGE-equivalent SQL."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.cdc import apply_changes
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+BASE = pa.table({
+    "k": pa.array([1, 2, 3, 4], pa.int64()),
+    "bal": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+    "name": pa.array(["a", "b", "c", "d"], pa.string()),
+})
+# k=1 updated twice (latest wins), k=2 deleted, k=3 untouched,
+# k=4 deleted then re-upserted, k=9 inserted
+CHG = pa.table({
+    "k": pa.array([1, 1, 2, 4, 4, 9], pa.int64()),
+    "ts": pa.array([1, 5, 2, 1, 6, 3], pa.int64()),
+    "op": pa.array(["upsert", "upsert", "delete", "delete", "upsert",
+                    "upsert"], pa.string()),
+    "v": pa.array([11.0, 12.0, 0.0, 0.0, 44.0, 99.0], pa.float64()),
+})
+
+
+def _apply():
+    out = apply_changes(
+        ray.data.from_arrow(BASE).repartition(2),
+        ray.data.from_arrow(CHG).repartition(3),
+        "k", "k", order_by=["ts"], op_col="op",
+        payload_map={"v": "bal"}, delete_op="delete")
+    return sorted(((r["k"], r["bal"], r["name"]) for r in out.take_all()))
+
+
+def test_upsert_delete_insert_passthrough():
+    assert _apply() == [
+        (1, 12.0, "a"),   # latest upsert wins
+        (3, 30.0, "c"),   # untouched
+        (4, 44.0, "d"),   # delete then later upsert -> upsert wins
+        (9, 99.0, None),  # insert: unmapped base cols null
+    ]
+
+
+def test_matches_duckdb_merge_sql():
+    con = duckdb.connect()
+    con.register("base", BASE)
+    con.register("chg", CHG)
+    want = sorted(tuple(r) for r in con.execute("""
+        WITH latest AS (
+          SELECT k, op, v FROM (
+            SELECT k, op, v, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC) AS rn FROM chg) WHERE rn = 1)
+        SELECT COALESCE(b.k, l.k),
+               CASE WHEN l.k IS NOT NULL THEN l.v ELSE b.bal END,
+               b.name
+        FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+        WHERE l.op IS DISTINCT FROM 'delete'
+    """).fetchall())
+    assert _apply() == want

@@ -264,3 +264,20 @@ class TestStarAggregate:
             assert mrow["name"] == name
             assert abs(mrow["total"] - total) < 1e-6
             assert mrow["n"] == n
+
+
+def test_range_join_keyless_many_match():
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+
+    pts = pa.table({"pid": pa.array([1, 2, 3], pa.int64()),
+                    "t": pa.array([5, 15, 95], pa.int64())})
+    ivl = pa.table({"iid": pa.array([10, 20], pa.int64()),
+                    "s": pa.array([0, 10], pa.int64()),
+                    "e": pa.array([20, 100], pa.int64())})
+    out = range_join(ray.data.from_arrow(pts).repartition(2),
+                     ray.data.from_arrow(ivl), on="t", start_col="s",
+                     end_col="e", epoch=10,
+                     interval_cols=["iid"]).take_all()
+    got = sorted((r["pid"], r["iid"]) for r in out)
+    # point 1 in [0,20] only; point 2 in both; point 3 in [10,100] only
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 20)]

@@ -52,3 +52,23 @@ def test_profile_skip_distinct():
     r = out.to_pylist()[0]
     assert r["n_distinct"] is None
     assert r["n"] == 4000
+
+
+def test_quality_audit_counts_per_rule():
+    import pyarrow.compute as _pc
+
+    from insurance_pdf_extractor_ray.pipelines.profile import quality_audit
+
+    tbl = pa.table({
+        "text": pa.array(["ok", "", None, "fine"], pa.string()),
+        "n": pa.array([2, 0, 5, 99], pa.int64()),
+    })
+    rules = [
+        ("empty", lambda b: _pc.or_kleene(_pc.is_null(b.column("text")),
+                                          _pc.equal(b.column("text"), ""))),
+        ("big_n", lambda b: _pc.greater(b.column("n"), 10)),
+    ]
+    out = quality_audit(ray.data.from_arrow(tbl).repartition(2), rules)
+    got = {r["rule"]: (r["violations"], r["total"])
+           for r in out.to_pylist()}
+    assert got == {"empty": (2, 4), "big_n": (1, 4)}

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -119,3 +120,34 @@ def test_ivf_index_matches_scan_path(ray_session, tmp_path):
     assert norm(scan) == norm(indexed)
     # pruning is real: fewer cluster dirs than total
     assert len(glob.glob(os.path.join(idx_dir, "cluster=*"))) <= 8
+
+
+def test_group_centroids_matches_duckdb():
+    import duckdb
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        group_centroids,
+    )
+
+    rng = np.random.RandomState(23)
+    n, d = 300, 8
+    m = rng.randn(n, d)
+    labels = rng.randint(0, 4, n)
+    tbl = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array([list(map(float, row)) for row in m],
+                              pa.list_(pa.float32())),
+    })
+    out = group_centroids(ray.data.from_arrow(tbl).repartition(5),
+                          "embedding", "label")
+    got = {(r["label"], r["dim"]): r["centroid"] for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("emb", tbl)
+    want = {(lab, i - 1): v for lab, i, v in con.execute("""
+        SELECT label, i, AVG(e) FROM (
+          SELECT label, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i FROM emb)
+        GROUP BY label, i""").fetchall()}
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key] == pytest.approx(want[key], abs=1e-9)
