@@ -1652,6 +1652,72 @@ def _q_apply_changes_balances(sf_dir: str):
     })
 
 
+def _q_name_pagerank(sf_dir: str):
+    """PageRank (3 synchronous iterations, d=0.85) over the nation-blocked
+    lev<=1 customer-name graph — per round ONE keyed join (ranks onto the
+    materialized edge list) + one keyed combine; the oracle unrolls the same
+    three iterations in SQL (pipelines/graph.py:pagerank)."""
+    from insurance_pdf_extractor_ray.pipelines.graph import pagerank
+
+    # same edge derivation as entity_components (fuzzy pairs + block join),
+    # then symmetrize for the undirected graph
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.fuzzy import fuzzy_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+
+    pairs = drop_empty_blocks(
+        fuzzy_pairs(cust.select_columns(["c_custkey", "c_name"]),
+                    "c_custkey", "c_name"),
+        empty_schema=pa.schema([("id_a", pa.int64()),
+                                ("id_b", pa.int64())]))
+    P = _join_partitions()
+    dim = cust.select_columns(["c_custkey", "c_nationkey"])
+    pairs = pairs.join(dim, join_type="inner", num_partitions=P,
+                       on=("id_a",), right_on=("c_custkey",))
+    pairs = pairs.join(dim, join_type="inner", num_partitions=P,
+                       on=("id_b",), right_on=("c_custkey",),
+                       right_suffix="_rb")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_nationkey"),
+                                    t.column("c_nationkey_rb")))
+                   .select(["id_a", "id_b"]),
+        batch_format="pyarrow")
+    sym = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t.column("id_a").combine_chunks(),
+                                     t.column("id_b").combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("id_b").combine_chunks(),
+                                     t.column("id_a").combine_chunks()])}),
+        batch_format="pyarrow")
+    ranks = pagerank(sym, n_iter=3, damping=0.85)
+    rows = sorted(ranks.take_all(), key=lambda r: r["id"])
+    return pa.table({
+        "id": pa.array([r["id"] for r in rows], pa.int64()),
+        "rank": pa.array([_round_half_away(r["rank"], 9) for r in rows],
+                         pa.float64()),
+    })
+
+
+def _q_decayed_user_value(sf_dir: str):
+    """Recency-weighted engagement: exp-decayed value sum per user anchored
+    at the user's latest event — decay factored into two plain combinable
+    aggregates, map-side partials only
+    (pipelines/analytics.py:decayed_sum_by)."""
+    from insurance_pdf_extractor_ray.pipelines.analytics import decayed_sum_by
+
+    # tau = 1 day; t0 = 2024-01-01 UTC (events start there)
+    t = decayed_sum_by(
+        _events(sf_dir, ["user_id", "ts", "value"]),
+        "user_id", "ts", "value",
+        tau_us=86_400_000_000.0, t0_us=1_704_067_200_000_000, nd=6)
+    return pa.table({
+        "user_id": t.column("user_id").cast(pa.int64()),
+        "decayed_sum": t.column("decayed_sum"),
+    })
+
+
 def _q_star_revenue(sf_dir: str):
     """Star-schema rollup orders→customer→nation→region: aggregate-below-
     join (fact reduced to per-custkey rows BEFORE any join), hash-shuffle
@@ -1951,6 +2017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_values": _q_dense_rank_values,
         "weighted_sample": _q_weighted_sample,
         "star_revenue": _q_star_revenue,
+        "name_pagerank": _q_name_pagerank,
+        "decayed_user_value": _q_decayed_user_value,
         "vector_centroids": _q_vector_centroids,
         "quality_audit": _q_quality_audit,
         "events_in_outages": _q_events_in_outages,
@@ -2633,6 +2701,50 @@ def oracle_sql() -> dict[str, str]:
         "cube_source_lang": """
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "name_pagerank": """
+            WITH pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a, customer b
+              WHERE a.c_custkey < b.c_custkey
+                AND a.c_nationkey = b.c_nationkey
+                AND levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT deg.src AS id, 1.0 / nn.n AS r FROM deg, nn),
+            r1 AS (SELECT e.dst AS id,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r0.r / deg.d) AS r
+                   FROM edges e JOIN r0 ON e.src = r0.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS id,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r1.r / deg.d) AS r
+                   FROM edges e JOIN r1 ON e.src = r1.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS id,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r2.r / deg.d) AS r
+                   FROM edges e JOIN r2 ON e.src = r2.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst)
+            SELECT id, ROUND(r, 9) AS rank FROM r3 ORDER BY id
+        """,
+        "decayed_user_value": """
+            WITH w AS (
+              SELECT user_id,
+                     value * exp((epoch_us(ts) - 1704067200000000)
+                                 / 86400000000.0) AS wv,
+                     epoch_us(ts) AS e
+              FROM events)
+            SELECT user_id,
+                   ROUND(SUM(wv) * exp(-(MAX(e) - 1704067200000000)
+                                       / 86400000000.0), 6) AS decayed_sum
+            FROM w GROUP BY user_id ORDER BY user_id
         """,
         "vector_centroids": """
             SELECT label, CAST(i - 1 AS INTEGER) AS dim,

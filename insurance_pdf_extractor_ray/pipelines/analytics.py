@@ -317,3 +317,50 @@ def entropy_by(
         i = j
     return pa.table({key_col: pa.array(out_keys),
                      "entropy": pa.array(out_h, pa.float64())})
+
+
+def decayed_sum_by(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tau_us: float,
+    t0_us: int,
+    nd: int = 6,
+) -> pa.Table:
+    """Exponentially-decayed sum per key, anchored at each key's latest
+    timestamp: ``S_k = sum_i v_i * exp(-(max_ts_k - ts_i) / tau)`` — the
+    recency-weighted engagement / freshness score.
+
+    The decay factors out: ``S_k = exp(-(max_ts_k - t0)/tau) * sum_i
+    v_i * exp((ts_i - t0)/tau)``, so the whole operator is two PLAIN
+    combinable aggregates (Sum of a per-row weighted value, Max of ts) —
+    map-side partials, one tiny keyed combine, no per-key ordering or
+    grouping of row streams at all.  ``t0_us`` rebases the exponent so
+    ``exp`` stays in float64 range: pick t0 near the data's start and keep
+    ``(max_ts - t0) / tau`` under ~600.
+    """
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        w = v * np.exp((ts - t0_us) / tau_us)
+        return pa.table({key_col: batch.column(key_col),
+                         "_w": pa.array(w, pa.float64()),
+                         "_ts": batch.column(ts_col).cast(pa.int64())})
+
+    agg = (ds.select_columns([key_col, ts_col, value_col])
+           .map_batches(weigh, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("_w", alias_name="_sw"),
+                      Max("_ts", alias_name="_mt")))
+    rows = sorted(agg.take_all(), key=lambda r: r[key_col])
+    m = 10.0 ** nd
+    out = []
+    for r in rows:
+        s = r["_sw"] * np.exp(-(r["_mt"] - t0_us) / tau_us)
+        out.append(np.copysign(np.floor(abs(s) * m + 0.5), s) / m)
+    return pa.table({key_col: pa.array([r[key_col] for r in rows]),
+                     "decayed_sum": pa.array(out, pa.float64())})

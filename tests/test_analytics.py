@@ -151,3 +151,27 @@ def test_entropy_by_single_value_group_is_zero():
                     "lang": pa.array(["en", "en"], pa.string())})
     out = analytics.entropy_by(ray.data.from_arrow(tbl), "source", "lang")
     assert out.to_pylist() == [{"source": "a", "entropy": 0.0}]
+
+
+def test_decayed_sum_by_matches_duckdb():
+    rng = np.random.RandomState(29)
+    n = 400
+    tbl = pa.table({
+        "k": pa.array(rng.randint(0, 20, n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 10**7, n), pa.int64()).cast(
+            pa.timestamp("us")),
+        "v": pa.array(rng.rand(n) * 100, pa.float64()),
+    })
+    out = analytics.decayed_sum_by(
+        ray.data.from_arrow(tbl).repartition(4), "k", "ts", "v",
+        tau_us=1e6, t0_us=0, nd=6)
+    got = {r["k"]: r["decayed_sum"] for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("e", tbl)
+    want = dict(con.execute("""
+        SELECT k, ROUND(SUM(v * exp(epoch_us(ts) / 1000000.0))
+                        * exp(-MAX(epoch_us(ts)) / 1000000.0), 6)
+        FROM e GROUP BY k""").fetchall())
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
