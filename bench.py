@@ -359,6 +359,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                               columns=["c_custkey", "c_name", "c_nationkey"]),
         "c_custkey", "c_name", block_col="c_nationkey").count()
+    queries["entity_components"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     apply_changes(
         ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                               columns=["c_custkey", "c_acctbal"]),
@@ -368,6 +371,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         "c_custkey", "user_id", order_by=["ts", "event_id"],
         op_col="event_type", payload_map={"value": "c_acctbal"},
         delete_op="error").count()
+    queries["apply_changes"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
 
     def _pts(batch: pa.Table) -> pa.Table:
         return pa.table({"event_id": batch.column("event_id"),
@@ -387,7 +393,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                evr.map_batches(_wins, batch_format="pyarrow"),
                on="ts_us", start_col="start_us", end_col="end_us",
                epoch=600_000_000, interval_cols=["outage_id"]).count()
-    queries["graph_cdc"] = round(time.time() - t0, 3)
+    queries["range_join"] = round(time.time() - t0, 3)
 
     # sequence/composition family: word bigrams, co-occurrence, Markov
     # transitions, de-bounce, entropy, quality audit, embedding centroids
