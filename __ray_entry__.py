@@ -1940,6 +1940,167 @@ def _q_percent_rank(sf_dir: str):
     return _round_col(tbl, "pr", 9)
 
 
+def _q_scd2_user_states(sf_dir: str):
+    """SCD-type-2 dimension build from the event change log: per user,
+    consecutive repeats of event_type collapse, each surviving change gets
+    [valid_from, valid_to) from its own ts to the next change's ts — ONE
+    keyed shuffle, vectorized shifted-compare interior
+    (pipelines/cdc.py:scd2_intervals)."""
+    from insurance_pdf_extractor_ray.pipelines.cdc import scd2_intervals
+
+    out = scd2_intervals(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+        "user_id", "ts", ["event_type"], order_tiebreak="event_id")
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["user_id"], r["valid_from"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "valid_from": pa.array([r["valid_from"] for r in rows],
+                               pa.timestamp("us")),
+        "valid_to": pa.array([r["valid_to"] for r in rows],
+                             pa.timestamp("us")),
+    })
+
+
+def _q_cumsum_by_user(sf_dir: str):
+    """Per-key expanding running total — SQL SUM() OVER (PARTITION BY ...
+    ROWS UNBOUNDED PRECEDING) — on integer cents so the cumulative sum is
+    reduction-order-exact (pipelines/windows.py:expanding_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import expanding_by_key
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("value"), 100.0)) \
+                  .cast(pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "event_id": batch.column("event_id"),
+            "cents": cents,
+        })
+
+    out = expanding_by_key(ds.map_batches(to_cents, batch_format="pyarrow"),
+                           "user_id", "ts", "cents",
+                           order_tiebreak="event_id")
+    rows = sorted(out.select_columns(
+        ["event_id", "cum_sum", "cum_n"]).take_all(),
+        key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "cum_cents": pa.array([r["cum_sum"] for r in rows], pa.int64()),
+        "cum_n": pa.array([r["cum_n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered semi-join: the BUILDING-segment customer keys
+    stream into an m-bit filter (constant merge state), probe-side batches
+    drop definite non-members before the exact keyed semi-join — runtime
+    filtering, the shuffle-volume cut for big-big semi-joins
+    (pipelines/bloom.py:bloom_semi_join)."""
+    from insurance_pdf_extractor_ray.pipelines.bloom import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+               .select_columns(["c_custkey"])
+    out = bloom_semi_join(orders, cust, on="o_custkey",
+                          right_on="c_custkey", m_bits=1 << 20, k=7)
+    rows = sorted(out.take_all(), key=lambda r: r["o_orderkey"])
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+    })
+
+
+def _q_daily_gapfill(sf_dir: str):
+    """Calendar gap-fill (resample-to-daily with zero-filled missing days)
+    over a sparse event subset — one map-combined groupby, driver merge on
+    the day-cardinality aggregate only
+    (pipelines/analytics.py:gap_fill_days)."""
+    from insurance_pdf_extractor_ray.pipelines.analytics import gap_fill_days
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    sparse = ds.filter(
+        expr="event_type == 'purchase' and value > 4.97")
+    return gap_fill_days(sparse, "ts", count_alias="n_events")
+
+
+def _q_full_outer_balances(sf_dir: str):
+    """FULL OUTER JOIN coverage: customers against per-user event cents
+    totals — unmatched rows survive from BOTH sides with typed nulls
+    (Dataset.join full_outer, integer Sum for order-exact totals)."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ev = _events(sf_dir, ["user_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "cents": pc.round(pc.multiply(batch.column("value"), 100.0))
+                       .cast(pa.int64()),
+        })
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+
+    sums = drop_empty_blocks(
+        ev.map_batches(to_cents, batch_format="pyarrow")
+          .groupby("user_id").aggregate(Sum("cents", alias_name="total_cents")),
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("total_cents", pa.int64())]))
+    joined = cust.join(sums, join_type="full_outer",
+                       num_partitions=_join_partitions(),
+                       on=("c_custkey",), right_on=("user_id",))
+
+    def project(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        ckey = t.column("c_custkey")
+        if "user_id" in names:
+            ckey = pc.coalesce(ckey, t.column("user_id"))
+        return pa.table({
+            "id": ckey.cast(pa.int64()),
+            "c_acctbal": t.column("c_acctbal"),
+            "total_cents": t.column("total_cents"),
+        })
+
+    rows = sorted(joined.map_batches(project, batch_format="pyarrow")
+                        .take_all(), key=lambda r: r["id"])
+    return pa.table({
+        "id": pa.array([r["id"] for r in rows], pa.int64()),
+        "c_acctbal": pa.array([r["c_acctbal"] for r in rows], pa.float64()),
+        "total_cents": pa.array([r["total_cents"] for r in rows], pa.int64()),
+    })
+
+
+def _q_hash_split_stats(sf_dir: str):
+    """Deterministic train/val/test assignment (Knuth-hash ranges,
+    partition-independent, zero shuffle) aggregated per split — the
+    reproducible-eval-split primitive; the oracle re-derives the exact
+    mod-2^32 predicate in SQL (pipelines/sampling.py:assign_split)."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.pipelines.sampling import assign_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = assign_split(docs, "doc_id", test_rate=0.05, val_rate=0.05,
+                       seed=9)
+    agg = out.groupby("split").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+    rows = sorted(agg.take_all(), key=lambda r: r["split"])
+    return pa.table({
+        "split": pa.array([r["split"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "total_chars": pa.array([r["total_chars"] for r in rows],
+                                pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -2039,6 +2200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
+        "scd2_user_states": _q_scd2_user_states,
+        "cumsum_by_user": _q_cumsum_by_user,
+        "bloom_semijoin_orders": _q_bloom_semijoin,
+        "daily_gapfill": _q_daily_gapfill,
+        "full_outer_balances": _q_full_outer_balances,
+        "hash_split_stats": _q_hash_split_stats,
     }
 
 
@@ -2957,5 +3124,77 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
             FROM events ORDER BY event_id
+        """,
+        "scd2_user_states": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), changes AS (
+              SELECT user_id, ts, event_id, event_type FROM ordered
+              WHERE prev IS NULL OR event_type <> prev
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   LEAD(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+            FROM changes ORDER BY user_id, valid_from
+        """,
+        "cumsum_by_user": """
+            SELECT event_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                   COUNT(*) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM events ORDER BY event_id
+        """,
+        "bloom_semijoin_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "daily_gapfill": """
+            WITH agg AS (
+              SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+              WHERE event_type = 'purchase' AND value > 4.97
+              GROUP BY 1
+            ), cal AS (
+              SELECT CAST(unnest(generate_series(
+                       (SELECT MIN(day) FROM agg),
+                       (SELECT MAX(day) FROM agg),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            )
+            SELECT strftime(cal.day, '%Y-%m-%d') AS date,
+                   COALESCE(agg.n, 0) AS n_events
+            FROM cal LEFT JOIN agg USING (day) ORDER BY 1
+        """,
+        "full_outer_balances": """
+            WITH s AS (
+              SELECT user_id,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT COALESCE(c_custkey, user_id) AS id, c_acctbal, total_cents
+            FROM customer FULL OUTER JOIN s ON c_custkey = user_id
+            ORDER BY id
+        """,
+        "hash_split_stats": """
+            WITH h AS (
+              SELECT n_chars,
+                     CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 9)
+                          % 4294967296 AS BIGINT) AS hv
+              FROM documents
+            ), lab AS (
+              SELECT n_chars,
+                     CASE WHEN hv < 214748364 THEN 'test'
+                          WHEN hv < 429496729 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM h
+            )
+            SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM lab GROUP BY split ORDER BY split
         """,
     }

@@ -79,6 +79,43 @@ def daily_trends(
     )
 
 
+def gap_fill_days(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    count_alias: str = "n_events",
+) -> pa.Table:
+    """Daily counts with missing calendar days zero-filled — the time-series
+    resample primitive (SQL ``generate_series`` + LEFT JOIN + COALESCE).
+
+    Distributed part: ONE groupby on epoch-day (map-side combined counts —
+    shuffle volume is one row per day per block).  The result is
+    day-cardinality small by construction, so the calendar densification is
+    a driver-side numpy merge over that aggregate, never over the input.
+    Returns an Arrow table (date string 'YYYY-MM-DD', count) sorted by day.
+    """
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.int64())
+        day = pc.floor(pc.divide(us.cast(pa.float64()), 86_400_000_000.0))
+        return pa.table({"__day": day.cast(pa.int64())})
+
+    daily = (ds.map_batches(add_day, batch_format="pyarrow")
+               .groupby("__day").aggregate(Count(alias_name=count_alias)))
+    rows = daily.take_all()
+    if not rows:
+        return pa.table({"date": pa.array([], pa.string()),
+                         count_alias: pa.array([], pa.int64())})
+    days = np.array([r["__day"] for r in rows], dtype=np.int64)
+    counts = np.array([r[count_alias] for r in rows], dtype=np.int64)
+    lo, hi = days.min(), days.max()
+    full = np.arange(lo, hi + 1, dtype=np.int64)
+    dense = np.zeros(len(full), dtype=np.int64)
+    dense[days - lo] = counts
+    dates = pc.strftime(pa.array(full * 86_400_000_000,
+                                 pa.timestamp("us")), format="%Y-%m-%d")
+    return pa.table({"date": dates, count_alias: pa.array(dense, pa.int64())})
+
+
 def top_k(
     ds: ray.data.Dataset,
     col: str,

@@ -17,8 +17,9 @@ shuffles are keyed on the same column so a bucketed-by-key base layout
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -94,3 +95,65 @@ def apply_changes(
         return pa.table(cols)
 
     return joined.map_batches(resolve, batch_format="pyarrow")
+
+
+def scd2_intervals(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    payload_cols: Sequence[str],
+    order_tiebreak: Optional[str] = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> ray.data.Dataset:
+    """Build SCD-type-2 validity intervals from a change log.
+
+    Per key, ordered by (``ts_col``[, tiebreak]): consecutive rows whose
+    *entire* payload repeats the previous row's payload are collapsed
+    (``IS DISTINCT FROM`` semantics — two nulls are not a change), and each
+    surviving change becomes one dimension row valid from its own timestamp
+    until the next change's timestamp (``valid_to`` null = current row).
+
+    Equivalent SQL: filter on ``payload IS DISTINCT FROM LAG(payload) OVER
+    (PARTITION BY key ORDER BY ts)`` then ``LEAD(ts)`` over the survivors.
+    Run-collapse with a single LAG is exact here because payload equality is
+    transitive: of a run of identical payloads only the first row survives.
+
+    ONE keyed shuffle; interior is a sort + k vectorized shifted compares +
+    one shifted take.  Same per-key memory contract as ``session_windows``
+    (salt hot keys upstream if one key's history exceeds worker memory).
+    """
+    payload_cols = list(payload_cols)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = group.num_rows
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            same_all = np.ones(n - 1, dtype=bool)
+            for c in payload_cols:
+                col = group.column(c).combine_chunks()
+                cur, prev = col.slice(1, n - 1), col.slice(0, n - 1)
+                eq = pc.fill_null(pc.equal(cur, prev), False)
+                both_null = pc.and_(pc.is_null(cur), pc.is_null(prev))
+                same = pc.or_(eq, both_null)
+                same_all &= same.to_numpy(zero_copy_only=False)
+            keep[1:] = ~same_all
+        group = group.filter(pa.array(keep))
+        m = group.num_rows
+        # LEAD(ts): shift up by one; last row's index is masked -> typed null
+        idx = np.arange(1, m + 1, dtype=np.int64)
+        invalid = idx >= m
+        take_idx = pa.array(np.where(invalid, 0, idx), pa.int64(),
+                            mask=invalid)
+        out = {key_col: group.column(key_col)}
+        for c in payload_cols:
+            out[c] = group.column(c)
+        out[valid_from] = group.column(ts_col)
+        out[valid_to] = group.column(ts_col).take(take_idx)
+        return pa.table(out)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -269,6 +269,45 @@ def rolling_by_key(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def expanding_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: Optional[str] = None,
+    out_prefix: str = "cum_",
+) -> ray.data.Dataset:
+    """Per-key expanding (running-total) window — SQL ``SUM(value) OVER
+    (PARTITION BY key ORDER BY ts[, tiebreak] ROWS UNBOUNDED PRECEDING)``
+    plus the matching running count.
+
+    ONE keyed shuffle; interior is a sort + one ``np.cumsum``.  Integer
+    values accumulate in int64 (exact, matches SQL bit-for-bit); floats in
+    float64 left-to-right (same order as the SQL frame definition — for a
+    hash-stable result against a SQL oracle feed an integer column, e.g.
+    cents).  Same per-key memory contract as ``session_windows``.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.integer):
+            cum = np.cumsum(v.astype(np.int64))
+            cum_arr = pa.array(cum, pa.int64())
+        else:
+            cum = np.cumsum(v.astype(np.float64))
+            cum_arr = pa.array(cum, pa.float64())
+        n = group.num_rows
+        out = group.append_column(f"{out_prefix}sum", cum_arr)
+        return out.append_column(
+            f"{out_prefix}n", pa.array(np.arange(1, n + 1), pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def lag_by_key(
     ds: ray.data.Dataset,
     key_col: str,

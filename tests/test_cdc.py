@@ -59,3 +59,68 @@ def test_matches_duckdb_merge_sql():
         WHERE l.op IS DISTINCT FROM 'delete'
     """).fetchall())
     assert _apply() == want
+
+
+# --- SCD type-2 intervals ---------------------------------------------------
+
+from insurance_pdf_extractor_ray.pipelines.cdc import scd2_intervals  # noqa: E402
+
+SCD_LOG = pa.table({
+    "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+    "ts": pa.array([10, 20, 30, 40, 5, 6, 7], pa.int64()),
+    "seq": pa.array([1, 2, 3, 4, 1, 2, 1], pa.int64()),
+    # k=1: a, a (collapse), b, a  -> three intervals
+    # k=2: x, x (collapse)        -> one open interval
+    # k=3: single row             -> one open interval
+    "state": pa.array(["a", "a", "b", "a", "x", "x", "y"], pa.string()),
+})
+
+
+def _scd2(tbl=SCD_LOG):
+    out = scd2_intervals(ray.data.from_arrow(tbl).repartition(3),
+                         "k", "ts", ["state"], order_tiebreak="seq")
+    return sorted(((r["k"], r["state"], r["valid_from"], r["valid_to"])
+                   for r in out.take_all()),
+                  key=lambda t: (t[0], t[2]))
+
+
+def test_scd2_collapses_runs_and_chains_intervals():
+    assert _scd2() == [
+        (1, "a", 10, 30),   # run of two 'a' collapsed; closed by 'b'
+        (1, "b", 30, 40),
+        (1, "a", 40, None), # back to 'a' = NEW interval (not merged)
+        (2, "x", 5, None),
+        (3, "y", 7, None),
+    ]
+
+
+def test_scd2_matches_duckdb_lag_lead():
+    con = duckdb.connect()
+    con.register("log", SCD_LOG)
+    want = sorted((tuple(r) for r in con.execute("""
+        WITH o AS (
+          SELECT k, ts, seq, state,
+                 LAG(state) OVER (PARTITION BY k ORDER BY ts, seq) AS prev
+          FROM log),
+        c AS (SELECT k, ts, seq, state FROM o
+              WHERE prev IS NULL OR state <> prev)
+        SELECT k, state, ts,
+               LEAD(ts) OVER (PARTITION BY k ORDER BY ts, seq)
+        FROM c
+    """).fetchall()), key=lambda t: (t[0], t[2]))
+    assert _scd2() == want
+
+
+def test_scd2_null_payload_is_distinct_from_semantics():
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.int64()),
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "state": pa.array(["a", None, None, "a"], pa.string()),
+    })
+    # a -> null (change), null -> null (collapse), null -> a (change)
+    assert _scd2(tbl) == [
+        (1, "a", 1, 2),
+        (1, None, 2, 4),
+        (1, "a", 4, None),
+    ]
