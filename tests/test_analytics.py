@@ -175,3 +175,34 @@ def test_decayed_sum_by_matches_duckdb():
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+# --- gap_fill_days ------------------------------------------------------------
+
+def test_gap_fill_zero_fills_missing_calendar_days(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from insurance_pdf_extractor_ray.pipelines.analytics import gap_fill_days
+
+    day = 86_400_000_000
+    # days 0, 0, 3, 5 present -> 1,2,4 must appear with zero counts
+    ts = pa.array(np.array([0, 1000, 3 * day, 5 * day + 7], np.int64),
+                  pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({"ts": ts})).repartition(2)
+    out = gap_fill_days(ds, "ts", count_alias="n")
+    assert out.column("date").to_pylist() == [
+        "1970-01-01", "1970-01-02", "1970-01-03",
+        "1970-01-04", "1970-01-05", "1970-01-06"]
+    assert out.column("n").to_pylist() == [2, 0, 0, 1, 0, 1]
+
+
+def test_gap_fill_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from insurance_pdf_extractor_ray.pipelines.analytics import gap_fill_days
+
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us"))}))
+    out = gap_fill_days(ds, "ts")
+    assert out.num_rows == 0 and out.column_names == ["date", "n_events"]

@@ -258,3 +258,47 @@ class TestDebounceByKey:
         out = debounce_by_key(ray.data.from_arrow(tbl), "k", "ts", "sig",
                               gap=100).take_all()
         assert sorted(r["eid"] for r in out) == [1, 4]
+
+
+# --- expanding_by_key (running totals) ---------------------------------------
+
+from insurance_pdf_extractor_ray.pipelines.windows import expanding_by_key  # noqa: E402
+
+
+def test_expanding_matches_duckdb_running_total(con):
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cents",
+            pc.round(pc.multiply(b.column("value"), 100.0)).cast(pa.int64()))
+
+    out = expanding_by_key(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "ts", "cents", order_tiebreak="event_id")
+    want = con.execute("""
+        SELECT event_id,
+               SUM(CAST(round(value*100) AS BIGINT)) OVER w AS cum_sum,
+               COUNT(*) OVER w AS cum_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """).df()
+    _cmp(out.select_columns(["event_id", "cum_sum", "cum_n"]).take_all(),
+         want, ["event_id", "cum_sum", "cum_n"])
+
+
+def test_expanding_float_accumulates_left_to_right():
+    tbl = pa.table({
+        "k": pa.array([1] * 4, pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([0.5, 0.25, 0.125, 1.0], pa.float64()),
+    })
+    out = expanding_by_key(ray.data.from_arrow(tbl).repartition(2),
+                           "k", "ts", "v")
+    got = sorted((r["ts"], r["cum_sum"], r["cum_n"]) for r in out.take_all())
+    assert got == [(1, 0.5, 1), (2, 0.75, 2), (3, 0.875, 3), (4, 1.875, 4)]
