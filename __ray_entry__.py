@@ -2101,6 +2101,78 @@ def _q_hash_split_stats(sf_dir: str):
     })
 
 
+def _q_anti_join_shuffle(sf_dir: str):
+    """Big-big ANTI join kept fully distributed: orders whose customer is
+    NOT in the BUILDING segment — right side reduced map-side to distinct
+    keys, ONE hash-shuffle left_outer join + null-marker filter; no driver
+    key set (pipelines/joins.py:shuffle_anti_join)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_anti_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+               .select_columns(["c_custkey"])
+    out = shuffle_anti_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey")
+    rows = sorted(out.take_all(), key=lambda r: r["o_orderkey"])
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+    })
+
+
+def _q_range_rolling_user(sf_dir: str):
+    """Per-key time-RANGE rolling aggregate — SQL SUM() OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN 1 HOUR PRECEDING AND CURRENT ROW) — on
+    integer cents; peers (tied timestamps) share a frame so the result is
+    deterministic with no tiebreak (pipelines/windows.py:range_rolling_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import (
+        range_rolling_by_key,
+    )
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "event_id": batch.column("event_id"),
+            "cents": pc.round(pc.multiply(batch.column("value"), 100.0))
+                       .cast(pa.int64()),
+        })
+
+    out = range_rolling_by_key(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", "ts", "cents", range_us=3_600_000_000)
+    rows = sorted(out.select_columns(
+        ["event_id", "rr_sum", "rr_n"]).take_all(),
+        key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "rr_cents": pa.array([r["rr_sum"] for r in rows], pa.int64()),
+        "rr_n": pa.array([r["rr_n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_zorder_orders(sf_dir: str):
+    """Z-order (Morton) clustering of orders along (o_custkey, o_orderkey):
+    map-side bit-interleaved key + ONE distributed sort — the multi-column
+    data-layout pass (Delta/Iceberg OPTIMIZE ZORDER BY).  The oracle
+    recomputes the identical curve with shift/mask SQL, so the check is
+    bit-exact on both the key and the resulting order
+    (pipelines/zorder.py:cluster_by_zorder)."""
+    from insurance_pdf_extractor_ray.pipelines.zorder import cluster_by_zorder
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = cluster_by_zorder(orders, ["o_custkey", "o_orderkey"], bits=16,
+                            keep_key=True, tiebreak="o_orderkey")
+    rows = out.select_columns(["__z", "o_orderkey"]).take_all()
+    return pa.table({
+        "zkey": pa.array([r["__z"] for r in rows], pa.int64()),
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -2206,6 +2278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_gapfill": _q_daily_gapfill,
         "full_outer_balances": _q_full_outer_balances,
         "hash_split_stats": _q_hash_split_stats,
+        "anti_join_shuffle": _q_anti_join_shuffle,
+        "range_rolling_user": _q_range_rolling_user,
+        "zorder_orders": _q_zorder_orders,
     }
 
 
@@ -2244,6 +2319,16 @@ def _pii_redact_sql() -> str:
     full = redact_sql_expr("text", patterns)
     return (f"SELECT doc_id, {', '.join(counts)}, {full} AS text_redacted "
             f"FROM documents ORDER BY doc_id")
+
+
+def _zorder_sql() -> str:
+    """Bit-exact Morton key via shift/mask SQL; same curve + tiebreak order
+    as _q_zorder_orders."""
+    from insurance_pdf_extractor_ray.pipelines.zorder import zorder_sql_expr
+
+    expr = zorder_sql_expr(["o_custkey", "o_orderkey"], 16)
+    return (f"SELECT {expr} AS zkey, o_orderkey FROM orders "
+            f"ORDER BY zkey, o_orderkey")
 
 
 def _mixture_sql() -> str:
@@ -3197,4 +3282,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
             FROM lab GROUP BY split ORDER BY split
         """,
+        "anti_join_shuffle": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = o_custkey
+                                AND c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "range_rolling_user": """
+            SELECT event_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS rr_cents,
+                   COUNT(*) OVER w AS rr_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "zorder_orders": _zorder_sql(),
     }

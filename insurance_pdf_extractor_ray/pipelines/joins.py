@@ -660,3 +660,51 @@ def star_aggregate(
                                 add_cols=list(add_cols))
     return joined.groupby(list(group_by)).aggregate(
         Sum("_m", alias_name=total_alias), Sum("_n", alias_name=count_alias))
+
+
+def shuffle_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Big-big ANTI join: rows of ``left`` whose key appears NOWHERE in
+    ``right`` — SQL ``NOT EXISTS`` / ``NOT IN`` (with non-null keys).
+
+    ``broadcast_anti_join`` needs the exclude-key set on the driver; this
+    variant keeps both sides distributed: the right side is first reduced
+    map-side to its distinct keys (per-batch ``group_by`` combiner, then one
+    keyed count — shuffle volume is #distinct keys, not #rows), a marker
+    column is attached, and ONE hash-shuffle ``left_outer`` join + null-
+    marker filter yields the anti semantics.  Null left keys are kept (they
+    match nothing), mirroring ``broadcast_anti_join``.
+
+    Partitioning note: ``num_partitions`` defaults to the CPU-bounded
+    ``dedup._join_partitions()`` — oversizing it beyond cluster CPUs starves
+    the join's aggregator actors (observed hang at small CPU counts).
+    """
+    from .dedup import _join_partitions
+
+    r_on = right_on or on
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        t = batch.select([r_on]).filter(pc.is_valid(batch.column(r_on)))
+        return t.group_by([r_on]).aggregate([])
+
+    keys = (right.map_batches(distinct_keys, batch_format="pyarrow")
+                 .groupby(r_on).count())
+    # Dataset.join would collide if the marker shared a left column name
+    marker = "__aj_n"
+    keys = keys.map_batches(
+        lambda t: t.rename_columns([r_on, marker]), batch_format="pyarrow")
+    joined = left.join(
+        keys, join_type="left_outer",
+        num_partitions=num_partitions or _join_partitions(),
+        on=(on,), right_on=(r_on,))
+    left_cols = list(left.schema().names)
+
+    def keep_misses(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(marker))).select(left_cols)
+
+    return joined.map_batches(keep_misses, batch_format="pyarrow")

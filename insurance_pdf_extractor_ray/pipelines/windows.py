@@ -380,3 +380,50 @@ def debounce_by_key(
         return group.filter(pa.array(keep))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def range_rolling_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    range_us: int,
+    out_prefix: str = "rr_",
+) -> ray.data.Dataset:
+    """Per-key TIME-RANGE rolling aggregate — SQL ``SUM(value) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN range_us PRECEDING AND
+    CURRENT ROW)`` plus the matching frame row count.
+
+    Unlike ``rolling_by_key`` (a ROWS frame: last *k* rows), the RANGE frame
+    holds every row whose timestamp lies in ``[cur_ts - range_us, cur_ts]``
+    — including *peers* (later rows sharing the current timestamp), per the
+    SQL standard's RANGE/CURRENT ROW semantics.  Frames are therefore
+    identical for tied timestamps, so no tiebreak column is needed and the
+    result is deterministic regardless of within-tie order.
+
+    ONE keyed shuffle; the per-key interior is a sort + two binary-search
+    sweeps (``searchsorted``) against one prefix-sum array — O(n log n) per
+    key, no per-row Python.  Integer values accumulate in int64 (exact,
+    bit-matches a SQL oracle); the same per-key memory contract as
+    ``session_windows`` applies (salt hot keys upstream if violated).
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        group = group.take(pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending")]))
+        ts = group.column(ts_col).cast(pa.int64()) \
+                  .to_numpy(zero_copy_only=False)
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        integral = np.issubdtype(v.dtype, np.integer)
+        acc = v.astype(np.int64 if integral else np.float64)
+        csum = np.concatenate(([0], np.cumsum(acc)))
+        lo = np.searchsorted(ts, ts - range_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # includes peers
+        s = csum[hi] - csum[lo]
+        out = group.append_column(
+            f"{out_prefix}sum",
+            pa.array(s, pa.int64() if integral else pa.float64()))
+        return out.append_column(
+            f"{out_prefix}n", pa.array(hi - lo, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -281,3 +281,40 @@ def test_range_join_keyless_many_match():
     got = sorted((r["pid"], r["iid"]) for r in out)
     # point 1 in [0,20] only; point 2 in both; point 3 in [10,100] only
     assert got == [(1, 10), (2, 10), (2, 20), (3, 20)]
+
+
+class TestShuffleAntiJoin:
+    def test_matches_not_exists_sql(self):
+        from insurance_pdf_extractor_ray.pipelines.joins import shuffle_anti_join
+
+        rng = np.random.RandomState(47)
+        left = pa.table({
+            "k": pa.array(rng.randint(0, 50, 3000), pa.int64()),
+            "v": pa.array(rng.rand(3000)),
+        })
+        right = pa.table({
+            "rk": pa.array(rng.randint(25, 60, 800), pa.int64()),
+        })
+        out = shuffle_anti_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            on="k", right_on="rk", num_partitions=4).take_all()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(
+            "SELECT k, v FROM l WHERE NOT EXISTS "
+            "(SELECT 1 FROM r WHERE rk = k) ORDER BY k, v").fetchall()
+        got = sorted((r["k"], r["v"]) for r in out)
+        assert got == [(k, v) for k, v in want]
+
+    def test_null_left_keys_kept(self):
+        from insurance_pdf_extractor_ray.pipelines.joins import shuffle_anti_join
+
+        left = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                         "v": pa.array([10, 20, 30], pa.int64())})
+        right = pa.table({"k": pa.array([1, None], pa.int64())})
+        out = shuffle_anti_join(ray.data.from_arrow(left),
+                                ray.data.from_arrow(right), on="k",
+                                num_partitions=2).take_all()
+        assert sorted(r["v"] for r in out) == [20, 30]

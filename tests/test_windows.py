@@ -302,3 +302,47 @@ def test_expanding_float_accumulates_left_to_right():
                            "k", "ts", "v")
     got = sorted((r["ts"], r["cum_sum"], r["cum_n"]) for r in out.take_all())
     assert got == [(1, 0.5, 1), (2, 0.75, 2), (3, 0.875, 3), (4, 1.875, 4)]
+
+
+# --- range_rolling_by_key (time-RANGE frames) ---------------------------------
+
+from insurance_pdf_extractor_ray.pipelines.windows import range_rolling_by_key  # noqa: E402
+
+
+def test_range_rolling_matches_duckdb(con):
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cents",
+            pc.round(pc.multiply(b.column("value"), 100.0)).cast(pa.int64()))
+
+    out = range_rolling_by_key(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "ts", "cents", range_us=HOUR)
+    want = con.execute("""
+        SELECT event_id,
+               SUM(CAST(round(value*100) AS BIGINT)) OVER w AS rr_sum,
+               COUNT(*) OVER w AS rr_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """).df()
+    _cmp(out.select_columns(["event_id", "rr_sum", "rr_n"]).take_all(),
+         want, ["event_id", "rr_sum", "rr_n"])
+
+
+def test_range_rolling_includes_peers():
+    # two rows at the identical timestamp must see each other (RANGE peers)
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 100, 100], pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = range_rolling_by_key(ray.data.from_arrow(tbl), "k", "ts", "v",
+                               range_us=50).take_all()
+    by_ts = sorted((r["ts"], r["rr_sum"], r["rr_n"]) for r in out)
+    assert by_ts == [(0, 1, 1), (100, 5, 2), (100, 5, 2)]
