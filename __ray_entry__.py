@@ -2173,6 +2173,92 @@ def _q_zorder_orders(sf_dir: str):
     })
 
 
+def _q_merged_user_sessions(sf_dir: str):
+    """Gaps-and-islands: each event opens a 30-minute activity interval;
+    overlapping/touching intervals per user merge into maximal islands —
+    one keyed shuffle, maximum.accumulate + reduceat interior
+    (pipelines/intervals.py:merge_intervals_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.intervals import (
+        merge_intervals_by_key,
+    )
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "s_us": s,
+            "e_us": pc.add(s, 1_800_000_000),
+        })
+
+    out = merge_intervals_by_key(
+        ev.map_batches(to_iv, batch_format="pyarrow"),
+        "user_id", "s_us", "e_us", count_alias="n_events")
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["user_id"], r["s_us"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "s_us": pa.array([r["s_us"] for r in rows], pa.int64()),
+        "e_us": pa.array([r["e_us"] for r in rows], pa.int64()),
+        "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+    })
+
+
+def _q_union_by_name(sf_dir: str):
+    """Schema-evolution union: two parquet 'generations' of documents with
+    drifted columns unioned BY NAME — driver touches schemas only, every
+    batch aligns map-side, zero shuffle
+    (pipelines/schemaops.py:union_by_name)."""
+    from insurance_pdf_extractor_ray.pipelines.schemaops import union_by_name
+
+    docs = _documents(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+    gen1 = docs.filter(expr="lang == 'en'") \
+               .select_columns(["doc_id", "source", "n_chars"])
+    gen2 = docs.filter(expr="lang != 'en'") \
+               .select_columns(["doc_id", "lang"])
+    out = union_by_name([gen1, gen2])
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+    })
+
+
+def _q_lead_next_value(sf_dir: str):
+    """Per-key LEAD — next event's value in the user's timeline (the same
+    vectorized shift as LAG with a negative offset;
+    pipelines/windows.py:lag_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import lag_by_key
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    out = lag_by_key(ds, "user_id", "ts", "value", offset=-1,
+                     order_tiebreak="event_id", out_col="lead_value")
+    rows = sorted(out.select_columns(["event_id", "lead_value"]).take_all(),
+                  key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "lead_value": pa.array([r["lead_value"] for r in rows],
+                               pa.float64()),
+    })
+
+
+def _q_gsets_source_lang(sf_dir: str):
+    """GROUP BY GROUPING SETS ((source),(lang),()) — the generic grouping
+    sets operator rollup/cube are sugar for; one finest-level shuffle, each
+    set re-aggregates the bounded finest table
+    (pipelines/sketches.py:grouping_sets_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.sketches import (
+        grouping_sets_counts,
+    )
+
+    docs = _documents(sf_dir, ["source", "lang"])
+    return grouping_sets_counts(docs, ["source", "lang"],
+                                sets=[("source",), ("lang",), ()])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -2281,6 +2367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_shuffle": _q_anti_join_shuffle,
         "range_rolling_user": _q_range_rolling_user,
         "zorder_orders": _q_zorder_orders,
+        "merged_user_sessions": _q_merged_user_sessions,
+        "union_by_name_docs": _q_union_by_name,
+        "lead_next_value": _q_lead_next_value,
+        "gsets_source_lang": _q_gsets_source_lang,
     }
 
 
@@ -3300,4 +3390,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
         "zorder_orders": _zorder_sql(),
+        "merged_user_sessions": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts) + 1800000000 AS e_us
+              FROM events
+            ), flagged AS (
+              SELECT user_id, s_us, e_us,
+                     CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                            PARTITION BY user_id ORDER BY s_us, e_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), s_us - 1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM iv
+            ), grouped AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, e_us
+                                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            )
+            SELECT user_id, MIN(s_us) AS s_us, MAX(e_us) AS e_us,
+                   COUNT(*) AS n_events
+            FROM grouped GROUP BY user_id, island
+            ORDER BY user_id, s_us
+        """,
+        "union_by_name_docs": """
+            SELECT doc_id, source, n_chars, lang FROM (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE lang = 'en'
+              UNION ALL BY NAME
+              SELECT doc_id, lang FROM documents WHERE lang <> 'en'
+            ) ORDER BY doc_id
+        """,
+        "lead_next_value": """
+            SELECT event_id,
+                   LEAD(value, 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS lead_value
+            FROM events ORDER BY event_id
+        """,
+        "gsets_source_lang": """
+            SELECT source, lang, COUNT(*) AS n FROM documents
+            GROUP BY GROUPING SETS ((source), (lang), ())
+            ORDER BY (source IS NULL), source, (lang IS NULL), lang
+        """,
     }

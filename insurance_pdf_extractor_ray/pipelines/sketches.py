@@ -307,6 +307,48 @@ def cube_counts(
     return pa.table(tbl)
 
 
+def grouping_sets_counts(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    null_marker: Optional[str] = None,
+) -> pa.Table:
+    """``GROUP BY GROUPING SETS ((...), ...)`` counts — the generalization
+    ROLLUP and CUBE are sugar for.  Same one-shuffle shape: the finest
+    groupby over the union of all requested keys is the only pass over the
+    data; each requested set re-aggregates the bounded finest table
+    driver-side.  Keys absent from a set carry ``null_marker``."""
+    keys = list(keys)
+    for s in sets:
+        assert set(s) <= set(keys), f"set {s} not within keys {keys}"
+    from ray.data.aggregate import Count
+
+    finest = ds.groupby(keys).aggregate(Count(alias_name="n")).take_all()
+
+    out_rows: List[Tuple] = []
+    for s in sets:
+        idxs = [keys.index(k) for k in s]
+        agg: Dict[Tuple, int] = {}
+        for r in finest:
+            kt = tuple(r[keys[i]] for i in idxs)
+            agg[kt] = agg.get(kt, 0) + r["n"]
+        for kt, n in agg.items():
+            full: List = [null_marker] * len(keys)
+            for pos, i in enumerate(idxs):
+                full[i] = kt[pos]
+            out_rows.append((*full, n))
+    out_rows.sort(key=lambda t: tuple((x is None, x) for x in t[:-1]))
+    cols: Dict[str, list] = {k: [] for k in keys}
+    ns = []
+    for row in out_rows:
+        for i, k in enumerate(keys):
+            cols[k].append(row[i])
+        ns.append(row[-1])
+    tbl = {k: pa.array(cols[k], pa.string()) for k in keys}
+    tbl["n"] = pa.array(ns, pa.int64())
+    return pa.table(tbl)
+
+
 def histogram_fixed(
     ds: ray.data.Dataset,
     col: str,
