@@ -2259,6 +2259,44 @@ def _q_gsets_source_lang(sf_dir: str):
                                 sets=[("source",), ("lang",), ()])
 
 
+def _q_shuffled_docs_head(sf_dir: str):
+    """Reproducible epoch shuffle: deterministic global order by a seeded
+    64-bit mix of doc_id (same seed -> same order on any cluster shape),
+    first 300 rows — the training-data shuffle primitive; the oracle
+    replicates the mix in HUGEINT SQL
+    (pipelines/sampling.py:global_shuffle)."""
+    from insurance_pdf_extractor_ray.pipelines.sampling import global_shuffle
+
+    docs = _documents(sf_dir, ["doc_id", "source"])
+    rows = global_shuffle(docs, "doc_id", seed=13).limit(300).take_all()
+    return pa.table({
+        "pos": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+    })
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Full-data distributed Lloyd k-means (k=8, 5 iters): per-iteration
+    one map_batches pass emitting exact int64 fixed-point partials — zero
+    shuffle, constant driver state, bit-deterministic across partitioning
+    and CPU counts.  Oracle pins the cross-validated output at the
+    driver's correctness scale (pipelines/clustering.py:kmeans_lloyd)."""
+    import numpy as np
+
+    from insurance_pdf_extractor_ray.pipelines.clustering import kmeans_lloyd
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, sizes, inertia = kmeans_lloyd(emb, k=8, iters=5, seed=0)
+    norms = np.sqrt((cents ** 2).sum(axis=1))
+    return pa.table({
+        "cluster_id": pa.array(range(len(sizes)), pa.int64()),
+        "size": pa.array(sizes.tolist(), pa.int64()),
+        "centroid_norm": pa.array([round(float(x), 6) for x in norms],
+                                  pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -2371,6 +2409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_by_name_docs": _q_union_by_name,
         "lead_next_value": _q_lead_next_value,
         "gsets_source_lang": _q_gsets_source_lang,
+        "shuffled_docs_head": _q_shuffled_docs_head,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 
@@ -2419,6 +2459,17 @@ def _zorder_sql() -> str:
     expr = zorder_sql_expr(["o_custkey", "o_orderkey"], 16)
     return (f"SELECT {expr} AS zkey, o_orderkey FROM orders "
             f"ORDER BY zkey, o_orderkey")
+
+
+def _shuffled_head_sql() -> str:
+    """HUGEINT replica of global_shuffle's seeded 64-bit mix order."""
+    from insurance_pdf_extractor_ray.pipelines.sampling import (
+        shuffle_sql_order,
+    )
+
+    order = shuffle_sql_order("doc_id", seed=13)
+    return (f"SELECT ROW_NUMBER() OVER (ORDER BY {order}) AS pos, "
+            f"doc_id, source FROM documents ORDER BY {order} LIMIT 300")
 
 
 def _mixture_sql() -> str:
@@ -3432,5 +3483,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY GROUPING SETS ((source), (lang), ())
             ORDER BY (source IS NULL), source, (lang IS NULL), lang
+        """,
+        "shuffled_docs_head": _shuffled_head_sql(),
+        # kmeans is iterative — not SQL-expressible.  This pins the engine's
+        # bit-deterministic output at the driver's correctness scale
+        # (sf0.01, seed=0, k=8, 5 iters): fixed-point int64 partials make
+        # the result identical across partitionings; verified bit-equal at
+        # 4 vs 16 CPUs.  Determinism+regression gate, valid at sf0.01 only.
+        "kmeans_embeddings": """
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(size AS BIGINT) AS size,
+                   CAST(centroid_norm AS DOUBLE) AS centroid_norm
+            FROM (VALUES
+              (0, 55, 0.265906), (1, 61, 0.255662), (2, 67, 0.250667),
+              (3, 66, 0.274938), (4, 63, 0.269473), (5, 63, 0.274249),
+              (6, 66, 0.273279), (7, 59, 0.274369)
+            ) AS t(cluster_id, size, centroid_norm)
         """,
     }

@@ -1,0 +1,164 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+``similarity.train_centroids`` fits on a driver-side sample — the right
+IVF-training shape.  This module is the full-data path: every iteration
+streams the WHOLE dataset through one ``map_batches`` pass that emits a
+constant-size partial (k x d centroid sums + k counts per batch), so the
+driver reduces k·(d+1) numbers per batch regardless of corpus size.  No
+shuffle at all — the only data movement is the tiny centroid broadcast
+(``ray.put``) down and fixed-size partials up.
+
+Determinism contract (bit-exact across partitioning, batch sizes, CPU
+counts, and retry order):
+- per-row distances use ``(X - c)**2 .sum(axis=1)`` — a per-row reduction
+  whose result is independent of how rows are batched (no BLAS matmul,
+  whose blocking varies with matrix shape);
+- centroid-update accumulation is FIXED-POINT: coordinates are scaled by
+  2^20 and rounded to int64 before summation, so partial sums are exact
+  integers and their reduction is order-independent.  The quantization
+  (~1e-6 per coordinate per update) is part of the operator's defined
+  semantics.  int64 headroom: |x|<=2^23 coordinates overflow only past
+  ~2^20 rows *per cluster per batch* times 2^20 blocks — far beyond the
+  block sizes Ray produces.
+
+Reference analog: the reference clusters nothing; this is part of the
+LLM-data-pipeline family (corpus bucketing for near-dup blocking, IVF
+coarse quantizers, topic sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .similarity import embedding_matrix
+
+_SCALE = np.int64(1) << np.int64(20)
+
+
+def _assign(X: np.ndarray, centroids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row nearest centroid + squared distance, batch-shape-independent."""
+    n = X.shape[0]
+    best = np.zeros(n, dtype=np.int64)
+    best_d = np.full(n, np.inf)
+    for c in range(centroids.shape[0]):
+        d = ((X - centroids[c]) ** 2).sum(axis=1)
+        take = d < best_d
+        best[take] = c
+        best_d[take] = d[take]
+    return best, best_d
+
+
+class _PartialSums:
+    """One row out per batch: exact int64 fixed-point centroid sums."""
+
+    def __init__(self, centroids_ref, emb_col: str):
+        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = embedding_matrix(batch.column(self.emb_col), dtype=np.float64)
+        k, d = self.centroids.shape
+        assign, dist = _assign(X, self.centroids)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, assign,
+                  np.rint(X * float(_SCALE)).astype(np.int64))
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        inertia = np.zeros(k, dtype=np.int64)
+        np.add.at(inertia, assign,
+                  np.rint(dist * float(_SCALE)).astype(np.int64))
+        return pa.table({
+            "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.int64())),
+            "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            "inertia": pa.array([inertia.tolist()], pa.list_(pa.int64())),
+        })
+
+
+def init_centroids_by_hash(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    pool: int = 256,
+) -> np.ndarray:
+    """Deterministic, order-independent init: gather the ``pool`` rows with
+    the smallest (hash(id), id) — a per-batch top-k candidate pass + tiny
+    driver merge (the knn_brute_force pattern), never a head/limit (order-
+    biased) — then greedy farthest-point (maxmin) selection picks k spread
+    seeds from the pool, the deterministic analog of k-means++."""
+    from .sampling import _hash32
+
+    pool = max(pool, k)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = _hash32(ids, seed)
+        order = np.lexsort((ids, h))[:pool]
+        idx = pa.array(order, pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col).take(idx),
+            emb_col: batch.column(emb_col).take(idx),
+            "__h": pa.array(h[order].astype(np.int64), pa.int64()),
+        })
+
+    rows = ds.select_columns([id_col, emb_col]) \
+             .map_batches(candidates, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["__h"], r[id_col]))
+    P = np.asarray([r[emb_col] for r in rows[:pool]], dtype=np.float64)
+    k = min(k, len(P))
+    chosen = [0]  # smallest (hash, id) anchors the sequence
+    mind = ((P - P[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(mind))  # first max wins ties: deterministic
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((P - P[nxt]) ** 2).sum(axis=1))
+    return P[chosen]
+
+
+def kmeans_lloyd(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 0,
+    init: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Full-data Lloyd iterations.  Returns (centroids (k,d) float64,
+    cluster_sizes (k,) int64, inertia float) — all bit-deterministic.
+
+    Empty clusters keep their previous centroid (standard Lloyd fallback).
+    The input Dataset is re-executed once per iteration; materialize it
+    upstream if its lineage is expensive (Dataset diamonds re-execute).
+    """
+    centroids = (np.asarray(init, dtype=np.float64) if init is not None
+                 else init_centroids_by_hash(ds, emb_col, id_col, k, seed))
+    k = centroids.shape[0]
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia_i = np.int64(0)
+    for _ in range(max(1, iters)):
+        cref = ray.put(centroids)
+        parts = ds.map_batches(
+            _PartialSums, batch_format="pyarrow",
+            concurrency=(1, 8),
+            fn_constructor_args=(cref, emb_col)).take_all()
+        d = centroids.shape[1]
+        sums = np.zeros(k * d, dtype=np.int64)
+        sizes = np.zeros(k, dtype=np.int64)
+        inertia_parts = np.zeros(k, dtype=np.int64)
+        for r in parts:  # exact ints: any order reduces identically
+            sums += np.asarray(r["sums"], dtype=np.int64)
+            sizes += np.asarray(r["counts"], dtype=np.int64)
+            inertia_parts += np.asarray(r["inertia"], dtype=np.int64)
+        inertia_i = np.int64(inertia_parts.sum())
+        nz = sizes > 0
+        new = centroids.copy()
+        new[nz] = (sums.reshape(k, d)[nz] / float(_SCALE)) \
+            / sizes[nz, None].astype(np.float64)
+        centroids = new
+    return centroids, sizes, float(inertia_i) / float(_SCALE)

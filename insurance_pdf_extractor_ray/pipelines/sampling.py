@@ -196,3 +196,59 @@ def weighted_sql_rank(id_col: str, weight_col: str, seed: int = 0) -> str:
     return (f"ln((((CAST({id_col} AS HUGEINT) * 2654435761 + {seed})"
             f" % 4294967296) + 1) / 4294967296.0) / {weight_col} DESC,"
             f" {id_col}")
+
+
+def global_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str,
+    seed: int = 0,
+    key_col: str = "__shuf",
+    keep_key: bool = False,
+) -> ray.data.Dataset:
+    """Deterministic global shuffle: total order by (hash32(id), id).
+
+    ``random_shuffle()`` is nondeterministic across runs/partitionings;
+    training-data pipelines need a shuffle that is REPRODUCIBLE (same seed
+    -> same epoch order on any cluster shape) and restartable.  The hash
+    key is computed map-side; the placement is ONE distributed sort — the
+    same all-to-all a random shuffle costs anyway.  Different seeds give
+    independent epoch orders.
+    """
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = _mix32(ids, seed).astype(np.int64)
+        return batch.append_column(key_col, pa.array(h, pa.int64()))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow") \
+            .sort([key_col, id_col])
+    if keep_key:
+        return out
+    names = list(ds.schema().names)
+    return out.map_batches(lambda t: t.select(names), batch_format="pyarrow")
+
+
+_MIX_K2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix32(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seed-SENSITIVE 32-bit key: multiply, xor-fold the high half, multiply
+    again.  ``_hash32``'s additive seed only shifts every key by a constant
+    (same ordering), which is fine for sampling thresholds but useless for
+    reshuffling — the xor between the two multiplies makes distinct seeds
+    produce independent permutations, and every step (mod-2^64 multiply,
+    ``>> 32`` as integer division, xor) has an exact HUGEINT SQL twin."""
+    h = ids.astype(np.uint64) * KNUTH + np.uint64(seed)  # wraps mod 2^64
+    h = h ^ (h >> np.uint64(32))
+    h = h * _MIX_K2  # wraps mod 2^64
+    return h % MOD32
+
+
+def shuffle_sql_order(id_col: str, seed: int = 0) -> str:
+    """ORDER BY clause replicating ``global_shuffle``'s total order —
+    HUGEINT arithmetic with explicit mod-2^64 wraps mirroring uint64."""
+    m64 = 1 << 64
+    t1 = f"((CAST({id_col} AS HUGEINT) * 2654435761 + {seed}) % {m64})"
+    t2 = f"xor({t1}, {t1} // 4294967296)"
+    t3 = f"(({t2}) * {int(_MIX_K2)}) % {m64}"
+    return f"(({t3}) % 4294967296), {id_col}"

@@ -114,3 +114,33 @@ def export_csv(ds: ray.data.Dataset, path: str) -> None:
     """CSV export sink (reference S7, app/api/routes/analytics.py:276-350)."""
     os.makedirs(path, exist_ok=True)
     ds.write_csv(path)
+
+
+def compact_table(
+    in_path: str,
+    out_path: str,
+    min_rows_per_file: int = 200_000,
+    max_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory so every output
+    file holds ``min..max`` rows.
+
+    Crawl/extract sinks produce one fragment per task (state/checkpoint.py
+    writes data-first fragments); after many incremental runs a partition
+    accumulates thousands of tiny files whose per-file open/footer cost
+    dominates reads.  Compaction is pure streaming — read blocks in, write
+    size-bounded files out, no shuffle, no driver materialization — so it
+    scales to any partition count; run it per-partition for resumability.
+
+    Returns a manifest dict: files/rows before and after.
+    """
+    import glob as _glob
+
+    ds = ray.data.read_parquet(in_path)
+    n_in = len(_glob.glob(os.path.join(in_path, "*.parquet")))
+    rows = ds.count()
+    os.makedirs(out_path, exist_ok=True)
+    ds.write_parquet(out_path, min_rows_per_file=min_rows_per_file,
+                     max_rows_per_file=max_rows_per_file)
+    n_out = len(_glob.glob(os.path.join(out_path, "*.parquet")))
+    return {"rows": rows, "files_in": n_in, "files_out": n_out}
