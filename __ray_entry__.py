@@ -1940,6 +1940,19 @@ def _q_percent_rank(sf_dir: str):
     return _round_col(tbl, "pr", 9)
 
 
+def _q_cume_dist(sf_dir: str):
+    """Per-key cume_dist over a total order — same sort + metadata wave as
+    percent_rank (pipelines/statagg.py:percent_rank_by kind='cume_dist')."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import percent_rank_by
+
+    out = percent_rank_by(_events(sf_dir, ["event_type", "value", "event_id"]),
+                          "event_type", "value", "event_id", out_col="cd",
+                          kind="cume_dist")
+    tbl = pa.Table.from_pylist(
+        out.select_columns(["event_id", "cd"]).take_all())
+    return _round_col(tbl, "cd", 9)
+
+
 def _q_scd2_user_states(sf_dir: str):
     """SCD-type-2 dimension build from the event change log: per user,
     consecutive repeats of event_type collapse, each surviving change gets
@@ -2411,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gsets_source_lang": _q_gsets_source_lang,
         "shuffled_docs_head": _q_shuffled_docs_head,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "cume_dist_values": _q_cume_dist,
     }
 
 
@@ -3483,6 +3497,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, COUNT(*) AS n FROM documents
             GROUP BY GROUPING SETS ((source), (lang), ())
             ORDER BY (source IS NULL), source, (lang IS NULL), lang
+        """,
+        "cume_dist_values": """
+            SELECT event_id,
+                   ROUND(cume_dist() OVER (
+                     PARTITION BY event_type ORDER BY value, event_id), 9) AS cd
+            FROM events ORDER BY event_id
         """,
         "shuffled_docs_head": _shuffled_head_sql(),
         # kmeans is iterative — not SQL-expressible.  This pins the engine's

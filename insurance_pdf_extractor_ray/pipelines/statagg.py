@@ -240,9 +240,12 @@ def percent_rank_by(
     value: str,
     tiebreak: str,
     out_col: str = "percent_rank",
+    kind: str = "percent_rank",
 ) -> ray.data.Dataset:
-    """``percent_rank() OVER (PARTITION BY key ORDER BY value, tiebreak)`` —
-    the quality-curriculum primitive ("keep the top 30 % per language").
+    """``percent_rank()`` / ``cume_dist() OVER (PARTITION BY key ORDER BY
+    value, tiebreak)`` — the quality-curriculum primitive ("keep the top
+    30 % per language").  ``kind='cume_dist'`` emits (rank+1)/n instead of
+    rank/(n-1); with the total order both match their SQL namesakes.
 
     The ``tiebreak`` column makes the order total, so rank == row_number and
     the result is deterministic.  Same machinery as ``median_by_key``: one
@@ -250,6 +253,7 @@ def percent_rank_by(
     metadata-scale and broadcast once; the rank map is a vectorized
     dictionary probe per batch.  Rows never group, so key skew is free.
     """
+    assert kind in ("percent_rank", "cume_dist")
     import ray as _ray
 
     numbered = with_row_number(
@@ -277,7 +281,10 @@ def percent_rank_by(
         n = keys.map(cnts).to_numpy(dtype=np.int64)
         rn = batch.column("_rn0").to_numpy(zero_copy_only=False)
         with np.errstate(invalid="ignore"):
-            pr = np.where(n > 1, (rn - o) / np.maximum(n - 1, 1), 0.0)
+            if kind == "cume_dist":
+                pr = (rn - o + 1) / n
+            else:
+                pr = np.where(n > 1, (rn - o) / np.maximum(n - 1, 1), 0.0)
         return (batch.drop_columns(["_rn0"])
                 .append_column(out_col, pa.array(pr, pa.float64())))
 

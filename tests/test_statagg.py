@@ -178,3 +178,29 @@ def test_intersect_all_multiplicity():
     b = ray.data.from_arrow(pa.table({"v": [1, 1, 3, 3, 4]})).repartition(2)
     out = sorted(r["v"] for r in intersect_all(a, b, ["v"]).take_all())
     assert out == [1, 1, 3]  # min(3,2)=2 ones; 2 unmatched; min(1,2)=1 three
+
+
+def test_cume_dist_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.statagg import percent_rank_by
+
+    rng = np.random.RandomState(8)
+    tbl = pa.table({
+        "k": pa.array(rng.randint(0, 4, 900), pa.int64()),
+        "v": pa.array(rng.randint(0, 50, 900), pa.int64()),
+        "id": pa.array(np.arange(900), pa.int64()),
+    })
+    out = percent_rank_by(ray.data.from_arrow(tbl).repartition(3),
+                          "k", "v", "id", out_col="cd", kind="cume_dist")
+    got = {r["id"]: r["cd"] for r in out.take_all()}
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        "SELECT id, cume_dist() OVER (PARTITION BY k ORDER BY v, id) "
+        "FROM t").fetchall()
+    for i, cd in want:
+        assert abs(got[i] - cd) < 1e-12, (i, got[i], cd)
