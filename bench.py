@@ -449,6 +449,52 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                     "embedding", "label")
     queries["audit_centroids"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.clustering import kmeans_lloyd
+    from insurance_pdf_extractor_ray.pipelines.intervals import (
+        merge_intervals_by_key,
+    )
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_anti_join
+    from insurance_pdf_extractor_ray.pipelines.sampling import global_shuffle
+    from insurance_pdf_extractor_ray.pipelines.zorder import cluster_by_zorder
+
+    t0 = time.time()
+    cluster_by_zorder(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_custkey"]),
+        ["o_custkey", "o_orderkey"], bits=16).count()
+    global_shuffle(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "source"]),
+        "doc_id", seed=13).count()
+    queries["layout_shuffle"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    kmeans_lloyd(
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        k=8, iters=5, seed=0)
+    queries["kmeans"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        s_us = batch.column("ts").cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "s": s_us,
+                         "e": _pc.add(s_us, 1_800_000_000)})
+
+    merge_intervals_by_key(
+        ray.data.read_parquet(events, columns=["user_id", "ts"])
+                .map_batches(_iv, batch_format="pyarrow"),
+        "user_id", "s", "e").count()
+    cust_b = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"])
+    shuffle_anti_join(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_custkey"]),
+        cust_b, on="o_custkey", right_on="c_custkey").count()
+    queries["intervals_antijoin"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def _ray_init():
@@ -256,6 +257,32 @@ def cmd_hh(args) -> None:
     ray.shutdown()
 
 
+def cmd_compact(args) -> None:
+    ray = _ray_init()
+
+    from .sources.io import compact_table
+
+    manifest = compact_table(args.input, args.out,
+                             min_rows_per_file=args.min_rows,
+                             max_rows_per_file=args.max_rows)
+    print(json.dumps(manifest))
+    ray.shutdown()
+
+
+def cmd_shuffle(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.sampling import global_shuffle
+
+    ds = ray.data.read_parquet(args.input)
+    out = global_shuffle(ds, args.id_col, seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    out.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "seed": args.seed}))
+    ray.shutdown()
+
+
 def cmd_manifest(args) -> None:
     from .state.checkpoint import committed_partitions
 
@@ -370,6 +397,20 @@ def main(argv=None) -> None:
     p.add_argument("--threshold", type=int, required=True)
     p.add_argument("--k", type=int, default=4096)
     p.set_defaults(fn=cmd_hh)
+
+    p = sub.add_parser("compact", help="compact a fragment dir to size-bounded files")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-rows", type=int, default=200_000)
+    p.add_argument("--max-rows", type=int, default=1_000_000)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("shuffle", help="reproducible seeded global shuffle")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_shuffle)
 
     p = sub.add_parser("manifest", help="show committed partitions of a run")
     p.add_argument("--out", required=True)

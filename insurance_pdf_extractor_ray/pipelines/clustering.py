@@ -53,29 +53,29 @@ def _assign(X: np.ndarray, centroids: np.ndarray) -> Tuple[np.ndarray, np.ndarra
     return best, best_d
 
 
-class _PartialSums:
-    """One row out per batch: exact int64 fixed-point centroid sums."""
+def _partial_sums(batch: pa.Table, centroids_ref, emb_col: str) -> pa.Table:
+    """One row out per batch: exact int64 fixed-point centroid sums.
 
-    def __init__(self, centroids_ref, emb_col: str):
-        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
-        self.emb_col = emb_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        X = embedding_matrix(batch.column(self.emb_col), dtype=np.float64)
-        k, d = self.centroids.shape
-        assign, dist = _assign(X, self.centroids)
-        sums = np.zeros((k, d), dtype=np.int64)
-        np.add.at(sums, assign,
-                  np.rint(X * float(_SCALE)).astype(np.int64))
-        counts = np.bincount(assign, minlength=k).astype(np.int64)
-        inertia = np.zeros(k, dtype=np.int64)
-        np.add.at(inertia, assign,
-                  np.rint(dist * float(_SCALE)).astype(np.int64))
-        return pa.table({
-            "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.int64())),
-            "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
-            "inertia": pa.array([inertia.tolist()], pa.list_(pa.int64())),
-        })
+    A plain task fn, not an actor pool: a fresh pool per Lloyd iteration
+    costs seconds of actor startup while the broadcast state is only k x d
+    floats — ``ray.get`` of the same ref is plasma-cached per worker, so
+    tasks pay nothing extra."""
+    centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+    X = embedding_matrix(batch.column(emb_col), dtype=np.float64)
+    k, d = centroids.shape
+    assign, dist = _assign(X, centroids)
+    sums = np.zeros((k, d), dtype=np.int64)
+    np.add.at(sums, assign,
+              np.rint(X * float(_SCALE)).astype(np.int64))
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    inertia = np.zeros(k, dtype=np.int64)
+    np.add.at(inertia, assign,
+              np.rint(dist * float(_SCALE)).astype(np.int64))
+    return pa.table({
+        "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.int64())),
+        "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+        "inertia": pa.array([inertia.tolist()], pa.list_(pa.int64())),
+    })
 
 
 def init_centroids_by_hash(
@@ -144,9 +144,8 @@ def kmeans_lloyd(
     for _ in range(max(1, iters)):
         cref = ray.put(centroids)
         parts = ds.map_batches(
-            _PartialSums, batch_format="pyarrow",
-            concurrency=(1, 8),
-            fn_constructor_args=(cref, emb_col)).take_all()
+            _partial_sums, batch_format="pyarrow",
+            fn_args=(cref, emb_col)).take_all()
         d = centroids.shape[1]
         sums = np.zeros(k * d, dtype=np.int64)
         sizes = np.zeros(k, dtype=np.int64)

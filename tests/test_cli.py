@@ -139,3 +139,28 @@ def test_cli_mix_redact_hh(tmp_path):
              "--col", "event_type", "--threshold", "100")
     vals = {v["value"] for v in r["values"]}
     assert vals == {"click", "error", "purchase", "signup", "view"}
+
+
+def test_cli_compact_shuffle(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    frag = tmp_path / "frag"
+    frag.mkdir()
+    for i in range(12):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(i * 50, i * 50 + 50))}),
+            frag / f"f{i:02d}.parquet")
+
+    r = _cli("compact", "--input", str(frag), "--out",
+             str(tmp_path / "cp"), "--min-rows", "300", "--max-rows", "600")
+    assert r == {"rows": 600, "files_in": 12, "files_out": r["files_out"]}
+    assert r["files_out"] <= 2
+
+    r = _cli("shuffle", "--input", str(tmp_path / "cp"),
+             "--out", str(tmp_path / "sh"), "--id-col", "doc_id",
+             "--seed", "3")
+    assert r["rows"] == 600
+    back = pq.read_table(str(tmp_path / "sh")).column("doc_id").to_pylist()
+    assert sorted(back) == list(range(600))
+    assert back != sorted(back)
