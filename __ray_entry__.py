@@ -21,6 +21,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -2310,6 +2311,149 @@ def _q_kmeans_embeddings(sf_dir: str):
     })
 
 
+def _rev_i4(batch: pa.Table, key: str) -> pa.Table:
+    """Per-row revenue extprice*(1-disc) rounded half-up to 4dp, scaled to
+    int64 — integer sums are reduction-order-exact and match DuckDB's
+    round() bit-for-bit on positive values."""
+    price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    rev = price * (1.0 - disc) * 10000.0
+    return pa.table({
+        key: batch.column(key),
+        "rev_i4": pa.array(np.floor(rev + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
+def _q_q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 analog: revenue by customer nation within region ASIA for
+    one order-date year.  Shape: aggregate-below-join (lineitem revenue
+    pre-reduced per orderkey BEFORE the big-big join, so the shuffle moves
+    distinct orderkeys, not line items), dims resolved by broadcast
+    (region->nation->customer chain via ray.put lookups), ONE hash join +
+    one small keyed groupby.  Exact int64 cents-of-cents accumulation."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        broadcast_join,
+        shuffle_join,
+    )
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]) \
+        .filter(expr="r_name == 'ASIA'")
+    nat = broadcast_join(nation, region, on="n_regionkey",
+                         right_on="r_regionkey", add_cols=["r_name"],
+                         how="inner")
+    cust = broadcast_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]), nat,
+        on="c_nationkey", right_on="n_nationkey", add_cols=["n_name"],
+        how="inner")
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1997-01-01").value // 1000)
+
+    def date_window(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(date_window, batch_format="pyarrow")
+    # heavily-filtered (one year x one region); rebuilt from non-empty
+    # blocks because the selective filters emit zero-column empties that
+    # poison Dataset.join's schema resolution (object-store materialize,
+    # never driver-resident)
+    orders_n = drop_empty_blocks(
+        broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       add_cols=["n_name"], how="inner"),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("n_name", pa.string())]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    li_rev = drop_empty_blocks(
+        li.map_batches(lambda b: _rev_i4(b, "l_orderkey"),
+                       batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(Sum("rev_i4",
+                                               alias_name="rev_i4")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("rev_i4", pa.int64())]))
+    j = shuffle_join(li_rev, orders_n, on="l_orderkey",
+                     right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    agg = j.groupby("n_name").aggregate(Sum("rev_i4",
+                                            alias_name="revenue_i4"))
+    rows = sorted(agg.take_all(), key=lambda r: r["n_name"])
+    return pa.table({
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "revenue_i4": pa.array([r["revenue_i4"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q3_unshipped_topk(sf_dir: str):
+    """TPC-H Q3 analog: top-10 unshipped BUILDING-segment orders by
+    revenue.  Same aggregate-below-join shape as Q5; the BUILDING customer
+    keys prefilter orders via a broadcast semi-join (dimension-sized set —
+    the bloom_semi_join path covers the big-big case); the final top-k
+    sorts the aggregate-small per-order result on the driver."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        broadcast_semi_join,
+        shuffle_join,
+    )
+
+    cut = int(pd.Timestamp("1998-06-15").value // 1000)
+
+    def unshipped(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("l_shipdate").cast(pa.int64()),
+                                   cut))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"]) \
+        .map_batches(unshipped, batch_format="pyarrow")
+    li_rev = drop_empty_blocks(
+        li.map_batches(lambda b: _rev_i4(b, "l_orderkey"),
+                       batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(Sum("rev_i4",
+                                               alias_name="revenue_i4")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("revenue_i4", pa.int64())]))
+
+    bkeys = [r["c_custkey"] for r in
+             _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+             .filter(expr="c_mktsegment == 'BUILDING'")
+             .select_columns(["c_custkey"]).take_all()]
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("o_orderdate").cast(pa.int64()),
+                                cut))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(open_orders, batch_format="pyarrow")
+    orders = broadcast_semi_join(orders, "o_custkey", bkeys)
+
+    j = shuffle_join(li_rev, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    rows = j.take_all()  # one row per qualifying order: aggregate-small
+    rows.sort(key=lambda r: (-r["revenue_i4"], r["l_orderkey"]))
+    top = rows[:10]
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in top], pa.int64()),
+        "revenue_i4": pa.array([r["revenue_i4"] for r in top], pa.int64()),
+        "o_orderdate": pa.array(
+            [pd.Timestamp(r["o_orderdate"]).strftime("%Y-%m-%d")
+             for r in top], pa.string()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -2425,6 +2569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_docs_head": _q_shuffled_docs_head,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "cume_dist_values": _q_cume_dist,
+        "q5_region_revenue": _q_q5_region_revenue,
+        "q3_unshipped_topk": _q_q3_unshipped_topk,
     }
 
 
@@ -3503,6 +3649,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cume_dist() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS cd
             FROM events ORDER BY event_id
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS revenue_i4
+            FROM customer, orders, lineitem, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q3_unshipped_topk": """
+            SELECT l_orderkey,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS revenue_i4,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate  > TIMESTAMP '1998-06-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_i4 DESC, l_orderkey LIMIT 10
         """,
         "shuffled_docs_head": _shuffled_head_sql(),
         # kmeans is iterative — not SQL-expressible.  This pins the engine's
