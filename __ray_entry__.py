@@ -1065,6 +1065,27 @@ def _q_cohort_retention(sf_dir: str):
     })
 
 
+def _q_dup_span_clean(sf_dir: str):
+    """Substring-level dedup (Lee et al.): cut 8-word windows occurring in
+    >=2 distinct docs out of every document — window-hash pass 1, one keyed
+    combine, dup-set broadcast-or-join pass 2
+    (pipelines/substrdedup.py:dup_span_clean)."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import dup_span_clean
+
+    out = dup_span_clean(_documents(sf_dir, ["doc_id", "text"]),
+                         "text", "doc_id", k=8, min_docs=2)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+        "n_windows": pa.array([r["n_windows"] for r in rows], pa.int64()),
+        "n_dup_windows": pa.array([r["n_dup_windows"] for r in rows], pa.int64()),
+        "n_dropped_words": pa.array([r["n_dropped_words"] for r in rows], pa.int64()),
+        "clean_text": pa.array([r["clean_text"] for r in rows], pa.string()),
+    })
+
+
 def _q_vocab_top100(sf_dir: str):
     """Global top-100 vocabulary by corpus frequency (token-asc tiebreak) —
     per-batch distinct-token counting BEFORE the shuffle, one keyed combine,
@@ -2506,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_click_purchase": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "vocab_top100": _q_vocab_top100,
+        "dup_span_clean": _q_dup_span_clean,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3096,6 +3118,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                   AS token FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+        """,
+        "dup_span_clean": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8
+            ), dup AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), dpos AS (
+              SELECT doc_id, i FROM wins
+              WHERE gram IN (SELECT gram FROM dup)
+            ), wordrows AS (
+              SELECT doc_id, t.i AS pos, w[t.i] AS word
+              FROM wn, unnest(generate_series(1, nw)) AS t(i)
+            ), covered AS (
+              SELECT wr.doc_id, wr.pos, wr.word,
+                     EXISTS (SELECT 1 FROM dpos d WHERE d.doc_id = wr.doc_id
+                             AND wr.pos BETWEEN d.i AND d.i + 7) AS cov
+              FROM wordrows wr)
+            SELECT wn.doc_id, wn.nw AS n_words,
+                   greatest(wn.nw - 8 + 1, 0) AS n_windows,
+                   (SELECT count(*) FROM dpos d
+                    WHERE d.doc_id = wn.doc_id) AS n_dup_windows,
+                   (SELECT count(*) FROM covered c
+                    WHERE c.doc_id = wn.doc_id AND c.cov) AS n_dropped_words,
+                   coalesce((SELECT string_agg(c.word, ' ' ORDER BY c.pos)
+                             FROM covered c
+                             WHERE c.doc_id = wn.doc_id AND NOT c.cov),
+                            '') AS clean_text
+            FROM wn ORDER BY doc_id
         """,
         "pii_redact": _pii_redact_sql(),
         "mixture_interleave": _mixture_sql(),

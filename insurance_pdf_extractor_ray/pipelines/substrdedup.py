@@ -1,0 +1,281 @@
+"""Exact substring (k-word window) duplicate-span detection and removal.
+
+The training-data operator from "Deduplicating Training Data Makes Language
+Models Better" (Lee et al., 2022): find word windows that occur in multiple
+documents and cut the covered words out of every document, keeping the
+unique remainder.  Unlike document-level dedup (``dedup.exact_dedup`` /
+``minhash_dedup``), this removes boilerplate *inside* otherwise-unique pages
+— the dominant duplication mode in web crawls.
+
+Lee et al. build a corpus-wide suffix array; at a fixed window length ``k``
+the same duplicated-span set is computed with hash machinery that fits Ray
+Data's shuffle model exactly:
+
+  pass 1  map_batches: per-doc k-word window hashes (rolling polynomial over
+          polars word hashes — window strings never materialize), pre-reduced
+          per batch to (window_hash, distinct-docs-in-batch) pairs; docs never
+          span batches, so summing the partials IS the global distinct-doc
+          count.                                   — shuffle 1 (window table)
+  → dup   groupby(hash).sum >= min_docs            — dup-hash Dataset,
+          object-store resident, never a driver list above the bound
+  pass 2  re-stream the corpus and cut covered words:
+          * broadcast path (dup set provably <= max_broadcast rows):
+            ``ray.put`` one sorted uint64 array, vectorized ``np.isin`` +
+            difference-array cover mask per batch — zero further shuffles;
+          * join path (crawl-scale dup sets): explode (doc, pos, hash) window
+            rows, native ``left_semi`` join against the dup Dataset, per-doc
+            position lists via one keyed groupby, ``left_outer`` join back
+            onto the document stream — three keyed shuffles, nothing
+            driver-resident.  Window-row volume is O(corpus words × 24 B);
+            that is the honest cost of hash-formulated substring dedup (the
+            suffix-array formulation trades it for a global sort).
+
+Window identity is a 64-bit rolling hash of the lowercase ``[a-z0-9]+`` word
+stream — collisions merge distinct windows at ~|windows|²/2⁶⁵ odds (≈3e-3
+expected at 10¹¹ windows); the SQL oracle re-derives everything from the
+actual window strings, so the driver check also bounds collision impact.
+
+Reference repo has no counterpart (its corpus is per-request PDFs); this is
+part of the beyond-reference training-data family (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dedup import MAX_BROADCAST_ROWS, _join_partitions
+
+#: rolling-hash multiplier (odd golden ratio — same family as
+#: functions.hashing._SHINGLE_C but over the [a-z0-9]+ token rule)
+_WIN_C = np.uint64(0x9E3779B97F4A7C15)
+_WORD_HASH_SEED = 42
+
+
+def _batch_windows(texts):
+    """Vectorized per-batch tokenizer over lowercase [a-z0-9]+ tokens.
+
+    Returns ``(word_counts, flat_words, word_hash)``: per-doc word counts
+    (int64), the concatenated token array (pa.Array), and the per-word
+    uint64 hashes.  Window construction happens in :func:`_roll` so both
+    passes share one tokenizer (one polars pass per batch, no per-row
+    Python).
+    """
+    import polars as pl
+
+    s = pl.Series([t or "" for t in texts], dtype=pl.String)
+    toks = s.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+    counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    word_hash = flat.hash(seed=_WORD_HASH_SEED).to_numpy().astype(np.uint64)
+    return counts, flat.to_arrow().cast(pa.string()), word_hash
+
+
+def _roll(word_hash: np.ndarray, counts: np.ndarray, k: int):
+    """(win_hash, win_doc, win_start) for every k-word window that lies
+    entirely inside one document (docs shorter than k yield none)."""
+    total = int(counts.sum())
+    W = total - k + 1
+    if W <= 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, np.int64), np.empty(0, np.int64)
+    did = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    with np.errstate(over="ignore"):
+        wh = np.zeros(W, dtype=np.uint64)
+        for j in range(k):
+            wh = wh * _WIN_C + word_hash[j : j + W]
+    valid = did[:W] == did[k - 1 :]
+    starts = np.arange(W, dtype=np.int64)[valid]
+    # int64 two's-complement view: Ray Data groupby/join keys must stay in
+    # int64 range (uint64 > 2^63-1 round-trips through Python ints and gets
+    # pickled into extension blocks, breaking schema stability)
+    return wh[valid].view(np.int64), did[:W][valid], starts
+
+
+def dup_window_hashes(
+    ds: ray.data.Dataset, text_col: str, k: int = 8, min_docs: int = 2,
+) -> ray.data.Dataset:
+    """Dataset of ``{"__wh": uint64}`` — hashes of k-word windows that occur
+    in at least ``min_docs`` DISTINCT documents.
+
+    Map-side pre-reduction: each batch ships one (hash, n_docs_in_batch) row
+    per distinct (window, doc) pair — the shuffle moves the window table,
+    not the window stream.  A whole row is one document, so per-batch
+    distinct-doc partial counts sum to the exact global distinct-doc count.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts, _, word_hash = _batch_windows(
+            batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        if len(wh) == 0:
+            return pa.table({"__wh": pa.array([], pa.int64()),
+                             "_d": pa.array([], pa.int64())})
+        order = np.lexsort((wd, wh))
+        ws, dsid = wh[order], wd[order]
+        first = np.ones(len(ws), dtype=bool)
+        first[1:] = (ws[1:] != ws[:-1]) | (dsid[1:] != dsid[:-1])
+        uw = ws[first]
+        uniq, ndocs = np.unique(uw, return_counts=True)
+        return pa.table({"__wh": pa.array(uniq, pa.int64()),
+                         "_d": pa.array(ndocs, pa.int64())})
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("__wh").aggregate(Sum("_d", alias_name="_n")))
+    return (agg.filter(expr=f"_n >= {int(min_docs)}")
+            .select_columns(["__wh"]))
+
+
+def _clean_from_positions(batch: pa.Table, text_col: str, id_col: str,
+                          k: int, starts_global: np.ndarray,
+                          counts: np.ndarray, flat_words: pa.Array,
+                          n_dup_per_doc: np.ndarray) -> pa.Table:
+    """Shared cut kernel: given global start offsets of duplicated windows,
+    cover-mask the concatenated word stream (difference array — windows never
+    cross documents, so no per-doc reset is needed) and rebuild per-doc clean
+    text with one Arrow list-join."""
+    total = int(counts.sum())
+    cover = np.zeros(total + 1, dtype=np.int64)
+    if len(starts_global):
+        np.add.at(cover, starts_global, 1)
+        np.subtract.at(cover, starts_global + k, 1)
+    covered = np.cumsum(cover[:total]) > 0
+
+    ends = np.cumsum(counts)
+    doc_starts = ends - counts
+    cs = np.concatenate(([0], np.cumsum(covered.astype(np.int64))))
+    dropped = cs[ends] - cs[doc_starts]
+
+    kept_counts = counts - dropped
+    offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int64)
+    kept_words = flat_words.filter(pa.array(~covered)) if total else flat_words
+    la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                       kept_words.cast(pa.large_string()))
+    clean = pc.binary_join(la, pa.scalar(" ", pa.large_string()))
+
+    n_windows = np.maximum(counts - k + 1, 0)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(counts, pa.int64()),
+        "n_windows": pa.array(n_windows, pa.int64()),
+        "n_dup_windows": pa.array(n_dup_per_doc, pa.int64()),
+        "n_dropped_words": pa.array(dropped, pa.int64()),
+        "clean_text": clean.cast(pa.string()),
+    })
+
+
+def dup_span_clean(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    max_broadcast: int = MAX_BROADCAST_ROWS,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Cut corpus-duplicated k-word spans out of every document.
+
+    Output per doc: ``n_words``, ``n_windows`` (strict k-windows),
+    ``n_dup_windows`` (window positions whose window occurs in >=
+    ``min_docs`` distinct docs), ``n_dropped_words`` (words covered by at
+    least one duplicated window), and ``clean_text`` (the uncovered words,
+    space-joined — token-normalized on both engine and oracle side).
+
+    Path selection mirrors ``dedup.filter_by_ids``: broadcast the dup-hash
+    array only when its row count proves it fits; above the bound, window
+    rows semi-join the dup Dataset and per-doc position lists ride a keyed
+    groupby + left_outer join back onto the corpus stream.  Pass
+    ``num_partitions`` to force the join path (tests do, to prove the two
+    paths identical).
+    """
+    dup = dup_window_hashes(ds, text_col, k=k, min_docs=min_docs).materialize()
+    n_dup = dup.count()
+    docs = ds.select_columns([id_col, text_col])
+    force_join = num_partitions is not None
+
+    if not force_join and n_dup <= max_broadcast:
+        arr = (np.sort(np.concatenate(
+            [ray.get(r).column("__wh").to_numpy(zero_copy_only=False)
+             for r in dup.to_arrow_refs()]).astype(np.int64))
+            if n_dup else np.empty(0, np.int64))
+        ref = ray.put(arr)
+
+        class Clean:
+            def __init__(self, dup_ref):
+                self.dup = ray.get(dup_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                counts, flat, word_hash = _batch_windows(
+                    batch.column(text_col).to_pylist())
+                wh, wd, ws = _roll(word_hash, counts, k)
+                hit = np.isin(wh, self.dup)
+                n_dup_doc = np.bincount(wd[hit], minlength=len(counts)
+                                        ).astype(np.int64)
+                return _clean_from_positions(
+                    batch, text_col, id_col, k, ws[hit], counts, flat,
+                    n_dup_doc)
+
+        return docs.map_batches(Clean, fn_constructor_kwargs=dict(dup_ref=ref),
+                                batch_format="pyarrow", concurrency=(1, 8))
+
+    # ---- join path: nothing driver-resident ----
+    from ..dsutil import drop_empty_blocks
+
+    nparts = num_partitions or _join_partitions()
+
+    def explode_wins(batch: pa.Table) -> pa.Table:
+        counts, _, word_hash = _batch_windows(
+            batch.column(text_col).to_pylist())
+        wh, wd, gstart = _roll(word_hash, counts, k)
+        # per-doc window start offset (0-based within the doc)
+        doc_starts = np.cumsum(counts) - counts
+        pos = gstart - doc_starts[wd]
+        ids = batch.column(id_col).take(pa.array(wd))
+        return pa.table({id_col: ids,
+                         "__pos": pa.array(pos, pa.int64()),
+                         "__wh": pa.array(wh, pa.int64())})
+
+    wins = docs.map_batches(explode_wins, batch_format="pyarrow")
+    dup_pos = wins.join(drop_empty_blocks(dup), join_type="left_semi",
+                        num_partitions=nparts, on=("__wh",))
+
+    def collect_positions(group: pa.Table) -> pa.Table:
+        # positions packed into one binary blob per doc: Arrow hash joins
+        # reject list-typed payload columns, but binary passes through
+        key = group.column(id_col)[0].as_py()
+        pos = np.sort(group.column("__pos").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({id_col: pa.array([key], group.schema.field(id_col).type),
+                         "__posblob": pa.array([pos.tobytes()], pa.binary())})
+
+    poslists = (dup_pos.select_columns([id_col, "__pos"])
+                .groupby(id_col).map_groups(collect_positions,
+                                            batch_format="pyarrow"))
+    joined = docs.join(drop_empty_blocks(poslists), join_type="left_outer",
+                       num_partitions=nparts, on=(id_col,))
+
+    def apply_pos(batch: pa.Table) -> pa.Table:
+        counts, flat, _ = _batch_windows(batch.column(text_col).to_pylist())
+        doc_starts = np.cumsum(counts) - counts
+        pl_col = batch.column("__posblob")
+        starts, docidx = [], []
+        for i in range(batch.num_rows):
+            v = pl_col[i].as_py()
+            if v:
+                pos = np.frombuffer(v, dtype=np.int64)
+                starts.append(pos + doc_starts[i])
+                docidx.append(np.full(len(pos), i, dtype=np.int64))
+        gl = (np.concatenate(starts) if starts else np.empty(0, np.int64))
+        di = (np.concatenate(docidx) if docidx else np.empty(0, np.int64))
+        n_dup_doc = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
+        return _clean_from_positions(batch, text_col, id_col, k, gl,
+                                     counts, flat, n_dup_doc)
+
+    return joined.map_batches(apply_pos, batch_format="pyarrow")
