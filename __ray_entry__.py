@@ -1065,6 +1065,23 @@ def _q_cohort_retention(sf_dir: str):
     })
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Corpus-unigram LM quality score per doc, quantized to integer
+    micro-nats before the reduction so the sum is reduction-order-proof
+    (pipelines/tfidf.py:unigram_logprob)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import unigram_logprob
+
+    out = unigram_logprob(_documents(sf_dir, ["doc_id", "text"]),
+                          "text", "doc_id")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "logprob_micro": pa.array([r["logprob_micro"] for r in rows], pa.int64()),
+    })
+
+
 def _q_dup_span_clean(sf_dir: str):
     """Substring-level dedup (Lee et al.): cut 8-word windows occurring in
     >=2 distinct docs out of every document — window-hash pass 1, one keyed
@@ -2528,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "vocab_top100": _q_vocab_top100,
         "dup_span_clean": _q_dup_span_clean,
+        "unigram_logprob": _q_unigram_logprob,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3118,6 +3136,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                   AS token FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+        """,
+        "unigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS token FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM toks),
+            lp AS (SELECT token,
+                          CAST(-floor(-ln(c * 1.0 / (SELECT n FROM tot))
+                                       * 1000000 + 0.5) AS BIGINT) AS micro
+                   FROM cnt)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(lp.micro) AS logprob_micro
+            FROM toks t JOIN lp USING (token)
+            GROUP BY t.doc_id ORDER BY doc_id
         """,
         "dup_span_clean": """
             WITH wn AS (

@@ -336,6 +336,81 @@ def ngram_overlap_tag(
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def unigram_logprob(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    vocab_broadcast_max: int = BROADCAST_VOCAB_MAX,
+) -> ray.data.Dataset:
+    """Corpus-LM quality score: per doc, the sum of unigram log-probabilities
+    of its tokens under the corpus's own unigram distribution (the cheap end
+    of the perplexity-filter family — CCNet/Gopher score docs with a language
+    model; the unigram corpus model needs no external artifact).
+
+    Output: ``(id, n_tokens, logprob_micro)`` where ``logprob_micro`` is the
+    int64 sum of per-token ``round_half_away(ln(count(tok)/total) * 1e6)`` —
+    log-probs are quantized to integer micro-nats BEFORE the reduction, so
+    the result is reduction-order-proof and engine/SQL hash-exact (a float
+    mean would differ in the last ulp between reduction orders).  Docs with
+    zero tokens are excluded (mirrors SQL ``GROUP BY`` over the token
+    explode).  Mean log-prob = logprob_micro / 1e6 / n_tokens.
+
+    Scale shape: one composite-key shuffle for tf (map-side combined), one
+    vocabulary-sized combine for counts, then broadcast (vocabulary is
+    Zipf-bounded) or hash-join above ``vocab_broadcast_max`` — same policy
+    as :func:`tfidf_table`; the corpus stream itself is never re-shuffled.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    tf = term_freq(tokenize(ds, text_col, id_col), id_col).materialize()
+    cnt = tf.groupby("token").aggregate(_Sum("tf", alias_name="c")).materialize()
+    total = int(cnt.sum("c"))
+    n_vocab = cnt.count()
+
+    def micro_of(c: np.ndarray) -> np.ndarray:
+        # ln(c/total) <= 0: half-AWAY rounding (DuckDB round semantics)
+        x = np.log(c.astype(np.float64) / float(total)) * 1e6
+        return (-np.floor(-x + 0.5)).astype(np.int64)
+
+    if n_vocab <= vocab_broadcast_max:
+        toks, cs = [], []
+        for t in (ray.get(r) for r in cnt.to_arrow_refs()):
+            if t.num_rows:
+                toks.extend(t.column("token").to_pylist())
+                cs.append(t.column("c").to_numpy(zero_copy_only=False))
+        micro = micro_of(np.concatenate(cs) if cs else np.empty(0, np.int64))
+        ref = ray.put(dict(zip(toks, micro.tolist())))
+
+        def score(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            m = np.fromiter((lk[t] for t in batch.column("token").to_pylist()),
+                            dtype=np.int64, count=batch.num_rows)
+            tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({id_col: batch.column(id_col),
+                             "n_tokens": pa.array(tfv, pa.int64()),
+                             "_lp": pa.array(m * tfv, pa.int64())})
+
+        scored = tf.map_batches(score, batch_format="pyarrow")
+    else:
+        from .dedup import _join_partitions
+
+        joined = tf.join(cnt, join_type="inner",
+                         num_partitions=_join_partitions(), on=("token",))
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({id_col: batch.column(id_col),
+                             "n_tokens": pa.array(tfv, pa.int64()),
+                             "_lp": pa.array(micro_of(c) * tfv, pa.int64())})
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+
+    return scored.groupby(id_col).aggregate(
+        _Sum("n_tokens", alias_name="n_tokens"),
+        _Sum("_lp", alias_name="logprob_micro"))
+
+
 def ngram_counts(
     ds: ray.data.Dataset,
     text_col: str,

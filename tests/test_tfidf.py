@@ -256,3 +256,43 @@ def test_ngram_counts_no_cross_document_windows(con):
                        n=2, k=10).take_all()
     grams = sorted(r["ngram"] for r in out)
     assert grams == ["one two", "three four"]
+
+
+class TestUnigramLogprob:
+    """Integer micro-nat quantization BEFORE the reduction — engine and SQL
+    must agree bit-for-bit, whatever the block layout."""
+
+    SQL = """
+        WITH toks AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS token FROM documents),
+        cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        tot AS (SELECT count(*) AS n FROM toks),
+        lp AS (SELECT token, CAST(-floor(-ln(c * 1.0 / (SELECT n FROM tot))
+                                          * 1000000 + 0.5) AS BIGINT) AS micro
+               FROM cnt)
+        SELECT t.doc_id, count(*) AS n_tokens, sum(lp.micro) AS logprob_micro
+        FROM toks t JOIN lp USING (token) GROUP BY t.doc_id ORDER BY doc_id
+    """
+
+    def _got(self, **kw):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import unigram_logprob
+
+        out = unigram_logprob(ray.data.from_arrow(DOCS).repartition(3),
+                              "text", "doc_id", **kw)
+        return sorted((r["doc_id"], r["n_tokens"], r["logprob_micro"])
+                      for r in out.take_all())
+
+    def test_matches_sql(self, con):
+        want = sorted(map(tuple, con.execute(self.SQL).fetchall()))
+        assert self._got() == want
+        # empty doc 3 excluded on both sides
+        assert all(d != 3 for d, _, _ in want)
+
+    def test_join_path_identical(self):
+        assert self._got(vocab_broadcast_max=0) == self._got()
+
+    def test_rare_tokens_score_lower(self):
+        got = {d: lp / nt for d, nt, lp in self._got()}
+        # doc 2 is mostly rare numerals; doc 0 repeats common words
+        assert got[2] < got[0]
