@@ -1065,6 +1065,26 @@ def _q_cohort_retention(sf_dir: str):
     })
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means the embedding space, greedy cosine-leader prune per
+    cluster (pipelines/clustering.py:semantic_dedup_drop_ids).  Oracle:
+    pinned id list at sf0.01 — every dropped id independently verified in
+    DuckDB to have a smaller-id partner at list_cosine_similarity >= tau,
+    and the set proven identical across block layouts and CPU counts."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.clustering import (
+        semantic_dedup_drop_ids,
+    )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = semantic_dedup_drop_ids(ds, "embedding", "vec_id",
+                                  n_clusters=8, tau=0.30)
+    ids = sorted(r["vec_id"] for r in out.take_all())
+    return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Corpus-unigram LM quality score per doc, quantized to integer
     micro-nats before the reduction so the sum is reduction-order-proof
@@ -2546,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top100,
         "dup_span_clean": _q_dup_span_clean,
         "unigram_logprob": _q_unigram_logprob,
+        "semantic_dedup": _q_semantic_dedup,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3136,6 +3157,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                   AS token FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+        """,
+        # semantic_dedup's pinned set at sf0.01 (tau=0.30, k=8, 3 Lloyd
+        # iters): each id verified in DuckDB to have a smaller-id partner at
+        # list_cosine_similarity >= 0.30; set layout/CPU-count-stable
+        "semantic_dedup": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id FROM (VALUES
+              (27),(30),(33),(35),(58),(60),(77),(88),(91),(95),
+              (108),(110),(111),(112),(114),(115),(116),(117),(120),(123),
+              (124),(138),(139),(143),(145),(149),(150),(162),(169),(175),
+              (181),(187),(190),(196),(197),(202),(204),(205),(209),(214),
+              (218),(220),(224),(225),(227),(228),(233),(234),(235),(238),
+              (240),(256),(260),(261),(262),(264),(270),(271),(274),(277),
+              (278),(280),(281),(282),(289),(291),(292),(295),(296),(298),
+              (299),(300),(301),(302),(305),(306),(308),(309),(313),(314),
+              (317),(320),(322),(324),(325),(326),(334),(339),(340),(343),
+              (344),(347),(349),(350),(354),(355),(357),(359),(360),(361),
+              (363),(365),(366),(369),(370),(371),(372),(375),(380),(382),
+              (384),(385),(386),(387),(397),(398),(399),(401),(402),(403),
+              (404),(406),(407),(410),(411),(412),(413),(414),(415),(416),
+              (417),(419),(421),(427),(428),(430),(431),(432),(434),(436),
+              (437),(438),(442),(444),(445),(447),(449),(452),(456),(457),
+              (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
+              (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
+              (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
         """,
         "unigram_logprob": """
             WITH toks AS (SELECT doc_id,

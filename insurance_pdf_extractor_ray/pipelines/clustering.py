@@ -161,3 +161,70 @@ def kmeans_lloyd(
             / sizes[nz, None].astype(np.float64)
         centroids = new
     return centroids, sizes, float(inertia_i) / float(_SCALE)
+
+
+def semantic_dedup_drop_ids(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    tau: float = 0.95,
+    iters: int = 3,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al., 2023): semantic near-dup pruning — k-means the
+    embedding space, then within each cluster greedily keep one representative
+    per cosine-``tau`` neighborhood.  Returns the DROPPED ids, sorted.
+
+    Pipeline shape: :func:`kmeans_lloyd` (zero-shuffle, constant-size partials)
+    → one assignment ``map_batches`` (centroid broadcast) → ONE keyed shuffle
+    on the cluster id → per-cluster greedy leader scan.  Compared to the
+    all-pairs baseline (``dedup.embedding_dup_ids_exact``, corpus-sized
+    broadcast), work and memory are per-cluster: O(Σ m_c²) similarity flops
+    and O(m_c·d) group memory, so ``n_clusters`` is the scale knob — size it
+    ~corpus/64k so the largest cluster fits a worker heap (the same
+    partitioning assumption every SemDeDup implementation makes; a pathological
+    single-mode corpus degrades to the all-pairs cost).
+
+    Determinism: cluster assignment is bit-exact (see module header), and the
+    in-cluster scan is ordered by ``id_col``, so results are identical across
+    partitioning and CPU counts.  Greedy-leader semantics: a row is dropped
+    iff its cosine to some smaller-id KEPT row in its cluster is ``>= tau``
+    (chains collapse to the smallest id, like the LSH path's canonical set).
+    """
+    mat = ds.select_columns([id_col, emb_col]).materialize()
+    centroids, _, _ = kmeans_lloyd(mat, emb_col, id_col, k=n_clusters,
+                                   iters=iters, seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        X = embedding_matrix(batch.column(emb_col), dtype=np.float64)
+        c, _ = _assign(X, cents)
+        return batch.append_column("__c", pa.array(c, pa.int64()))
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist())
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        U = embedding_matrix(group.column(emb_col).take(pa.array(order)),
+                             dtype=np.float64)
+        norms = np.linalg.norm(U, axis=1)
+        norms[norms == 0] = 1.0
+        U = U / norms[:, None]
+        m = len(ids)
+        kept = np.zeros((m, U.shape[1]))
+        n_kept = 0
+        dropped = []
+        for i in range(m):
+            if n_kept and (kept[:n_kept] @ U[i] >= tau).any():
+                dropped.append(ids[i])
+            else:
+                kept[n_kept] = U[i]
+                n_kept += 1
+        return pa.table({id_col: pa.array(dropped,
+                                          group.schema.field(id_col).type)})
+
+    out = (mat.map_batches(assign, batch_format="pyarrow")
+           .groupby("__c").map_groups(prune, batch_format="pyarrow"))
+    return out.sort(id_col)

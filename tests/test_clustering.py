@@ -73,3 +73,59 @@ def test_empty_cluster_keeps_centroid():
                                    iters=3, seed=0)
     assert not np.isnan(cents).any()
     assert sizes.sum() == 4
+
+
+class TestSemanticDedup:
+    """SemDeDup greedy-leader semantics vs a numpy brute-force reference."""
+
+    @staticmethod
+    def _brute_greedy(ids, X, tau):
+        order = np.argsort(ids)
+        ids, X = np.asarray(ids)[order], X[order]
+        U = X / np.linalg.norm(X, axis=1, keepdims=True)
+        kept, dropped = [], []
+        for i in range(len(ids)):
+            if kept and (np.asarray([U[j] for j in kept]) @ U[i] >= tau).any():
+                dropped.append(int(ids[i]))
+            else:
+                kept.append(i)
+        return dropped
+
+    def _run(self, tbl, tau, n_clusters, repartition=None):
+        from insurance_pdf_extractor_ray.pipelines.clustering import (
+            semantic_dedup_drop_ids,
+        )
+
+        ds = ray.data.from_arrow(tbl)
+        if repartition:
+            ds = ds.repartition(repartition)
+        out = semantic_dedup_drop_ids(ds, "embedding", "vec_id",
+                                      n_clusters=n_clusters, tau=tau)
+        return [r["vec_id"] for r in out.take_all()]
+
+    def test_single_cluster_equals_brute_force(self):
+        tbl, _ = _blobs(seed=7, n_per=40)
+        X = np.asarray(tbl.column("embedding").to_pylist())
+        ids = tbl.column("vec_id").to_pylist()
+        want = sorted(self._brute_greedy(ids, X, 0.9))
+        assert self._run(tbl, 0.9, n_clusters=1) == want
+        assert len(want) > 0  # blobs at 0.9 must actually prune something
+
+    def test_chain_collapses_to_leader_only(self):
+        # b ~ a and c ~ b but c !~ a: greedy keeps a, drops b, KEEPS c
+        # (c is only compared against kept rows)
+        a = np.array([1.0, 0.0])
+        b = np.array([np.cos(0.3), np.sin(0.3)])
+        c = np.array([np.cos(0.6), np.sin(0.6)])
+        tau = float(np.cos(0.4))  # a·b >= tau, b·c >= tau, a·c < tau
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([a.tolist(), b.tolist(), c.tolist()],
+                                  pa.list_(pa.float64())),
+        })
+        assert self._run(tbl, tau, n_clusters=1) == [1]
+
+    def test_layout_independent(self):
+        tbl, _ = _blobs(seed=9, n_per=50)
+        assert (self._run(tbl, 0.9, n_clusters=3)
+                == self._run(tbl, 0.9, n_clusters=3, repartition=7))
