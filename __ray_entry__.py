@@ -1205,6 +1205,25 @@ def _q_bm25(sf_dir: str):
                        query_terms=["shuffle", "spark", "window"], k=15)
 
 
+def _q_bm25_indexed(sf_dir: str):
+    """BM25 over the inverted-index at-rest layout — posting lists written
+    once (zero-shuffle exact map-side tf), the query reads ONLY its terms'
+    bucket dirs; proven bit-identical to the scan path, so it shares
+    bm25_search's SQL oracle (pipelines/invindex.py:bm25_search_indexed)."""
+    import tempfile
+
+    from insurance_pdf_extractor_ray.pipelines.invindex import (
+        bm25_search_indexed,
+        build_inverted_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="ipe_invidx_q_")
+    build_inverted_index(_documents(sf_dir, ["doc_id", "text"]),
+                         "text", "doc_id", root, n_buckets=32)
+    return bm25_search_indexed(
+        root, query_terms=["shuffle", "spark", "window"], k=15)
+
+
 def _q_ntile(sf_dir: str):
     """Global row_number + NTILE(10) (curriculum tiering) — one Ray-native
     sort, then two metadata-weight task waves (per-block counts → zero-copy
@@ -2570,6 +2589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
+        "bm25_search_indexed": _q_bm25_indexed,
         "ntile_by_value": _q_ntile,
         "rolling_avg_user": _q_rolling_avg,
         "heavy_hitters_users": _q_heavy_hitters,
@@ -3235,6 +3255,29 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "mixture_interleave": _mixture_sql(),
         "bm25_search": """
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('shuffle', 'spark', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            SELECT t.doc_id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                             * t.tf * (1.2 + 1.0)
+                             / (t.tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * l.dl / s.avgdl))),
+                         6) AS score
+            FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 15
+        """,
+        "bm25_search_indexed": """
             WITH dl AS (SELECT doc_id,
                           len(regexp_extract_all(lower(text), '[a-z0-9]+'))
                           AS dl FROM documents),

@@ -495,6 +495,50 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         cust_b, on="o_custkey", right_on="c_custkey").count()
     queries["intervals_antijoin"] = round(time.time() - t0, 3)
 
+    # training-data family (session 6): substring-span dedup (two corpus
+    # passes + one keyed combine), corpus-unigram scoring, SemDeDup
+    from insurance_pdf_extractor_ray.pipelines.clustering import (
+        semantic_dedup_drop_ids,
+    )
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import dup_span_clean
+    from insurance_pdf_extractor_ray.pipelines.tfidf import unigram_logprob
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    t0 = time.time()
+    assert dup_span_clean(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+        "text", "doc_id", k=8).count() > 0
+    queries["substr_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assert unigram_logprob(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+        "text", "doc_id").count() > 0
+    queries["unigram_logprob"] = round(time.time() - t0, 3)
+
+    from insurance_pdf_extractor_ray.pipelines.invindex import (
+        bm25_search_indexed,
+        build_inverted_index,
+    )
+
+    t0 = time.time()
+    idx_root = tempfile.mkdtemp(prefix="ipe_bench_invidx_")
+    build_inverted_index(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+        "text", "doc_id", idx_root, n_buckets=32)
+    queries["invindex_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for terms in (["shuffle", "spark", "window"], ["agg"], ["join", "sort"]):
+        assert bm25_search_indexed(idx_root, terms, k=15).num_rows > 0
+    queries["invindex_search3"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    semantic_dedup_drop_ids(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"]),
+        "embedding", "vec_id", n_clusters=8, tau=0.30).count()
+    queries["semantic_dedup"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

@@ -207,23 +207,23 @@ def dup_span_clean(
             if n_dup else np.empty(0, np.int64))
         ref = ray.put(arr)
 
-        class Clean:
-            def __init__(self, dup_ref):
-                self.dup = ray.get(dup_ref)
+        # plain task fn, not an actor pool: the per-worker state is one
+        # ray.get of an object-store ref (cached by plasma), so actor
+        # startup seconds buy nothing — same call shape as
+        # clustering._partial_sums
+        def clean(batch: pa.Table, dup_ref) -> pa.Table:
+            dup_arr = ray.get(dup_ref)
+            counts, flat, word_hash = _batch_windows(
+                batch.column(text_col).to_pylist())
+            wh, wd, ws = _roll(word_hash, counts, k)
+            hit = np.isin(wh, dup_arr)
+            n_dup_doc = np.bincount(wd[hit], minlength=len(counts)
+                                    ).astype(np.int64)
+            return _clean_from_positions(
+                batch, text_col, id_col, k, ws[hit], counts, flat, n_dup_doc)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                counts, flat, word_hash = _batch_windows(
-                    batch.column(text_col).to_pylist())
-                wh, wd, ws = _roll(word_hash, counts, k)
-                hit = np.isin(wh, self.dup)
-                n_dup_doc = np.bincount(wd[hit], minlength=len(counts)
-                                        ).astype(np.int64)
-                return _clean_from_positions(
-                    batch, text_col, id_col, k, ws[hit], counts, flat,
-                    n_dup_doc)
-
-        return docs.map_batches(Clean, fn_constructor_kwargs=dict(dup_ref=ref),
-                                batch_format="pyarrow", concurrency=(1, 8))
+        return docs.map_batches(clean, fn_args=(ref,),
+                                batch_format="pyarrow")
 
     # ---- join path: nothing driver-resident ----
     from ..dsutil import drop_empty_blocks
