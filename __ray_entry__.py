@@ -1102,6 +1102,27 @@ def _q_unigram_logprob(sf_dir: str):
     })
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights toward a target slice (source='src0' docs):
+    unigram importance ratio in integer micro-nats, quantized per distinct
+    token before the reduction (pipelines/tfidf.py:dsir_logweight; the
+    hashed fixed-feature variant is the unbounded-vocabulary scale path)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import dsir_logweight
+
+    docs = _documents(sf_dir, ["doc_id", "text", "source"])
+    target = docs.filter(expr="source == 'src0'") \
+                 .select_columns(["doc_id", "text"])
+    out = dsir_logweight(docs.select_columns(["doc_id", "text"]), target,
+                         "text", "doc_id")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "dsir_micro": pa.array([r["dsir_micro"] for r in rows], pa.int64()),
+    })
+
+
 def _q_dup_span_clean(sf_dir: str):
     """Substring-level dedup (Lee et al.): cut 8-word windows occurring in
     >=2 distinct docs out of every document — window-hash pass 1, one keyed
@@ -2586,6 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_clean": _q_dup_span_clean,
         "unigram_logprob": _q_unigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
+        "dsir_weights": _q_dsir_weights,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3201,6 +3223,32 @@ def oracle_sql() -> dict[str, str]:
               (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
               (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
               (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
+        """,
+        "dsir_weights": """
+            WITH toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS token FROM documents),
+            ttoks AS (SELECT t.token FROM toks t JOIN documents d
+                      USING (doc_id) WHERE d.source = 'src0'),
+            src AS (SELECT token, count(*) c FROM toks GROUP BY token),
+            tgt AS (SELECT token, count(*) c FROM ttoks GROUP BY token),
+            vocab AS (SELECT token, coalesce(s.c, 0) cs, coalesce(t.c, 0) ct
+                      FROM (SELECT token FROM src UNION SELECT token FROM tgt)
+                      LEFT JOIN src s USING (token)
+                      LEFT JOIN tgt t USING (token)),
+            stats AS (SELECT sum(cs) + count(*) AS stot,
+                             sum(ct) + count(*) AS ttot FROM vocab),
+            ratio AS (SELECT token,
+                        ln((ct+1)*1.0 / (SELECT ttot FROM stats))
+                        - ln((cs+1)*1.0 / (SELECT stot FROM stats)) AS x
+                      FROM vocab),
+            micro AS (SELECT token,
+                        CAST(CASE WHEN x >= 0 THEN floor(x*1000000 + 0.5)
+                             ELSE -floor(-x*1000000 + 0.5) END AS BIGINT) AS m
+                      FROM ratio)
+            SELECT t.doc_id, count(*) AS n_tokens, sum(m.m) AS dsir_micro
+            FROM toks t JOIN micro m USING (token)
+            GROUP BY t.doc_id ORDER BY doc_id
         """,
         "unigram_logprob": """
             WITH toks AS (SELECT doc_id,

@@ -411,6 +411,157 @@ def unigram_logprob(
         _Sum("_lp", alias_name="logprob_micro"))
 
 
+def dsir_logweight(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    vocab_broadcast_max: int = BROADCAST_VOCAB_MAX,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al., 2023): per corpus doc, the
+    log importance ratio of a TARGET distribution over the corpus's own,
+    under add-1-smoothed unigram models —
+
+        log w(d) = Σ_tok  ln p_target(tok) − ln p_corpus(tok)
+
+    with p(tok) = (count + 1) / (total + |V|), V the union vocabulary.
+    Rank by the weight (or Gumbel-perturb it) to resample a raw crawl toward
+    a high-quality target set.  (The paper hashes n-grams into buckets; the
+    unigram form keeps the operator SQL-oracle-exact — the hashed variant
+    changes only the feature map, not the pipeline shape.)
+
+    Output ``(id, n_tokens, dsir_micro)``: int64 micro-nats quantized per
+    DISTINCT token before the reduction — reduction-order-proof, hash-exact
+    vs the oracle (same contract as :func:`unigram_logprob`).
+
+    Scale shape: the target side is selection-set-sized and reduced to a
+    vocabulary-bounded count table; the corpus pays one tf shuffle and one
+    vocabulary combine; the ratio map broadcasts under
+    ``vocab_broadcast_max`` (hash-join fallback above — corpus-side counts
+    dominate the union).  Docs with zero tokens are excluded.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    tf = term_freq(tokenize(ds, text_col, id_col), id_col).materialize()
+    src = tf.groupby("token").aggregate(_Sum("tf", alias_name="c")).materialize()
+    tgt_pairs = term_freq(tokenize(target, text_col, id_col), id_col)
+    tgt = tgt_pairs.groupby("token").aggregate(
+        _Sum("tf", alias_name="c")).materialize()
+
+    src_counts: dict = {}
+    for t in (ray.get(r) for r in src.to_arrow_refs()):
+        if t.num_rows:
+            src_counts.update(zip(t.column("token").to_pylist(),
+                                  t.column("c").to_pylist()))
+    tgt_counts: dict = {}
+    for t in (ray.get(r) for r in tgt.to_arrow_refs()):
+        if t.num_rows:
+            tgt_counts.update(zip(t.column("token").to_pylist(),
+                                  t.column("c").to_pylist()))
+    vocab = sorted(set(src_counts) | set(tgt_counts))
+    v = len(vocab)
+    s_tot = float(sum(src_counts.values()) + v)
+    t_tot = float(sum(tgt_counts.values()) + v)
+    cs = np.array([src_counts.get(tok, 0) + 1 for tok in vocab], np.float64)
+    ct = np.array([tgt_counts.get(tok, 0) + 1 for tok in vocab], np.float64)
+    x = (np.log(ct / t_tot) - np.log(cs / s_tot)) * 1e6
+    micro = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+                     ).astype(np.int64)
+    if v > vocab_broadcast_max:
+        raise ValueError(
+            "union vocabulary exceeds the broadcast bound — use "
+            "dsir_logweight_hashed (fixed-size hashed feature map, the "
+            "paper's own formulation) for corpora whose raw vocabulary "
+            "cannot broadcast")
+    ref = ray.put(dict(zip(vocab, micro.tolist())))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        m = np.fromiter((lk[t] for t in batch.column("token").to_pylist()),
+                        dtype=np.int64, count=batch.num_rows)
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pa.array(tfv, pa.int64()),
+                         "_w": pa.array(m * tfv, pa.int64())})
+
+    return (tf.map_batches(score, batch_format="pyarrow")
+            .groupby(id_col).aggregate(
+                _Sum("n_tokens", alias_name="n_tokens"),
+                _Sum("_w", alias_name="dsir_micro")))
+
+
+def dsir_logweight_hashed(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 8192,
+) -> ray.data.Dataset:
+    """DSIR with the paper's hashed feature map — the unbounded-vocabulary
+    scale path of :func:`dsir_logweight`.
+
+    Tokens hash into ``n_buckets`` fixed features (durable 64-bit string
+    hash mod buckets), so BOTH model-fitting passes reduce to one
+    ``n_buckets``-long int64 count vector per batch, exact-int-summed on the
+    driver: constant-size state however large the corpus or its vocabulary
+    (the |V| driver dict of the unigram form never exists).  Scoring is one
+    zero-shuffle corpus pass: per batch, token→bucket→micro-nat lookup into
+    the broadcast ratio vector, segmented int64 sums per doc.  Same add-1
+    smoothing and micro-nat quantization contract as the unigram form (with
+    V = n_buckets), so results are bit-deterministic across layouts.
+    """
+    from ..functions.hashing import durable_hash64_column
+
+    nb = np.uint64(n_buckets)
+
+    def _explode(batch: pa.Table):
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls().to_arrow().cast(pa.string())
+        b = (durable_hash64_column(flat) % nb).astype(np.int64)
+        return lens, b
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        _, b = _explode(batch)
+        counts = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    def _fit(d: ray.data.Dataset) -> np.ndarray:
+        total = np.zeros(n_buckets, dtype=np.int64)
+        parts = d.select_columns([text_col]).map_batches(
+            bucket_partial, batch_format="pyarrow").take_all()
+        for r in parts:  # exact ints: any order reduces identically
+            total += np.frombuffer(r["counts"], dtype=np.int64)
+        return total
+
+    cs = _fit(ds).astype(np.float64) + 1.0
+    ct = _fit(target).astype(np.float64) + 1.0
+    x = (np.log(ct / ct.sum()) - np.log(cs / cs.sum())) * 1e6
+    micro = np.where(x >= 0, np.floor(x + 0.5),
+                     -np.floor(-x + 0.5)).astype(np.int64)
+    ref = ray.put(micro)
+
+    def score(batch: pa.Table, micro_ref) -> pa.Table:
+        mvec = ray.get(micro_ref)
+        lens, b = _explode(batch)
+        w = mvec[b]
+        cs_ = np.concatenate(([0], np.cumsum(w)))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "dsir_micro": pa.array(cs_[ends] - cs_[starts], pa.int64()),
+        })
+        return out.filter(pa.array(lens > 0))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, fn_args=(ref,), batch_format="pyarrow")
+
+
 def ngram_counts(
     ds: ray.data.Dataset,
     text_col: str,

@@ -296,3 +296,76 @@ class TestUnigramLogprob:
         got = {d: lp / nt for d, nt, lp in self._got()}
         # doc 2 is mostly rare numerals; doc 0 repeats common words
         assert got[2] < got[0]
+
+
+class TestDsir:
+    """DSIR importance weights: SQL-exact unigram form; hashed scale form."""
+
+    TARGET = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([
+            "insurance policy premium deductible coverage",
+            "policy coverage claim premium insurer",
+        ], pa.string()),
+    })
+    CORPUS = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "insurance policy coverage premium claim",   # target-like
+            "dog cat fish bird hamster",                 # off-target
+            "policy dog coverage cat",                   # mixed
+        ], pa.string()),
+    })
+
+    def _weights(self, fn, **kw):
+        out = fn(ray.data.from_arrow(self.CORPUS).repartition(2),
+                 ray.data.from_arrow(self.TARGET), "text", "doc_id", **kw)
+        return {r["doc_id"]: r["dsir_micro"] for r in out.take_all()}
+
+    def test_unigram_ranks_target_like_docs_higher(self):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import dsir_logweight
+
+        w = self._weights(dsir_logweight)
+        assert w[0] > w[2] > w[1]
+
+    def test_unigram_matches_brute_force(self):
+        import math
+
+        from insurance_pdf_extractor_ray.pipelines.tfidf import dsir_logweight
+
+        src: dict = {}
+        tgt: dict = {}
+        for t in self.CORPUS.column("text").to_pylist():
+            for tok in t.split():
+                src[tok] = src.get(tok, 0) + 1
+        for t in self.TARGET.column("text").to_pylist():
+            for tok in t.split():
+                tgt[tok] = tgt.get(tok, 0) + 1
+        vocab = set(src) | set(tgt)
+        stot = sum(src.values()) + len(vocab)
+        ttot = sum(tgt.values()) + len(vocab)
+
+        def micro(tok):
+            x = (math.log((tgt.get(tok, 0) + 1) / ttot)
+                 - math.log((src.get(tok, 0) + 1) / stot)) * 1e6
+            return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+        want = {}
+        for d, t in zip(self.CORPUS.column("doc_id").to_pylist(),
+                        self.CORPUS.column("text").to_pylist()):
+            want[d] = sum(micro(tok) for tok in t.split())
+        assert self._weights(dsir_logweight) == want
+
+    def test_hashed_ranks_and_layout_stability(self):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import (
+            dsir_logweight_hashed,
+        )
+
+        w = self._weights(dsir_logweight_hashed, n_buckets=1 << 14)
+        assert w[0] > w[2] > w[1]
+        # bucket collisions only perturb, never break determinism
+        out2 = dsir_logweight_hashed(
+            ray.data.from_arrow(self.CORPUS).repartition(3),
+            ray.data.from_arrow(self.TARGET).repartition(2),
+            "text", "doc_id", n_buckets=1 << 14)
+        assert {r["doc_id"]: r["dsir_micro"] for r in out2.take_all()} == w
