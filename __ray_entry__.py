@@ -1102,6 +1102,42 @@ def _q_unigram_logprob(sf_dir: str):
     })
 
 
+def _q_overlap_sessions_outages(sf_dir: str):
+    """Interval x interval OVERLAP join: purchase activity windows
+    [ts, ts+5min] against outage windows [error ts, +10min] — both sides
+    replicate to epoch buckets, pairs dedup by first-common-bucket rule
+    (pipelines/joins.py:interval_overlap_join)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        interval_overlap_join,
+    )
+
+    def iv(prefix, etype, mins):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            s = batch.column("ts").cast(pa.int64())
+            return pa.table({
+                f"{prefix}_id": batch.column("event_id"),
+                f"{prefix}s": s,
+                f"{prefix}e": pc.add(s, mins * 60_000_000),
+            })
+        return fn
+
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'").map_batches(
+        iv("l", "purchase", 5), batch_format="pyarrow")
+    right = ev.filter(expr="event_type == 'error'").map_batches(
+        iv("r", "error", 10), batch_format="pyarrow")
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                                epoch=600_000_000)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["l_id"], r["r_id"]))
+    return pa.table({
+        "l_id": pa.array([r["l_id"] for r in rows], pa.int64()),
+        "r_id": pa.array([r["r_id"] for r in rows], pa.int64()),
+    })
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights toward a target slice (source='src0' docs):
     unigram importance ratio in integer micro-nats, quantized per distinct
@@ -2608,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
+        "overlap_sessions_outages": _q_overlap_sessions_outages,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3223,6 +3260,19 @@ def oracle_sql() -> dict[str, str]:
               (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
               (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
               (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
+        """,
+        "overlap_sessions_outages": """
+            WITH l AS (SELECT event_id AS l_id,
+                              epoch_us(ts) AS ls,
+                              epoch_us(ts) + 5*60*1000000 AS le
+                       FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT event_id AS r_id,
+                         epoch_us(ts) AS rs,
+                         epoch_us(ts) + 10*60*1000000 AS re
+                  FROM events WHERE event_type = 'error')
+            SELECT l_id, r_id FROM l JOIN r
+            ON ls <= re AND rs <= le
+            ORDER BY l_id, r_id
         """,
         "dsir_weights": """
             WITH toks AS (SELECT doc_id,

@@ -708,3 +708,89 @@ def shuffle_anti_join(
         return t.filter(pc.is_null(t.column(marker))).select(left_cols)
 
     return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    epoch: int,
+    by: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Interval × interval OVERLAP join (closed intervals): one output row
+    per (left, right) pair with ``l_start <= r_end AND r_start <= l_end``
+    (and equal ``by`` key if given) — the stream-stream / session-overlap
+    join ``range_join`` cannot express (both sides are ranges).
+
+    Scale shape mirrors ``range_join``: BOTH sides replicate to every
+    ``epoch``-sized bucket they overlap, one keyed shuffle on *(by?,
+    bucket)*, vectorized in-bucket candidate mask.  A pair that overlaps in
+    time coexists in every bucket of the intersection of its bucket ranges —
+    it is emitted ONLY in the first one (``max(l_start, r_start) // epoch ==
+    bucket``), so no distinct pass is needed to dedup the replication.
+    Column names of the two sides must be disjoint (rename upstream).
+    """
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = l_schema.names
+    r_cols = [c for c in r_schema.names if c != by]
+    overlap_names = set(l_cols) & set(r_cols)
+    if overlap_names:
+        raise ValueError(f"column names must be disjoint: {overlap_names}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    shuffle_cols = list(dict.fromkeys(l_cols + r_cols))
+
+    def tag(other_types, start_col, end_col, side_id):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column(start_col).to_numpy(zero_copy_only=False)
+            e = batch.column(end_col).to_numpy(zero_copy_only=False)
+            b0 = s // epoch
+            reps = (e // epoch - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(batch.num_rows), reps)
+            offs = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+            rep = batch.take(pa.array(idx))
+            cols = {c: (rep.column(c) if c in rep.column_names
+                        else pa.nulls(rep.num_rows, other_types[c]))
+                    for c in shuffle_cols}
+            out = pa.table(cols)
+            out = out.append_column(
+                "_bucket", pa.array(b0[idx] + offs, pa.int64()))
+            return out.append_column(
+                "_side", pa.array(np.full(rep.num_rows, side_id, np.int8())))
+        return fn
+
+    both = left.map_batches(
+        tag(r_types, l_start, l_end, 0),
+        batch_format="pyarrow").union(right.map_batches(
+            tag(l_types, r_start, r_end, 1),
+            batch_format="pyarrow"))
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0))
+        rt = group.filter(pa.array(side == 1))
+        empty = {c: pa.array([], l_types[c]) for c in l_cols}
+        empty.update({c: pa.array([], r_types[c]) for c in r_cols})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(empty)
+        bucket = group.column("_bucket")[0].as_py()
+        ls = lt.column(l_start).to_numpy(zero_copy_only=False)
+        le = lt.column(l_end).to_numpy(zero_copy_only=False)
+        rs = rt.column(r_start).to_numpy(zero_copy_only=False)
+        re_ = rt.column(r_end).to_numpy(zero_copy_only=False)
+        hit = ((ls[:, None] <= re_[None, :]) & (rs[None, :] <= le[:, None])
+               & (np.maximum(ls[:, None] // epoch, rs[None, :] // epoch)
+                  == bucket))
+        li, ri = np.nonzero(hit)
+        l_sel = lt.take(pa.array(li))
+        r_sel = rt.take(pa.array(ri))
+        cols = {c: l_sel.column(c) for c in l_cols}
+        cols.update({c: r_sel.column(c) for c in r_cols})
+        return pa.table(cols)
+
+    keys = [by, "_bucket"] if by else ["_bucket"]
+    return both.groupby(keys).map_groups(match, batch_format="pyarrow")

@@ -4,9 +4,10 @@ A training-data pipeline needs corpus statistics that join *back* onto the
 per-document stream (the reference's analytics never leave one table —
 SURVEY.md §2.6).  Shape, scale-first:
 
-  tokenize (map_batches, vectorized)                 — no shuffle
-  → tf  = groupby(doc_id, token).count()             — shuffle 1 (composite)
-  → df  = tf.groupby(token).count()                  — shuffle 2, input is
+  tokenize + tf (ONE fused map_batches)              — no shuffle: a doc is
+           one row, so per-batch (doc, token) counts are the global term
+           frequencies (``doc_term_freq``)
+  → df  = tf.groupby(token).count()                  — shuffle 1, input is
            already one row per (doc, token): |pairs| ≪ |tokens|
   → tf ⋈ df on token                                 — broadcast when the
            vocabulary is provably small, hash-shuffle join otherwise (same
@@ -60,9 +61,81 @@ def tokenize(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Datas
 
 
 def term_freq(tokens: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
-    """(id, token, tf) — one shuffle on the composite key; map-side combining
-    is Ray Data's groupby partial aggregation."""
+    """(id, token, tf) from an already-exploded token Dataset — one shuffle
+    on the composite key.  Prefer :func:`doc_term_freq` when you still hold
+    the document Dataset: it gets the same table with ZERO shuffle."""
     return tokens.groupby([id_col, "token"]).aggregate(Count(alias_name="tf"))
+
+
+def doc_term_freq(ds: ray.data.Dataset, text_col: str,
+                  id_col: str) -> ray.data.Dataset:
+    """(id, token, tf) with ZERO shuffle.
+
+    A document is exactly one row and a row never splits across batches, so
+    per-batch (id, token) counts ARE the global term frequencies — the
+    composite-key shuffle of :func:`term_freq` buys nothing.  Tokenize and
+    count are fused into one UDF so no block-splitting can separate a
+    document from its tokens.  Measured 1M docs: the tf stage drops from a
+    ~90M-token-row exchange to nothing.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+        counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls().to_arrow().cast(pa.string())
+        ids = batch.column(id_col).take(
+            pa.array(np.repeat(np.arange(len(counts)), counts)))
+        t = pa.table({id_col: ids, "token": flat})
+        g = t.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return pa.table({id_col: g.column(id_col),
+                         "token": g.column("token"),
+                         "tf": g.column("count_all").cast(pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _explode_tokens(col) -> tuple:
+    """(per-doc token counts int64, flat token pa.Array) — the shared
+    vectorized tokenizer (lowercase [a-z0-9]+, one polars pass)."""
+    import polars as pl
+
+    texts = pl.from_arrow(col.cast(pa.large_string()))
+    toks = texts.str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls().to_arrow().cast(pa.string())
+    return lens, flat
+
+
+def _token_count_partial(text_col: str):
+    """Batch fn: per-batch DISTINCT-token counts (token, _n) — ships the
+    batch vocabulary, not the token stream, into the counts shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, flat = _explode_tokens(batch.column(text_col))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    return fn
+
+
+def _dict_lookup_int64(flat: pa.Array, lookup: dict) -> np.ndarray:
+    """Vectorized per-occurrence int64 lookup: dictionary-encode the token
+    array, resolve the (few) UNIQUE values through the Python dict, scatter
+    by index — O(unique) Python instead of O(occurrences)."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    vals = np.fromiter((lookup[u] for u in uniq), dtype=np.int64,
+                       count=len(uniq))
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vals[idx] if len(idx) else np.empty(0, np.int64)
 
 
 def doc_freq(tf: ray.data.Dataset) -> ray.data.Dataset:
@@ -96,7 +169,7 @@ def tfidf_table(
     """
     if n_docs is None:
         n_docs = ds.count()
-    tf = term_freq(tokenize(ds, text_col, id_col), id_col)
+    tf = doc_term_freq(ds, text_col, id_col)
     if persist_tf:
         tf = tf.materialize()
     df = doc_freq(tf).materialize()  # vocabulary-sized
@@ -355,15 +428,22 @@ def unigram_logprob(
     zero tokens are excluded (mirrors SQL ``GROUP BY`` over the token
     explode).  Mean log-prob = logprob_micro / 1e6 / n_tokens.
 
-    Scale shape: one composite-key shuffle for tf (map-side combined), one
-    vocabulary-sized combine for counts, then broadcast (vocabulary is
-    Zipf-bounded) or hash-join above ``vocab_broadcast_max`` — same policy
-    as :func:`tfidf_table`; the corpus stream itself is never re-shuffled.
+    Scale shape: counting pre-reduces to per-batch DISTINCT-token counts
+    before its only (vocabulary-sized) shuffle; scoring is ONE fused
+    zero-shuffle pass over the document stream — per batch: token explode,
+    dictionary-encode, one dict lookup per UNIQUE token, vectorized scatter
+    + segmented int64 sums.  Nothing doc- or pair-shaped ever shuffles
+    (measured 1M docs: 198 s with a tf exchange + doc-keyed combine → 13 s).
+    Above ``vocab_broadcast_max`` the ratio map cannot broadcast: the
+    fallback pays the honest tf ⋈ counts hash join + doc-keyed combine.
     """
     from ray.data.aggregate import Sum as _Sum
 
-    tf = term_freq(tokenize(ds, text_col, id_col), id_col).materialize()
-    cnt = tf.groupby("token").aggregate(_Sum("tf", alias_name="c")).materialize()
+    cnt = (ds.select_columns([text_col])
+           .map_batches(_token_count_partial(text_col),
+                        batch_format="pyarrow")
+           .groupby("token").aggregate(_Sum("_n", alias_name="c"))
+           ).materialize()
     total = int(cnt.sum("c"))
     n_vocab = cnt.count()
 
@@ -372,28 +452,11 @@ def unigram_logprob(
         x = np.log(c.astype(np.float64) / float(total)) * 1e6
         return (-np.floor(-x + 0.5)).astype(np.int64)
 
-    if n_vocab <= vocab_broadcast_max:
-        toks, cs = [], []
-        for t in (ray.get(r) for r in cnt.to_arrow_refs()):
-            if t.num_rows:
-                toks.extend(t.column("token").to_pylist())
-                cs.append(t.column("c").to_numpy(zero_copy_only=False))
-        micro = micro_of(np.concatenate(cs) if cs else np.empty(0, np.int64))
-        ref = ray.put(dict(zip(toks, micro.tolist())))
-
-        def score(batch: pa.Table) -> pa.Table:
-            lk = ray.get(ref)
-            m = np.fromiter((lk[t] for t in batch.column("token").to_pylist()),
-                            dtype=np.int64, count=batch.num_rows)
-            tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({id_col: batch.column(id_col),
-                             "n_tokens": pa.array(tfv, pa.int64()),
-                             "_lp": pa.array(m * tfv, pa.int64())})
-
-        scored = tf.map_batches(score, batch_format="pyarrow")
-    else:
+    if n_vocab > vocab_broadcast_max:
+        # honest fallback: pair-table join + doc-keyed combine
         from .dedup import _join_partitions
 
+        tf = doc_term_freq(ds, text_col, id_col)
         joined = tf.join(cnt, join_type="inner",
                          num_partitions=_join_partitions(), on=("token",))
 
@@ -404,11 +467,35 @@ def unigram_logprob(
                              "n_tokens": pa.array(tfv, pa.int64()),
                              "_lp": pa.array(micro_of(c) * tfv, pa.int64())})
 
-        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+        return (joined.map_batches(score_joined, batch_format="pyarrow")
+                .groupby(id_col).aggregate(
+                    _Sum("n_tokens", alias_name="n_tokens"),
+                    _Sum("_lp", alias_name="logprob_micro")))
 
-    return scored.groupby(id_col).aggregate(
-        _Sum("n_tokens", alias_name="n_tokens"),
-        _Sum("_lp", alias_name="logprob_micro"))
+    toks, cs = [], []
+    for t in (ray.get(r) for r in cnt.to_arrow_refs()):
+        if t.num_rows:
+            toks.extend(t.column("token").to_pylist())
+            cs.append(t.column("c").to_numpy(zero_copy_only=False))
+    micro = micro_of(np.concatenate(cs) if cs else np.empty(0, np.int64))
+    ref = ray.put(dict(zip(toks, micro.tolist())))
+
+    def score(batch: pa.Table, micro_ref) -> pa.Table:
+        lk = ray.get(micro_ref)
+        lens, flat = _explode_tokens(batch.column(text_col))
+        m = _dict_lookup_int64(flat, lk)
+        csum = np.concatenate(([0], np.cumsum(m)))
+        ends = np.cumsum(lens)
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "logprob_micro": pa.array(csum[ends] - csum[ends - lens],
+                                      pa.int64()),
+        })
+        return out.filter(pa.array(lens > 0))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, fn_args=(ref,), batch_format="pyarrow")
 
 
 def dsir_logweight(
@@ -434,30 +521,29 @@ def dsir_logweight(
     DISTINCT token before the reduction — reduction-order-proof, hash-exact
     vs the oracle (same contract as :func:`unigram_logprob`).
 
-    Scale shape: the target side is selection-set-sized and reduced to a
-    vocabulary-bounded count table; the corpus pays one tf shuffle and one
-    vocabulary combine; the ratio map broadcasts under
-    ``vocab_broadcast_max`` (hash-join fallback above — corpus-side counts
-    dominate the union).  Docs with zero tokens are excluded.
+    Scale shape: both model fits pre-reduce to per-batch DISTINCT-token
+    counts before their vocabulary-sized combines; scoring is ONE fused
+    zero-shuffle pass over the document stream (dictionary-encoded lookups,
+    segmented int64 sums — same shape as :func:`unigram_logprob`).  The
+    ratio map broadcasts under ``vocab_broadcast_max``; above it use
+    :func:`dsir_logweight_hashed`.  Docs with zero tokens are excluded.
     """
     from ray.data.aggregate import Sum as _Sum
 
-    tf = term_freq(tokenize(ds, text_col, id_col), id_col).materialize()
-    src = tf.groupby("token").aggregate(_Sum("tf", alias_name="c")).materialize()
-    tgt_pairs = term_freq(tokenize(target, text_col, id_col), id_col)
-    tgt = tgt_pairs.groupby("token").aggregate(
-        _Sum("tf", alias_name="c")).materialize()
+    def counts_of(d: ray.data.Dataset) -> dict:
+        cnt = (d.select_columns([text_col])
+               .map_batches(_token_count_partial(text_col),
+                            batch_format="pyarrow")
+               .groupby("token").aggregate(_Sum("_n", alias_name="c")))
+        out: dict = {}
+        for t in (ray.get(r) for r in cnt.materialize().to_arrow_refs()):
+            if t.num_rows:
+                out.update(zip(t.column("token").to_pylist(),
+                               t.column("c").to_pylist()))
+        return out
 
-    src_counts: dict = {}
-    for t in (ray.get(r) for r in src.to_arrow_refs()):
-        if t.num_rows:
-            src_counts.update(zip(t.column("token").to_pylist(),
-                                  t.column("c").to_pylist()))
-    tgt_counts: dict = {}
-    for t in (ray.get(r) for r in tgt.to_arrow_refs()):
-        if t.num_rows:
-            tgt_counts.update(zip(t.column("token").to_pylist(),
-                                  t.column("c").to_pylist()))
+    src_counts = counts_of(ds)
+    tgt_counts = counts_of(target)
     vocab = sorted(set(src_counts) | set(tgt_counts))
     v = len(vocab)
     s_tot = float(sum(src_counts.values()) + v)
@@ -475,19 +561,21 @@ def dsir_logweight(
             "cannot broadcast")
     ref = ray.put(dict(zip(vocab, micro.tolist())))
 
-    def score(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        m = np.fromiter((lk[t] for t in batch.column("token").to_pylist()),
-                        dtype=np.int64, count=batch.num_rows)
-        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({id_col: batch.column(id_col),
-                         "n_tokens": pa.array(tfv, pa.int64()),
-                         "_w": pa.array(m * tfv, pa.int64())})
+    def score(batch: pa.Table, micro_ref) -> pa.Table:
+        lk = ray.get(micro_ref)
+        lens, flat = _explode_tokens(batch.column(text_col))
+        m = _dict_lookup_int64(flat, lk)
+        csum = np.concatenate(([0], np.cumsum(m)))
+        ends = np.cumsum(lens)
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "dsir_micro": pa.array(csum[ends] - csum[ends - lens], pa.int64()),
+        })
+        return out.filter(pa.array(lens > 0))
 
-    return (tf.map_batches(score, batch_format="pyarrow")
-            .groupby(id_col).aggregate(
-                _Sum("n_tokens", alias_name="n_tokens"),
-                _Sum("_w", alias_name="dsir_micro")))
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, fn_args=(ref,), batch_format="pyarrow")
 
 
 def dsir_logweight_hashed(
