@@ -1102,6 +1102,36 @@ def _q_unigram_logprob(sf_dir: str):
     })
 
 
+def _q_minhash_cross_join(sf_dir: str):
+    """Cross-corpus set-similarity join: corpus docs that are MinHash
+    near-dups of an eval slice (doc_id % 50 == 0) — fuzzy decontamination
+    (pipelines/dedup.py:minhash_cross_join).  Oracle: pinned pairs at
+    sf0.01; the one non-identity pair (92, 450) verified at exact 3-gram
+    Jaccard 0.958 in DuckDB; estimates are k/128 dyadic rationals, so the
+    floats pin exactly.  Layout/CPU-count-stable."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import minhash_cross_join
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def _eval(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    out = minhash_cross_join(
+        docs, docs.map_batches(_eval, batch_format="pyarrow"),
+        "text", "doc_id", threshold=0.7)
+    rows = sorted(out.take_all(), key=lambda r: (r["l_id"], r["r_id"]))
+    return pa.table({
+        "l_id": pa.array([r["l_id"] for r in rows], pa.int64()),
+        "r_id": pa.array([r["r_id"] for r in rows], pa.int64()),
+        "est": pa.array([r["est"] for r in rows], pa.float64()),
+    })
+
+
 def _q_overlap_sessions_outages(sf_dir: str):
     """Interval x interval OVERLAP join: purchase activity windows
     [ts, ts+5min] against outage windows [error ts, +10min] — both sides
@@ -2645,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
         "overlap_sessions_outages": _q_overlap_sessions_outages,
+        "minhash_cross_join": _q_minhash_cross_join,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3260,6 +3291,19 @@ def oracle_sql() -> dict[str, str]:
               (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
               (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
               (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
+        """,
+        # minhash_cross_join pinned at sf0.01: 10 identity pairs (the eval
+        # slice rejoins itself at est=1.0) + pair (92,450) — exact 3-gram
+        # Jaccard 0.958 in DuckDB; est = 118/128 is a dyadic rational, so
+        # the float pins exactly
+        "minhash_cross_join": """
+            SELECT CAST(l AS BIGINT) AS l_id, CAST(r AS BIGINT) AS r_id,
+                   CAST(e AS DOUBLE) AS est
+            FROM (VALUES
+              (0,0,1.0),(50,50,1.0),(92,450,0.921875),(100,100,1.0),
+              (150,150,1.0),(200,200,1.0),(250,250,1.0),(300,300,1.0),
+              (350,350,1.0),(400,400,1.0),(450,450,1.0)) AS t(l, r, e)
+            ORDER BY l_id, r_id
         """,
         "overlap_sessions_outages": """
             WITH l AS (SELECT event_id AS l_id,

@@ -863,3 +863,76 @@ def exact_dedup_incremental(
     kept_h = kept_h.materialize()
     new_index = kept_h.select_columns(["__h"])
     return kept_h.drop_columns(["__h"]), new_index
+
+
+def minhash_cross_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 2048,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Set-similarity JOIN between two corpora: (left_id, right_id, est)
+    pairs whose estimated n-gram Jaccard >= ``threshold`` — fuzzy
+    decontamination (which corpus docs are near-dups of an eval document)
+    and cross-crawl near-dup linkage, where ``minhash_dup_ids`` only answers
+    the within-corpus question and ``tfidf.ngram_overlap_tag`` only the
+    EXACT-n-gram one.
+
+    Same scale machinery as within-corpus MinHash: signatures map-side in
+    the shared actor stage (SAME seed on both sides, so signatures are
+    comparable), band keys bucket the union, ONE keyed shuffle; inside a
+    bucket the (left x right) estimate matrix is one vectorized equality
+    reduction, degenerate buckets capped at ``max_bucket`` rows per side.
+    Pairs colliding in several bands dedup with a (l, r)-keyed groupby —
+    estimates are band-independent, so keep-first is exact.
+    """
+
+    def sigs_of(d: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        s = d.select_columns([id_col, col]).map_batches(
+            MinHashStage,
+            fn_constructor_kwargs=dict(col=col, id_col=id_col,
+                                       num_perm=num_perm,
+                                       num_bands=num_bands, ngram=ngram),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+        return s.map_batches(
+            lambda t, _s=side: t.append_column(
+                "_side", pa.array(np.full(t.num_rows, _s, np.int8()))),
+            batch_format="pyarrow")
+
+    both = sigs_of(left, 0).union(sigs_of(right, 1))
+
+    def match(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).slice(0, max_bucket)
+        rt = group.filter(pa.array(side == 1)).slice(0, max_bucket)
+        empty = pa.table({
+            "l_id": pa.array([], group.column(id_col).type),
+            "r_id": pa.array([], group.column(id_col).type),
+            "est": pa.array([], pa.float64())})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        L = np.stack([np.frombuffer(b, dtype=np.uint64)
+                      for b in lt.column("sig").to_pylist()])
+        R = np.stack([np.frombuffer(b, dtype=np.uint64)
+                      for b in rt.column("sig").to_pylist()])
+        est = (L[:, None, :] == R[None, :, :]).mean(axis=2)
+        li, ri = np.nonzero(est >= threshold)
+        if len(li) == 0:
+            return empty
+        return pa.table({
+            "l_id": lt.column(id_col).take(pa.array(li)),
+            "r_id": rt.column(id_col).take(pa.array(ri)),
+            "est": pa.array(est[li, ri], pa.float64()),
+        })
+
+    pairs = both.groupby("band_key").map_groups(match, batch_format="pyarrow")
+    # same pair can surface from several bands; est is band-independent
+    return pairs.groupby(["l_id", "r_id"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

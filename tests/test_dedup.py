@@ -379,3 +379,58 @@ class TestIncrementalDedup:
             ray.data.from_arrow(tbl), str(tmp_path / "none"), "text", "doc_id")
         assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 1]
         assert idx.count() == 2
+
+
+class TestMinhashCrossJoin:
+    """Cross-corpus near-dup join: planted pair found, disjoint pair not,
+    identical docs link at est=1.0, layout-independent."""
+
+    BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight while everyone sleeps")
+
+    def _corpora(self):
+        left = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                self.BASE,
+                self.BASE.replace("dog", "cat"),   # near-dup of BASE
+                "completely different words about spark shuffles and joins "
+                "never resembling anything in the evaluation corpus at all",
+            ], pa.string()),
+        })
+        right = pa.table({
+            "doc_id": pa.array([100, 101], pa.int64()),
+            "text": pa.array([
+                self.BASE,
+                "another unrelated evaluation document about window functions",
+            ], pa.string()),
+        })
+        return left, right
+
+    def _run(self, rep=None):
+        from insurance_pdf_extractor_ray.pipelines.dedup import (
+            minhash_cross_join,
+        )
+
+        left, right = self._corpora()
+        lds = ray.data.from_arrow(left)
+        if rep:
+            lds = lds.repartition(rep)
+        out = minhash_cross_join(lds, ray.data.from_arrow(right),
+                                 "text", "doc_id", threshold=0.6)
+        return sorted((r["l_id"], r["r_id"], r["est"])
+                      for r in out.take_all())
+
+    def test_planted_pairs(self):
+        got = self._run()
+        pairs = [(l, r) for l, r, _ in got]
+        assert (0, 100) in pairs          # identical
+        assert (1, 100) in pairs          # near-dup (one word changed)
+        assert all(l != 2 for l, _, _ in got)   # disjoint doc never links
+        assert all(r != 101 for _, r, _ in got)
+        est = dict(((l, r), e) for l, r, e in got)
+        assert est[(0, 100)] == 1.0
+        assert 0.6 <= est[(1, 100)] < 1.0
+
+    def test_layout_independent(self):
+        assert self._run() == self._run(rep=3)
