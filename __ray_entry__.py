@@ -1102,6 +1102,26 @@ def _q_unigram_logprob(sf_dir: str):
     })
 
 
+def _q_mad_by_type(sf_dir: str):
+    """Robust dispersion: exact MAD(value) per event type — two skew-proof
+    exact median passes (pipelines/statagg.py:mad_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import mad_by_key
+
+    out = mad_by_key(_events(sf_dir, ["event_type", "value"]),
+                     "event_type", "value")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    import numpy as np
+
+    v = np.array([r["mad"] for r in rows], np.float64)
+    r6 = np.where(v >= 0, np.floor(v * 1e6 + 0.5) / 1e6,
+                  -np.floor(-v * 1e6 + 0.5) / 1e6)
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "mad": pa.array(r6, pa.float64()),
+    })
+
+
 def _q_minhash_cross_join(sf_dir: str):
     """Cross-corpus set-similarity join: corpus docs that are MinHash
     near-dups of an eval slice (doc_id % 50 == 0) — fuzzy decontamination
@@ -2676,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "overlap_sessions_outages": _q_overlap_sessions_outages,
         "minhash_cross_join": _q_minhash_cross_join,
+        "mad_by_type": _q_mad_by_type,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3291,6 +3312,10 @@ def oracle_sql() -> dict[str, str]:
               (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
               (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
               (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
+        """,
+        "mad_by_type": """
+            SELECT event_type, round(mad(value), 6) AS mad
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # minhash_cross_join pinned at sf0.01: 10 identity pairs (the eval
         # slice rejoins itself at est=1.0) + pair (92,450) — exact 3-gram

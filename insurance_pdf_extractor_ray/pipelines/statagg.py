@@ -345,3 +345,45 @@ def string_agg_by_key(
                              out_col: [sep.join(group["_part"])]})
 
     return parts.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def mad_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    out_col: str = "mad",
+) -> ray.data.Dataset:
+    """Exact ``mad(value) GROUP BY key`` — median absolute deviation, the
+    robust dispersion statistic (outlier-immune where stddev is not; DuckDB
+    ``mad()`` is the oracle twin).
+
+    Two exact median passes (:func:`median_by_key`): per-key medians first
+    (key-cardinality-bounded, broadcast once), then the median of
+    ``|value - median(key)|`` over a derived deviation stream — same
+    skew-proof sort + metadata-wave machinery both times, nothing per-group
+    in memory.
+    """
+    import ray as _ray
+
+    med = median_by_key(ds, key, value, out_col="_med")
+    med_map = {r[key]: r["_med"] for r in med.take_all()}
+    ref = _ray.put(med_map)
+
+    def deviations(batch: pa.Table, med_ref) -> pa.Table:
+        mm = _ray.get(med_ref)
+        kcol = batch.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        meds = np.fromiter((mm[u] for u in uniq), dtype=np.float64,
+                           count=len(uniq))
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        dev = np.abs(v - meds[idx])
+        return pa.table({key: batch.column(key),
+                         "_dev": pa.array(dev, pa.float64())})
+
+    devs = ds.select_columns([key, value]).map_batches(
+        deviations, fn_args=(ref,), batch_format="pyarrow")
+    return median_by_key(devs, key, "_dev", out_col=out_col)

@@ -204,3 +204,26 @@ def test_cume_dist_matches_duckdb(ray_session):
         "FROM t").fetchall()
     for i, cd in want:
         assert abs(got[i] - cd) < 1e-12, (i, got[i], cd)
+
+
+class TestMadByKey:
+    def test_matches_duckdb_mad(self):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.statagg import mad_by_key
+
+        t = pa.table({
+            "k": pa.array(["a"] * 5 + ["b"] * 4 + ["c"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 100.0, -7.5,
+                           10.0, 20.0, 30.0, 40.0, 5.0], pa.float64()),
+        })
+        out = mad_by_key(ray.data.from_arrow(t).repartition(3), "k", "v")
+        got = sorted((r["k"], round(r["mad"], 9)) for r in out.take_all())
+        con = duckdb.connect()
+        con.register("t", t)
+        want = sorted((k, round(m, 9)) for k, m in con.execute(
+            "SELECT k, mad(v) FROM t GROUP BY k").fetchall())
+        assert got == want
+        # singleton group -> mad 0; outlier 100 must not blow up 'a'
+        d = dict(got)
+        assert d["c"] == 0.0 and d["a"] <= 3.0
