@@ -1209,6 +1209,40 @@ def _q_dsir_weights(sf_dir: str):
     })
 
 
+def _q_ngram_decontaminate(sf_dir: str):
+    """Exact n-gram decontamination: flag corpus docs (doc_id % 50 != 0)
+    sharing any 8-word window with the eval slice (doc_id % 50 == 0) — the
+    exact twin of minhash_cross_join's fuzzy gate
+    (pipelines/substrdedup.py:ngram_decontaminate)."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        ngram_decontaminate,
+    )
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def _slice(keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_eval else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    out = ngram_decontaminate(
+        docs.map_batches(_slice(False), batch_format="pyarrow"),
+        docs.map_batches(_slice(True), batch_format="pyarrow"),
+        "text", "doc_id", k=8)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_windows": pa.array([r["n_windows"] for r in rows], pa.int64()),
+        "n_eval_hits": pa.array([r["n_eval_hits"] for r in rows], pa.int64()),
+        "contaminated": pa.array([r["contaminated"] for r in rows], pa.bool_()),
+    })
+
+
 def _q_dup_span_clean(sf_dir: str):
     """Substring-level dedup (Lee et al.): cut 8-word windows occurring in
     >=2 distinct docs out of every document — window-hash pass 1, one keyed
@@ -2691,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "vocab_top100": _q_vocab_top100,
         "dup_span_clean": _q_dup_span_clean,
+        "ngram_decontaminate": _q_ngram_decontaminate,
         "unigram_logprob": _q_unigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
@@ -3383,6 +3418,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.micro) AS logprob_micro
             FROM toks t JOIN lp USING (token)
             GROUP BY t.doc_id ORDER BY doc_id
+        """,
+        "ngram_decontaminate": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), evg AS (
+              SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8 AND doc_id % 50 = 0
+            ), cg AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8 AND doc_id % 50 <> 0
+            ), hits AS (
+              SELECT doc_id, count(*) AS n FROM cg
+              WHERE gram IN (SELECT gram FROM evg) GROUP BY doc_id)
+            SELECT c.doc_id, greatest(c.nw - 8 + 1, 0) AS n_windows,
+                   coalesce(h.n, 0) AS n_eval_hits,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM wn c LEFT JOIN hits h USING (doc_id)
+            WHERE c.doc_id % 50 <> 0 ORDER BY c.doc_id
         """,
         "dup_span_clean": """
             WITH wn AS (

@@ -279,3 +279,113 @@ def dup_span_clean(
                                      counts, flat, n_dup_doc)
 
     return joined.map_batches(apply_pos, batch_format="pyarrow")
+
+
+def ngram_decontaminate(
+    ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_hits: int = 1,
+    eval_text_col: Optional[str] = None,
+    max_broadcast: int = MAX_BROADCAST_ROWS,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Exact n-gram decontamination: flag every corpus document sharing at
+    least ``min_hits`` k-word windows with ANY document of ``eval_ds`` —
+    the benchmark-leakage gate (GPT-3 App. C / PaLM-style 8–13-gram
+    overlap), the exact twin of the fuzzy ``dedup.minhash_cross_join``.
+
+    Output one row per corpus doc: ``(id, n_windows, n_eval_hits,
+    contaminated)`` where ``n_eval_hits`` counts window POSITIONS whose
+    k-gram occurs anywhere in the eval corpus.  Flag-don't-drop so callers
+    can audit before filtering (compose with ``filter(~contaminated)``).
+
+    Scale shape: the eval side reduces to its distinct window-hash Dataset
+    (:func:`dup_window_hashes` with ``min_docs=1`` — one keyed shuffle over
+    the EVAL corpus only, which is benchmarks-sized, not crawl-sized).
+    Corpus pass mirrors :func:`dup_span_clean`: broadcast the hash array
+    when its row count proves it fits (``np.isin`` per batch, zero corpus
+    shuffles), else explode corpus window rows and ``left_semi``-join the
+    eval-hash Dataset (nothing driver-resident).  Window identity is the
+    same 64-bit rolling hash; the SQL oracle re-derives from window strings,
+    bounding collision impact.
+    """
+    from ray.data.aggregate import Count
+
+    evh = dup_window_hashes(eval_ds, eval_text_col or text_col,
+                            k=k, min_docs=1).materialize()
+    n_ev = evh.count()
+    docs = ds.select_columns([id_col, text_col])
+    force_join = num_partitions is not None
+
+    def _flag_table(batch: pa.Table, counts: np.ndarray,
+                    n_hits: np.ndarray) -> pa.Table:
+        n_windows = np.maximum(counts - k + 1, 0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_windows": pa.array(n_windows, pa.int64()),
+            "n_eval_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array(n_hits >= min_hits, pa.bool_()),
+        })
+
+    if not force_join and n_ev <= max_broadcast:
+        arr = (np.sort(np.concatenate(
+            [ray.get(r).column("__wh").to_numpy(zero_copy_only=False)
+             for r in evh.to_arrow_refs()]).astype(np.int64))
+            if n_ev else np.empty(0, np.int64))
+        ref = ray.put(arr)
+
+        def flag(batch: pa.Table, ev_ref) -> pa.Table:
+            ev = ray.get(ev_ref)
+            counts, _, word_hash = _batch_windows(
+                batch.column(text_col).to_pylist())
+            wh, wd, _ = _roll(word_hash, counts, k)
+            hit = np.isin(wh, ev)
+            n_hits = np.bincount(wd[hit], minlength=len(counts)
+                                 ).astype(np.int64)
+            return _flag_table(batch, counts, n_hits)
+
+        return docs.map_batches(flag, fn_args=(ref,), batch_format="pyarrow")
+
+    # ---- join path: nothing driver-resident ----
+    from ..dsutil import drop_empty_blocks
+
+    nparts = num_partitions or _join_partitions()
+
+    def explode_wins(batch: pa.Table) -> pa.Table:
+        counts, _, word_hash = _batch_windows(
+            batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        ids = batch.column(id_col).take(pa.array(wd))
+        return pa.table({id_col: ids, "__wh": pa.array(wh, pa.int64())})
+
+    wins = docs.map_batches(explode_wins, batch_format="pyarrow")
+    hits = (wins.join(drop_empty_blocks(evh), join_type="left_semi",
+                      num_partitions=nparts, on=("__wh",))
+            .groupby(id_col).aggregate(Count(alias_name="_nh")))
+
+    def base(batch: pa.Table) -> pa.Table:
+        counts, _, _ = _batch_windows(batch.column(text_col).to_pylist())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_windows": pa.array(np.maximum(counts - k + 1, 0), pa.int64()),
+        })
+
+    basetab = docs.map_batches(base, batch_format="pyarrow")
+    joined = basetab.join(drop_empty_blocks(hits), join_type="left_outer",
+                          num_partitions=nparts, on=(id_col,))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nh = pc.coalesce(batch.column("_nh"),
+                         pa.scalar(0, batch.schema.field("_nh").type))
+        nh = pc.cast(nh, pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_windows": batch.column("n_windows"),
+            "n_eval_hits": nh,
+            "contaminated": pc.greater_equal(nh, pa.scalar(min_hits, pa.int64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -125,3 +125,77 @@ def test_dup_window_hashes_layout_independent():
     ha = sorted(r["__wh"] for r in a.take_all())
     hb = sorted(r["__wh"] for r in b.take_all())
     assert ha == hb and len(ha) > 0
+
+
+class TestNgramDecontaminate:
+    """Corpus docs 0-3 vs an eval set sharing SHARED — flags must match a
+    DuckDB re-derivation over window strings, on both paths."""
+
+    CORPUS = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"benchmark leak here {SHARED} trailing words",
+            "totally clean document with nothing shared at all here",
+            f"{SHARED} twice in one doc {SHARED}",
+            "short",
+        ], pa.string()),
+    })
+    EVAL = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([
+            f"an eval prompt containing {SHARED} verbatim",
+            "another eval doc with no overlap whatsoever present here now",
+        ], pa.string()),
+    })
+
+    def _want(self, k=8, min_hits=1):
+        con = duckdb.connect()
+        con.register("corpus", self.CORPUS)
+        con.register("ev", self.EVAL)
+        return con.execute(f"""
+WITH cw AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM corpus
+), ew AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM ev
+), evg AS (
+  SELECT DISTINCT array_to_string(w[i:i+{k-1}], ' ') AS gram
+  FROM ew, unnest(generate_series(1, nw - {k} + 1)) AS t(i) WHERE nw >= {k}
+), cg AS (
+  SELECT doc_id, array_to_string(w[i:i+{k-1}], ' ') AS gram
+  FROM cw, unnest(generate_series(1, nw - {k} + 1)) AS t(i) WHERE nw >= {k}
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM cg
+  WHERE gram IN (SELECT gram FROM evg) GROUP BY doc_id)
+SELECT c.doc_id, greatest(c.nw - {k} + 1, 0) AS n_windows,
+       coalesce(h.n, 0) AS n_eval_hits,
+       coalesce(h.n, 0) >= {min_hits} AS contaminated
+FROM cw c LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+""").fetchall()
+
+    def _got(self, **kw):
+        from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+            ngram_decontaminate,
+        )
+        out = ngram_decontaminate(
+            ray.data.from_arrow(self.CORPUS).repartition(3),
+            ray.data.from_arrow(self.EVAL), "text", "doc_id", **kw)
+        return sorted(
+            ((r["doc_id"], r["n_windows"], r["n_eval_hits"],
+              r["contaminated"]) for r in out.take_all()))
+
+    def test_broadcast_matches_duckdb(self):
+        got = self._got(k=8)
+        assert got == [tuple(r) for r in self._want(k=8)]
+        # sanity: doc 0 and 2 contaminated, 1 and 3 clean
+        flags = {d: c for d, _, _, c in got}
+        assert flags[0] and flags[2] and not flags[1] and not flags[3]
+
+    def test_join_path_identical(self):
+        assert self._got(k=8, num_partitions=2) == self._got(k=8)
+
+    def test_min_hits_threshold(self):
+        # doc 0 has exactly 1 hit window; doc 2 has 2 occurrences of SHARED
+        got = {d: c for d, _, _, c in self._got(k=8, min_hits=2)}
+        assert not got[0] and got[2]
