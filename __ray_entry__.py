@@ -1102,6 +1102,33 @@ def _q_unigram_logprob(sf_dir: str):
     })
 
 
+def _q_quantiles_refine(sf_dir: str):
+    """Exact global quantile_cont/quantile_disc WITHOUT a sort — iterative
+    histogram rank-refinement, zero shuffles, driver state O(bins) per pass
+    (pipelines/sketches.py:quantiles_global)."""
+    import numpy as np
+
+    from insurance_pdf_extractor_ray.pipelines.sketches import (
+        quantiles_global,
+    )
+
+    ds = _events(sf_dir, ["value"])
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    cont = quantiles_global(ds, "value", qs)
+    disc = quantiles_global(ds, "value", qs, kind="disc")
+
+    def r6(xs):
+        v = np.array(xs, np.float64)
+        return np.where(v >= 0, np.floor(v * 1e6 + 0.5) / 1e6,
+                        -np.floor(-v * 1e6 + 0.5) / 1e6)
+
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "cont": pa.array(r6(cont), pa.float64()),
+        "disc": pa.array(r6(disc), pa.float64()),
+    })
+
+
 def _q_mad_by_type(sf_dir: str):
     """Robust dispersion: exact MAD(value) per event type — two skew-proof
     exact median passes (pipelines/statagg.py:mad_by_key)."""
@@ -2732,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_sessions_outages": _q_overlap_sessions_outages,
         "minhash_cross_join": _q_minhash_cross_join,
         "mad_by_type": _q_mad_by_type,
+        "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
@@ -3347,6 +3375,16 @@ def oracle_sql() -> dict[str, str]:
               (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
               (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
               (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
+        """,
+        "quantiles_refine": """
+            WITH a AS (
+              SELECT quantile_cont(value, [0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS c,
+                     quantile_disc(value, [0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS d
+              FROM events)
+            SELECT t.q, round(a.c[t.i], 6) AS cont, round(a.d[t.i], 6) AS disc
+            FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
+                            (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
+            ORDER BY t.q
         """,
         "mad_by_type": """
             SELECT event_type, round(mad(value), 6) AS mad

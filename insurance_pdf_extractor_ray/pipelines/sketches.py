@@ -380,3 +380,204 @@ def histogram_fixed(
         "lo_edge": pa.array(lo + np.arange(bins) * width, pa.float64()),
         "n": pa.array(total, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Exact global order statistics WITHOUT a sort — iterative histogram
+# rank-refinement (the classic distributed selection scheme: Blum et al.
+# selection generalized to histograms; same family as Terasort's partition
+# sampling but exact).  Each pass histograms only the still-active value
+# interval; the k-th value's bin is located from the merged counts, the
+# interval narrows to that bin's ACTUAL [min, max] (so any monotone binning
+# is safe), and the rank re-bases.  Distinct values in an interval fall
+# below `bins` within O(log_bins(range/gap)) passes, so every target either
+# pins to a single float or its bin count drops under `exact_threshold` and
+# one bounded collect finishes it with np.partition.
+#
+# Scale shape: ZERO shuffles; per pass one streaming map_batches emitting a
+# (3 × n_intervals × bins)-float partial per block, merged on the driver —
+# state independent of row count.  The column is materialized once so the
+# multi-pass loop re-reads object-store blocks, not the upstream pipeline.
+# Contrast statagg.median_by_key (sort-based, per-key): this is the global,
+# sort-free path for 10^12-row percentiles.
+# ---------------------------------------------------------------------------
+
+
+def _order_stats_pass(vals, col: str, intervals, bins: int):
+    """One refinement pass: per (lo, hi) interval, merged histogram counts
+    plus per-bin actual min/max over ``vals[col]``."""
+    K = len(intervals)
+    los = np.array([iv[0] for iv in intervals], np.float64)
+    his = np.array([iv[1] for iv in intervals], np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        cnt = np.zeros((K, bins), np.int64)
+        mn = np.full((K, bins), np.inf)
+        mx = np.full((K, bins), -np.inf)
+        for i in range(K):
+            lo, hi = los[i], his[i]
+            x = v[(v >= lo) & (v <= hi)]
+            if len(x) == 0:
+                continue
+            if hi > lo:
+                b = np.minimum(((x - lo) * (bins / (hi - lo))).astype(np.int64),
+                               bins - 1)
+            else:
+                b = np.zeros(len(x), np.int64)
+            cnt[i] += np.bincount(b, minlength=bins)
+            order = np.argsort(b, kind="stable")
+            bs, xs = b[order], x[order]
+            first = np.ones(len(bs), dtype=bool)
+            first[1:] = bs[1:] != bs[:-1]
+            starts = np.flatnonzero(first)
+            ub = bs[starts]
+            mn[i, ub] = np.minimum(mn[i, ub], np.minimum.reduceat(xs, starts))
+            mx[i, ub] = np.maximum(mx[i, ub], np.maximum.reduceat(xs, starts))
+        return pa.table({
+            "c": pa.array([cnt.ravel()], pa.list_(pa.int64())),
+            "mn": pa.array([mn.ravel()], pa.list_(pa.float64())),
+            "mx": pa.array([mx.ravel()], pa.list_(pa.float64())),
+        })
+
+    C = np.zeros(K * bins, np.int64)
+    MN = np.full(K * bins, np.inf)
+    MX = np.full(K * bins, -np.inf)
+    for r in vals.map_batches(partial, batch_format="pyarrow").take_all():
+        C += np.asarray(r["c"], np.int64)
+        MN = np.minimum(MN, np.asarray(r["mn"], np.float64))
+        MX = np.maximum(MX, np.asarray(r["mx"], np.float64))
+    return C.reshape(K, bins), MN.reshape(K, bins), MX.reshape(K, bins)
+
+
+def order_statistics(
+    ds: ray.data.Dataset,
+    col: str,
+    ks: Sequence[int],
+    bins: int = 2048,
+    exact_threshold: int = 65536,
+    max_passes: int = 64,
+    _vals: Optional[ray.data.Dataset] = None,
+) -> Dict[int, float]:
+    """Exact k-th smallest values (0-based ranks, NaN/null-free order) of a
+    numeric column, any number of ranks in one shared pass sequence."""
+    vals = _vals if _vals is not None else ds.select_columns([col]).materialize()
+
+    def count_minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "mn": pa.array([v.min() if len(v) else np.inf], pa.float64()),
+            "mx": pa.array([v.max() if len(v) else -np.inf], pa.float64()),
+        })
+
+    n, gmin, gmax = 0, np.inf, -np.inf
+    for r in vals.map_batches(count_minmax, batch_format="pyarrow").take_all():
+        n += r["n"]
+        gmin, gmax = min(gmin, r["mn"]), max(gmax, r["mx"])
+    for k in ks:
+        if not (0 <= k < n):
+            raise IndexError(f"rank {k} out of range for {n} values")
+
+    # state per target rank: (lo, hi, below) with the k-th value in [lo, hi]
+    # and `below` = #values < lo
+    state = {int(k): (float(gmin), float(gmax), 0) for k in ks}
+    result: Dict[int, float] = {}
+    collect: Dict[int, Tuple[float, float, int]] = {}  # (lo, hi, rel_rank)
+
+    for _ in range(max_passes):
+        active = {k: s for k, s in state.items()
+                  if k not in result and k not in collect}
+        if not active:
+            break
+        intervals = sorted({(s[0], s[1]) for s in active.values()})
+        idx = {iv: i for i, iv in enumerate(intervals)}
+        C, MN, MX = _order_stats_pass(vals, col, intervals, bins)
+        for k, (lo, hi, below) in active.items():
+            i = idx[(lo, hi)]
+            cum = np.cumsum(C[i])
+            rel = k - below
+            j = int(np.searchsorted(cum, rel, side="right"))
+            in_bin = int(C[i, j])
+            new_below = below + (int(cum[j - 1]) if j else 0)
+            blo, bhi = float(MN[i, j]), float(MX[i, j])
+            if blo == bhi:
+                result[k] = blo
+            elif in_bin <= exact_threshold:
+                collect[k] = (blo, bhi, rel - (new_below - below))
+            else:
+                state[k] = (blo, bhi, new_below)
+    else:  # pragma: no cover — convergence is geometric
+        raise RuntimeError("order_statistics did not converge")
+
+    if collect:
+        cints = sorted({(a, b) for a, b, _ in collect.values()})
+
+        def gather(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False
+                                           ).astype(np.float64)
+            v = v[~np.isnan(v)]
+            out = [v[(v >= a) & (v <= b)] for a, b in cints]
+            return pa.table({"v": pa.array(
+                [out], pa.list_(pa.list_(pa.float64())))})
+
+        pools: List[List[np.ndarray]] = [[] for _ in cints]
+        for r in vals.map_batches(gather, batch_format="pyarrow").take_all():
+            for i, x in enumerate(r["v"]):
+                pools[i].append(np.asarray(x, np.float64))
+        merged = [np.concatenate(p) if p else np.empty(0) for p in pools]
+        cidx = {iv: i for i, iv in enumerate(cints)}
+        for k, (a, b, rr) in collect.items():
+            pool = merged[cidx[(a, b)]]
+            result[k] = float(np.partition(pool, rr)[rr])
+    return result
+
+
+def quantiles_global(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    kind: str = "cont",
+    bins: int = 2048,
+    exact_threshold: int = 65536,
+) -> List[float]:
+    """Exact global ``quantile_cont`` / ``quantile_disc`` without a sort —
+    order statistics by histogram rank-refinement, DuckDB-matching
+    interpolation: cont interpolates ranks (n-1)·q, disc takes the element
+    at ceil(q·n)-1."""
+    vals = ds.select_columns([col]).materialize()
+
+    def nn_count(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"n": pa.array([int((~np.isnan(v)).sum())], pa.int64())})
+
+    n = sum(r["n"] for r in vals.map_batches(
+        nn_count, batch_format="pyarrow").take_all())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    need = set()
+    plans = []
+    for q in qs:
+        if kind == "cont":
+            h = (n - 1) * float(q)
+            k0, k1 = int(np.floor(h)), int(np.ceil(h))
+            need.update((k0, k1))
+            plans.append(("cont", h, k0, k1))
+        elif kind == "disc":
+            k = max(int(np.ceil(float(q) * n)) - 1, 0)
+            need.add(k)
+            plans.append(("disc", k, None, None))
+        else:
+            raise ValueError(kind)
+    os_ = order_statistics(vals, col, sorted(need), bins=bins,
+                           exact_threshold=exact_threshold, _vals=vals)
+    out = []
+    for kind_, a, k0, k1 in plans:
+        if kind_ == "disc":
+            out.append(os_[a])
+        else:
+            lo, hi = os_[k0], os_[k1]
+            out.append(lo + (a - k0) * (hi - lo))
+    return out

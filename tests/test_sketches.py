@@ -144,3 +144,63 @@ class TestCube:
                        key=lambda r: ((r["a"] is None, r["a"]),
                                       (r["b"] is None, r["b"])))
         assert mines == wants
+
+
+class TestOrderStatistics:
+    """Exact sort-free order statistics / quantiles vs DuckDB."""
+
+    def _data(self, seed=7, n=20_000):
+        rng = np.random.default_rng(seed)
+        # heavy ties + outliers + a dense cluster: stresses the equal-value
+        # bin stop and the narrow-interval passes
+        v = np.concatenate([
+            rng.normal(0, 1, n // 2),
+            np.repeat(3.5, n // 4),
+            rng.uniform(1e6, 1e6 + 1e-3, n // 8),
+            rng.standard_cauchy(n - n // 2 - n // 4 - n // 8) * 100,
+        ])
+        rng.shuffle(v)
+        return pa.table({"v": pa.array(v, pa.float64())})
+
+    def test_order_statistics_exact(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import (
+            order_statistics,
+        )
+        t = self._data()
+        v = np.sort(t.column("v").to_numpy())
+        ks = [0, 1, 17, len(v) // 2, len(v) - 2, len(v) - 1]
+        # tiny exact_threshold forces several refinement passes
+        got = order_statistics(ray.data.from_arrow(t).repartition(7), "v",
+                               ks, bins=32, exact_threshold=64)
+        for k in ks:
+            assert got[k] == v[k], (k, got[k], v[k])
+
+    def test_quantiles_cont_matches_duckdb(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import (
+            quantiles_global,
+        )
+        t = self._data(seed=11)
+        qs = [0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = quantiles_global(ray.data.from_arrow(t).repartition(5), "v",
+                               qs, bins=64, exact_threshold=128)
+        con = duckdb.connect()
+        con.register("t", t)
+        for q, g in zip(qs, got):
+            w = con.execute(
+                f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (q, g, w)
+
+    def test_quantiles_disc_matches_duckdb(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import (
+            quantiles_global,
+        )
+        t = self._data(seed=13)
+        qs = [0.01, 0.5, 0.75, 1.0]
+        got = quantiles_global(ray.data.from_arrow(t).repartition(4), "v",
+                               qs, kind="disc", bins=64, exact_threshold=128)
+        con = duckdb.connect()
+        con.register("t", t)
+        for q, g in zip(qs, got):
+            w = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert g == w, (q, g, w)
