@@ -1236,6 +1236,31 @@ def _q_dsir_weights(sf_dir: str):
     })
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals (Rae et al. 2021 Table A1):
+    duplicated-unigram fraction + top bigram/trigram word fractions
+    (multiplicity >= 2 only), single vectorized pass, zero shuffles
+    (pipelines/textpipe.py:gopher_repetition)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import (
+        gopher_repetition,
+    )
+
+    out = gopher_repetition(_documents(sf_dir, ["doc_id", "text"]))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+        "frac_dup_unigrams": pa.array(
+            [r["frac_dup_unigrams"] for r in rows], pa.float64()),
+        "frac_top_bigram": pa.array(
+            [r["frac_top_bigram"] for r in rows], pa.float64()),
+        "frac_top_trigram": pa.array(
+            [r["frac_top_trigram"] for r in rows], pa.float64()),
+        "keep": pa.array([r["keep"] for r in rows], pa.bool_()),
+    })
+
+
 def _q_ngram_decontaminate(sf_dir: str):
     """Exact n-gram decontamination: flag corpus docs (doc_id % 50 != 0)
     sharing any 8-word window with the eval slice (doc_id % 50 == 0) — the
@@ -2753,6 +2778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top100,
         "dup_span_clean": _q_dup_span_clean,
         "ngram_decontaminate": _q_ngram_decontaminate,
+        "gopher_repetition": _q_gopher_repetition,
         "unigram_logprob": _q_unigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
@@ -3456,6 +3482,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.micro) AS logprob_micro
             FROM toks t JOIN lp USING (token)
             GROUP BY t.doc_id ORDER BY doc_id
+        """,
+        "gopher_repetition": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, count(DISTINCT x) AS nd
+              FROM wn, unnest(w) AS u(x) GROUP BY doc_id
+            ), bi AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+                           count(*) AS c
+                    FROM wn, unnest(generate_series(1, nw - 1)) AS s(i)
+                    WHERE nw >= 2 GROUP BY doc_id, g) GROUP BY doc_id
+            ), tri AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g,
+                           count(*) AS c
+                    FROM wn, unnest(generate_series(1, nw - 2)) AS s(i)
+                    WHERE nw >= 3 GROUP BY doc_id, g) GROUP BY doc_id
+            )
+            SELECT wn.doc_id, wn.nw AS n_words,
+              CASE WHEN wn.nw > 0
+                   THEN round(1 - uni.nd * 1.0 / wn.nw, 6) ELSE 0
+              END AS frac_dup_unigrams,
+              round(coalesce(bi.m * 2.0 / wn.nw, 0), 6) AS frac_top_bigram,
+              round(coalesce(tri.m * 3.0 / wn.nw, 0), 6) AS frac_top_trigram,
+              (CASE WHEN wn.nw > 0
+                    THEN round(1 - uni.nd * 1.0 / wn.nw, 6) ELSE 0 END) <= 0.80
+              AND round(coalesce(bi.m * 2.0 / wn.nw, 0), 6) <= 0.20
+              AND round(coalesce(tri.m * 3.0 / wn.nw, 0), 6) <= 0.18 AS keep
+            FROM wn LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+            LEFT JOIN tri USING (doc_id) ORDER BY wn.doc_id
         """,
         "ngram_decontaminate": """
             WITH wn AS (

@@ -113,3 +113,89 @@ def repetition_stats(
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pyarrow", batch_size=batch_size,
     )
+
+
+def gopher_repetition(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_unigrams: float = 0.80,
+    max_top_bigram: float = 0.20,
+    max_top_trigram: float = 0.18,
+) -> ray.data.Dataset:
+    """Per-document repetition quality signals in the style of Gopher's
+    repetition-removal rules (Rae et al. 2021, Table A1): fraction of
+    duplicated unigrams, and the word-fraction of the single most frequent
+    bigram / trigram; ``keep`` applies the thresholds.  A crawl page that is
+    one navigation menu repeated forty times passes length/stopword gates
+    but fails these.
+
+    Pure per-row signals ⇒ a single vectorized ``map_batches`` pass, zero
+    shuffles at any corpus size.  The interior reuses the substring-dedup
+    tokenizer + rolling window hashes (`substrdedup._batch_windows/_roll`):
+    per-doc n-gram multiplicities come from one lexsort over (doc, hash)
+    run-lengths — no Python over rows, no per-doc dictionaries.
+    """
+    from .substrdedup import _batch_windows, _roll
+
+    def _top_run_per_doc(word_hash: np.ndarray, counts: np.ndarray,
+                         n: int, ndocs: int) -> np.ndarray:
+        """max multiplicity of any n-gram within each doc (0 if < n words)."""
+        wh, wd, _ = _roll(word_hash, counts, n)
+        top = np.zeros(ndocs, dtype=np.int64)
+        if len(wh) == 0:
+            return top
+        order = np.lexsort((wh, wd))
+        ws, ds_ = wh[order], wd[order]
+        first = np.ones(len(ws), dtype=bool)
+        first[1:] = (ws[1:] != ws[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(ws)))
+        np.maximum.at(top, ds_[starts], runs)
+        return top
+
+    def signals(batch: pa.Table) -> pa.Table:
+        counts, _, word_hash = _batch_windows(
+            batch.column(text_col).to_pylist())
+        ndocs = len(counts)
+        # distinct unigrams per doc: count of run STARTS per doc
+        wh, wd, _ = _roll(word_hash, counts, 1)
+        if len(wh):
+            order = np.lexsort((wh, wd))
+            ws, ds_ = wh[order], wd[order]
+            first = np.ones(len(ws), dtype=bool)
+            first[1:] = (ws[1:] != ws[:-1]) | (ds_[1:] != ds_[:-1])
+            distinct = np.bincount(ds_[first], minlength=ndocs).astype(np.int64)
+        else:
+            distinct = np.zeros(ndocs, np.int64)
+        # a gram occurring once is not repetition: only multiplicity >= 2
+        # counts toward the top-gram fraction (else every 11-word sentence
+        # would "contain" a 3/11 trigram)
+        top2 = _top_run_per_doc(word_hash, counts, 2, ndocs)
+        top3 = _top_run_per_doc(word_hash, counts, 3, ndocs)
+        top2 = np.where(top2 >= 2, top2, 0)
+        top3 = np.where(top3 >= 2, top3, 0)
+
+        nw = counts.astype(np.float64)
+        safe = np.where(counts > 0, nw, 1.0)
+        f_dup = np.where(counts > 0, 1.0 - distinct / safe, 0.0)
+        f_b = np.where(counts >= 2, top2 * 2.0 / safe, 0.0)
+        f_t = np.where(counts >= 3, top3 * 3.0 / safe, 0.0)
+
+        def r6(v):
+            return np.floor(v * 1e6 + 0.5) / 1e6  # non-negative, half-up
+
+        f_dup, f_b, f_t = r6(f_dup), r6(f_b), r6(f_t)
+        keep = ((f_dup <= max_dup_unigrams) & (f_b <= max_top_bigram)
+                & (f_t <= max_top_trigram))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(counts, pa.int64()),
+            "frac_dup_unigrams": pa.array(f_dup, pa.float64()),
+            "frac_top_bigram": pa.array(f_b, pa.float64()),
+            "frac_top_trigram": pa.array(f_t, pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        signals, batch_format="pyarrow")
