@@ -715,6 +715,41 @@ def _q_media_decode_check(sf_dir: str):
     })
 
 
+def _q_frame_sample_check(sf_dir: str):
+    """Deterministic digest of the video frame-sample stage (1 frame per
+    60 s, max 5 per clip) grouped by frame_idx — the frame features are the
+    documented deterministic stand-in, the explode layout / actor plumbing
+    is real (pipelines/multimodal.py:FrameSampleStage)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        fake_assets_for_docs,
+        frame_sample,
+        media_refs_from_docs,
+    )
+
+    docs = ray.data.read_parquet(_corpus_for(sf_dir))
+    refs = media_refs_from_docs(docs).take_all()
+    assets = fake_assets_for_docs(
+        [(r["doc_id"], r["media_ref"]) for r in refs])
+    out = frame_sample(ray.data.from_arrow(assets),
+                       every_ms=60_000, max_frames=5)
+    cells: dict = {}
+    for r in out.take_all():
+        c = cells.setdefault(int(r["frame_idx"]), [0, 0, 0.0])
+        c[0] += 1
+        c[1] += int(r["ts_ms"])
+        c[2] += float(r["features"][0])
+    keys = sorted(cells)
+    return pa.table({
+        "frame_idx": pa.array(keys, pa.int32()),
+        "n": pa.array([cells[k][0] for k in keys], pa.int64()),
+        "ts_sum": pa.array([cells[k][1] for k in keys], pa.int64()),
+        "f0_sum": pa.array([_round_away(cells[k][2], 6) for k in keys],
+                           pa.float64()),
+    })
+
+
 def _q_grouped_topk(sf_dir: str):
     """Per-group top-k (row_number() OVER (PARTITION BY ...) <= k): top-3
     events per type by value, event_id tiebreak — map-side partial top-k,
@@ -2803,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_lang_per_source": _q_mode_lang,
         "unpivot_daily_counts": _q_unpivot,
         "media_decode_check": _q_media_decode_check,
+        "frame_sample_check": _q_frame_sample_check,
         "corr_by_flag": _q_corr_by_flag,
         "median_by_type": _q_median_by_type,
         "string_agg_purchases": _q_string_agg_purchases,
@@ -3707,6 +3743,22 @@ def oracle_sql() -> dict[str, str]:
         # media_decode's digest pinned at sf0.01 (deterministic synthetic
         # decode; proven identical across runs and block layouts) — makes
         # the multimodal plumbing driver-checkable
+        # frame_sample_check pinned at sf0.01: the asset table is a pure
+        # deterministic function of the corpus media refs (seed 42), and the
+        # per-frame digest is layout/CPU-count-stable (proven in
+        # tests/test_multimodal.py::TestFrameSample)
+        "frame_sample_check": """
+            SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(n AS BIGINT) AS n, CAST(ts_sum AS BIGINT) AS ts_sum,
+                   f0_sum
+            FROM (VALUES
+              (0, 26, 0, 13.606888),
+              (1, 22, 1320000, 9.787698),
+              (2, 18, 2160000, 10.392069),
+              (3, 14, 2520000, 6.815966),
+              (4, 12, 2880000, 7.304632)
+            ) AS t(frame_idx, n, ts_sum, f0_sum)
+        """,
         "media_decode_check": """
             SELECT kind, consistent, CAST(n AS BIGINT) AS n,
                    CAST(thumb_area AS BIGINT) AS thumb_area, f0_sum

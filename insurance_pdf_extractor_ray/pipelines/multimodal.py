@@ -185,3 +185,79 @@ def media_refs_from_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
                          "media_ref": pa.array(out_ref, pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler for video assets — the frame-sample stage of
+    a multimodal training pipeline (one decoded keyframe every ``every_ms``,
+    capped at ``max_frames`` per clip).
+
+    Real deployments open the container/codec here (once per actor, PyAV /
+    ffmpeg-style) and seek to the sampled timestamps; this container has no
+    codec libs, so ``use_fake=True`` derives one deterministic pseudo-frame
+    feature per sampled timestamp from (payload, ts) — schema, explode
+    layout, batching and actor signature are the production shape
+    (``use_fake=False`` raises NotImplementedError at call time).
+
+    Output one row per sampled frame: (media_ref, doc_id, frame_idx, ts_ms,
+    features).  Non-video rows emit no frames.  Explode factor is bounded by
+    ``max_frames``, so a batch of B clips emits <= B x max_frames rows —
+    size ``batch_size`` against payload bytes x explode factor.
+    """
+
+    FEATURE_DIM = 8
+
+    def __init__(self, use_fake: bool = True, every_ms: int = 1000,
+                 max_frames: int = 32):
+        self.use_fake = use_fake
+        self.every_ms = int(every_ms)
+        self.max_frames = int(max_frames)
+
+    def _frame_feature(self, payload: bytes, ts_ms: int) -> np.ndarray:
+        if not self.use_fake:
+            raise NotImplementedError(
+                "frame decode requires codec libs not present in this container"
+            )
+        digest = hashlib.blake2b(
+            (payload or b"") + int(ts_ms).to_bytes(8, "little"),
+            digest_size=self.FEATURE_DIM * 4).digest()
+        return np.frombuffer(digest, dtype=np.uint32).astype(np.float64) / 2**32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        docs = batch.column("doc_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        o_ref, o_doc, o_idx, o_ts, o_f = [], [], [], [], []
+        for ref, doc, kind, p, dur in zip(refs, docs, kinds, payloads, durs):
+            if kind != "video" or not dur or dur <= 0:
+                continue
+            ts = np.arange(0, int(dur), self.every_ms)[: self.max_frames]
+            for i, t in enumerate(ts):
+                o_ref.append(ref)
+                o_doc.append(doc)
+                o_idx.append(i)
+                o_ts.append(int(t))
+                o_f.append(self._frame_feature(p, int(t)))
+        return pa.table({
+            "media_ref": pa.array(o_ref, pa.string()),
+            "doc_id": pa.array(o_doc, pa.string()),
+            "frame_idx": pa.array(o_idx, pa.int32()),
+            "ts_ms": pa.array(o_ts, pa.int64()),
+            "features": pa.array([list(f) for f in o_f],
+                                 pa.list_(pa.float64())),
+        })
+
+
+def frame_sample(
+    ds: ray.data.Dataset, use_fake: bool = True, every_ms: int = 1000,
+    max_frames: int = 32, concurrency=(1, 4), batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Asset table -> sampled video frames (see FrameSampleStage)."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(use_fake=use_fake, every_ms=every_ms,
+                                   max_frames=max_frames),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

@@ -107,3 +107,59 @@ class TestConsistencyGate:
             ray.data.from_arrow(assets))).take_all()
         assert out[0]["kind_consistent"] is True
         assert "sniffed_kind" in out[0]
+
+
+class TestFrameSample:
+    def _assets(self):
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            fake_assets_for_docs,
+        )
+        return fake_assets_for_docs(
+            [("d", f"media://d/{i}") for i in range(30)])
+
+    def test_explode_layout_and_determinism(self, ray_session):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            frame_sample,
+        )
+        assets = self._assets()
+        out = frame_sample(ray.data.from_arrow(assets),
+                           every_ms=60_000, max_frames=5).take_all()
+        assert len(out) > 0
+        n_video = sum(1 for k in assets.column("kind").to_pylist()
+                      if k == "video")
+        refs = {r["media_ref"] for r in out}
+        assert len(refs) == n_video            # every video sampled, only videos
+        by_ref = {}
+        for r in out:
+            by_ref.setdefault(r["media_ref"], []).append(r)
+        durs = dict(zip(assets.column("media_ref").to_pylist(),
+                        assets.column("duration_ms").to_pylist()))
+        for ref, rows in by_ref.items():
+            rows.sort(key=lambda r: r["frame_idx"])
+            want_n = min(5, -(-durs[ref] // 60_000))
+            assert len(rows) == want_n
+            assert [r["ts_ms"] for r in rows] == \
+                [i * 60_000 for i in range(len(rows))]
+            assert all(len(r["features"]) == 8 for r in rows)
+        # deterministic + layout-independent
+        again = frame_sample(ray.data.from_arrow(assets).repartition(4),
+                             every_ms=60_000, max_frames=5).take_all()
+        key = lambda r: (r["media_ref"], r["frame_idx"])
+        a = sorted(((r["media_ref"], r["frame_idx"], r["ts_ms"],
+                     tuple(r["features"])) for r in out))
+        b = sorted(((r["media_ref"], r["frame_idx"], r["ts_ms"],
+                     tuple(r["features"])) for r in again))
+        assert a == b
+
+    def test_real_decode_raises(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            frame_sample,
+        )
+        ds = frame_sample(ray.data.from_arrow(self._assets()), use_fake=False)
+        with _pytest.raises(Exception):
+            ds.take_all()
