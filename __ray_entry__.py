@@ -2282,6 +2282,71 @@ def _q_scd2_user_states(sf_dir: str):
     })
 
 
+def _q_events_with_state(sf_dir: str):
+    """SCD2 point-in-time lookup join: every purchase event joins the
+    user's state dimension row (built from signup/error transitions via
+    pipelines/cdc.py:scd2_intervals) valid AT the purchase timestamp —
+    half-open [valid_from, valid_to) semantics via integer-microsecond
+    end-1, open intervals capped at the max event ts so bucket replication
+    stays bounded (pipelines/joins.py:range_join with by=user_id)."""
+    import pyarrow.compute as pc
+
+    from insurance_pdf_extractor_ray.pipelines.cdc import scd2_intervals
+    from insurance_pdf_extractor_ray.pipelines.joins import range_join
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def only(types):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("event_type"),
+                                     value_set=pa.array(types)))
+        return fn
+
+    changes = ev.map_batches(only(["signup", "error"]),
+                             batch_format="pyarrow")
+    dim = scd2_intervals(changes, "user_id", "ts", ["event_type"],
+                         order_tiebreak="event_id")
+
+    points = ev.map_batches(only(["purchase"]), batch_format="pyarrow")
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        m = pc.max(pc.cast(t.column("ts"), pa.int64()))
+        return pa.table({"m": pa.array([m.as_py() or 0], pa.int64())})
+
+    cap_us = max(r["m"] for r in points.map_batches(
+        ts_max, batch_format="pyarrow").take_all())
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "_ts": pc.cast(t.column("ts"), pa.int64()),
+        })
+
+    def prep_iv(t: pa.Table) -> pa.Table:
+        vf = pc.cast(t.column("valid_from"), pa.int64())
+        vt = pc.subtract(pc.cast(t.column("valid_to"), pa.int64()),
+                         pa.scalar(1, pa.int64()))
+        vt = pc.coalesce(vt, pa.scalar(int(cap_us), pa.int64()))
+        return pa.table({"user_id": t.column("user_id"),
+                         "state": t.column("event_type"),
+                         "_from": vf, "_end": vt})
+
+    out = range_join(
+        points.map_batches(prep_points, batch_format="pyarrow"),
+        dim.map_batches(prep_iv, batch_format="pyarrow"),
+        on="_ts", start_col="_from", end_col="_end",
+        epoch=30 * 86_400 * 1_000_000, by="user_id",
+        interval_cols=["state"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "state": pa.array([r["state"] for r in rows], pa.string()),
+    })
+
+
 def _q_cumsum_by_user(sf_dir: str):
     """Per-key expanding running total — SQL SUM() OVER (PARTITION BY ...
     ROWS UNBOUNDED PRECEDING) — on integer cents so the cumulative sum is
@@ -2871,6 +2936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
         "scd2_user_states": _q_scd2_user_states,
+        "events_with_state": _q_events_with_state,
         "cumsum_by_user": _q_cumsum_by_user,
         "bloom_semijoin_orders": _q_bloom_semijoin,
         "daily_gapfill": _q_daily_gapfill,
@@ -4062,6 +4128,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
             FROM events ORDER BY event_id
+        """,
+        "events_with_state": """
+            WITH ch AS (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events WHERE event_type IN ('signup', 'error')
+            ), surv AS (
+              SELECT user_id, ts, event_id, event_type FROM ch
+              WHERE prev IS NULL OR event_type <> prev
+            ), dim AS (
+              SELECT user_id, event_type AS state, ts AS valid_from,
+                     LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+              FROM surv)
+            SELECT p.event_id, p.user_id, d.state
+            FROM events p JOIN dim d ON p.user_id = d.user_id
+              AND p.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+            WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id
         """,
         "scd2_user_states": """
             WITH ordered AS (
