@@ -2110,6 +2110,87 @@ def _q_dense_rank_values(sf_dir: str):
     })
 
 
+def _q_regr_by_flag(sf_dir: str):
+    """Grouped simple linear regression — regr_slope/intercept/r2/count of
+    l_quantity on l_discount per returnflag, from the corr moment partials
+    (one keyed shuffle of O(keys) six-number rows)
+    (pipelines/statagg.py:regr_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import regr_by_key
+
+    out = regr_by_key(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_discount", "l_quantity"]),
+        "l_returnflag", "l_discount", "l_quantity")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["l_returnflag"])
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 pa.string()),
+        "slope": pa.array([round(r["slope"], 9) for r in rows], pa.float64()),
+        "intercept": pa.array([round(r["intercept"], 9) for r in rows],
+                              pa.float64()),
+        "r2": pa.array([round(r["r2"], 9) for r in rows], pa.float64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_snapshot_diff_users(sf_dir: str):
+    """Change-data-feed between two snapshot versions: latest
+    (event_type, cents) per user before the corpus midpoint vs latest
+    overall — insert/update/delete classification, unchanged keys drop out
+    (pipelines/cdc.py:snapshot_diff over rankagg.latest_by_key snapshots)."""
+    import pyarrow.compute as pc
+
+    from insurance_pdf_extractor_ray.pipelines.cdc import snapshot_diff
+    from insurance_pdf_extractor_ray.pipelines.rankagg import latest_by_key
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "_ts": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "cents": cents,
+        })
+
+    e = ev.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def ts_bounds(t: pa.Table) -> pa.Table:
+        v = t.column("_ts").to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array([int(v.min())], pa.int64()),
+                         "mx": pa.array([int(v.max())], pa.int64())})
+
+    bounds = e.map_batches(ts_bounds, batch_format="pyarrow").take_all()
+    cut = (min(r["mn"] for r in bounds) + max(r["mx"] for r in bounds)) // 2
+
+    def before(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("_ts"), pa.scalar(cut, pa.int64())))
+
+    cols = ["user_id", "_ts", "event_id", "event_type", "cents"]
+    old = latest_by_key(e.map_batches(before, batch_format="pyarrow"),
+                        "user_id", order_by=["_ts", "event_id"],
+                        descending=[True, True], columns=cols)
+    new = latest_by_key(e, "user_id", order_by=["_ts", "event_id"],
+                        descending=[True, True], columns=cols)
+    out = snapshot_diff(old, new, "user_id", ["event_type", "cents"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "change": pa.array([r["change"] for r in rows], pa.string()),
+        "old_event_type": pa.array([r["old_event_type"] for r in rows],
+                                   pa.string()),
+        "new_event_type": pa.array([r["new_event_type"] for r in rows],
+                                   pa.string()),
+        "old_cents": pa.array([r["old_cents"] for r in rows], pa.int64()),
+        "new_cents": pa.array([r["new_cents"] for r in rows], pa.int64()),
+    })
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Log compaction — latest event row per user (ts desc, event_id desc
     tiebreak): k=1 grouped top-k, ≤ 1 candidate per key per block crosses
@@ -2928,6 +3009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_daily_value": _q_cumulative_daily_value,
         "chunk_documents": _q_chunk_documents,
         "latest_event_per_user": _q_latest_event_per_user,
+        "regr_by_flag": _q_regr_by_flag,
+        "snapshot_diff_users": _q_snapshot_diff_users,
         "cube_source_lang": _q_cube_source_lang,
         "salted_value_sum": _q_salted_sum,
         "fixed_k_sample": _q_fixed_k_sample,
@@ -3835,6 +3918,46 @@ def oracle_sql() -> dict[str, str]:
               ('image', true, 23, 40315, 11.746857),
               ('video', true, 26, 0, 12.795594)
             ) AS t(kind, consistent, n, thumb_area, f0_sum)
+        """,
+        "regr_by_flag": """
+            SELECT l_returnflag,
+                   ROUND(regr_slope(l_quantity, l_discount), 9) AS slope,
+                   ROUND(regr_intercept(l_quantity, l_discount), 9)
+                     AS intercept,
+                   ROUND(regr_r2(l_quantity, l_discount), 9) AS r2,
+                   regr_count(l_quantity, l_discount) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_diff_users": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events
+            ), cut AS (
+              SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts)))
+                                    // 2) AS c FROM e
+            ), o AS (
+              SELECT user_id, event_type, cents FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e WHERE ts < (SELECT c FROM cut)) WHERE rn = 1
+            ), n AS (
+              SELECT user_id, event_type, cents FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e) WHERE rn = 1
+            )
+            SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'insert'
+                        WHEN n.user_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   o.event_type AS old_event_type,
+                   n.event_type AS new_event_type,
+                   o.cents AS old_cents, n.cents AS new_cents
+            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+            WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+                       AND o.event_type IS NOT DISTINCT FROM n.event_type
+                       AND o.cents IS NOT DISTINCT FROM n.cents)
+            ORDER BY user_id
         """,
         "corr_by_flag": """
             SELECT l_returnflag, ROUND(corr(l_quantity, l_discount), 9) AS corr,

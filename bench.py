@@ -539,6 +539,39 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         "embedding", "vec_id", n_clusters=8, tau=0.30).count()
     queries["semantic_dedup"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.sketches import quantiles_global
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        ngram_decontaminate,
+    )
+    from insurance_pdf_extractor_ray.pipelines.textpipe import gopher_repetition
+
+    t0 = time.time()
+    assert gopher_repetition(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    ).count() > 0
+    queries["gopher_repetition"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+
+    def _eval_slice(keep: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 50 == 0) == keep))
+        return fn
+
+    docs_de = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    assert ngram_decontaminate(
+        docs_de.map_batches(_eval_slice(False), batch_format="pyarrow"),
+        docs_de.map_batches(_eval_slice(True), batch_format="pyarrow"),
+        "text", "doc_id", k=8).count() > 0
+    queries["ngram_decontaminate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    quantiles_global(
+        ray.data.read_parquet(events, columns=["value"]), "value",
+        [0.01, 0.25, 0.5, 0.75, 0.99])
+    queries["quantiles_refine"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

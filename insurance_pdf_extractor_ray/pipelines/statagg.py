@@ -387,3 +387,48 @@ def mad_by_key(
     devs = ds.select_columns([key, value]).map_batches(
         deviations, fn_args=(ref,), batch_format="pyarrow")
     return median_by_key(devs, key, "_dev", out_col=out_col)
+
+
+def regr_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+) -> ray.data.Dataset:
+    """``SELECT key, regr_slope(y,x), regr_intercept(y,x), regr_r2(y,x),
+    regr_count(y,x) GROUP BY key`` — exact grouped simple linear regression
+    from the same six-number moment partials as :func:`corr_by_key` (one
+    keyed shuffle of O(keys) moment rows, zero per-group materialization).
+
+    Closed forms and edge cases mirror DuckDB/Postgres: slope = Sxy/Sxx
+    (null when Sxx = 0, i.e. constant x), intercept = ȳ − slope·x̄,
+    r² = null when Sxx = 0, 1 when Syy = 0 (perfect horizontal fit), else
+    Sxy²/(Sxx·Syy).
+    """
+    agg = _moments_by_key(ds, key, x, y)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch.column("_sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("_sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("_sxx").to_numpy(zero_copy_only=False)
+        syy = batch.column("_syy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("_sxy").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cxx = sxx - sx * sx / n       # n * var_pop(x)
+            cyy = syy - sy * sy / n
+            cxy = sxy - sx * sy / n
+            slope = np.where(cxx > 0, cxy / cxx, np.nan)
+            intercept = sy / n - slope * (sx / n)
+            r2 = np.where(cxx > 0,
+                          np.where(cyy > 0, (cxy * cxy) / (cxx * cyy), 1.0),
+                          np.nan)
+        return pa.table({
+            key: batch.column(key),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+            "r2": pa.array(r2, pa.float64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

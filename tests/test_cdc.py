@@ -124,3 +124,48 @@ def test_scd2_null_payload_is_distinct_from_semantics():
         (1, None, 2, 4),
         (1, "a", 4, None),
     ]
+
+
+class TestSnapshotDiff:
+    def test_classify_and_dropout(self, ray_session):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.cdc import snapshot_diff
+
+        old = pa.table({
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "s": pa.array(["a", "b", None, "d", "e"], pa.string()),
+            "v": pa.array([10, 20, 30, None, 50], pa.int64()),
+        })
+        new = pa.table({
+            "k": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            "s": pa.array(["B", None, "d", "e", "f"], pa.string()),
+            "v": pa.array([20, 30, None, 50, 60], pa.int64()),
+        })
+        out = snapshot_diff(ray.data.from_arrow(old).repartition(2),
+                            ray.data.from_arrow(new).repartition(3),
+                            "k", ["s", "v"], num_partitions=2)
+        got = sorted((r["k"], r["change"], r["old_s"], r["new_s"],
+                      r["old_v"], r["new_v"]) for r in out.take_all())
+        # k=1 delete, k=2 update (s changed), k=3/4/5 identical (null-safe)
+        # drop out, k=6 insert
+        assert got == [
+            (1, "delete", "a", None, 10, None),
+            (2, "update", "b", "B", 20, 20),
+            (6, "insert", None, "f", None, 60),
+        ]
+        con = duckdb.connect()
+        con.register("o", old)
+        con.register("n", new)
+        want = sorted(tuple(r) for r in con.execute("""
+            SELECT coalesce(o.k, n.k) AS k,
+                   CASE WHEN o.k IS NULL THEN 'insert'
+                        WHEN n.k IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   o.s, n.s, o.v, n.v
+            FROM o FULL OUTER JOIN n ON o.k = n.k
+            WHERE NOT (o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND o.s IS NOT DISTINCT FROM n.s
+                       AND o.v IS NOT DISTINCT FROM n.v)
+        """).fetchall())
+        assert got == want

@@ -227,3 +227,43 @@ class TestMadByKey:
         # singleton group -> mad 0; outlier 100 must not blow up 'a'
         d = dict(got)
         assert d["c"] == 0.0 and d["a"] <= 3.0
+
+
+class TestRegrByKey:
+    def test_matches_duckdb_regr(self):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.statagg import regr_by_key
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        t = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], n).tolist(), pa.string()),
+            "x": pa.array(rng.normal(0, 2, n), pa.float64()),
+        })
+        y = 3.0 * t.column("x").to_numpy() + rng.normal(0, 0.5, n) + 1.0
+        t = t.append_column("y", pa.array(y, pa.float64()))
+        # plus a constant-x group (slope/r2 null) and a perfect-fit group
+        extra = pa.table({
+            "k": pa.array(["cx"] * 3 + ["pf"] * 3, pa.string()),
+            "x": pa.array([5.0, 5.0, 5.0, 1.0, 2.0, 3.0], pa.float64()),
+            "y": pa.array([1.0, 2.0, 3.0, 2.0, 4.0, 6.0], pa.float64()),
+        })
+        t = pa.concat_tables([t, extra])
+
+        out = regr_by_key(ray.data.from_arrow(t).repartition(5), "k", "x", "y")
+        got = {r["k"]: r for r in out.take_all()}
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT k, regr_slope(y, x), regr_intercept(y, x), regr_r2(y, x),"
+            " regr_count(y, x) FROM t GROUP BY k").fetchall()
+        assert len(got) == len(want)
+        for k, sl, ic, r2, n_ in want:
+            g = got[k]
+            for a, b in ((g["slope"], sl), (g["intercept"], ic), (g["r2"], r2)):
+                if b is None:
+                    assert a is None or np.isnan(a), (k, a, b)
+                else:
+                    assert abs(a - b) < 1e-9 * max(1.0, abs(b)), (k, a, b)
+            assert g["n"] == n_
