@@ -2363,6 +2363,51 @@ def _q_scd2_user_states(sf_dir: str):
     })
 
 
+def _q_range_layout_orders(sf_dir: str):
+    """Balanced range-partitioned at-rest layout (Terasort partition step):
+    boundaries are exact octile order statistics from the sort-free
+    rank-refinement quantiles; per-partition stats read one partition per
+    task — the pruned-scan shape (pipelines/rangepart.py)."""
+    import tempfile
+
+    from insurance_pdf_extractor_ray.pipelines.rangepart import (
+        partition_stats,
+        write_range_partitioned,
+    )
+
+    path = tempfile.mkdtemp(prefix="ipe_rangepart_")
+    write_range_partitioned(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        path, "o_totalprice", 8)
+    rows = partition_stats(path).take_all()
+    rows.sort(key=lambda r: r["part"])
+    return pa.table({
+        "part": pa.array([r["part"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "mn": pa.array([r["mn"] for r in rows], pa.float64()),
+        "mx": pa.array([r["mx"] for r in rows], pa.float64()),
+    })
+
+
+def _q_rolling_dau(sf_dir: str):
+    """Trailing-7-day distinct users per day (the DAU/WAU primitive; no
+    COUNT(DISTINCT) OVER RANGE in SQL) — distinct-pair pre-reduction,
+    bounded x7 map-side explode filtered to the broadcast day set, ONE
+    pair-dedup shuffle (pipelines/windows.py:rolling_distinct_days)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import (
+        rolling_distinct_days,
+    )
+
+    out = rolling_distinct_days(_events(sf_dir, ["ts", "user_id"]),
+                                "ts", "user_id", window_days=7)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["day"])
+    return pa.table({
+        "day": pa.array([r["day"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+    })
+
+
 def _q_events_with_state(sf_dir: str):
     """SCD2 point-in-time lookup join: every purchase event joins the
     user's state dimension row (built from signup/error transitions via
@@ -3020,6 +3065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_values": _q_percent_rank,
         "scd2_user_states": _q_scd2_user_states,
         "events_with_state": _q_events_with_state,
+        "rolling_dau": _q_rolling_dau,
+        "range_layout_orders": _q_range_layout_orders,
         "cumsum_by_user": _q_cumsum_by_user,
         "bloom_semijoin_orders": _q_bloom_semijoin,
         "daily_gapfill": _q_daily_gapfill,
@@ -4251,6 +4298,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
             FROM events ORDER BY event_id
+        """,
+        "range_layout_orders": """
+            WITH b AS (SELECT unnest(quantile_disc(o_totalprice,
+                         [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]))
+                       AS bv FROM orders),
+            p AS (SELECT o_totalprice AS v,
+                         (SELECT count(*) FROM b WHERE bv < o_totalprice)
+                         AS part FROM orders)
+            SELECT part, count(*) AS n, min(v) AS mn, max(v) AS mx
+            FROM p GROUP BY part ORDER BY part
+        """,
+        "rolling_dau": """
+            WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                              user_id FROM events),
+                 days AS (SELECT DISTINCT day FROM e)
+            SELECT d.day, count(DISTINCT e.user_id) AS n_distinct
+            FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY d.day
         """,
         "events_with_state": """
             WITH ch AS (

@@ -427,3 +427,83 @@ def range_rolling_by_key(
             f"{out_prefix}n", pa.array(hi - lo, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def rolling_distinct_days(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+    out_col: str = "n_distinct",
+) -> ray.data.Dataset:
+    """Trailing-window COUNT(DISTINCT id) per day — the DAU/WAU/MAU
+    primitive: for every day present in the data, the number of distinct
+    ids seen in the ``window_days`` days ending on it.  SQL has no
+    ``COUNT(DISTINCT) OVER RANGE``; the relational form is a day×event
+    band self-join, which explodes at corpus scale.
+
+    Scale shape: per-batch DISTINCT (day, id) pre-reduction, map-side
+    ×``window_days`` bounded explode of those pairs to the target days they
+    serve (targets filtered against the broadcast day set — day count is
+    calendar-bounded, never row-scaled), ONE keyed shuffle to dedup
+    (target, id) pairs with a second tiny keyed count.  Shuffle volume is
+    O(distinct pairs × window), independent of raw event count.
+    """
+    day_us = 86_400_000_000
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        day = ts // day_us
+        pairs = np.unique(np.stack([day, ids.astype(np.int64)], axis=1),
+                          axis=0)
+        return pa.table({"_day": pa.array(pairs[:, 0], pa.int64()),
+                         "_id": pa.array(pairs[:, 1], pa.int64())})
+
+    # consumed twice (day-set pass + explode) — materialize the pre-reduced
+    # pair stream so the diamond doesn't re-execute the upstream read
+    pairs = ds.select_columns([ts_col, id_col]).map_batches(
+        to_pairs, batch_format="pyarrow").materialize()
+
+    # calendar-bounded day set: per-block unique partials, driver union
+    # (#blocks x #days ints — never row-scaled), broadcast once
+    import ray as _ray
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = np.unique(batch.column("_day").to_numpy(zero_copy_only=False))
+        return pa.table({"d": pa.array([d], pa.list_(pa.int64()))})
+
+    dayset: set = set()
+    for r in pairs.map_batches(day_partial, batch_format="pyarrow").take_all():
+        dayset.update(int(x) for x in r["d"])
+    days_ref = _ray.put(np.array(sorted(dayset), np.int64))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dayset = _ray.get(days_ref)
+        d = batch.column("_day").to_numpy(zero_copy_only=False)
+        i = batch.column("_id").to_numpy(zero_copy_only=False)
+        n = len(d)
+        reps = np.repeat(np.arange(n), window_days)
+        tgt = d[reps] + np.tile(np.arange(window_days, dtype=np.int64), n)
+        keep = np.isin(tgt, dayset)
+        return pa.table({"_tgt": pa.array(tgt[keep], pa.int64()),
+                         "_id": pa.array(i[reps][keep], pa.int64())})
+
+    exploded = pairs.map_batches(explode, batch_format="pyarrow")
+    # dedup (target, id) then count per target: the dedup shuffle also
+    # colocates each target's pairs, so the count is a per-group size
+    distinct = exploded.groupby(["_tgt", "_id"]).count()
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["_tgt"]).aggregate([([], "count_all")])
+        return g.rename_columns(["_tgt", "_c"])
+
+    agg = (distinct.map_batches(count_rows, batch_format="pyarrow")
+           .groupby("_tgt").aggregate(Sum("_c", alias_name=out_col)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": batch.column("_tgt"),
+                         out_col: pc.cast(batch.column(out_col), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

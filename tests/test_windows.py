@@ -346,3 +346,38 @@ def test_range_rolling_includes_peers():
                                range_us=50).take_all()
     by_ts = sorted((r["ts"], r["rr_sum"], r["rr_n"]) for r in out)
     assert by_ts == [(0, 1, 1), (100, 5, 2), (100, 5, 2)]
+
+
+class TestRollingDistinctDays:
+    def test_matches_duckdb_band_join(self):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.windows import (
+            rolling_distinct_days,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 5000
+        day_us = 86_400_000_000
+        ts = (rng.integers(0, 40, n) * day_us
+              + rng.integers(0, day_us, n)).astype(np.int64)
+        # leave day gaps so the existing-day filter is exercised
+        ts = ts[(ts // day_us) % 9 != 4]
+        users = rng.integers(0, 120, len(ts)).astype(np.int64)
+        t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                      "user_id": pa.array(users, pa.int64())})
+        out = rolling_distinct_days(
+            ray.data.from_arrow(t).repartition(6), "ts", "user_id",
+            window_days=7)
+        got = sorted((r["day"], r["n_distinct"]) for r in out.take_all())
+        con = duckdb.connect()
+        con.register("t", t)
+        want = sorted(tuple(r) for r in con.execute("""
+            WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                              user_id FROM t),
+                 days AS (SELECT DISTINCT day FROM e)
+            SELECT d.day, count(DISTINCT e.user_id)
+            FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """).fetchall())
+        assert got == want and len(got) > 20
