@@ -2363,6 +2363,40 @@ def _q_scd2_user_states(sf_dir: str):
     })
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-dim min-max uint8 quantization of the embedding table (4x
+    smaller vector storage/shuffles) — dim-sized min/max partials, broadcast
+    calibration, float64 arithmetic in the oracle's expression order so
+    codes are bit-comparable (pipelines/similarity.py:quantize_embeddings).
+    Digest: per-dim (mn, mx, sum of codes)."""
+    import numpy as np
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        embedding_matrix,
+        quantize_embeddings,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out, mn, mx = quantize_embeddings(ds)
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch.column("codes"), dtype=np.int64)
+        return pa.table({"s": pa.array([m.sum(axis=0)],
+                                       pa.list_(pa.int64()))})
+
+    tot = None
+    for r in out.map_batches(sum_partial, batch_format="pyarrow").take_all():
+        v = np.asarray(r["s"], np.int64)
+        tot = v if tot is None else tot + v
+    d = len(mn)
+    return pa.table({
+        "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+        "mn": pa.array(mn, pa.float64()),
+        "mx": pa.array(mx, pa.float64()),
+        "sum_q": pa.array(tot, pa.int64()),
+    })
+
+
 def _q_range_layout_orders(sf_dir: str):
     """Balanced range-partitioned at-rest layout (Terasort partition step):
     boundaries are exact octile order statistics from the sort-free
@@ -3067,6 +3101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_with_state": _q_events_with_state,
         "rolling_dau": _q_rolling_dau,
         "range_layout_orders": _q_range_layout_orders,
+        "quantize_embeddings": _q_quantize_embeddings,
         "cumsum_by_user": _q_cumsum_by_user,
         "bloom_semijoin_orders": _q_bloom_semijoin,
         "daily_gapfill": _q_daily_gapfill,
@@ -4298,6 +4333,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
             FROM events ORDER BY event_id
+        """,
+        "quantize_embeddings": """
+            WITH x AS (
+              SELECT e.vec_id, t.dim,
+                     CAST(e.embedding[t.dim] AS DOUBLE) AS v
+              FROM embeddings e,
+                   unnest(generate_series(1, len(e.embedding))) AS t(dim)
+            ), s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim)
+            SELECT x.dim, s.mn, s.mx,
+                   sum(CASE WHEN s.mx > s.mn THEN CAST(round(
+                     (x.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
+                   ELSE 0 END) AS sum_q
+            FROM x JOIN s USING (dim) GROUP BY x.dim, s.mn, s.mx
+            ORDER BY x.dim
         """,
         "range_layout_orders": """
             WITH b AS (SELECT unnest(quantile_disc(o_totalprice,

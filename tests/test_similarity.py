@@ -151,3 +151,51 @@ def test_group_centroids_matches_duckdb():
     assert set(got) == set(want)
     for key in got:
         assert got[key] == pytest.approx(want[key], abs=1e-9)
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_match_duckdb_arithmetic(self, ray_session):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.similarity import (
+            quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(23)
+        n, d = 300, 6
+        m = rng.normal(0, 1, (n, d)).astype(np.float32)
+        m[:, 3] = 7.5  # constant dim -> code 0
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([row for row in m.tolist()],
+                                  pa.list_(pa.float32())),
+        })
+        out, mn, mx = quantize_embeddings(
+            ray.data.from_arrow(t).repartition(4))
+        codes = {r["vec_id"]: list(r["codes"]) for r in out.take_all()}
+        con = duckdb.connect()
+        con.register("e", t)
+        want = con.execute("""
+            WITH x AS (
+              SELECT e.vec_id, t.dim,
+                     CAST(e.embedding[t.dim] AS DOUBLE) AS v
+              FROM e, unnest(generate_series(1, len(e.embedding))) AS t(dim)
+            ), s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim)
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN s.mx > s.mn THEN CAST(round(
+                     (x.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
+                   ELSE 0 END AS code
+            FROM x JOIN s USING (dim)
+        """).fetchall()
+        for vid, dim, code in want:
+            assert codes[vid][dim - 1] == code, (vid, dim)
+        # calibration vectors + reconstruction bound (half a step)
+        assert mn[3] == mx[3] == 7.5
+        span = (mx - mn)
+        span[span == 0] = 1.0
+        for vid, row in list(codes.items())[:50]:
+            rec = mn + np.array(row) * span / 255.0
+            orig = m[vid].astype(np.float64)
+            ok = np.abs(rec - orig) <= span / 255.0 * 0.5 + 1e-12
+            ok[3] = abs(rec[3] - 7.5) < 1e-12
+            assert ok.all()
