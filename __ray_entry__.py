@@ -2363,6 +2363,42 @@ def _q_scd2_user_states(sf_dir: str):
     })
 
 
+def _q_weekly_top_event(sf_dir: str):
+    """Composite-key grouped top-k: the single best event per (user, week)
+    by (value desc, event_id asc) — synthesized composite key, map-side
+    per-key head, ONE bounded keyed shuffle
+    (pipelines/rankagg.py:grouped_top_k, k=1)."""
+    import pyarrow.compute as pc
+
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    week_us = 7 * 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                         pa.scalar(week_us, pa.int64()))
+        ck = pc.add(pc.multiply(t.column("user_id"),
+                                pa.scalar(1_000_000, pa.int64())), week)
+        return pa.table({"_uw": ck, "user_id": t.column("user_id"),
+                         "week": week, "event_id": t.column("event_id"),
+                         "value": t.column("value")})
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = grouped_top_k(ds, "_uw", order_by=["value", "event_id"],
+                        descending=[True, False], k=1,
+                        columns=["_uw", "user_id", "week", "event_id",
+                                 "value"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["user_id"], r["week"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "week": pa.array([r["week"] for r in rows], pa.int64()),
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """Per-dim min-max uint8 quantization of the embedding table (4x
     smaller vector storage/shuffles) — dim-sized min/max partials, broadcast
@@ -3102,6 +3138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_dau": _q_rolling_dau,
         "range_layout_orders": _q_range_layout_orders,
         "quantize_embeddings": _q_quantize_embeddings,
+        "weekly_top_event": _q_weekly_top_event,
         "cumsum_by_user": _q_cumsum_by_user,
         "bloom_semijoin_orders": _q_bloom_semijoin,
         "daily_gapfill": _q_daily_gapfill,
@@ -4333,6 +4370,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
             FROM events ORDER BY event_id
+        """,
+        "weekly_top_event": """
+            SELECT user_id, week, event_id, value FROM (
+              SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                     event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 604800000000
+                       ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1
+            ORDER BY user_id, week
         """,
         "quantize_embeddings": """
             WITH x AS (
