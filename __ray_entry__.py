@@ -2363,6 +2363,34 @@ def _q_scd2_user_states(sf_dir: str):
     })
 
 
+def _q_pushdown_read_orders(sf_dir: str):
+    """Predicate-pushdown scan: the row filter rides into the Parquet read
+    (row groups pruned on min/max stats — non-matching rows never leave
+    storage), then a tiny integer-cent aggregate
+    (sources/io.py:read_table(predicate=...))."""
+    import pyarrow.compute as pc
+
+    from insurance_pdf_extractor_ray.sources.io import read_table
+
+    ds = read_table(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_orderkey", "o_totalprice"],
+                    predicate=(pc.field("o_totalprice") > 400000.0))
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                         pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "cents": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+        })
+
+    rows = ds.map_batches(cents, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n": pa.array([sum(r["n"] for r in rows)], pa.int64()),
+        "total_cents": pa.array([sum(r["cents"] for r in rows)], pa.int64()),
+    })
+
+
 def _q_weekly_top_event(sf_dir: str):
     """Composite-key grouped top-k: the single best event per (user, week)
     by (value desc, event_id asc) — synthesized composite key, map-side
@@ -3139,6 +3167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_layout_orders": _q_range_layout_orders,
         "quantize_embeddings": _q_quantize_embeddings,
         "weekly_top_event": _q_weekly_top_event,
+        "pushdown_read_orders": _q_pushdown_read_orders,
         "cumsum_by_user": _q_cumsum_by_user,
         "bloom_semijoin_orders": _q_bloom_semijoin,
         "daily_gapfill": _q_daily_gapfill,
@@ -4370,6 +4399,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (
                      PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
             FROM events ORDER BY event_id
+        """,
+        "pushdown_read_orders": """
+            SELECT count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS total_cents
+            FROM orders WHERE o_totalprice > 400000.0
         """,
         "weekly_top_event": """
             SELECT user_id, week, event_id, value FROM (

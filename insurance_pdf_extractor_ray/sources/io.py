@@ -16,18 +16,24 @@ from typing import List, Optional
 import ray.data
 
 
-def read_table(path: str, columns: Optional[List[str]] = None) -> ray.data.Dataset:
+def read_table(path: str, columns: Optional[List[str]] = None,
+               predicate=None) -> ray.data.Dataset:
     """Read a Lance or Parquet table as a streaming Dataset.
 
     ``columns`` prunes at the scan (never load what a 2-column transform
-    doesn't need).  ``path`` may be a ``.lance`` dataset dir, a parquet file,
-    or a directory of parquet files.
+    doesn't need); ``predicate`` (a ``pyarrow.dataset`` expression, e.g.
+    ``pc.field("o_totalprice") > 4e5``) pushes the row filter into the scan
+    so non-matching row groups are skipped on their Parquet min/max stats —
+    rows that can't match never leave storage.  ``path`` may be a
+    ``.lance`` dataset dir, a parquet file, or a directory of parquet files.
     """
     if path.endswith(".lance"):
         try:
             return ray.data.read_lance(path, columns=columns)
         except ImportError:
             raise ImportError("lance is not installed in this environment; use parquet")
+    if predicate is not None:
+        return ray.data.read_parquet(path, columns=columns, filter=predicate)
     return ray.data.read_parquet(path, columns=columns)
 
 
