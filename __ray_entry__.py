@@ -1271,6 +1271,41 @@ def _q_dsir_weights(sf_dir: str):
     })
 
 
+def _q_pretrain_prep(sf_dir: str):
+    """END-TO-END pretraining data prep (pipelines/pretrain.py): Gopher
+    repetition gates -> 8-gram eval decontamination (eval = doc_id % 50
+    == 0) -> exact dedup (min-id winner among survivors) -> whitespace
+    token counts -> 1024-token concat-and-chunk packing.  The SQL oracle
+    re-derives the WHOLE chain as one CTE pipeline, so the composition is
+    verified, not just the stages."""
+    from insurance_pdf_extractor_ray.pipelines.pretrain import pretrain_prep
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def _slice(keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_eval else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    out = pretrain_prep(
+        docs.map_batches(_slice(False), batch_format="pyarrow"),
+        "text", "doc_id",
+        eval_ds=docs.map_batches(_slice(True), batch_format="pyarrow"),
+        seq_len=1024, bucket=100)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["doc_id"], r["seq_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "seq_id": pa.array([r["seq_id"] for r in rows], pa.int64()),
+        "start_tok": pa.array([r["start_tok"] for r in rows], pa.int64()),
+        "end_tok": pa.array([r["end_tok"] for r in rows], pa.int64()),
+    })
+
+
 def _q_gopher_repetition(sf_dir: str):
     """Gopher-style per-doc repetition signals (Rae et al. 2021 Table A1):
     duplicated-unigram fraction + top bigram/trigram word fractions
@@ -3103,6 +3138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_clean": _q_dup_span_clean,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "gopher_repetition": _q_gopher_repetition,
+        "pretrain_prep": _q_pretrain_prep,
         "unigram_logprob": _q_unigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
@@ -3815,6 +3851,72 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.micro) AS logprob_micro
             FROM toks t JOIN lp USING (token)
             GROUP BY t.doc_id ORDER BY doc_id
+        """,
+        "pretrain_prep": """
+            WITH wn AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), corp AS (SELECT * FROM wn WHERE doc_id % 50 <> 0
+            ), uni AS (
+              SELECT doc_id, count(DISTINCT x) AS nd
+              FROM corp, unnest(w) AS u(x) GROUP BY doc_id
+            ), bi AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+                           count(*) AS c
+                    FROM corp, unnest(generate_series(1, nw - 1)) AS s(i)
+                    WHERE nw >= 2 GROUP BY doc_id, g) GROUP BY doc_id
+            ), tri AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g,
+                           count(*) AS c
+                    FROM corp, unnest(generate_series(1, nw - 2)) AS s(i)
+                    WHERE nw >= 3 GROUP BY doc_id, g) GROUP BY doc_id
+            ), gated AS (
+              SELECT corp.doc_id FROM corp
+              LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+              LEFT JOIN tri USING (doc_id)
+              WHERE (CASE WHEN corp.nw > 0
+                     THEN round(1 - uni.nd * 1.0 / corp.nw, 6) ELSE 0 END)
+                    <= 0.80
+                AND round(coalesce(bi.m * 2.0 / corp.nw, 0), 6) <= 0.20
+                AND round(coalesce(tri.m * 3.0 / corp.nw, 0), 6) <= 0.18
+            ), evg AS (
+              SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8 AND doc_id % 50 = 0
+            ), contam AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT c.doc_id, array_to_string(c.w[i:i+7], ' ') AS gram
+                FROM corp c JOIN gated USING (doc_id),
+                     unnest(generate_series(1, c.nw - 8 + 1)) AS t(i)
+                WHERE c.nw >= 8)
+              WHERE gram IN (SELECT gram FROM evg)
+            ), clean AS (
+              SELECT c.doc_id, c.text FROM corp c JOIN gated USING (doc_id)
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+            ), winners AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+                FROM clean) WHERE doc_id = m
+            ), d AS (
+              SELECT c.doc_id,
+                     len(regexp_extract_all(c.text, '\\S+')) AS n_tokens
+              FROM clean c JOIN winners USING (doc_id)
+            ), cum AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_tok
+              FROM d)
+            SELECT doc_id,
+                   unnest(generate_series(start_tok // 1024,
+                            (start_tok + n_tokens - 1) // 1024)) AS seq_id,
+                   start_tok, start_tok + n_tokens AS end_tok
+            FROM cum WHERE n_tokens > 0
+            ORDER BY doc_id, seq_id
         """,
         "gopher_repetition": """
             WITH wn AS (

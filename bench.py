@@ -572,6 +572,17 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         [0.01, 0.25, 0.5, 0.75, 0.99])
     queries["quantiles_refine"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.pretrain import pretrain_prep
+
+    t0 = time.time()
+    docs_pp = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    assert pretrain_prep(
+        docs_pp.map_batches(_eval_slice(False), batch_format="pyarrow"),
+        "text", "doc_id",
+        eval_ds=docs_pp.map_batches(_eval_slice(True), batch_format="pyarrow"),
+        seq_len=2048).count() > 0
+    queries["pretrain_prep"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

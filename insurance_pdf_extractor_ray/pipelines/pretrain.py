@@ -1,0 +1,101 @@
+"""End-to-end pretraining data preparation — the composed flagship of the
+training-data operator family.
+
+One call takes a raw document corpus (plus an optional held-out eval corpus)
+through the standard LLM data-prep ladder, every rung an already
+oracle-verified operator:
+
+  1. repetition quality gates   textpipe.gopher_repetition  (zero shuffle)
+  2. eval decontamination       substrdedup.ngram_decontaminate
+                                (eval-sized shuffle + broadcast-or-join)
+  3. exact dedup, min-id winner dedup.exact_dedup  (hash-pair shuffle)
+  4. token counting             whitespace runs (doc_token_stats rule)
+  5. concat-and-chunk packing   packing.pack_sequences (bucketed prefix sums)
+
+Output: one row per (surviving doc, training sequence) — (doc_id, seq_id,
+start_tok, end_tok) with token offsets global over surviving-doc id order,
+i.e. exactly the layout a sequence-loader shards by ``seq_id``.
+
+Every stage streams; the only materialization is inside pack_sequences'
+bucket-sum wave (bucket-count-sized).  The whole chain is re-derivable in
+one SQL CTE pipeline, so the driver oracle checks the COMPOSITION, not just
+the parts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .dedup import exact_dedup
+from .packing import pack_sequences
+from .substrdedup import ngram_decontaminate
+from .textpipe import gopher_repetition
+
+
+def count_ws_tokens(ds: ray.data.Dataset, text_col: str,
+                    id_col: str) -> ray.data.Dataset:
+    """(id, n_tokens) — whitespace-run token counts (the oracle-verified
+    doc_token_stats definition), vectorized polars, zero shuffle."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        n = s.str.count_matches(r"\S+").fill_null(0).to_numpy().astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        count, batch_format="pyarrow")
+
+
+def pretrain_prep(
+    docs: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    eval_ds: Optional[ray.data.Dataset] = None,
+    seq_len: int = 2048,
+    k_contam: int = 8,
+    bucket: int = 100_000,
+    max_dup_unigrams: float = 0.80,
+    max_top_bigram: float = 0.20,
+    max_top_trigram: float = 0.18,
+) -> ray.data.Dataset:
+    """Quality-gate -> decontaminate -> dedup -> tokenize -> pack.
+
+    Filters compose in a fixed order (each later stage sees only earlier
+    survivors — the dedup winner set, in particular, is min(id) per distinct
+    text AMONG gated, clean docs), so the SQL oracle is a CTE chain with the
+    same order.
+    """
+    import pyarrow.compute as pc
+
+    gated = gopher_repetition(
+        docs.select_columns([id_col, text_col]), text_col, id_col,
+        max_dup_unigrams=max_dup_unigrams, max_top_bigram=max_top_bigram,
+        max_top_trigram=max_top_trigram, passthrough=True)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("keep")).select([id_col, text_col])
+
+    kept = gated.map_batches(keep_only, batch_format="pyarrow")
+
+    if eval_ds is not None:
+        flagged = ngram_decontaminate(kept, eval_ds, text_col, id_col,
+                                      k=k_contam, passthrough=True)
+
+        def clean_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(batch.column("contaminated"))
+            ).select([id_col, text_col])
+
+        kept = flagged.map_batches(clean_only, batch_format="pyarrow")
+
+    uniq = exact_dedup(kept, text_col, id_col)
+    toks = count_ws_tokens(uniq, text_col, id_col)
+    return pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len,
+                          bucket=bucket)

@@ -291,6 +291,7 @@ def ngram_decontaminate(
     eval_text_col: Optional[str] = None,
     max_broadcast: int = MAX_BROADCAST_ROWS,
     num_partitions: Optional[int] = None,
+    passthrough: bool = False,
 ) -> ray.data.Dataset:
     """Exact n-gram decontamination: flag every corpus document sharing at
     least ``min_hits`` k-word windows with ANY document of ``eval_ds`` —
@@ -310,25 +311,28 @@ def ngram_decontaminate(
     shuffles), else explode corpus window rows and ``left_semi``-join the
     eval-hash Dataset (nothing driver-resident).  Window identity is the
     same 64-bit rolling hash; the SQL oracle re-derives from window strings,
-    bounding collision impact.
+    bounding collision impact.  ``passthrough=True`` retains every input
+    column alongside the flags (gate-in-pipeline composition, no join back).
     """
     from ray.data.aggregate import Count
 
     evh = dup_window_hashes(eval_ds, eval_text_col or text_col,
                             k=k, min_docs=1).materialize()
     n_ev = evh.count()
-    docs = ds.select_columns([id_col, text_col])
+    docs = ds if passthrough else ds.select_columns([id_col, text_col])
     force_join = num_partitions is not None
 
     def _flag_table(batch: pa.Table, counts: np.ndarray,
                     n_hits: np.ndarray) -> pa.Table:
         n_windows = np.maximum(counts - k + 1, 0)
-        return pa.table({
-            id_col: batch.column(id_col),
+        cols = ({c: batch.column(c) for c in batch.column_names}
+                if passthrough else {id_col: batch.column(id_col)})
+        cols.update({
             "n_windows": pa.array(n_windows, pa.int64()),
             "n_eval_hits": pa.array(n_hits, pa.int64()),
             "contaminated": pa.array(n_hits >= min_hits, pa.bool_()),
         })
+        return pa.table(cols)
 
     if not force_join and n_ev <= max_broadcast:
         arr = (np.sort(np.concatenate(
@@ -368,10 +372,10 @@ def ngram_decontaminate(
 
     def base(batch: pa.Table) -> pa.Table:
         counts, _, _ = _batch_windows(batch.column(text_col).to_pylist())
-        return pa.table({
-            id_col: batch.column(id_col),
-            "n_windows": pa.array(np.maximum(counts - k + 1, 0), pa.int64()),
-        })
+        cols = ({c: batch.column(c) for c in batch.column_names}
+                if passthrough else {id_col: batch.column(id_col)})
+        cols["n_windows"] = pa.array(np.maximum(counts - k + 1, 0), pa.int64())
+        return pa.table(cols)
 
     basetab = docs.map_batches(base, batch_format="pyarrow")
     joined = basetab.join(drop_empty_blocks(hits), join_type="left_outer",
@@ -381,11 +385,13 @@ def ngram_decontaminate(
         nh = pc.coalesce(batch.column("_nh"),
                          pa.scalar(0, batch.schema.field("_nh").type))
         nh = pc.cast(nh, pa.int64())
-        return pa.table({
-            id_col: batch.column(id_col),
-            "n_windows": batch.column("n_windows"),
-            "n_eval_hits": nh,
-            "contaminated": pc.greater_equal(nh, pa.scalar(min_hits, pa.int64())),
-        })
+        cols = {c: batch.column(c) for c in batch.column_names
+                if c != "_nh"} if passthrough else {
+                id_col: batch.column(id_col),
+                "n_windows": batch.column("n_windows")}
+        cols["n_eval_hits"] = nh
+        cols["contaminated"] = pc.greater_equal(
+            nh, pa.scalar(min_hits, pa.int64()))
+        return pa.table(cols)
 
     return joined.map_batches(finish, batch_format="pyarrow")

@@ -122,6 +122,7 @@ def gopher_repetition(
     max_dup_unigrams: float = 0.80,
     max_top_bigram: float = 0.20,
     max_top_trigram: float = 0.18,
+    passthrough: bool = False,
 ) -> ray.data.Dataset:
     """Per-document repetition quality signals in the style of Gopher's
     repetition-removal rules (Rae et al. 2021, Table A1): fraction of
@@ -131,7 +132,9 @@ def gopher_repetition(
     but fails these.
 
     Pure per-row signals ⇒ a single vectorized ``map_batches`` pass, zero
-    shuffles at any corpus size.  The interior reuses the substring-dedup
+    shuffles at any corpus size.  ``passthrough=True`` appends the signal
+    columns to the INPUT batch (all original columns retained) so the gate
+    composes into filter pipelines without a join back.  The interior reuses the substring-dedup
     tokenizer + rolling window hashes (`substrdedup._batch_windows/_roll`):
     per-doc n-gram multiplicities come from one lexsort over (doc, hash)
     run-lengths — no Python over rows, no per-doc dictionaries.
@@ -188,14 +191,16 @@ def gopher_repetition(
         f_dup, f_b, f_t = r6(f_dup), r6(f_b), r6(f_t)
         keep = ((f_dup <= max_dup_unigrams) & (f_b <= max_top_bigram)
                 & (f_t <= max_top_trigram))
-        return pa.table({
-            id_col: batch.column(id_col),
+        cols = ({c: batch.column(c) for c in batch.column_names}
+                if passthrough else {id_col: batch.column(id_col)})
+        cols.update({
             "n_words": pa.array(counts, pa.int64()),
             "frac_dup_unigrams": pa.array(f_dup, pa.float64()),
             "frac_top_bigram": pa.array(f_b, pa.float64()),
             "frac_top_trigram": pa.array(f_t, pa.float64()),
             "keep": pa.array(keep, pa.bool_()),
         })
+        return pa.table(cols)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        signals, batch_format="pyarrow")
+    src = ds if passthrough else ds.select_columns([id_col, text_col])
+    return src.map_batches(signals, batch_format="pyarrow")

@@ -1,0 +1,51 @@
+"""End-to-end pretrain_prep composition: each gate eliminates its target."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.pretrain import pretrain_prep
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SHARED8 = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_gates_compose():
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam spam spam",                # gopher-fail
+            f"leaky document containing {SHARED8} verbatim",  # contaminated
+            "a fine unique document with plenty of words",  # survives
+            "a fine unique document with plenty of words",  # dup of 3 -> drop
+            "another fine survivor with its own words here",  # survives
+        ], pa.string()),
+    })
+    ev = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([f"eval prompt with {SHARED8} in it"], pa.string()),
+    })
+    out = pretrain_prep(ray.data.from_arrow(corpus).repartition(3),
+                        "text", "doc_id",
+                        eval_ds=ray.data.from_arrow(ev),
+                        seq_len=8, bucket=2)
+    rows = sorted((r["doc_id"], r["seq_id"], r["start_tok"], r["end_tok"])
+                  for r in out.take_all())
+    ids = {d for d, *_ in rows}
+    assert ids == {3, 5}
+    # doc 3: 8 ws-tokens at offset 0 -> seq 0 only (end==8 is exclusive);
+    # doc 5: 8 tokens at 8..16 -> seqs 1
+    assert rows == [(3, 0, 0, 8), (5, 1, 8, 16)]
+
+
+def test_no_eval_side_skips_decontamination():
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([f"doc one {SHARED8}", "doc two body"], pa.string()),
+    })
+    out = pretrain_prep(ray.data.from_arrow(corpus), "text", "doc_id",
+                        seq_len=4, bucket=10)
+    assert {r["doc_id"] for r in out.take_all()} == {1, 2}
