@@ -198,6 +198,46 @@ def cmd_pack(args) -> None:
     ray.shutdown()
 
 
+def cmd_pretrain(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.pretrain import pretrain_prep
+    from .sources.io import write_table
+
+    docs = ray.data.read_parquet(args.input)
+    ev = ray.data.read_parquet(args.eval) if args.eval else None
+    out = pretrain_prep(docs, args.col, args.id_col, eval_ds=ev,
+                        seq_len=args.seq_len, k_contam=args.k_contam,
+                        bucket=args.bucket)
+    write_table(out, args.out)
+    n = ray.data.read_parquet(args.out, columns=["doc_id"]).count()
+    print(json.dumps({"seq_len": args.seq_len, "rows": int(n)}))
+    ray.shutdown()
+
+
+def cmd_decontaminate(args) -> None:
+    ray = _ray_init()
+    import ray.data
+
+    from .pipelines.substrdedup import ngram_decontaminate
+    from .sources.io import write_table
+
+    out = ngram_decontaminate(
+        ray.data.read_parquet(args.input),
+        ray.data.read_parquet(args.eval),
+        args.col, args.id_col, k=args.k)
+    write_table(out, args.out)
+    import pyarrow.parquet as _pq
+    import glob as _glob
+    n_bad = sum(
+        _pq.read_table(f, columns=["contaminated"]).column("contaminated")
+        .to_pandas().sum()
+        for f in _glob.glob(f"{args.out}/*.parquet"))
+    print(json.dumps({"k": args.k, "contaminated": int(n_bad)}))
+    ray.shutdown()
+
+
 def cmd_mix(args) -> None:
     ray = _ray_init()
     import ray.data
@@ -369,6 +409,26 @@ def main(argv=None) -> None:
     p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
     p.add_argument("--bucket", type=int, default=100_000)
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("pretrain", help="end-to-end pretraining prep: gates -> decontaminate -> dedup -> pack")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--eval", default=None, help="held-out corpus to decontaminate against")
+    p.add_argument("--col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--seq-len", dest="seq_len", type=int, default=2048)
+    p.add_argument("--k-contam", dest="k_contam", type=int, default=8)
+    p.add_argument("--bucket", type=int, default=100_000)
+    p.set_defaults(fn=cmd_pretrain)
+
+    p = sub.add_parser("decontaminate", help="flag docs sharing k-grams with an eval corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--eval", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--k", type=int, default=8)
+    p.set_defaults(fn=cmd_decontaminate)
 
     p = sub.add_parser("mix", help="weighted mixture interleave with repetition")
     p.add_argument("--input", required=True)
