@@ -135,3 +135,35 @@ def test_colocated_fast_path_equivalent(ray_session):
     key = lambda r: r["doc_id"]
     for a, b in zip(sorted(ds1, key=key), sorted(ds2, key=key)):
         assert a == b
+
+
+def test_malformed_spans_survive(ray_session):
+    """Crawl-reality inputs: null text in a span, empty span list, null
+    media_ref — the pipeline must emit one row per doc, not crash."""
+    import pyarrow as pa
+    import ray.data
+
+    from insurance_pdf_extractor_ray.schema import SPANS_TYPE
+
+    def doc(doc_id, spans):
+        return {"doc_id": doc_id, "spans": spans}
+
+    rows = [
+        doc("ok-1", [{"kind": "text", "text": "Policy Number: QT-1",
+                      "media_ref": None, "offset": 0}]),
+        doc("null-text", [{"kind": "text", "text": None,
+                           "media_ref": None, "offset": 0}]),
+        doc("empty-spans", []),
+        doc("media-only", [{"kind": "media", "text": None,
+                            "media_ref": "media://x/0", "offset": 0}]),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], SPANS_TYPE),
+    })
+    out = extract_pipeline(ray.data.from_arrow(t).repartition(2)).take_all()
+    assert len(out) == 4
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["ok-1"]["fields"]["quote_number"] is not None
+    for did in ("null-text", "empty-spans", "media-only"):
+        assert by_id[did]["status"] is not None  # classified, not crashed
