@@ -2145,6 +2145,117 @@ def _q_dense_rank_values(sf_dir: str):
     })
 
 
+def _r_cents_half_away(x):
+    """Vectorized round-half-away to integer cents, exact for x >= 0
+    (trunc-fraction compare — no floor(x+0.5) representability edge)."""
+    import numpy as np
+
+    q = x * 100.0
+    tq = np.trunc(q)
+    return (tq + (q - tq >= 0.5)).astype(np.int64)
+
+
+def _q_q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog: lineitem pricing summary by (returnflag, linestatus)
+    with a shipdate predicate — per-batch two-key Arrow group_by partials,
+    ONE tiny keyed combine (integer cents, reduction-order-exact)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(np.datetime64("1999-01-01", "us"),
+                       pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"), cutoff))
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "_q": pa.array(_r_cents_half_away(qty), pa.int64()),
+            "_b": pa.array(_r_cents_half_away(ep), pa.int64()),
+            "_d": pa.array(_r_cents_half_away(ep * (1.0 - dc)), pa.int64()),
+            "_n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        })
+        return base.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("_q", "sum"), ("_b", "sum"), ("_d", "sum"), ("_n", "sum")]
+        ).rename_columns(["l_returnflag", "l_linestatus",
+                          "_q", "_b", "_d", "_n"])
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("_q", alias_name="sum_qty_c"),
+                      Sum("_b", alias_name="sum_base_c"),
+                      Sum("_d", alias_name="sum_disc_c"),
+                      Sum("_n", alias_name="n")))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["l_returnflag"], r["l_linestatus"]))
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 pa.string()),
+        "l_linestatus": pa.array([r["l_linestatus"] for r in rows],
+                                 pa.string()),
+        "sum_qty_c": pa.array([r["sum_qty_c"] for r in rows], pa.int64()),
+        "sum_base_c": pa.array([r["sum_base_c"] for r in rows], pa.int64()),
+        "sum_disc_c": pa.array([r["sum_disc_c"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _q_promo_nation_profit(sf_dir: str):
+    """TPC-H Q9-lite: discounted revenue of PROMO parts per supplier nation
+    — PROMO part-key set broadcast into a map-side filter, revenue
+    pre-aggregated per suppkey (ONE keyed combine over 8-byte keys),
+    supplier->nation resolved driver-side (two tiny dims), final
+    nation-name reduce on <=25 rows.  Aggregate-below-join throughout:
+    the lineitem stream is never joined row-wise."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = part.filter(expr="p_type == 'PROMO'").take_all()
+    promo_keys = np.sort(np.array([r["p_partkey"] for r in promo], np.int64))
+    pref = ray.put(promo_keys)
+
+    def partial(t: pa.Table, keys_ref) -> pa.Table:
+        keys = ray.get(keys_ref)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = np.isin(pk, keys)
+        t = t.filter(pa.array(m))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "l_suppkey": t.column("l_suppkey"),
+            "_r": pa.array(_r_cents_half_away(ep * (1.0 - dc)), pa.int64()),
+        })
+        return base.group_by(["l_suppkey"]).aggregate(
+            [("_r", "sum")]).rename_columns(["l_suppkey", "_r"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    per_supp = (li.map_batches(partial, fn_args=(pref,),
+                               batch_format="pyarrow")
+                .groupby("l_suppkey").aggregate(Sum("_r", alias_name="rev")))
+
+    sup = {r["s_suppkey"]: r["s_nationkey"] for r in
+           _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()}
+    nat = {r["n_nationkey"]: r["n_name"] for r in
+           _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()}
+    totals: dict = {}
+    for r in per_supp.take_all():
+        name = nat[sup[r["l_suppkey"]]]
+        totals[name] = totals.get(name, 0) + int(r["rev"])
+    names = sorted(totals)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "rev_c": pa.array([totals[n] for n in names], pa.int64()),
+    })
+
+
 def _q_regr_by_flag(sf_dir: str):
     """Grouped simple linear regression — regr_slope/intercept/r2/count of
     l_quantity on l_discount per returnflag, from the corr moment partials
@@ -3189,6 +3300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "regr_by_flag": _q_regr_by_flag,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "promo_nation_profit": _q_promo_nation_profit,
         "snapshot_diff_users": _q_snapshot_diff_users,
         "cube_source_lang": _q_cube_source_lang,
         "salted_value_sum": _q_salted_sum,
@@ -4168,6 +4281,28 @@ def oracle_sql() -> dict[str, str]:
               ('image', true, 23, 40315, 11.746857),
               ('video', true, 26, 0, 12.795594)
             ) AS t(kind, consistent, n, thumb_area, f0_sum)
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS sum_base_c,
+                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT)) AS sum_disc_c,
+                   count(*) AS n
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "promo_nation_profit": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT)) AS rev_c
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY n_name ORDER BY n_name
         """,
         "regr_by_flag": """
             SELECT l_returnflag,
