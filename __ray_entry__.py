@@ -1164,6 +1164,56 @@ def _q_quantiles_refine(sf_dir: str):
     })
 
 
+def _q_robust_outliers(sf_dir: str):
+    """Robust outlier counts per event type: |value - median| > 3 * MAD
+    (median/MAD immune to the outliers being hunted, unlike mean/stddev) —
+    composition of two skew-proof exact median passes broadcast into one
+    counting map (pipelines/statagg.py:mad_by_key + median_by_key)."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.pipelines.statagg import (
+        mad_by_key,
+        median_by_key,
+    )
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    med = {r["event_type"]: r["_med"] for r in
+           median_by_key(ds, "event_type", "value", out_col="_med")
+           .take_all()}
+    mad = {r["event_type"]: r["mad"] for r in
+           mad_by_key(ds, "event_type", "value").take_all()}
+    import ray
+    ref = ray.put((med, mad))
+
+    def flag(t: pa.Table, r) -> pa.Table:
+        import numpy as np
+
+        m, s = ray.get(r)
+        k = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        meds = np.array([m[x] for x in k])
+        mads = np.array([s[x] for x in k])
+        out = np.abs(v - meds) > 3.0 * mads
+        base = pa.table({"event_type": t.column("event_type"),
+                         "_o": pa.array(out.astype(np.int64), pa.int64()),
+                         "_n": pa.array(np.ones(len(v), np.int64), pa.int64())})
+        return base.group_by(["event_type"]).aggregate(
+            [("_o", "sum"), ("_n", "sum")]).rename_columns(
+            ["event_type", "_o", "_n"])
+
+    agg = (ds.map_batches(flag, fn_args=(ref,), batch_format="pyarrow")
+           .groupby("event_type").aggregate(
+               Sum("_o", alias_name="n_outliers"),
+               Sum("_n", alias_name="n")))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_outliers": pa.array([r["n_outliers"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
 def _q_mad_by_type(sf_dir: str):
     """Robust dispersion: exact MAD(value) per event type — two skew-proof
     exact median passes (pipelines/statagg.py:mad_by_key)."""
@@ -3256,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_sessions_outages": _q_overlap_sessions_outages,
         "minhash_cross_join": _q_minhash_cross_join,
         "mad_by_type": _q_mad_by_type,
+        "robust_outliers": _q_robust_outliers,
         "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
@@ -3893,6 +3944,17 @@ def oracle_sql() -> dict[str, str]:
             FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
                             (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
             ORDER BY t.q
+        """,
+        "robust_outliers": """
+            WITH s AS (SELECT event_type, median(value) AS med,
+                              mad(value) AS md
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   sum(CASE WHEN abs(e.value - s.med) > 3 * s.md
+                       THEN 1 ELSE 0 END) AS n_outliers,
+                   count(*) AS n
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         "mad_by_type": """
             SELECT event_type, round(mad(value), 6) AS mad
