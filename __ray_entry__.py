@@ -1381,6 +1381,38 @@ def _q_gopher_repetition(sf_dir: str):
     })
 
 
+def _q_nfc_normalize(sf_dir: str):
+    """Unicode NFC canonicalization of the text column (combining marks
+    composed before hashing/dedup see the text) with a changed-row audit
+    flag — ascii fast path, zero shuffles
+    (pipelines/textpipe.py:nfc_normalize).  Semantics exercised on
+    non-ASCII fixtures in tests/test_gopher.py; DuckDB nfc_normalize is
+    the oracle."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import nfc_normalize
+
+    out = nfc_normalize(_documents(sf_dir, ["doc_id", "text"]))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text_nfc": pa.array([r["text_nfc"] for r in rows], pa.string()),
+        "changed": pa.array([r["changed"] for r in rows], pa.bool_()),
+    })
+
+
+def _q_boilerplate_stats(sf_dir: str):
+    """Corpus boilerplate mass: strict 8-word windows, positions covered by
+    corpus-duplicated windows, distinct dup windows, docs touched — the
+    dup-span machinery reduced to four scalars
+    (pipelines/substrdedup.py:boilerplate_stats)."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        boilerplate_stats,
+    )
+
+    return boilerplate_stats(_documents(sf_dir, ["doc_id", "text"]),
+                             "text", "doc_id", k=8, min_docs=2)
+
+
 def _q_ngram_decontaminate(sf_dir: str):
     """Exact n-gram decontamination: flag corpus docs (doc_id % 50 != 0)
     sharing any 8-word window with the eval slice (doc_id % 50 == 0) — the
@@ -3298,6 +3330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top100,
         "dup_span_clean": _q_dup_span_clean,
         "ngram_decontaminate": _q_ngram_decontaminate,
+        "boilerplate_stats": _q_boilerplate_stats,
+        "nfc_normalize": _q_nfc_normalize,
         "gopher_repetition": _q_gopher_repetition,
         "pretrain_prep": _q_pretrain_prep,
         "unigram_logprob": _q_unigram_logprob,
@@ -4126,6 +4160,31 @@ def oracle_sql() -> dict[str, str]:
               AND round(coalesce(tri.m * 3.0 / wn.nw, 0), 6) <= 0.18 AS keep
             FROM wn LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
             LEFT JOIN tri USING (doc_id) ORDER BY wn.doc_id
+        """,
+        "nfc_normalize": """
+            SELECT doc_id, nfc_normalize(text) AS text_nfc,
+                   nfc_normalize(text) <> text AS changed
+            FROM documents ORDER BY doc_id
+        """,
+        "boilerplate_stats": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8
+            ), dup AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (SELECT doc_id, i FROM wins
+                        WHERE gram IN (SELECT gram FROM dup))
+            SELECT (SELECT count(*) FROM wins) AS n_windows,
+                   (SELECT count(*) FROM dup) AS n_dup_windows,
+                   (SELECT count(*) FROM hits) AS n_dup_positions,
+                   (SELECT count(DISTINCT doc_id) FROM hits)
+                     AS n_docs_touched
         """,
         "ngram_decontaminate": """
             WITH wn AS (

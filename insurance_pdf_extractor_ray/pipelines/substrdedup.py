@@ -395,3 +395,56 @@ def ngram_decontaminate(
         return pa.table(cols)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def boilerplate_stats(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> pa.Table:
+    """Corpus-health scalar metrics for duplicated k-word spans (the
+    "boilerplate mass" a substring-dedup pass would remove): total strict
+    k-windows, window POSITIONS whose window occurs in >= ``min_docs``
+    distinct docs, distinct duplicated windows, and docs touched.
+
+    Two streaming passes over the corpus (the dup-hash Dataset from pass 1
+    is broadcast into pass 2's counting map — same shape as
+    :func:`dup_span_clean`'s broadcast path but reduced to four counters,
+    so the driver holds scalars, not spans)."""
+    dup = dup_window_hashes(ds, text_col, k=k, min_docs=min_docs).materialize()
+    n_dup_windows = dup.count()
+    arr = (np.sort(np.concatenate(
+        [ray.get(r).column("__wh").to_numpy(zero_copy_only=False)
+         for r in dup.to_arrow_refs()]).astype(np.int64))
+        if n_dup_windows else np.empty(0, np.int64))
+    ref = ray.put(arr)
+
+    def count_hits(batch: pa.Table, dup_ref) -> pa.Table:
+        dup_arr = ray.get(dup_ref)
+        counts, _, word_hash = _batch_windows(
+            batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        hit = np.isin(wh, dup_arr)
+        docs_touched = int(np.unique(wd[hit]).size)
+        return pa.table({
+            "n_windows": pa.array([len(wh)], pa.int64()),
+            "n_dup_positions": pa.array([int(hit.sum())], pa.int64()),
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "n_docs_touched": pa.array([docs_touched], pa.int64()),
+        })
+
+    tot = {"n_windows": 0, "n_dup_positions": 0, "n_docs": 0,
+           "n_docs_touched": 0}
+    for r in (ds.select_columns([id_col, text_col])
+              .map_batches(count_hits, fn_args=(ref,),
+                           batch_format="pyarrow").take_all()):
+        for c in tot:
+            tot[c] += r[c]
+    return pa.table({
+        "n_windows": pa.array([tot["n_windows"]], pa.int64()),
+        "n_dup_windows": pa.array([int(n_dup_windows)], pa.int64()),
+        "n_dup_positions": pa.array([tot["n_dup_positions"]], pa.int64()),
+        "n_docs_touched": pa.array([tot["n_docs_touched"]], pa.int64()),
+    })

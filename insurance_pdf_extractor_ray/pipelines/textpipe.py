@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -204,3 +205,38 @@ def gopher_repetition(
 
     src = ds if passthrough else ds.select_columns([id_col, text_col])
     return src.map_batches(signals, batch_format="pyarrow")
+
+
+def nfc_normalize(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_nfc",
+) -> ray.data.Dataset:
+    """Unicode NFC normalization of a text column — the crawl-cleaning step
+    that collapses combining-mark sequences (e + U+0301 -> é) so that
+    hashing, dedup and tokenization see one canonical form.  Zero shuffles;
+    ``changed`` marks rows the normalization actually altered (cheap audit
+    of how dirty a crawl slice is).  DuckDB ``nfc_normalize`` is the oracle
+    twin.
+
+    Kernel note: pyarrow's ``utf8_normalize`` is a silent no-op in builds
+    without ICU normalization (verified on 16.1 here), so the kernel is
+    stdlib ``unicodedata.normalize`` (one C call per string) gated by an
+    ``str.isascii()`` fast path — ASCII rows (the vast majority of a crawl
+    batch) never enter the normalize call."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = [t if t is None or t.isascii()
+               else unicodedata.normalize("NFC", t) for t in texts]
+        changed = [a is not b and a != b for a, b in zip(out, texts)]
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: pa.array(out, pa.string()),
+            "changed": pa.array(changed, pa.bool_()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        norm, batch_format="pyarrow")

@@ -66,3 +66,27 @@ def test_keep_flags():
            gopher_repetition(ray.data.from_arrow(DOCS)).take_all()}
     assert not out[0] and not out[2]       # nav spam + unigram spam fail
     assert out[1] and out[3] and out[4]    # normal, empty, short pass
+
+
+def test_nfc_normalize_matches_duckdb():
+    from insurance_pdf_extractor_ray.pipelines.textpipe import nfc_normalize
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "café au lait",         # combining acute -> composed
+            "plain ascii only",
+            "Ångström",       # ring + diaeresis
+            "",
+        ], pa.string()),
+    })
+    out = {r["doc_id"]: (r["text_nfc"], r["changed"]) for r in
+           nfc_normalize(ray.data.from_arrow(t).repartition(2)).take_all()}
+    con = duckdb.connect()
+    con.register("t", t)
+    want = dict(con.execute(
+        "SELECT doc_id, nfc_normalize(text) FROM t").fetchall())
+    for did, (got, changed) in out.items():
+        assert got == want[did], did
+        assert changed == (got != t.column("text")[did].as_py())
+    assert out[0][1] and out[2][1] and not out[1][1] and not out[3][1]
