@@ -1164,6 +1164,28 @@ def _q_quantiles_refine(sf_dir: str):
     })
 
 
+def _q_skew_kurt_by_type(sf_dir: str):
+    """Grouped skewness/kurtosis (bias-corrected sample estimators) from
+    five-number power-sum partials — one keyed shuffle of O(keys) rows
+    (pipelines/statagg.py:skew_kurt_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import (
+        skew_kurt_by_key,
+    )
+
+    out = skew_kurt_by_key(_events(sf_dir, ["event_type", "value"]),
+                           "event_type", "value")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "skewness": pa.array([round(r["skewness"], 9) for r in rows],
+                             pa.float64()),
+        "kurtosis": pa.array([round(r["kurtosis"], 9) for r in rows],
+                             pa.float64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
 def _q_robust_outliers(sf_dir: str):
     """Robust outlier counts per event type: |value - median| > 3 * MAD
     (median/MAD immune to the outliers being hunted, unlike mean/stddev) —
@@ -3341,6 +3363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cross_join": _q_minhash_cross_join,
         "mad_by_type": _q_mad_by_type,
         "robust_outliers": _q_robust_outliers,
+        "skew_kurt_by_type": _q_skew_kurt_by_type,
         "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
@@ -3978,6 +4001,11 @@ def oracle_sql() -> dict[str, str]:
             FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
                             (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
             ORDER BY t.q
+        """,
+        "skew_kurt_by_type": """
+            SELECT event_type, ROUND(skewness(value), 9) AS skewness,
+                   ROUND(kurtosis(value), 9) AS kurtosis, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "robust_outliers": """
             WITH s AS (SELECT event_type, median(value) AS med,

@@ -432,3 +432,69 @@ def regr_by_key(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def skew_kurt_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+) -> ray.data.Dataset:
+    """``SELECT key, skewness(v), kurtosis(v) GROUP BY key`` — the
+    bias-corrected sample estimators DuckDB/Excel compute (adjusted
+    Fisher-Pearson skewness; excess kurtosis), from per-block power-sum
+    partials (n, Σx, Σx², Σx³, Σx⁴): one keyed shuffle of five-number rows,
+    central moments recovered in closed form.  Null for groups too small
+    for the correction terms (n<3 skew, n<4 kurtosis), matching SQL."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select([key, value]))
+        v = pl.col(value)
+        g = df.group_by(key).agg(
+            pl.len().cast(pl.Int64).alias("_n"),
+            v.sum().alias("_s1"),
+            (v ** 2).sum().alias("_s2"),
+            (v ** 3).sum().alias("_s3"),
+            (v ** 4).sum().alias("_s4"),
+        )
+        return g.to_arrow()
+
+    agg = (ds.select_columns([key, value])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(key).aggregate(
+               Sum("_n", alias_name="_n"), Sum("_s1", alias_name="_s1"),
+               Sum("_s2", alias_name="_s2"), Sum("_s3", alias_name="_s3"),
+               Sum("_s4", alias_name="_s4")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = batch.column("_s1").to_numpy(zero_copy_only=False)
+        s2 = batch.column("_s2").to_numpy(zero_copy_only=False)
+        s3 = batch.column("_s3").to_numpy(zero_copy_only=False)
+        s4 = batch.column("_s4").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s1 / n
+            m2 = s2 - n * m * m
+            m3 = s3 - 3.0 * m * s2 + 2.0 * n * m ** 3
+            m4 = s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * n * m ** 4
+            s = np.sqrt(m2 / (n - 1.0))
+            skew = np.where((n > 2) & (s > 0),
+                            n / ((n - 1.0) * (n - 2.0)) * m3 / s ** 3,
+                            np.nan)
+            kurt = np.where((n > 3) & (s > 0),
+                            (n * (n + 1.0))
+                            / ((n - 1.0) * (n - 2.0) * (n - 3.0))
+                            * m4 / s ** 4
+                            - 3.0 * (n - 1.0) ** 2
+                            / ((n - 2.0) * (n - 3.0)),
+                            np.nan)
+        return pa.table({
+            key: batch.column(key),
+            "skewness": pa.array(skew, pa.float64()),
+            "kurtosis": pa.array(kurt, pa.float64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -267,3 +267,39 @@ class TestRegrByKey:
                 else:
                     assert abs(a - b) < 1e-9 * max(1.0, abs(b)), (k, a, b)
             assert g["n"] == n_
+
+
+class TestSkewKurtByKey:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.statagg import (
+            skew_kurt_by_key,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 6000
+        t = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], n).tolist(), pa.string()),
+            "v": pa.array(np.concatenate([
+                rng.normal(0, 1, n // 2),
+                rng.exponential(2.0, n - n // 2)]), pa.float64()),
+        })
+        tiny = pa.table({"k": pa.array(["t2"] * 2 + ["t3"] * 3, pa.string()),
+                         "v": pa.array([1.0, 2.0, 1.0, 2.0, 5.0], pa.float64())})
+        t = pa.concat_tables([t, tiny])
+        got = {r["k"]: r for r in skew_kurt_by_key(
+            ray.data.from_arrow(t).repartition(5), "k", "v").take_all()}
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT k, skewness(v), kurtosis(v), count(*) FROM t GROUP BY k"
+        ).fetchall()
+        for k, sk, ku, n_ in want:
+            g = got[k]
+            for a, b in ((g["skewness"], sk), (g["kurtosis"], ku)):
+                if b is None:
+                    assert a is None or np.isnan(a), (k, a, b)
+                else:
+                    assert abs(a - b) < 1e-7 * max(1.0, abs(b)), (k, a, b)
+            assert g["n"] == n_
