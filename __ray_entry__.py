@@ -1164,6 +1164,40 @@ def _q_quantiles_refine(sf_dir: str):
     })
 
 
+def _q_dow_hour_heatmap(sf_dir: str):
+    """Activity heatmap by (day-of-week, hour): temporal parts derived with
+    pure epoch arithmetic (dow = (epoch_days + 4) % 7 — 1970-01-01 was a
+    Thursday; DuckDB dayofweek numbering 0=Sunday), per-batch two-key
+    partials, ONE tiny keyed combine."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        base = pa.table({
+            "dow": pa.array(dow, pa.int64()),
+            "hour": pa.array(hour, pa.int64()),
+            "_n": pa.array(np.ones(len(us), np.int64), pa.int64()),
+        })
+        return base.group_by(["dow", "hour"]).aggregate(
+            [("_n", "sum")]).rename_columns(["dow", "hour", "_n"])
+
+    agg = (_events(sf_dir, ["ts"]).map_batches(partial,
+                                               batch_format="pyarrow")
+           .groupby(["dow", "hour"]).aggregate(Sum("_n", alias_name="n")))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["dow"], r["hour"]))
+    return pa.table({
+        "dow": pa.array([r["dow"] for r in rows], pa.int64()),
+        "hour": pa.array([r["hour"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
 def _q_skew_kurt_by_type(sf_dir: str):
     """Grouped skewness/kurtosis (bias-corrected sample estimators) from
     five-number power-sum partials — one keyed shuffle of O(keys) rows
@@ -3364,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_type": _q_mad_by_type,
         "robust_outliers": _q_robust_outliers,
         "skew_kurt_by_type": _q_skew_kurt_by_type,
+        "dow_hour_heatmap": _q_dow_hour_heatmap,
         "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
@@ -4001,6 +4036,10 @@ def oracle_sql() -> dict[str, str]:
             FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
                             (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
             ORDER BY t.q
+        """,
+        "dow_hour_heatmap": """
+            SELECT dayofweek(ts) AS dow, hour(ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "skew_kurt_by_type": """
             SELECT event_type, ROUND(skewness(value), 9) AS skewness,
