@@ -1164,6 +1164,27 @@ def _q_quantiles_refine(sf_dir: str):
     })
 
 
+def _q_materialize_sequences(sf_dir: str):
+    """Last mile of packing: actual 512-token training-sequence TEXT —
+    pack offsets -> ONE keyed join back onto doc text -> vectorized word
+    slices -> ONE budget-bounded seq-keyed ordered concat
+    (pipelines/packing.py:materialize_sequences)."""
+    from insurance_pdf_extractor_ray.pipelines.packing import (
+        materialize_sequences,
+    )
+
+    out = materialize_sequences(_documents(sf_dir, ["doc_id", "text"]),
+                                "doc_id", "text", seq_len=512, bucket=100)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["seq_id"])
+    return pa.table({
+        "seq_id": pa.array([r["seq_id"] for r in rows], pa.int64()),
+        "seq_text": pa.array([r["seq_text"] for r in rows], pa.string()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+    })
+
+
 def _q_dow_hour_heatmap(sf_dir: str):
     """Activity heatmap by (day-of-week, hour): temporal parts derived with
     pure epoch arithmetic (dow = (epoch_days + 4) % 7 — 1970-01-01 was a
@@ -3399,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers": _q_robust_outliers,
         "skew_kurt_by_type": _q_skew_kurt_by_type,
         "dow_hour_heatmap": _q_dow_hour_heatmap,
+        "materialize_sequences": _q_materialize_sequences,
         "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
@@ -4036,6 +4058,36 @@ def oracle_sql() -> dict[str, str]:
             FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
                             (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
             ORDER BY t.q
+        """,
+        "materialize_sequences": """
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+                     len(regexp_extract_all(text, '\\S+')) AS n
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, w, n,
+                     CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_tok
+              FROM d
+            ), pairs AS (
+              SELECT doc_id, w, n, start_tok,
+                     unnest(generate_series(start_tok // 512,
+                              (start_tok + n - 1) // 512)) AS seq_id
+              FROM cum WHERE n > 0
+            ), slices AS (
+              SELECT seq_id, doc_id,
+                     array_to_string(
+                       w[greatest(seq_id * 512 - start_tok, 0) + 1 :
+                         least((seq_id + 1) * 512 - start_tok, n)],
+                       ' ') AS piece,
+                     least((seq_id + 1) * 512 - start_tok, n)
+                       - greatest(seq_id * 512 - start_tok, 0) AS ntok
+              FROM pairs)
+            SELECT seq_id, string_agg(piece, ' ' ORDER BY doc_id)
+                     AS seq_text,
+                   sum(ntok) AS n_tokens, count(*) AS n_docs
+            FROM slices GROUP BY seq_id ORDER BY seq_id
         """,
         "dow_hour_heatmap": """
             SELECT dayofweek(ts) AS dow, hour(ts) AS hour, count(*) AS n

@@ -132,3 +132,76 @@ def chunk_text(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         explode_chunks, batch_format="pyarrow")
+
+
+def materialize_sequences(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    bucket: int = 100_000,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """The last mile of concat-and-chunk packing: actual per-sequence
+    training TEXT.  :func:`pack_sequences` gives each doc its global token
+    offsets; here every (doc, sequence) row cuts its word slice out of the
+    doc and the slices concatenate in ``id_col`` order per sequence —
+    output one row per sequence: (seq_id, seq_text, n_tokens, n_docs).
+
+    Tokens are whitespace runs (the oracle-verified doc_token_stats rule);
+    pieces rejoin with single spaces on both engine and SQL side, so
+    sequence text is hash-comparable.  Shape: pack (bucketed prefix sums) →
+    ONE keyed join of the (doc, seq) rows back onto the doc text → a
+    vectorized polars slice per row → ONE seq-keyed groupby whose groups
+    hold <= ceil(seq_len/1)+1 docs' pieces (a sequence is seq_len tokens —
+    groups are budget-bounded, never corpus-scale).  Moving corpus text
+    through two keyed exchanges is the honest cost of materializing
+    training rows; the offsets-only layout stays available from
+    pack_sequences when the loader can slice lazily.
+    """
+    from .dedup import _join_partitions
+    from .pretrain import count_ws_tokens
+
+    nparts = num_partitions or _join_partitions()
+    toks = count_ws_tokens(ds, text_col, id_col)
+    packed = pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len,
+                            bucket=bucket)
+    joined = packed.join(ds.select_columns([id_col, text_col]),
+                         join_type="inner", num_partitions=nparts,
+                         on=(id_col,))
+
+    def slice_piece(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(
+            [id_col, "seq_id", "start_tok", "end_tok", text_col]))
+        df = df.with_columns(
+            pl.col(text_col).cast(pl.String).str.extract_all(r"\S+")
+            .alias("_w"))
+        n = pl.col("end_tok") - pl.col("start_tok")
+        lo = (pl.col("seq_id") * seq_len - pl.col("start_tok")).clip(0)
+        hi_excl = ((pl.col("seq_id") + 1) * seq_len
+                   - pl.col("start_tok")).clip(upper_bound=n)
+        df = df.with_columns(
+            pl.col("_w").list.slice(lo, hi_excl - lo)
+            .list.join(" ").alias("piece"),
+            (hi_excl - lo).cast(pl.Int64).alias("_ntok"))
+        return df.select([id_col, "seq_id", "piece", "_ntok"]).to_arrow()
+
+    pieces = joined.map_batches(slice_piece, batch_format="pyarrow")
+
+    def concat(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        group = group.take(order)
+        return pa.table({
+            "seq_id": pa.array([group.column("seq_id")[0].as_py()],
+                               pa.int64()),
+            "seq_text": pa.array(
+                [" ".join(group.column("piece").to_pylist())], pa.string()),
+            "n_tokens": pa.array(
+                [int(pc.sum(group.column("_ntok")).as_py())], pa.int64()),
+            "n_docs": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return pieces.groupby("seq_id").map_groups(concat,
+                                               batch_format="pyarrow")
