@@ -1164,6 +1164,41 @@ def _q_quantiles_refine(sf_dir: str):
     })
 
 
+def _q_asof_nearest_error(sf_dir: str):
+    """Nearest-as-of join: each purchase matched to the user's CLOSEST
+    error timestamp in either direction (backward wins exact ties) — one
+    keyed shuffle, per-key double searchsorted
+    (pipelines/joins.py:asof_join(direction='nearest'))."""
+    import pyarrow.compute as pc
+
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(etype, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), etype))
+            out = {c: t.column(c) for c in cols}
+            out["_ts"] = pc.cast(t.column("ts"), pa.int64())
+            return pa.table(out)
+        return fn
+
+    left = ev.map_batches(prep("purchase", ["user_id", "event_id"]),
+                          batch_format="pyarrow")
+    right = ev.map_batches(prep("error", ["user_id"]),
+                           batch_format="pyarrow")
+    out = asof_join(left, right, "user_id", "_ts", "_ts",
+                    out_col="nearest_error_ts", direction="nearest")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "nearest_error_ts": pa.array(
+            [r["nearest_error_ts"] for r in rows], pa.int64()),
+    })
+
+
 def _q_materialize_sequences(sf_dir: str):
     """Last mile of packing: actual 512-token training-sequence TEXT —
     pack offsets -> ONE keyed join back onto doc text -> vectorized word
@@ -3421,6 +3456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt_by_type": _q_skew_kurt_by_type,
         "dow_hour_heatmap": _q_dow_hour_heatmap,
         "materialize_sequences": _q_materialize_sequences,
+        "asof_nearest_error": _q_asof_nearest_error,
         "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
@@ -4058,6 +4094,16 @@ def oracle_sql() -> dict[str, str]:
             FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
                             (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
             ORDER BY t.q
+        """,
+        "asof_nearest_error": """
+            SELECT p.event_id, p.user_id,
+                   (SELECT epoch_us(e.ts) FROM events e
+                    WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                    ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)),
+                             (epoch_us(e.ts) > epoch_us(p.ts)), e.ts
+                    LIMIT 1) AS nearest_error_ts
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id
         """,
         "materialize_sequences": """
             WITH d AS (

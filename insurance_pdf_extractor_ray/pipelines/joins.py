@@ -151,10 +151,13 @@ def asof_join(
     value_col: str,
     out_col: Optional[str] = None,
     how: str = "left",
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Big-big backward as-of join: for each left row, the right row with the
-    greatest ``on`` ≤ the left row's ``on``, matching per ``by`` key —
-    SQL ``ASOF JOIN ... ON l.by = r.by AND l.on >= r.on``.
+    """Big-big as-of join: for each left row, the right row with the
+    greatest ``on`` ≤ the left row's ``on`` (``direction="backward"``, the
+    SQL ``ASOF JOIN ... ON l.by = r.by AND l.on >= r.on``), the smallest
+    ``on`` ≥ it (``"forward"``), or whichever of the two is closer
+    (``"nearest"``, backward on exact-distance ties).
 
     One keyed shuffle: both sides are tagged and unioned, then a single
     ``groupby(by).map_groups`` sorts each key's rows once and answers every
@@ -203,6 +206,8 @@ def asof_join(
     def merge(group: pa.Table) -> pa.Table:
         side = group.column("_side").to_numpy(zero_copy_only=False)
         ons = group.column(on).to_numpy(zero_copy_only=False)
+        if ons.dtype.kind == "M":  # timestamps: integer view so the
+            ons = ons.view(np.int64)  # nearest-distance arithmetic works
         l_tbl = group.filter(pa.array(side == 0)).drop_columns(["_side"])
         r_mask = side == 1
         l_on = ons[side == 0]
@@ -212,8 +217,30 @@ def asof_join(
         else:
             order = np.argsort(r_on, kind="stable")
             r_on_sorted = r_on[order]
-            # index of greatest right on <= left on; -1 = no match
-            pos = np.searchsorted(r_on_sorted, l_on, side="right") - 1
+            # backward index: greatest right on <= left on (-1 = no match);
+            # forward index: smallest right on >= left on (n = no match)
+            back = np.searchsorted(r_on_sorted, l_on, side="right") - 1
+            if direction == "backward":
+                pos = back
+            else:
+                fwd = np.searchsorted(r_on_sorted, l_on, side="left")
+                if direction == "forward":
+                    pos = np.where(fwd < len(r_on_sorted), fwd, -1)
+                elif direction == "nearest":
+                    fwd_ok = fwd < len(r_on_sorted)
+                    back_ok = back >= 0
+                    db = np.where(back_ok,
+                                  l_on - r_on_sorted[np.maximum(back, 0)],
+                                  np.inf)
+                    dfw = np.where(fwd_ok,
+                                   r_on_sorted[np.minimum(
+                                       fwd, len(r_on_sorted) - 1)] - l_on,
+                                   np.inf)
+                    # backward wins exact-distance ties
+                    pos = np.where(db <= dfw, back,
+                                   np.where(fwd_ok, fwd, -1))
+                else:
+                    raise ValueError(f"unknown direction: {direction}")
             r_vals = group.filter(pa.array(r_mask)).column(value_col).take(
                 pa.array(order[np.maximum(pos, 0)])
             )
