@@ -1164,6 +1164,17 @@ def _q_quantiles_refine(sf_dir: str):
     })
 
 
+def _q_unimax_plan(sf_dir: str):
+    """UniMax temperature-sampling plan (tau=2, cap 4 epochs) over event
+    types: per-source mixture weights from one tiny keyed count — feeds
+    mixture_interleave's zero-shuffle hash-keep executor
+    (pipelines/mixing.py:unimax_plan)."""
+    from insurance_pdf_extractor_ray.pipelines.mixing import unimax_plan
+
+    return unimax_plan(_events(sf_dir, ["event_type"]), "event_type",
+                       tau=2.0, max_epochs=4.0)
+
+
 def _q_asof_nearest_error(sf_dir: str):
     """Nearest-as-of join: each purchase matched to the user's CLOSEST
     error timestamp in either direction (backward wins exact ties) — one
@@ -3457,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_heatmap": _q_dow_hour_heatmap,
         "materialize_sequences": _q_materialize_sequences,
         "asof_nearest_error": _q_asof_nearest_error,
+        "unimax_plan": _q_unimax_plan,
         "quantiles_refine": _q_quantiles_refine,
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
@@ -4094,6 +4106,18 @@ def oracle_sql() -> dict[str, str]:
             FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
                             (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
             ORDER BY t.q
+        """,
+        "unimax_plan": """
+            WITH c AS (SELECT event_type AS source, count(*) AS n
+                       FROM events GROUP BY 1),
+            s AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c)
+            SELECT source, n,
+                   round(least(total * pow(n, 0.5) / z / n, 4.0), 6)
+                     AS weight,
+                   CAST(floor(round(least(total * pow(n, 0.5) / z / n,
+                                          4.0), 6)) AS BIGINT)
+                     AS full_epochs
+            FROM c, s ORDER BY source
         """,
         "asof_nearest_error": """
             SELECT p.event_id, p.user_id,

@@ -138,3 +138,44 @@ def mixture_sql(
                 f"% 4294967296) % {n_shards} AS BIGINT) AS shard "
                 f"FROM {table} WHERE {pred}")
     return "\nUNION ALL\n".join(parts)
+
+
+def unimax_plan(
+    ds: ray.data.Dataset,
+    source_col: str,
+    tau: float = 2.0,
+    budget_rows: int = None,
+    max_epochs: float = 4.0,
+) -> pa.Table:
+    """UniMax-style temperature sampling plan (Chung et al. 2023): per
+    source, the mixture weight ``w_s = min(B · n_s^(1/τ) / Z / n_s, cap)``
+    — low-resource sources up-weighted toward uniformity as τ grows, capped
+    at ``max_epochs`` repetitions so tiny sources never over-repeat.
+    ``B`` defaults to the corpus size (resample-to-same-total).
+
+    Output one row per source: (source, n, weight, full_epochs) with weight
+    half-away-rounded to 6 decimals — feed the (source -> weight) map
+    straight into :func:`mixture_interleave`, whose zero-shuffle hash-keep
+    executes the plan at any scale.  The plan itself costs ONE tiny keyed
+    count (source cardinality rows)."""
+    from ray.data.aggregate import Count
+
+    counts = {r[source_col]: r["count()"] for r in
+              ds.select_columns([source_col]).groupby(source_col)
+              .aggregate(Count()).take_all()}
+    srcs = sorted(counts)
+    n = np.array([counts[s] for s in srcs], np.float64)
+    total = float(budget_rows) if budget_rows is not None else float(n.sum())
+    z = np.power(n, 1.0 / tau).sum()
+    w = np.minimum(total * np.power(n, 1.0 / tau) / z / n,
+                   float(max_epochs))
+    # half-away to 6 decimals (weights are non-negative)
+    q = w * 1e6
+    tq = np.trunc(q)
+    w6 = (tq + (q - tq >= 0.5)) / 1e6
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+        "weight": pa.array(w6, pa.float64()),
+        "full_epochs": pa.array(np.floor(w6).astype(np.int64), pa.int64()),
+    })

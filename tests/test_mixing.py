@@ -84,3 +84,49 @@ def test_partition_independent_and_sharded():
         by_doc.setdefault(did, set()).add(s)
     multi = [v for v in by_doc.values() if len(v) > 1]
     assert len(multi) > 100  # overwhelmingly decorrelated across epochs
+
+
+class TestUnimaxPlan:
+    def test_plan_matches_duckdb_and_executes(self, ray_session):
+        import duckdb
+
+        from insurance_pdf_extractor_ray.pipelines.mixing import (
+            mixture_interleave,
+            unimax_plan,
+        )
+
+        t = pa.table({
+            "id": pa.array(list(range(1300)), pa.int64()),
+            "src": pa.array(["big"] * 1000 + ["mid"] * 250 + ["tiny"] * 50,
+                            pa.string()),
+        })
+        plan = unimax_plan(ray.data.from_arrow(t), "src", tau=2.0,
+                           max_epochs=4.0)
+        got = sorted(zip(plan.column("source").to_pylist(),
+                         plan.column("n").to_pylist(),
+                         plan.column("weight").to_pylist(),
+                         plan.column("full_epochs").to_pylist()))
+        con = duckdb.connect()
+        con.register("t", t)
+        want = sorted(tuple(r) for r in con.execute("""
+            WITH c AS (SELECT src AS source, count(*) AS n FROM t GROUP BY 1),
+            s AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c)
+            SELECT source, n,
+                   round(least(total * pow(n, 0.5) / z / n, 4.0), 6)
+                     AS weight,
+                   CAST(floor(round(least(total * pow(n, 0.5) / z / n, 4.0),
+                                    6)) AS BIGINT) AS full_epochs
+            FROM c, s
+        """).fetchall())
+        assert got == want
+        weights = dict(zip(plan.column("source").to_pylist(),
+                           plan.column("weight").to_pylist()))
+        # temperature flattens: tiny up-weighted above 1, big below 1
+        assert weights["tiny"] > 1.0 > weights["big"]
+        # executing the plan lands within 2% of the budget per source
+        out = mixture_interleave(ray.data.from_arrow(t), "src", "id",
+                                 weights, seed=3)
+        import collections
+        kept = collections.Counter(r["src"] for r in out.take_all())
+        for s, n0 in (("big", 1000), ("mid", 250), ("tiny", 50)):
+            assert abs(kept[s] - weights[s] * n0) <= max(0.02 * n0 * weights[s], 6)
