@@ -3399,6 +3399,55 @@ def _q_q3_unshipped_topk(sf_dir: str):
     })
 
 
+def _q_count_min_users(sf_dir: str):
+    """Count-Min sketch frequency estimates (pipelines/sketches.py:
+    count_min_table) — integer counter merges commute, so the sketch is
+    layout-deterministic and the oracle re-derives it EXACTLY in SQL."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.pipelines.sketches import (
+        count_min_estimate, count_min_table)
+
+    ds = _events(sf_dir, ["user_id"])
+    cm = count_min_table(ds, "user_id", width=512, depth=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        k = batch.column("user_id").to_numpy(zero_copy_only=False)
+        k = k[k < 60]
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "_n": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("_n", alias_name="exact"))
+            ).take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    users = np.array([r["user_id"] for r in rows], np.int64)
+    est = count_min_estimate(cm, users, width=512, depth=4)
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "est": pa.array(est, pa.int64()),
+        "exact": pa.array([r["exact"] for r in rows], pa.int64()),
+    })
+
+
+def _q_bigram_logprob(sf_dir: str):
+    """Corpus-bigram LM score per doc, Laplace-smoothed, micro-nat-quantized
+    before reduction (pipelines/tfidf.py:bigram_logprob)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import bigram_logprob
+
+    out = bigram_logprob(_documents(sf_dir, ["doc_id", "text"]),
+                         "text", "doc_id")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_bigrams": pa.array([r["n_bigrams"] for r in rows], pa.int64()),
+        "bigram_lp_micro": pa.array(
+            [r["bigram_lp_micro"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -3547,6 +3596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_values": _q_cume_dist,
         "q5_region_revenue": _q_q5_region_revenue,
         "q3_unshipped_topk": _q_q3_unshipped_topk,
+        "count_min_users": _q_count_min_users,
+        "bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -5195,5 +5246,55 @@ def oracle_sql() -> dict[str, str]:
               (3, 66, 0.274938), (4, 63, 0.269473), (5, 63, 0.274249),
               (6, 66, 0.273279), (7, 59, 0.274369)
             ) AS t(cluster_id, size, centroid_norm)
+        """,
+        # Count-Min counters are integer sums (commutative), so the sketch
+        # is layout-deterministic and fully re-derivable in SQL: bucket the
+        # whole stream with the same hash family, then est = min over rows.
+        "count_min_users": """
+            WITH params(i, a, b) AS (VALUES
+              (0, 1103515245, 12345), (1, 1664525, 1013904223),
+              (2, 69069, 362437), (3, 22695477, 133331)),
+            slots AS (
+              SELECT p.i AS i,
+                     ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647)
+                       % 512 AS bucket,
+                     COUNT(*) AS c
+              FROM events e CROSS JOIN params p GROUP BY 1, 2),
+            qk AS (SELECT user_id, COUNT(*) AS exact FROM events
+                   WHERE user_id < 60 GROUP BY 1),
+            qs AS (
+              SELECT q.user_id, p.i,
+                     ((p.a * (q.user_id % 2147483647) + p.b) % 2147483647)
+                       % 512 AS bucket
+              FROM qk q CROSS JOIN params p),
+            est AS (
+              SELECT qs.user_id, MIN(s.c) AS est
+              FROM qs JOIN slots s ON s.i = qs.i AND s.bucket = qs.bucket
+              GROUP BY 1)
+            SELECT q.user_id, CAST(e.est AS BIGINT) AS est,
+                   CAST(q.exact AS BIGINT) AS exact
+            FROM qk q JOIN est e USING (user_id) ORDER BY user_id
+        """,
+        "bigram_logprob": """
+            WITH w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                       FROM documents),
+            tok AS (SELECT unnest(ws) AS token FROM w),
+            v AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+            b AS (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+            cb AS (SELECT bigram, COUNT(*) AS c FROM b GROUP BY 1),
+            ctx AS (SELECT string_split(bigram, ' ')[1] AS tok1,
+                           SUM(c) AS cc FROM cb GROUP BY 1),
+            mu AS (SELECT cb.bigram,
+                     CAST(-floor(-(ln((cb.c + 1.0) / (ctx.cc + v.v))
+                                  * 1000000) + 0.5) AS BIGINT) AS mu
+                   FROM cb, ctx, v
+                   WHERE string_split(cb.bigram, ' ')[1] = ctx.tok1)
+            SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(mu.mu) AS BIGINT) AS bigram_lp_micro
+            FROM b JOIN mu USING (bigram)
+            GROUP BY 1 ORDER BY doc_id
         """,
     }

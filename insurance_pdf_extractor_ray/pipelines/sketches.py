@@ -581,3 +581,85 @@ def quantiles_global(
             lo, hi = os_[k0], os_[k1]
             out.append(lo + (a - k0) * (hi - lo))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — approximate frequency of
+# EVERY key in one streaming pass, with a one-sided error guarantee:
+# exact <= est <= exact + (e/width) * N with probability 1 - e^-depth.
+#
+# Scale shape: per block, each row hashes into `depth` buckets; the block
+# emits its non-zero (slot, count) partials (<= depth*width rows however big
+# the block), then ONE keyed combine sums slots.  Counter updates are
+# integer additions — commutative and associative — so the merged matrix is
+# partition-, retry- and layout-independent: the sketch (and every estimate
+# read from it) is DETERMINISTIC for a given input multiset, which is what
+# lets the SQL oracle re-derive it exactly (no "approximately equal" oracle).
+#
+# Hash family: h_i(k) = ((a_i*(k mod p) + b_i) mod p) mod width with
+# p = 2^31 - 1 (Mersenne).  a_i*(k mod p) < 2^62 fits int64 exactly, and the
+# same expression is plain BIGINT arithmetic in SQL.
+# ---------------------------------------------------------------------------
+
+_CM_P = 2147483647  # 2^31 - 1
+_CM_PARAMS: List[Tuple[int, int]] = [
+    (1103515245, 12345),
+    (1664525, 1013904223),
+    (69069, 362437),
+    (22695477, 133331),
+]
+
+
+def _cm_slots(keys: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) int64 slot ids, row i offset by i*width."""
+    km = (keys.astype(np.int64) % _CM_P)
+    out = np.empty((depth, len(km)), dtype=np.int64)
+    for i, (a, b) in enumerate(_CM_PARAMS[:depth]):
+        out[i] = ((a * km + b) % _CM_P) % width + i * width
+    return out
+
+
+def count_min_table(
+    ds: ray.data.Dataset,
+    key: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> pa.Table:
+    """Build the merged Count-Min matrix for an integer key column.
+
+    Returns the bounded sparse form: (slot, c) with slot = i*width + bucket,
+    only non-zero slots, <= depth*width rows total however many input rows.
+    """
+    if depth > len(_CM_PARAMS):
+        raise ValueError(f"depth <= {len(_CM_PARAMS)}")
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        slots = _cm_slots(k, width, depth).ravel()
+        uniq, cnt = np.unique(slots, return_counts=True)
+        return pa.table({"slot": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    merged = (ds.select_columns([key])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("slot").aggregate(Sum("c", alias_name="c")))
+    rows = merged.take_all()  # bounded: <= depth*width rows
+    rows.sort(key=lambda r: r["slot"])
+    return pa.table({
+        "slot": pa.array([r["slot"] for r in rows], pa.int64()),
+        "c": pa.array([r["c"] for r in rows], pa.int64()),
+    })
+
+
+def count_min_estimate(
+    cm: pa.Table,
+    keys: np.ndarray,
+    width: int = 2048,
+    depth: int = 4,
+) -> np.ndarray:
+    """Point-query the sketch: est(k) = min_i M[i, h_i(k)] (int64 array)."""
+    dense = np.zeros(depth * width, dtype=np.int64)
+    dense[cm.column("slot").to_numpy()] = cm.column("c").to_numpy()
+    slots = _cm_slots(np.asarray(keys, dtype=np.int64), width, depth)
+    return dense[slots].min(axis=0)

@@ -697,3 +697,159 @@ def ngram_counts(
               .groupby("ngram")
               .aggregate(Sum("_n", alias_name="n")))
     return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def _explode_bigrams(col) -> tuple:
+    """(per-doc bigram counts int64, flat 'w1 w2' pa.Array) — vectorized
+    within-document token-window join (same kernel as ngram_counts n=2)."""
+    lens, flat = _explode_tokens(col)
+    n_bi = np.maximum(lens - 1, 0)
+    m = len(flat) - 1
+    if m <= 0:
+        return n_bi, pa.array([], pa.string())
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    same = doc_of[:m] == doc_of[1:]
+    grams = pc.binary_join_element_wise(flat.slice(0, m), flat.slice(1, m), " ")
+    return n_bi, grams.filter(pa.array(same))
+
+
+def bigram_logprob(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    vocab_broadcast_max: int = BROADCAST_VOCAB_MAX,
+) -> ray.data.Dataset:
+    """Corpus-bigram LM quality score per doc — one rung up the
+    perplexity-filter ladder from :func:`unigram_logprob`.
+
+    Per doc: ``Σ_i ln((c(w_{i-1} w_i) + 1) / (ctx(w_{i-1}) + V))`` with
+    add-one (Laplace) smoothing, where ``c`` is the corpus bigram count,
+    ``ctx(w)`` the number of corpus bigrams starting with ``w`` and ``V``
+    the distinct-unigram vocabulary size.  Each distinct bigram's log term
+    is quantized to integer micro-nats BEFORE the reduction (same
+    reduction-order-proof trick as unigram_logprob), so the per-doc sum is
+    engine/SQL hash-exact.  Docs with < 2 tokens are excluded (mirrors SQL
+    GROUP BY over the bigram explode).
+
+    Output: ``(id, n_bigrams, bigram_lp_micro)``.
+
+    Scale shape: bigram counting pre-reduces to per-batch DISTINCT-bigram
+    counts before its only (bigram-vocabulary-sized) shuffle; context
+    counts derive from the bounded bigram table (one vocab-sized combine);
+    scoring is one fused zero-shuffle pass (explode, dictionary-encode, one
+    dict probe per UNIQUE bigram, segmented int64 sums).  Above
+    ``vocab_broadcast_max`` distinct bigrams the micro map cannot
+    broadcast; the fallback pays the honest per-doc-bigram-tf ⋈ counts
+    join + doc-keyed combine.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def bigram_count_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _explode_bigrams(batch.column(text_col))
+        g = pa.table({"bigram": grams}).group_by("bigram").aggregate(
+            [([], "count_all")])
+        return pa.table({"bigram": g.column("bigram"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    cb = (ds.select_columns([text_col])
+          .map_batches(bigram_count_partial, batch_format="pyarrow")
+          .groupby("bigram").aggregate(_Sum("_n", alias_name="c"))
+          ).materialize()
+
+    # V: distinct unigram vocabulary (bounded count, no token stream shuffle)
+    v_vocab = (ds.select_columns([text_col])
+               .map_batches(_token_count_partial(text_col),
+                            batch_format="pyarrow")
+               .groupby("token").aggregate(_Sum("_n", alias_name="c"))
+               ).count()
+
+    def first_tok(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.list_element(pc.split_pattern(col, " "), 0)
+
+    n_bigram_vocab = cb.count()
+    if n_bigram_vocab > vocab_broadcast_max:
+        # honest fallback: context table + two hash joins + doc-keyed combine
+        from .dedup import _join_partitions
+
+        def add_first(batch: pa.Table) -> pa.Table:
+            return batch.append_column("_ctx_tok", first_tok(
+                pa.chunked_array([batch.column("bigram")])))
+
+        cbf = cb.map_batches(add_first, batch_format="pyarrow")
+        ctx = cbf.groupby("_ctx_tok").aggregate(_Sum("c", alias_name="cc"))
+
+        def doc_bigram_tf(batch: pa.Table) -> pa.Table:
+            n_bi, grams = _explode_bigrams(batch.column(text_col))
+            ids = batch.column(id_col).take(
+                pa.array(np.repeat(np.arange(len(n_bi)), n_bi)))
+            t = pa.table({id_col: ids, "bigram": grams})
+            g = t.group_by([id_col, "bigram"]).aggregate([([], "count_all")])
+            return pa.table({id_col: g.column(id_col),
+                             "bigram": g.column("bigram"),
+                             "tf": g.column("count_all").cast(pa.int64())})
+
+        tf = ds.select_columns([id_col, text_col]).map_batches(
+            doc_bigram_tf, batch_format="pyarrow")
+        j = tf.join(cbf, join_type="inner", on=("bigram",),
+                    num_partitions=_join_partitions())
+        j = j.join(ctx, join_type="inner", on=("_ctx_tok",),
+                   num_partitions=_join_partitions())
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            cc = batch.column("cc").to_numpy(zero_copy_only=False)
+            tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+            x = np.log((c + 1.0) / (cc + float(v_vocab))) * 1e6
+            mu = (-np.floor(-x + 0.5)).astype(np.int64)
+            return pa.table({id_col: batch.column(id_col),
+                             "n_bigrams": pa.array(tfv.astype(np.int64)),
+                             "_lp": pa.array(mu * tfv, pa.int64())})
+
+        return (j.map_batches(score_joined, batch_format="pyarrow")
+                .groupby(id_col).aggregate(
+                    _Sum("n_bigrams", alias_name="n_bigrams"),
+                    _Sum("_lp", alias_name="bigram_lp_micro")))
+
+    # broadcast path: bigram -> micro-nat map, built from the bounded table
+    grams_all, cs = [], []
+    for t in (ray.get(r) for r in cb.to_arrow_refs()):
+        if t.num_rows:
+            grams_all.append(t.column("bigram").combine_chunks())
+            cs.append(t.column("c").to_numpy(zero_copy_only=False))
+    if grams_all:
+        flat_grams = pa.concat_arrays(
+            [g if isinstance(g, pa.Array) else g.combine_chunks()
+             for g in grams_all])
+        c_arr = np.concatenate(cs).astype(np.float64)
+        firsts = pc.list_element(
+            pc.split_pattern(flat_grams, " "), 0)
+        # context counts: segment-sum c by first token (vectorized)
+        enc = firsts.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cc_per_first = np.zeros(len(enc.dictionary), np.float64)
+        np.add.at(cc_per_first, idx, c_arr)
+        x = np.log((c_arr + 1.0) / (cc_per_first[idx] + float(v_vocab))) * 1e6
+        mu = (-np.floor(-x + 0.5)).astype(np.int64)
+        lk = dict(zip(flat_grams.to_pylist(), mu.tolist()))
+    else:
+        lk = {}
+    ref = ray.put(lk)
+
+    def score(batch: pa.Table, mu_ref) -> pa.Table:
+        lkd = ray.get(mu_ref)
+        n_bi, grams = _explode_bigrams(batch.column(text_col))
+        m = _dict_lookup_int64(grams, lkd)
+        csum = np.concatenate(([0], np.cumsum(m)))
+        ends = np.cumsum(n_bi)
+        keep = n_bi > 0
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_bigrams": pa.array(n_bi[keep], pa.int64()),
+            "bigram_lp_micro": pa.array(
+                (csum[ends] - csum[ends - n_bi])[keep], pa.int64()),
+        })
+
+    import functools
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(score, mu_ref=ref), batch_format="pyarrow")

@@ -14,7 +14,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _cli(*args, timeout=300):
+def _cli(*args, timeout=600):
     proc = subprocess.run(
         [sys.executable, "-m", "insurance_pdf_extractor_ray.cli", *args],
         capture_output=True, text=True, timeout=timeout,

@@ -204,3 +204,67 @@ class TestOrderStatistics:
             w = con.execute(
                 f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
             assert g == w, (q, g, w)
+
+
+class TestCountMin:
+    def test_overestimate_only_and_layout_independence(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import (
+            count_min_estimate, count_min_table)
+
+        rng = np.random.RandomState(3)
+        keys = rng.zipf(1.4, 60_000).astype(np.int64)
+        tbl = pa.table({"k": pa.array(keys, pa.int64())})
+        cm7 = count_min_table(ray.data.from_arrow(tbl).repartition(7), "k",
+                              width=256, depth=4)
+        cm2 = count_min_table(ray.data.from_arrow(tbl).repartition(2), "k",
+                              width=256, depth=4)
+        assert cm7.equals(cm2)  # integer sums commute -> layout-independent
+        q = np.unique(keys)[:200]
+        est = count_min_estimate(cm7, q, width=256, depth=4)
+        exact = np.array([(keys == k).sum() for k in q], np.int64)
+        assert (est >= exact).all()  # one-sided error
+        # e/width guarantee: err <= (e/w)*N w.h.p.; allow the full bound
+        assert (est - exact).max() <= np.e / 256 * len(keys) * 3
+
+    def test_wide_sketch_is_exact_for_sparse_keys(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import (
+            count_min_estimate, count_min_table)
+
+        keys = np.repeat(np.arange(20, dtype=np.int64), [i + 1 for i in range(20)])
+        tbl = pa.table({"k": pa.array(keys, pa.int64())})
+        cm = count_min_table(ray.data.from_arrow(tbl), "k",
+                             width=4096, depth=4)
+        est = count_min_estimate(cm, np.arange(20), width=4096, depth=4)
+        assert est.tolist() == [i + 1 for i in range(20)]
+
+    def test_matches_sql_rederivation(self):
+        from insurance_pdf_extractor_ray.pipelines.sketches import (
+            _CM_P, _CM_PARAMS, count_min_estimate, count_min_table)
+
+        rng = np.random.RandomState(4)
+        keys = rng.randint(0, 500, 30_000).astype(np.int64)
+        tbl = pa.table({"k": pa.array(keys, pa.int64())})
+        w, d = 128, 3
+        cm = count_min_table(ray.data.from_arrow(tbl).repartition(5), "k",
+                             width=w, depth=d)
+        q = np.arange(40, dtype=np.int64)
+        est = count_min_estimate(cm, q, width=w, depth=d)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        params = ", ".join(f"({i}, {a}, {b})"
+                           for i, (a, b) in enumerate(_CM_PARAMS[:d]))
+        got = con.execute(f"""
+            WITH params(i, a, b) AS (VALUES {params}),
+            slots AS (SELECT p.i, ((p.a * (t.k % {_CM_P}) + p.b) % {_CM_P})
+                             % {w} AS bucket, COUNT(*) AS c
+                      FROM t CROSS JOIN params p GROUP BY 1, 2),
+            qs AS (SELECT q.v AS k, p.i,
+                          ((p.a * (q.v % {_CM_P}) + p.b) % {_CM_P}) % {w}
+                            AS bucket
+                   FROM (SELECT unnest(range(40)) AS v) q
+                   CROSS JOIN params p)
+            SELECT qs.k, MIN(s.c) FROM qs
+            JOIN slots s ON s.i = qs.i AND s.bucket = qs.bucket
+            GROUP BY 1 ORDER BY 1
+        """).fetchall()
+        assert [int(v) for _, v in got] == est.tolist()

@@ -369,3 +369,66 @@ class TestDsir:
             ray.data.from_arrow(self.TARGET).repartition(2),
             "text", "doc_id", n_buckets=1 << 14)
         assert {r["doc_id"]: r["dsir_micro"] for r in out2.take_all()} == w
+
+
+class TestBigramLogprob:
+    SQL = """
+        WITH w AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                   FROM t),
+        tok AS (SELECT unnest(ws) AS token FROM w),
+        v AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+        b AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+        cb AS (SELECT bigram, COUNT(*) AS c FROM b GROUP BY 1),
+        ctx AS (SELECT string_split(bigram, ' ')[1] AS tok1, SUM(c) AS cc
+                FROM cb GROUP BY 1),
+        mu AS (SELECT cb.bigram,
+                 CAST(-floor(-(ln((cb.c + 1.0) / (ctx.cc + v.v))
+                              * 1000000) + 0.5) AS BIGINT) AS mu
+               FROM cb, ctx, v
+               WHERE string_split(cb.bigram, ' ')[1] = ctx.tok1)
+        SELECT b.doc_id, COUNT(*) AS n, CAST(SUM(mu.mu) AS BIGINT) AS lp
+        FROM b JOIN mu USING (bigram) GROUP BY 1 ORDER BY 1
+    """
+
+    def _want(self, tbl):
+        con = duckdb.connect()
+        con.register("t", tbl)
+        return con.execute(self.SQL).fetchall()
+
+    def _got(self, tbl, **kw):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import bigram_logprob
+
+        rows = bigram_logprob(ray.data.from_arrow(tbl).repartition(3),
+                              "text", "doc_id", **kw).take_all()
+        rows.sort(key=lambda r: r["doc_id"])
+        return [(r["doc_id"], r["n_bigrams"], r["bigram_lp_micro"])
+                for r in rows]
+
+    def test_matches_sql_and_drops_short_docs(self):
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "the cat sat on the mat the cat ran",
+                "a dog chased the cat across the yard the dog won",
+                "one",  # single token: no bigrams -> excluded
+                "",     # empty -> excluded
+                "numbers 42 and 42 and 7 repeat 42",
+            ], pa.string()),
+        })
+        got = self._got(tbl)
+        assert got == self._want(tbl)
+        assert [d for d, _, _ in got] == [0, 1, 4]
+
+    def test_join_path_matches_broadcast_path(self):
+        rng = np.random.RandomState(7)
+        words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+        texts = [" ".join(rng.choice(words, rng.randint(2, 12)))
+                 for _ in range(120)]
+        tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        broad = self._got(tbl)
+        joined = self._got(tbl, vocab_broadcast_max=0)
+        assert broad == joined == self._want(tbl)
