@@ -3448,6 +3448,91 @@ def _q_bigram_logprob(sf_dir: str):
     })
 
 
+def _q_readability(sf_dir: str):
+    """Flesch-style readability micro-points per doc — three vectorized RE2
+    counting kernels, zero shuffles (pipelines/textpipe.py:readability)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import readability
+
+    out = readability(_documents(sf_dir, ["doc_id", "text"]),
+                      "text", "doc_id")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+        "n_sentences": pa.array([r["n_sentences"] for r in rows], pa.int64()),
+        "n_syllables": pa.array([r["n_syllables"] for r in rows], pa.int64()),
+        "fre_micro": pa.array([r["fre_micro"] for r in rows], pa.int64()),
+    })
+
+
+def _q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution Shannon entropy (junk detector) —
+    one utf-32 reinterpret + lexsort run-lengths per batch, zero shuffles
+    (pipelines/textpipe.py:char_entropy)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import char_entropy
+
+    out = char_entropy(_documents(sf_dir, ["doc_id", "text"]),
+                       "text", "doc_id")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    tbl = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_chars_h": pa.array([r["n_chars_h"] for r in rows], pa.int64()),
+        "char_entropy": pa.array(
+            [r["char_entropy"] for r in rows], pa.float64()),
+    })
+    return _round_col(tbl, "char_entropy", 6)
+
+
+def _q_user_event_entropy(sf_dir: str):
+    """Per-user event-mix Shannon entropy — map-side (key,cat) pre-counts,
+    ONE keyed shuffle of bounded count rows
+    (pipelines/statagg.py:entropy_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import entropy_by_key
+
+    out = entropy_by_key(_events(sf_dir, ["user_id", "event_type"]),
+                         "user_id", "event_type")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    tbl = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "entropy": pa.array([r["entropy"] for r in rows], pa.float64()),
+        "n_cats": pa.array([r["n_cats"] for r in rows], pa.int64()),
+    })
+    return _round_col(tbl, "entropy", 6)
+
+
+def _q_interarrival(sf_dir: str):
+    """Per-user inter-event gap statistics — sorted-multiset adjacent
+    differences are tie-order invariant, so the per-key sort needs no
+    tiebreak; one keyed shuffle, integer-microsecond exact."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = np.sort(ts)
+        gaps = np.diff(ts)
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "span_us": pa.array([int(ts[-1] - ts[0])], pa.int64()),
+            "max_gap_us": pa.array(
+                [int(gaps.max()) if len(gaps) else None], pa.int64()),
+        })
+
+    out = (_events(sf_dir, ["user_id", "ts"])
+           .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        "span_us": pa.array([r["span_us"] for r in rows], pa.int64()),
+        "max_gap_us": pa.array([r["max_gap_us"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -3598,6 +3683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_unshipped_topk": _q_q3_unshipped_topk,
         "count_min_users": _q_count_min_users,
         "bigram_logprob": _q_bigram_logprob,
+        "readability_docs": _q_readability,
+        "char_entropy_docs": _q_char_entropy,
+        "user_event_entropy": _q_user_event_entropy,
+        "interarrival_by_user": _q_interarrival,
     }
 
 
@@ -5296,5 +5385,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(mu.mu) AS BIGINT) AS bigram_lp_micro
             FROM b JOIN mu USING (bigram)
             GROUP BY 1 ORDER BY doc_id
+        """,
+        "readability_docs": """
+            SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+              greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS n_sentences,
+              len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS n_syllables,
+              CAST(-floor(-((206.835 - 1.015*(n_words*1.0/n_sentences)
+                             - 84.6*(n_syllables*1.0/n_words))*1000000)
+                          + 0.5) AS BIGINT) AS fre_micro
+            FROM documents
+            WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+            ORDER BY doc_id
+        """,
+        "char_entropy_docs": """
+            WITH c AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(text, '')) AS ch
+                       FROM documents WHERE text <> '')
+            SELECT doc_id, COUNT(*) AS n_chars_h,
+                   round(entropy(ch), 6) AS char_entropy
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "user_event_entropy": """
+            SELECT user_id, round(entropy(event_type), 6) AS entropy,
+                   COUNT(DISTINCT event_type) AS n_cats
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "interarrival_by_user": """
+            WITH g AS (SELECT user_id, ts,
+                         epoch_us(ts) - epoch_us(
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                           AS gap
+                       FROM events)
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                     AS span_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY 1 ORDER BY 1
         """,
     }

@@ -498,3 +498,51 @@ def skew_kurt_by_key(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped Shannon entropy over a bounded category column
+# ---------------------------------------------------------------------------
+
+def entropy_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    cat: str,
+    out_col: str = "entropy",
+) -> ray.data.Dataset:
+    """``SELECT key, entropy(cat) GROUP BY key`` — Shannon entropy (base 2)
+    of the category distribution within each key, matching DuckDB's
+    ``entropy`` aggregate: ``-Σ (c/n)·log2(c/n)`` over category counts.
+
+    A behavioral-diversity / distribution-health signal (e.g. how varied a
+    user's event mix is, how language-mixed a crawl source is).
+
+    Scale shape: per-batch Arrow ``group_by`` pre-reduces to (key, cat)
+    counts, so the ONE keyed shuffle carries ≤ keys × cats × blocks count
+    rows regardless of input size; the finishing per-key sum runs over the
+    bounded (key, cat) table.  Interior float sums run in sorted category
+    order — layout-independent output.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([key, cat]).aggregate([([], "count_all")])
+        return pa.table({key: t.column(key), cat: t.column(cat),
+                         "_n": t.column("count_all").cast(pa.int64())})
+
+    counts = (ds.select_columns([key, cat])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([key, cat]).aggregate(Sum("_n", alias_name="_n")))
+
+    def per_key(group: pa.Table) -> pa.Table:
+        # deterministic reduction order: sort by category first
+        group = group.take(pc.sort_indices(
+            group, sort_keys=[(cat, "ascending")]))
+        c = group.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = c.sum()
+        p = c / n
+        h = float(-(p * np.log2(p)).sum()) if n > 0 else 0.0
+        return pa.table({key: group.column(key).slice(0, 1),
+                         out_col: pa.array([h], pa.float64()),
+                         "n_cats": pa.array([group.num_rows], pa.int64())})
+
+    return counts.groupby(key).map_groups(per_key, batch_format="pyarrow")

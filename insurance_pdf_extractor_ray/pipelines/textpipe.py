@@ -240,3 +240,104 @@ def nfc_normalize(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         norm, batch_format="pyarrow")
+
+
+def readability(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Flesch-reading-ease-style readability signal per document — a cheap
+    fluency/quality gate for crawl filtering (alongside the Gopher gates):
+    pages of keyword-stuffed fragments or run-on machine text score far
+    outside the human band.
+
+    Definitions (chosen to be regex-derivable so the SQL oracle re-derives
+    them EXACTLY):
+
+    * words      = matches of ``[a-z0-9]+`` over ``lower(text)``
+    * sentences  = matches of ``[.!?]+`` (clamped to ≥ 1)
+    * syllables  = matches of ``[aeiouy]+`` over ``lower(text)`` (vowel
+      groups only occur inside word tokens, so this equals the per-word
+      vowel-group sum; no min-1-per-word correction — documented deviation
+      from classic Flesch)
+    * ``fre = 206.835 - 1.015·(W/S) - 84.6·(Syl/W)``, emitted as
+      half-rounded integer micro-points (``fre_micro``) — the per-row
+      float expression is deterministic, the quantization makes it
+      hash-exact vs SQL.  Docs with 0 words are excluded.
+
+    Zero shuffles: three vectorized RE2 counting kernels per batch
+    (``pc.count_substring_regex``), no Python over rows.
+    """
+
+    def signals(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column(text_col))
+        w = pc.count_substring_regex(lower, "[a-z0-9]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(batch.column(text_col), "[.!?]+"
+                                     ).to_numpy(zero_copy_only=False)
+        s = np.maximum(s, 1).astype(np.float64)
+        syl = pc.count_substring_regex(lower, "[aeiouy]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = w > 0
+        ws = np.where(keep, w, 1.0)
+        fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / ws)
+        x = fre * 1e6
+        mu = (-np.floor(-x + 0.5)).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_words": pa.array(w[keep].astype(np.int64), pa.int64()),
+            "n_sentences": pa.array(s[keep].astype(np.int64), pa.int64()),
+            "n_syllables": pa.array(syl[keep].astype(np.int64), pa.int64()),
+            "fre_micro": pa.array(mu[keep], pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        signals, batch_format="pyarrow")
+
+
+def char_entropy(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document Shannon entropy (base 2) of the CHARACTER distribution —
+    a classic junk detector: base64 blobs / minified JS sit high, repeated
+    padding and single-char spam sit near zero, natural language clusters in
+    a tight band.  Matches DuckDB's ``entropy`` aggregate over the exploded
+    characters (the oracle twin).
+
+    Zero shuffles; per-row signal.  Vectorized interior: the whole batch's
+    codepoints come from ONE ``utf-32-le`` reinterpret (no per-char Python),
+    per-doc run-lengths from one lexsort over (doc, codepoint), and the
+    entropy sum runs in sorted-codepoint order — layout-independent.
+    Empty docs are excluded (SQL GROUP BY over the char explode).
+    """
+
+    def signals(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        lens = np.array([len(t) if t else 0 for t in texts], np.int64)
+        cps = np.frombuffer(
+            "".join(t for t in texts if t).encode("utf-32-le"), np.uint32
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((cps, doc_of))
+        cs, ds_ = cps[order], doc_of[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = (cs[1:] != cs[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(cs))).astype(np.float64)
+        docs_r = ds_[starts]
+        p = runs / lens[docs_r]
+        term = -(p * np.log2(p))
+        h = np.zeros(len(lens), np.float64)
+        np.add.at(h, docs_r, term)
+        keep = lens > 0
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_chars_h": pa.array(lens[keep], pa.int64()),
+            "char_entropy": pa.array(h[keep], pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        signals, batch_format="pyarrow")
