@@ -3533,6 +3533,32 @@ def _q_interarrival(sf_dir: str):
     })
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed dim×dim covariance — int64-quantized co-moment partials
+    (exact float32 products), ONE (i,j)-keyed combine of d(d+1)/2-row
+    partials; float col derives from the same integers both sides
+    (pipelines/similarity.py:covariance_matrix)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        covariance_matrix)
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    return covariance_matrix(emb, "embedding")
+
+
+def _q_lang_drift(sf_dir: str):
+    """Per-source language-distribution drift (KL bits + chi²) vs the corpus
+    marginal — one keyed shuffle of bounded (key,cat) pre-counts
+    (pipelines/profile.py:drift_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.profile import drift_by_key
+
+    out = drift_by_key(_documents(sf_dir, ["source", "lang"]),
+                       "source", "lang")
+    return _round_col(_round_col(out, "kl_bits", 6), "chi2", 6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -3687,6 +3713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": _q_char_entropy,
         "user_event_entropy": _q_user_event_entropy,
         "interarrival_by_user": _q_interarrival,
+        "embedding_covariance": _q_embedding_covariance,
+        "lang_drift_by_source": _q_lang_drift,
     }
 
 
@@ -5424,5 +5452,50 @@ def oracle_sql() -> dict[str, str]:
                      AS span_us,
                    CAST(MAX(gap) AS BIGINT) AS max_gap_us
             FROM g GROUP BY 1 ORDER BY 1
+        """,
+        # Every x_i*x_j product of float32 values is exact in float64, and
+        # each product is half-rounded to integer micro-units BEFORE the
+        # reduction — so the co-moment sums are order-independent int64 and
+        # the covariance column derives from the same integers with the
+        # same float expression on both sides (bit-exact, no rounding).
+        "embedding_covariance": """
+            WITH e AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         unnest(embedding) AS v
+                       FROM embeddings),
+            p AS (SELECT e1.i AS i, e2.i AS j,
+                    SUM(CAST(-floor(-((CAST(e1.v AS DOUBLE)
+                                       * CAST(e2.v AS DOUBLE)) * 1000000)
+                                    + 0.5) AS BIGINT)) AS s_xy,
+                    SUM(CAST(-floor(-(CAST(e1.v AS DOUBLE) * 1000000)
+                                    + 0.5) AS BIGINT)) AS s_x,
+                    SUM(CAST(-floor(-(CAST(e2.v AS DOUBLE) * 1000000)
+                                    + 0.5) AS BIGINT)) AS s_y,
+                    COUNT(*) AS n
+                  FROM e e1 JOIN e e2
+                    ON e1.vec_id = e2.vec_id AND e1.i <= e2.i
+                  GROUP BY 1, 2)
+            SELECT i, j, n, s_xy AS s_xy_micro,
+                   (s_xy/1000000.0 - (s_x/1000000.0)*(s_y/1000000.0)/n)
+                     / (n - 1.0) AS cov
+            FROM p ORDER BY i, j
+        """,
+        "lang_drift_by_source": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            g AS (SELECT lang, SUM(n) AS gn FROM c GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM c),
+            k AS (SELECT source, SUM(n) AS kn FROM c GROUP BY 1),
+            grid AS (SELECT k.source, g.lang, k.kn, g.gn,
+                            COALESCE(c.n, 0) AS n
+                     FROM k CROSS JOIN g
+                     LEFT JOIN c ON c.source = k.source AND c.lang = g.lang)
+            SELECT grid.source, CAST(MAX(grid.kn) AS BIGINT) AS n,
+              round(SUM(CASE WHEN grid.n > 0 THEN (grid.n*1.0/grid.kn)
+                       * log2((grid.n*1.0/grid.kn) / (grid.gn*1.0/tot.t))
+                     ELSE 0 END), 6) AS kl_bits,
+              round(SUM(pow(grid.n - grid.kn*grid.gn*1.0/tot.t, 2)
+                        / (grid.kn*grid.gn*1.0/tot.t)), 6) AS chi2
+            FROM grid, tot GROUP BY 1 ORDER BY 1
         """,
     }

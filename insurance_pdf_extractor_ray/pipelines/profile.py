@@ -156,3 +156,69 @@ def quality_audit(
         "violations": pa.array([r["violations"] for r in rows], pa.int64()),
         "total": pa.array([r["total"] for r in rows], pa.int64()),
     })
+
+
+def drift_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    cat: str,
+) -> pa.Table:
+    """Distribution-shift report: per key, how far its category distribution
+    sits from the corpus-wide distribution — KL divergence (base 2, with the
+    key's own support; global probabilities are > 0 on it by construction)
+    and the Pearson chi-squared statistic against expected counts
+    ``n_key · p_global``.
+
+    The drift screen every mixture/crawl pipeline runs per source or per
+    time slice: a source whose language / event mix wanders from the corpus
+    norm gets flagged before it poisons the blend.
+
+    Scale shape: ONE keyed shuffle of map-side (key, cat) pre-counts —
+    bounded by keys × cats × blocks; the global marginal derives from the
+    same bounded table (no second pass over rows).  Finishing math runs on
+    the driver over the keys × cats result (aggregate-small by contract:
+    this operator is for bounded category columns).  Float sums run in
+    sorted (key, cat) order — layout-independent.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([key, cat]).aggregate([([], "count_all")])
+        return pa.table({key: t.column(key), cat: t.column(cat),
+                         "_n": t.column("count_all").cast(pa.int64())})
+
+    counts = (ds.select_columns([key, cat])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([key, cat]).aggregate(Sum("_n", alias_name="_n"))
+              ).take_all()  # bounded: keys x cats rows
+    counts.sort(key=lambda r: (str(r[key]), str(r[cat])))
+    if not counts:
+        return pa.table({key: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "kl_bits": pa.array([], pa.float64()),
+                         "chi2": pa.array([], pa.float64())})
+
+    cats = sorted({r[cat] for r in counts})
+    keys = sorted({r[key] for r in counts})
+    ci = {c: i for i, c in enumerate(cats)}
+    ki = {k: i for i, k in enumerate(keys)}
+    m = np.zeros((len(keys), len(cats)), np.float64)
+    for r in counts:
+        m[ki[r[key]], ci[r[cat]]] = r["_n"]
+    tot = m.sum(axis=0)          # global category counts
+    n_all = tot.sum()
+    q = tot / n_all              # global distribution
+    n_key = m.sum(axis=1)
+    p = m / n_key[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl_terms = np.where(m > 0, p * np.log2(p / q[None, :]), 0.0)
+    kl = kl_terms.sum(axis=1)
+    exp = n_key[:, None] * q[None, :]
+    chi2 = ((m - exp) ** 2 / exp).sum(axis=1)
+    ktype = pa.array(keys).type
+    return pa.table({
+        key: pa.array(keys, ktype),
+        "n": pa.array(n_key.astype(np.int64), pa.int64()),
+        "kl_bits": pa.array(kl, pa.float64()),
+        "chi2": pa.array(chi2, pa.float64()),
+    })

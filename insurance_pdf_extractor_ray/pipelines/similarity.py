@@ -490,3 +490,95 @@ def quantize_embeddings(
     out = vals.map_batches(quant, fn_args=(mn_ref, mx_ref),
                            batch_format="pyarrow")
     return out, mn, mx
+
+
+def covariance_matrix(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+) -> "pa.Table":
+    """Distributed dim×dim sample-covariance of an embedding column — the
+    input to PCA / whitening / feature-correlation screens over a corpus of
+    vectors.
+
+    Determinism contract (the same trick as ``quantize_embeddings`` /
+    ``unigram_logprob``): every per-element product ``x_i·x_j`` (float32 ×
+    float32 is EXACT in float64 — 48 mantissa bits) is half-rounded to
+    integer micro-units BEFORE reduction, so the co-moment sums are int64
+    and commute — partition-, retry- and layout-independent, and exactly
+    re-derivable in SQL.  The covariance column derives from those integers
+    with one fixed float expression mirrored by the oracle.
+
+    Scale shape: one ``map_batches`` pass emits per-batch quantized
+    co-moment partials — d(d+1)/2 rows per batch however many input rows —
+    then ONE keyed combine over the (i, j) grid (d² keys; d ≤ a few
+    thousand by contract).  No row-scale shuffle; driver holds only the
+    d×d result.  Output per (i ≤ j): n, s_xy_micro, s_x_micro, s_y_micro,
+    cov = (s_xy/1e6 − (s_x/1e6)·(s_y/1e6)/n)/(n−1).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch.column(emb_col))  # (B, d) float64 exact
+        b, d = x.shape
+        prod = (x[:, :, None] * x[:, None, :]) * 1e6
+        s_xy = (-np.floor(-prod + 0.5)).astype(np.int64).sum(axis=0)
+        sx = (-np.floor(-(x * 1e6) + 0.5)).astype(np.int64).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "_sxy": pa.array(s_xy[iu, ju], pa.int64()),
+            "_sx": pa.array(sx[iu], pa.int64()),
+            "_sy": pa.array(sx[ju], pa.int64()),
+            "_n": pa.array(np.full(len(iu), b, np.int64), pa.int64()),
+        })
+
+    agg = (ds.select_columns([emb_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["i", "j"])
+           .aggregate(Sum("_sxy", alias_name="s_xy_micro"),
+                      Sum("_sx", alias_name="s_x_micro"),
+                      Sum("_sy", alias_name="s_y_micro"),
+                      Sum("_n", alias_name="n")))
+    rows = agg.take_all()  # d(d+1)/2 rows
+    rows.sort(key=lambda r: (r["i"], r["j"]))
+    i = np.array([r["i"] for r in rows], np.int64)
+    j = np.array([r["j"] for r in rows], np.int64)
+    sxy = np.array([r["s_xy_micro"] for r in rows], np.int64)
+    sx = np.array([r["s_x_micro"] for r in rows], np.int64)
+    sy = np.array([r["s_y_micro"] for r in rows], np.int64)
+    n = np.array([r["n"] for r in rows], np.int64).astype(np.float64)
+    cov = (sxy / 1e6 - (sx / 1e6) * (sy / 1e6) / n) / (n - 1.0)
+    return pa.table({
+        "i": pa.array(i, pa.int64()), "j": pa.array(j, pa.int64()),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+        "s_xy_micro": pa.array(sxy, pa.int64()),
+        "cov": pa.array(cov, pa.float64()),
+    })
+
+
+def pca_top_component(
+    cov_tbl: "pa.Table",
+    dim: int,
+    iters: int = 50,
+) -> np.ndarray:
+    """Leading eigenvector of a ``covariance_matrix`` result by fixed-seed
+    power iteration on the (tiny, driver-resident) d×d matrix — the PCA
+    last mile once the distributed pass has reduced the corpus to d².
+    Deterministic: starts from the all-ones vector, fixed iteration count,
+    sign-canonicalized (largest-|component| entry made positive)."""
+    m = np.zeros((dim, dim), np.float64)
+    i = np.array(cov_tbl.column("i").to_pylist())
+    j = np.array(cov_tbl.column("j").to_pylist())
+    c = np.array(cov_tbl.column("cov").to_pylist())
+    m[i, j] = c
+    m[j, i] = c
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        v = m @ v
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            return v
+        v = v / nv
+    k = int(np.abs(v).argmax())
+    return v if v[k] >= 0 else -v

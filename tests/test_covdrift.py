@@ -1,0 +1,116 @@
+"""Distributed covariance matrix (quantized co-moments), PCA last mile, and
+per-key distribution drift (KL / chi-squared)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.profile import drift_by_key
+from insurance_pdf_extractor_ray.pipelines.similarity import (
+    covariance_matrix, pca_top_component)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _emb_table(n=300, d=6, seed=5):
+    rng = np.random.RandomState(seed)
+    # correlated dims: dim1 = dim0 + noise, dim2 anti-correlated
+    base = rng.randn(n).astype(np.float32)
+    m = rng.randn(n, d).astype(np.float32) * 0.3
+    m[:, 0] = base
+    m[:, 1] = base + m[:, 1]
+    m[:, 2] = -base + m[:, 2]
+    return pa.table({"embedding": pa.array([r for r in m.tolist()],
+                                           pa.list_(pa.float32()))}), m
+
+
+class TestCovarianceMatrix:
+    def test_close_to_np_cov_and_layout_independent(self):
+        tbl, m = _emb_table()
+        cov1 = covariance_matrix(ray.data.from_arrow(tbl).repartition(1))
+        cov5 = covariance_matrix(ray.data.from_arrow(tbl).repartition(5))
+        assert cov1.equals(cov5)  # quantized int sums commute
+        want = np.cov(m.astype(np.float64), rowvar=False)
+        got = np.zeros_like(want)
+        i = np.array(cov1.column("i").to_pylist())
+        j = np.array(cov1.column("j").to_pylist())
+        c = np.array(cov1.column("cov").to_pylist())
+        got[i, j] = c
+        got[j, i] = c
+        # quantization error: per-product |err| <= 0.5e-6, averaged over n
+        assert np.abs(got - want).max() < 5e-6
+
+    def test_signs_of_planted_correlations(self):
+        tbl, _ = _emb_table()
+        cov = covariance_matrix(ray.data.from_arrow(tbl))
+        lk = {(r["i"], r["j"]): r["cov"] for r in cov.to_pylist()}
+        assert lk[(0, 1)] > 0.5     # strongly correlated
+        assert lk[(0, 2)] < -0.5    # anti-correlated
+        assert lk[(0, 0)] > 0
+
+    def test_pca_recovers_planted_direction(self):
+        tbl, m = _emb_table(n=800)
+        cov = covariance_matrix(ray.data.from_arrow(tbl).repartition(3))
+        v = pca_top_component(cov, m.shape[1])
+        w, vecs = np.linalg.eigh(np.cov(m.astype(np.float64), rowvar=False))
+        top = vecs[:, -1]
+        assert abs(abs(float(v @ top)) - 1.0) < 1e-6
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestDriftByKey:
+    def test_uniform_key_has_zero_drift(self):
+        # every key sees the exact global distribution -> KL = chi2 = 0
+        keys, cats = [], []
+        for k in ("a", "b"):
+            for c, cnt in (("x", 6), ("y", 3), ("z", 1)):
+                keys += [k] * cnt
+                cats += [c] * cnt
+        tbl = pa.table({"k": pa.array(keys), "c": pa.array(cats)})
+        out = drift_by_key(ray.data.from_arrow(tbl).repartition(3), "k", "c")
+        for r in out.to_pylist():
+            assert r["kl_bits"] == pytest.approx(0.0, abs=1e-12)
+            assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_matches_duckdb_and_flags_skewed_key(self):
+        rng = np.random.RandomState(9)
+        n = 4000
+        keys = rng.choice(["s0", "s1", "s2"], n).tolist()
+        cats = rng.choice(["en", "de", "fr"], n, p=[.6, .3, .1]).tolist()
+        # planted drifted key: only ever 'fr'
+        keys += ["odd"] * 200
+        cats += ["fr"] * 200
+        tbl = pa.table({"source": pa.array(keys), "lang": pa.array(cats)})
+        out = drift_by_key(ray.data.from_arrow(tbl).repartition(4),
+                           "source", "lang")
+        lk = {r["source"]: r for r in out.to_pylist()}
+        assert lk["odd"]["kl_bits"] > max(
+            lk[k]["kl_bits"] for k in ("s0", "s1", "s2")) + 1.0
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute("""
+            WITH c AS (SELECT source, lang, COUNT(*) AS n FROM t
+                       GROUP BY 1, 2),
+            g AS (SELECT lang, SUM(n) AS gn FROM c GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM c),
+            k AS (SELECT source, SUM(n) AS kn FROM c GROUP BY 1),
+            grid AS (SELECT k.source, g.lang, k.kn, g.gn,
+                            COALESCE(c.n, 0) AS n
+                     FROM k CROSS JOIN g
+                     LEFT JOIN c ON c.source = k.source AND c.lang = g.lang)
+            SELECT grid.source, MAX(grid.kn) AS n,
+              round(SUM(CASE WHEN grid.n > 0 THEN (grid.n*1.0/grid.kn)
+                     * log2((grid.n*1.0/grid.kn) / (grid.gn*1.0/tot.t))
+                     ELSE 0 END), 6) AS kl,
+              round(SUM(pow(grid.n - grid.kn*grid.gn*1.0/tot.t, 2)
+                        / (grid.kn*grid.gn*1.0/tot.t)), 6) AS chi2
+            FROM grid, tot GROUP BY 1 ORDER BY 1
+        """).fetchall()
+        got = sorted(
+            ((r["source"], r["n"],
+              np.floor(r["kl_bits"] * 1e6 + 0.5) / 1e6,
+              np.floor(r["chi2"] * 1e6 + 0.5) / 1e6)
+             for r in out.to_pylist()))
+        assert got == [tuple(r) for r in want]
