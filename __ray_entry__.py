@@ -3559,6 +3559,36 @@ def _q_lang_drift(sf_dir: str):
     return _round_col(_round_col(out, "kl_bits", 6), "chi2", 6)
 
 
+def _q_similarity_triangles(sf_dir: str):
+    """Neighborhood-coherence audit: exact inner-product threshold graph
+    over an id-capped embedding pool (integer-dot quantization — every edge
+    SQL-re-derivable), then distributed triangle counting via the canonical
+    two-join enumeration (pipelines/graph.py:ip_threshold_graph,
+    triangle_stats)."""
+    import math
+
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.graph import (
+        ip_threshold_graph, triangle_stats)
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).filter(expr="vec_id < 400")
+    edges = ip_threshold_graph(emb, "embedding", "vec_id", tau=0.25)
+    rows = triangle_stats(edges).take_all()
+    rows.sort(key=lambda r: r["node"])
+    cc = [r["clustering"] for r in rows]
+    cc = [None if (c is None or math.isnan(c)) else _round_away(c, 6)
+          for c in cc]
+    return pa.table({
+        "node": pa.array([r["node"] for r in rows], pa.int64()),
+        "degree": pa.array([r["degree"] for r in rows], pa.int64()),
+        "triangles": pa.array([r["triangles"] for r in rows], pa.int64()),
+        "clustering": pa.array(cc, pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -3715,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_by_user": _q_interarrival,
         "embedding_covariance": _q_embedding_covariance,
         "lang_drift_by_source": _q_lang_drift,
+        "similarity_triangles": _q_similarity_triangles,
     }
 
 
@@ -5497,5 +5528,35 @@ def oracle_sql() -> dict[str, str]:
               round(SUM(pow(grid.n - grid.kn*grid.gn*1.0/tot.t, 2)
                         / (grid.kn*grid.gn*1.0/tot.t)), 6) AS chi2
             FROM grid, tot GROUP BY 1 ORDER BY 1
+        """,
+        # Edge membership is an INTEGER threshold (per-value fixed-point
+        # quantization then exact int64 dot), so the graph — and every
+        # triangle — is re-derived exactly; no float-threshold flicker.
+        "similarity_triangles": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v, SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS (SELECT u, v FROM s WHERE sim >= 274877906944),
+            deg AS (SELECT node, COUNT(*) AS degree FROM
+                    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY 1),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+            tc AS (SELECT node, COUNT(*) AS triangles FROM
+                   (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1)
+            SELECT deg.node, deg.degree,
+                   COALESCE(tc.triangles, 0) AS triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN round(2.0 * COALESCE(tc.triangles, 0)
+                                   / (deg.degree * (deg.degree - 1.0)), 6)
+                        END AS clustering
+            FROM deg LEFT JOIN tc USING (node) ORDER BY node
         """,
     }

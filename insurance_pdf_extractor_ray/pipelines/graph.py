@@ -94,3 +94,169 @@ def pagerank(
             empty_schema=rank_schema)
 
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# similarity-threshold graph + triangle counting / clustering coefficient
+# ---------------------------------------------------------------------------
+
+Q_SCALE = 1 << 20  # per-value fixed-point scale for the exact similarity
+
+
+def ip_threshold_graph(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    id_col: str,
+    tau: float,
+    max_vertices: int = 4096,
+) -> ray.data.Dataset:
+    """Exact inner-product threshold graph over an embedding column:
+    edge (u < v) iff ``sim_q(u, v) >= round(tau · 2^40)`` where
+    ``sim_q = Σ_i q(x_i)·q(y_i)`` and ``q(x) = half-round(x · 2^20)``.
+
+    Quantizing each VALUE (not each product) makes the similarity an
+    integer DOT PRODUCT — the per-batch kernel is one exact int64 matmul
+    against the broadcast candidate matrix (no B×M×d tensor), and the SQL
+    oracle re-derives every edge exactly (no float threshold flicker).
+    |q| ≤ ~2^20, so a 64-dim dot is ≤ 2^46 — int64-safe up to ~2^23 dims.
+
+    Scale contract: the EXACT all-pairs graph is for id-capped / bounded
+    vertex sets (``max_vertices`` guard) — neighborhood-structure audits,
+    golden sets, eval pools.  For open-corpus near-neighbor graphs compose
+    the LSH/IVF candidate generators (``dedup.embedding_neardup``,
+    ``similarity.knn_ivf``) with this threshold as the verify step.
+    Shape: candidate matrix collected once, ``ray.put`` once, one
+    zero-shuffle ``map_batches`` pass emitting only above-threshold pairs.
+    """
+    import numpy as np
+
+    from .similarity import embedding_matrix
+
+    tau_q = int(round(tau * Q_SCALE * Q_SCALE))
+    small = ds.select_columns([id_col, emb_col]).take_all()
+    if len(small) > max_vertices:
+        raise ValueError(
+            f"exact all-pairs graph capped at {max_vertices} vertices "
+            f"(got {len(small)}); pre-filter ids or use the LSH/IVF "
+            "candidate path")
+    small.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in small], np.int64)
+    mat = np.array([r[emb_col] for r in small], np.float64)
+    qmat = (-np.floor(-(mat * Q_SCALE) + 0.5)).astype(np.int64)
+    ref = ray.put((ids, qmat))
+
+    def edges(batch: pa.Table, broadcast) -> pa.Table:
+        import numpy as _np
+        bids, bq = ray.get(broadcast)
+        x = embedding_matrix(batch.column(emb_col))
+        qx = (-_np.floor(-(x * Q_SCALE) + 0.5)).astype(_np.int64)
+        rid = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sim = qx @ bq.T  # exact int64
+        hit = (sim >= tau_q) & (rid[:, None] < bids[None, :])
+        ri, ci = _np.nonzero(hit)
+        return pa.table({
+            "u": pa.array(rid[ri], pa.int64()),
+            "v": pa.array(bids[ci], pa.int64()),
+            "sim_q": pa.array(sim[ri, ci], pa.int64()),
+        })
+
+    import functools
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        functools.partial(edges, broadcast=ref), batch_format="pyarrow")
+
+
+def triangle_stats(
+    edges: ray.data.Dataset,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Per-node triangle count, degree, and local clustering coefficient
+    over an undirected edge list given in canonical ``u < v`` orientation.
+
+    The classic two-join enumeration with every triangle found exactly once
+    under the total order: wedges (a,b)-(a,c) with b < c from E ⋈ E on the
+    low endpoint, closed by an inner join of the (b,c) pair against E.
+    Both are keyed Dataset joins — edge lists and wedge lists stream
+    through the object store; nothing graph-sized touches the driver.
+    cc(x) = 2·T(x) / (deg(x)·(deg(x)−1)), null when deg < 2.
+
+    Skew note: wedge count is Σ_a deg(a)² on low endpoints — the canonical
+    orientation already bounds the worst hub blowup (a node contributes
+    wedges only through neighbors ABOVE it in id order); for adversarial
+    hubs, re-orient by (degree, id) before calling.
+    """
+    import numpy as np
+
+    nparts = num_partitions or _join_partitions()
+    e = edges.select_columns([u, v])
+
+    # wedges: self-join on the low endpoint
+    left = e.rename_columns({u: "_a", v: "_b"})
+    right = e.rename_columns({u: "_a", v: "_c"})
+    wedges = left.join(right, join_type="inner", on=("_a",),
+                       num_partitions=nparts)
+    # hash-join partitions with no rows come back as zero-column blocks,
+    # which the NEXT per-partition pyarrow join rejects — rebuild from the
+    # non-empty blocks (wedge list already lives in the object store)
+    wedges = drop_empty_blocks(
+        wedges.filter(expr="_b < _c"),
+        empty_schema=pa.schema([("_a", pa.int64()), ("_b", pa.int64()),
+                                ("_c", pa.int64())]))
+    # close: (b, c) must be an edge
+    closing = e.rename_columns({u: "_b", v: "_c"})
+    tris = wedges.join(closing, join_type="inner", on=("_b", "_c"),
+                      num_partitions=nparts)
+
+    def explode_nodes(batch: pa.Table) -> pa.Table:
+        cols = [batch.column("_a"), batch.column("_b"), batch.column("_c")]
+        node = pa.concat_arrays([c.combine_chunks() for c in cols])
+        return pa.table({"node": node,
+                         "_t": pa.array(np.ones(len(node), np.int64))})
+
+    tri_counts = drop_empty_blocks(
+        tris.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("node").aggregate(Sum("_t", alias_name="triangles")),
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("triangles", pa.int64())]))
+
+    def explode_deg(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([batch.column(u).combine_chunks(),
+                                 batch.column(v).combine_chunks()])
+        return pa.table({"node": node,
+                         "_d": pa.array(np.ones(len(node), np.int64))})
+
+    degrees = drop_empty_blocks(
+        e.map_batches(explode_deg, batch_format="pyarrow")
+        .groupby("node").aggregate(Sum("_d", alias_name="degree")),
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("degree", pa.int64())]))
+
+    if tri_counts.count() == 0:  # triangle-free graph: Ray's hash join
+        # rejects an all-empty side; synthesize the null column map-side
+        def zero_tri(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "triangles", pa.nulls(batch.num_rows, pa.int64()))
+
+        joined = degrees.map_batches(zero_tri, batch_format="pyarrow")
+    else:
+        joined = degrees.join(tri_counts, join_type="left_outer",
+                              on=("node",), num_partitions=nparts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = batch.column("degree").to_numpy(zero_copy_only=False)
+        tri = pc.fill_null(batch.column("triangles"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        denom = deg.astype(np.float64) * (deg - 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cc = np.where(deg >= 2, 2.0 * tri / denom, np.nan)
+        return pa.table({
+            "node": batch.column("node"),
+            "degree": pa.array(deg, pa.int64()),
+            "triangles": pa.array(tri, pa.int64()),
+            "clustering": pa.array(cc, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
