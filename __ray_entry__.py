@@ -3589,6 +3589,51 @@ def _q_similarity_triangles(sf_dir: str):
     })
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer-merge induction (Sennrich 2016): distributed word
+    count (map-side pre-reduce, ONE bounded shuffle) + vocab-bounded driver
+    merge loop; greedy-apply semantics proven identical to SQL replace via
+    the double-space encoding (pipelines/tfidf.py:bpe_train)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import bpe_train
+
+    return bpe_train(_documents(sf_dir, ["text"]), "text", num_merges=8)
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled-k BPE in SQL: per level, weighted adjacent-pair counts over
+    the symbol strings, argmax (count desc, pair asc), then a plain
+    ``replace`` on the double-space encoding — same greedy left-to-right
+    non-overlap semantics as Python ``str.replace`` (run case included).
+    CTEs are MATERIALIZED: each level references the previous three times,
+    and inlining would re-evaluate the chain exponentially."""
+    parts = ["""tok AS (SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')) AS token FROM documents),
+wc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+w0 AS MATERIALIZED (SELECT '  ' || array_to_string(
+       regexp_split_to_array(token, ''), '  ') || '  ' AS s, c FROM wc)"""]
+    sel = []
+    for i in range(k):
+        parts.append(f"""pc{i} AS MATERIALIZED (SELECT pair, SUM(c) AS pc
+  FROM (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+          j -> sy[j] || ' ' || sy[j + 1])) AS pair, c
+        FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy,
+                     c FROM w{i})) GROUP BY 1),
+b{i} AS MATERIALIZED (SELECT pair, pc FROM pc{i}
+                      ORDER BY pc DESC, pair ASC LIMIT 1),
+w{i + 1} AS MATERIALIZED (SELECT replace(s,
+     ' ' || string_split((SELECT pair FROM b{i}), ' ')[1] || '  '
+         || string_split((SELECT pair FROM b{i}), ' ')[2] || ' ',
+     ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ') AS s, c
+   FROM w{i})""")
+        sel.append(f"""SELECT {i} AS rank,
+  string_split(pair, ' ')[1] AS "left",
+  string_split(pair, ' ')[2] AS "right",
+  replace(pair, ' ', '') AS merged,
+  CAST(pc AS BIGINT) AS pair_count FROM b{i}""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(sel) + "\nORDER BY rank")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -3746,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "lang_drift_by_source": _q_lang_drift,
         "similarity_triangles": _q_similarity_triangles,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -5559,4 +5605,5 @@ def oracle_sql() -> dict[str, str]:
                         END AS clustering
             FROM deg LEFT JOIN tc USING (node) ORDER BY node
         """,
+        "bpe_merges": _bpe_oracle(8),
     }

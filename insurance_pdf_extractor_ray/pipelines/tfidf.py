@@ -853,3 +853,89 @@ def bigram_logprob(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         functools.partial(score, mu_ref=ref), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (Sennrich et al. 2016) over a distributed word count
+# ---------------------------------------------------------------------------
+
+def _bpe_encode(symbols) -> str:
+    """Double-space encoding: '  s1  s2  ...  sn  '.  The merge pattern
+    ' l  r ' anchors on the INNER spaces of the separators, so a plain
+    left-to-right non-overlapping ``str.replace`` — identical semantics in
+    Python and SQL ``replace`` — applies one merge pass exactly like the
+    greedy symbol-scan, including the 'a a a a' run case (each match leaves
+    the neighbouring separator's other space for the next match)."""
+    return "  " + "  ".join(symbols) + "  "
+
+
+def _bpe_symbols(s: str):
+    return [x for x in s.split(" ") if x]
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    text_col: str,
+    num_merges: int = 8,
+    min_count: int = 1,
+    max_vocab: int = 1_000_000,
+) -> pa.Table:
+    """Byte-pair-encoding merge induction — the tokenizer-training step of
+    an LLM data pipeline, as one distributed pass + a vocabulary-bounded
+    driver loop (the classic algorithm operates on the DISTINCT-word
+    frequency table, Sennrich et al. 2016; the corpus-scale work is the
+    word count, which pre-reduces map-side and shuffles once).
+
+    Per merge round: adjacent symbol pairs are counted with multiplicity
+    (every index pair, overlaps included — Sennrich's ``zip(s, s[1:])``),
+    weighted by word frequency; the winner is (max count, then
+    lexicographically smallest pair); the merge applies greedily
+    left-to-right.  Ties and the run case ('a a a a' + merge (a,a) →
+    [aa, aa]) are pinned by tests against an independent scan
+    implementation AND the unrolled-SQL oracle twin (which uses the same
+    double-space string encoding — see ``_bpe_encode``).
+
+    Driver state is O(vocab), guarded by ``max_vocab`` (top-frequency
+    truncation, deterministic (count desc, word asc) order).  Returns
+    (rank, left, right, merged, pair_count); stops early when no pair
+    reaches ``min_count``.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    counts_ds = (ds.select_columns([text_col])
+                 .map_batches(_token_count_partial(text_col),
+                              batch_format="pyarrow")
+                 .groupby("token").aggregate(_Sum("_n", alias_name="c")))
+    n_vocab = counts_ds.count()
+    if n_vocab > max_vocab:
+        rows = (counts_ds.sort(["c", "token"], descending=[True, False])
+                .limit(max_vocab).take_all())
+    else:
+        rows = counts_ds.take_all()
+    words = [(_bpe_encode(r["token"]), int(r["c"])) for r in rows]
+
+    merges = []
+    for rank in range(num_merges):
+        pair_counts: dict = {}
+        for s, c in words:
+            syms = _bpe_symbols(s)
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), pc_best = best
+        if pc_best < min_count:
+            break
+        pat = " " + l + "  " + r + " "
+        rep = " " + l + r + " "
+        words = [(s.replace(pat, rep), c) for s, c in words]
+        merges.append((rank, l, r, l + r, pc_best))
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+    })
