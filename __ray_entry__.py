@@ -3599,7 +3599,7 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_documents(sf_dir, ["text"]), "text", num_merges=8)
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle(k: int, mode: str = "merges") -> str:
     """Unrolled-k BPE in SQL: per level, weighted adjacent-pair counts over
     the symbol strings, argmax (count desc, pair asc), then a plain
     ``replace`` on the double-space encoding — same greedy left-to-right
@@ -3609,7 +3609,7 @@ def _bpe_oracle(k: int) -> str:
     parts = ["""tok AS (SELECT unnest(regexp_extract_all(lower(text),
                        '[a-z0-9]+')) AS token FROM documents),
 wc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
-w0 AS MATERIALIZED (SELECT '  ' || array_to_string(
+w0 AS MATERIALIZED (SELECT token, '  ' || array_to_string(
        regexp_split_to_array(token, ''), '  ') || '  ' AS s, c FROM wc)"""]
     sel = []
     for i in range(k):
@@ -3620,7 +3620,7 @@ w0 AS MATERIALIZED (SELECT '  ' || array_to_string(
                      c FROM w{i})) GROUP BY 1),
 b{i} AS MATERIALIZED (SELECT pair, pc FROM pc{i}
                       ORDER BY pc DESC, pair ASC LIMIT 1),
-w{i + 1} AS MATERIALIZED (SELECT replace(s,
+w{i + 1} AS MATERIALIZED (SELECT token, replace(s,
      ' ' || string_split((SELECT pair FROM b{i}), ' ')[1] || '  '
          || string_split((SELECT pair FROM b{i}), ' ')[2] || ' ',
      ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ') AS s, c
@@ -3630,8 +3630,73 @@ w{i + 1} AS MATERIALIZED (SELECT replace(s,
   string_split(pair, ' ')[2] AS "right",
   replace(pair, ' ', '') AS merged,
   CAST(pc AS BIGINT) AS pair_count FROM b{i}""")
+    if mode == "apply":
+        # token-carrying final table -> pieces per distinct token ->
+        # per-doc piece sums over the token explode
+        return ("WITH " + ",\n".join(parts) + f""",
+pieces AS (SELECT token, len(list_filter(string_split(s, ' '),
+                              x -> x <> '')) AS p FROM w{k}),
+docs AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS token FROM documents)
+SELECT d.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(pieces.p) AS BIGINT) AS n_pieces
+FROM docs d JOIN pieces USING (token)
+GROUP BY 1 ORDER BY 1""")
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL\n".join(sel) + "\nORDER BY rank")
+
+
+def _q_bpe_segment_counts(sf_dir: str):
+    """Tokenizer train→apply round trip: learn 8 merges, segment every doc
+    with them, count pieces — dictionary-encoded per-batch apply, zero
+    shuffles beyond the word count
+    (pipelines/tfidf.py:bpe_apply_token_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.tfidf import (
+        bpe_apply_token_counts, bpe_train)
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, "text", num_merges=8)
+    out = bpe_apply_token_counts(docs, "text", "doc_id", merges)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "n_pieces": pa.array([r["n_pieces"] for r in rows], pa.int64()),
+    })
+
+
+def _q_event_paths(sf_dir: str):
+    """Top-20 3-step behavioral paths — per-user ordered window join,
+    vectorized slice-and-join inside each group, one path-keyed combine
+    (pipelines/behavior.py:path_ngrams)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import path_ngrams
+
+    return path_ngrams(
+        _events(sf_dir, ["user_id", "ts", "event_type", "event_id"]),
+        "user_id", "ts", "event_type", n=3, tiebreak="event_id", top_k=20)
+
+
+def _q_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts — the partition-skew
+    health number (pipelines/statagg.py:gini_of_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import gini_of_counts
+
+    out = gini_of_counts(_events(sf_dir, ["user_id"]), "user_id")
+    return _round_col(out, "gini", 9)
+
+
+def _q_winsorized_value(sf_dir: str):
+    """Per-type winsorized mean of the value column — exact quantile_cont
+    clip bounds then clipped-moment combine
+    (pipelines/statagg.py:winsorized_mean_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import (
+        winsorized_mean_by_key)
+
+    out = winsorized_mean_by_key(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value")
+    out = _round_col(_round_col(out, "q_lo", 9), "q_hi", 9)
+    return _round_col(out, "wmean", 6)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3792,6 +3857,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_drift_by_source": _q_lang_drift,
         "similarity_triangles": _q_similarity_triangles,
         "bpe_merges": _q_bpe_merges,
+        "bpe_segment_counts": _q_bpe_segment_counts,
+        "event_paths_top20": _q_event_paths,
+        "activity_gini": _q_activity_gini,
+        "winsorized_value_by_type": _q_winsorized_value,
     }
 
 
@@ -5606,4 +5675,43 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tc USING (node) ORDER BY node
         """,
         "bpe_merges": _bpe_oracle(8),
+        "bpe_segment_counts": _bpe_oracle(8, mode="apply"),
+        "event_paths_top20": """
+            WITH s AS (SELECT user_id, event_type,
+                         LEAD(event_type, 1) OVER w AS e2,
+                         LEAD(event_type, 2) OVER w AS e3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   COUNT(*) AS n_paths
+            FROM s WHERE e3 IS NOT NULL
+            GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+        """,
+        # 1-based ranks over ascending per-key counts; rank-weighted sum is
+        # tie-order invariant, so no tiebreak column is needed.
+        "activity_gini": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+                       GROUP BY 1),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   round((2.0 * SUM(i * n)) / (COUNT(*) * SUM(n))
+                         - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+            FROM r
+        """,
+        "winsorized_value_by_type": """
+            WITH q AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY 1)
+            SELECT e.event_type, COUNT(*) AS n,
+                   round(MAX(q.lo), 9) AS q_lo,
+                   round(MAX(q.hi), 9) AS q_hi,
+                   round(AVG(CASE WHEN e.value < q.lo THEN q.lo
+                                  WHEN e.value > q.hi THEN q.hi
+                                  ELSE e.value END), 6) AS wmean
+            FROM events e JOIN q USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
     }

@@ -408,3 +408,58 @@ def transition_counts(
     partials = ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
     return partials.groupby(["from_item", "to_item"]).aggregate(
         Sum("_n", alias_name=alias))
+
+
+def path_ngrams(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    cat_col: str,
+    n: int = 3,
+    tiebreak: Optional[str] = None,
+    top_k: int = 20,
+) -> pa.Table:
+    """Top-k length-``n`` event paths ("view>click>purchase") mined from
+    per-key time-ordered sequences — the sequential-pattern sibling of
+    :func:`transition_counts` (which is the n=2 special case).
+
+    Pass a ``tiebreak`` column (e.g. the event id) whenever timestamps can
+    tie: path extraction reads the ORDER, so unlike gap statistics it is
+    NOT tie-order invariant.
+
+    Shape: one keyed shuffle groups each key's events; inside a group the
+    window join is vectorized (one sort + ``binary_join_element_wise``
+    over ``n`` shifted slices); each group emits its DISTINCT-path counts,
+    and ONE path-keyed combine of those bounded partials feeds the final
+    (tiny) top-k sort.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sort_keys = [(ts_col, "ascending")]
+        if tiebreak:
+            sort_keys.append((tiebreak, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        m = group.num_rows - n + 1
+        if m <= 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        cat = group.column(cat_col).combine_chunks()
+        parts = [cat.slice(i, m) for i in range(n)]
+        joined = pc.binary_join_element_wise(*parts, ">")
+        g = pa.table({"path": joined}).group_by("path").aggregate(
+            [([], "count_all")])
+        return pa.table({"path": g.column("path"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    cols = [key, ts_col, cat_col] + ([tiebreak] if tiebreak else [])
+    counts = (ds.select_columns(cols)
+              .groupby(key).map_groups(per_key, batch_format="pyarrow")
+              .groupby("path").aggregate(Sum("_n", alias_name="n_paths")))
+    rows = counts.take_all()
+    rows.sort(key=lambda r: (-r["n_paths"], r["path"]))
+    rows = rows[:top_k]
+    return pa.table({
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "n_paths": pa.array([r["n_paths"] for r in rows], pa.int64()),
+    })

@@ -546,3 +546,96 @@ def entropy_by_key(
                          "n_cats": pa.array([group.num_rows], pa.int64())})
 
     return counts.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def gini_of_counts(ds: ray.data.Dataset, key: str) -> pa.Table:
+    """Concentration/skew diagnostic: Gini coefficient of the per-key row
+    counts (how unevenly activity/bytes spread over users / domains /
+    shards — the number that says whether your partitioning key is safe).
+
+    ``G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n`` over the ascending-sorted
+    per-key sums (1-based ranks; tied values make the rank-weighted sum
+    invariant to tie order).  One keyed shuffle of map-side pre-counts;
+    the final formula runs over the keys-sized count table (driver-side —
+    for key cardinalities beyond driver memory, feed the counts Dataset to
+    ``sketches.order_statistics`` instead).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    rows = (ds.select_columns([key])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("_n", alias_name="_n"))).take_all()
+    x = np.sort(np.array([r["_n"] for r in rows], np.float64))
+    n = len(x)
+    tot = x.sum()
+    i = np.arange(1, n + 1, dtype=np.float64)
+    gini = (2.0 * (i * x).sum()) / (n * tot) - (n + 1.0) / n
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "total": pa.array([int(tot)], pa.int64()),
+        "gini": pa.array([float(gini)], pa.float64()),
+    })
+
+
+def winsorized_mean_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> pa.Table:
+    """Robust per-key mean: clip values outside the key's exact
+    [q_lo, q_hi] ``quantile_cont`` band, then average — the outlier-proof
+    aggregate for monitoring skewed value columns.
+
+    Two passes: the exact-quantile machinery (one distributed sort +
+    positional pick) yields the clip bounds; the bounds broadcast into a
+    map-side clipped-moment partial and ONE keyed combine.  Result is
+    keys-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    qt = quantiles_exact_by(ds, key, value, [lo, hi])
+    bounds: dict = {}
+    for r in qt.to_pylist():  # long format: (key, q, value)
+        lo_hi = bounds.setdefault(r[key], [None, None])
+        lo_hi[0 if r["q"] == lo else 1] = r[qt.column_names[2]]
+    import ray as _ray
+
+    ref = _ray.put({k: tuple(v) for k, v in bounds.items()})
+
+    def partial(batch: pa.Table, b_ref) -> pa.Table:
+        bmap = _ray.get(b_ref)
+        k = batch.column(key).to_pylist()
+        v = batch.column(value).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lo_a = np.array([bmap[x][0] for x in k], np.float64)
+        hi_a = np.array([bmap[x][1] for x in k], np.float64)
+        clipped = np.clip(v, lo_a, hi_a)
+        t = pa.table({key: batch.column(key), "_s": clipped,
+                      "_n": np.ones(len(v), np.float64)})
+        g = t.group_by([key]).aggregate([("_s", "sum"), ("_n", "sum")])
+        return g.rename_columns([key, "_s", "_n"])
+
+    import functools
+
+    agg = (ds.select_columns([key, value])
+           .map_batches(functools.partial(partial, b_ref=ref),
+                        batch_format="pyarrow")
+           .groupby(key).aggregate(Sum("_s", alias_name="_s"),
+                                   Sum("_n", alias_name="_n")))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: str(r[key]))
+    ktype = pa.array([r[key] for r in rows]).type
+    return pa.table({
+        key: pa.array([r[key] for r in rows], ktype),
+        "n": pa.array([int(r["_n"]) for r in rows], pa.int64()),
+        "q_lo": pa.array([bounds[r[key]][0] for r in rows], pa.float64()),
+        "q_hi": pa.array([bounds[r[key]][1] for r in rows], pa.float64()),
+        "wmean": pa.array([r["_s"] / r["_n"] for r in rows], pa.float64()),
+    })

@@ -939,3 +939,58 @@ def bpe_train(
         "merged": pa.array([m[3] for m in merges], pa.string()),
         "pair_count": pa.array([m[4] for m in merges], pa.int64()),
     })
+
+
+def bpe_apply_token_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    merges: "pa.Table",
+) -> ray.data.Dataset:
+    """Apply a learned BPE merge table (from :func:`bpe_train`) and count
+    the resulting pieces per document — the train→apply tokenizer round
+    trip, and the honest token-budget estimator for packing/pricing.
+
+    Per batch the text column is exploded to tokens, DICTIONARY-encoded,
+    and each DISTINCT token is segmented once (merge list applied in rank
+    order via the double-space ``str.replace`` encoding — bit-identical to
+    the SQL oracle's chain of ``replace`` calls); per-doc sums are
+    segmented int64 adds over the dictionary indices.  Zero shuffles; the
+    merge table broadcasts once (it is vocabulary-of-merges sized).
+    Docs with zero tokens are excluded (SQL GROUP BY over the explode).
+    """
+    pairs = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    ref = ray.put(pairs)
+
+    def seg_counts(batch: pa.Table, merges_ref) -> pa.Table:
+        mlist = ray.get(merges_ref)
+        lens, flat = _explode_tokens(batch.column(text_col))
+        if len(flat) == 0:
+            return pa.table({id_col: batch.column(id_col).slice(0, 0),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_pieces": pa.array([], pa.int64())})
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pieces_per = np.empty(len(enc.dictionary), np.int64)
+        for u, tok in enumerate(enc.dictionary.to_pylist()):
+            s = _bpe_encode(tok)
+            for l, r in mlist:
+                s = s.replace(" " + l + "  " + r + " ", " " + l + r + " ")
+            pieces_per[u] = len(_bpe_symbols(s))
+        per_occ = pieces_per[idx]
+        csum = np.concatenate(([0], np.cumsum(per_occ)))
+        ends = np.cumsum(lens)
+        keep = lens > 0
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
+            "n_pieces": pa.array((csum[ends] - csum[ends - lens])[keep],
+                                 pa.int64()),
+        })
+
+    import functools
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(seg_counts, merges_ref=ref),
+        batch_format="pyarrow")

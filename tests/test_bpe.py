@@ -100,3 +100,43 @@ class TestBpeTrain:
         want = con.execute(entry._bpe_oracle(8)).fetchall()
         out = bpe_train(ray.data.from_arrow(tbl).repartition(2), "text", 8)
         assert _rows(out) == [tuple(r) for r in want]
+
+
+class TestBpeApply:
+    def test_piece_counts_shrink_with_merges(self):
+        from insurance_pdf_extractor_ray.pipelines.tfidf import (
+            bpe_apply_token_counts, bpe_train)
+
+        tbl = pa.table({"doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                        "text": pa.array(TEXTS, pa.string())})
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        m0 = bpe_train(ds, "text", num_merges=0)
+        m8 = bpe_train(ds, "text", num_merges=8)
+        out0 = {r["doc_id"]: r for r in
+                bpe_apply_token_counts(ds, "text", "doc_id", m0).take_all()}
+        out8 = {r["doc_id"]: r for r in
+                bpe_apply_token_counts(ds, "text", "doc_id", m8).take_all()}
+        for d in out0:
+            # zero merges: pieces == characters of the tokens
+            assert out0[d]["n_pieces"] >= out8[d]["n_pieces"]
+            assert out0[d]["n_tokens"] == out8[d]["n_tokens"]
+        # 'aaaa aaaa banana' = 16 chars of tokens; after merges far fewer
+        assert out0[0]["n_pieces"] == 14
+        assert out8[0]["n_pieces"] <= 6
+
+    def test_matches_apply_oracle(self):
+        import __ray_entry__ as entry
+        from insurance_pdf_extractor_ray.pipelines.tfidf import (
+            bpe_apply_token_counts, bpe_train)
+
+        tbl = pa.table({"doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                        "text": pa.array(TEXTS, pa.string())})
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = con.execute(entry._bpe_oracle(8, mode="apply")).fetchall()
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = bpe_apply_token_counts(
+            ds, "text", "doc_id", bpe_train(ds, "text", 8)).take_all()
+        out.sort(key=lambda r: r["doc_id"])
+        got = [(r["doc_id"], r["n_tokens"], r["n_pieces"]) for r in out]
+        assert got == [tuple(r) for r in want]
