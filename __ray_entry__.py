@@ -3599,15 +3599,16 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_documents(sf_dir, ["text"]), "text", num_merges=8)
 
 
-def _bpe_oracle(k: int, mode: str = "merges") -> str:
-    """Unrolled-k BPE in SQL: per level, weighted adjacent-pair counts over
+def _bpe_chain_parts(k: int, source: str) -> list:
+    """CTE list for unrolled-k BPE over ``source`` (a FROM-able SQL text
+    with a ``text`` column).  Per level: weighted adjacent-pair counts over
     the symbol strings, argmax (count desc, pair asc), then a plain
     ``replace`` on the double-space encoding — same greedy left-to-right
     non-overlap semantics as Python ``str.replace`` (run case included).
     CTEs are MATERIALIZED: each level references the previous three times,
     and inlining would re-evaluate the chain exponentially."""
-    parts = ["""tok AS (SELECT unnest(regexp_extract_all(lower(text),
-                       '[a-z0-9]+')) AS token FROM documents),
+    parts = [f"""tok AS (SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')) AS token FROM ({source})),
 wc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
 w0 AS MATERIALIZED (SELECT token, '  ' || array_to_string(
        regexp_split_to_array(token, ''), '  ') || '  ' AS s, c FROM wc)"""]
@@ -3630,6 +3631,13 @@ w{i + 1} AS MATERIALIZED (SELECT token, replace(s,
   string_split(pair, ' ')[2] AS "right",
   replace(pair, ' ', '') AS merged,
   CAST(pc AS BIGINT) AS pair_count FROM b{i}""")
+    return parts, sel
+
+
+def _bpe_oracle(k: int, mode: str = "merges",
+                source: str = "SELECT text FROM documents",
+                doc_source: str = "SELECT doc_id, text FROM documents") -> str:
+    parts, sel = _bpe_chain_parts(k, source)
     if mode == "apply":
         # token-carrying final table -> pieces per distinct token ->
         # per-doc piece sums over the token explode
@@ -3637,7 +3645,7 @@ w{i + 1} AS MATERIALIZED (SELECT token, replace(s,
 pieces AS (SELECT token, len(list_filter(string_split(s, ' '),
                               x -> x <> '')) AS p FROM w{k}),
 docs AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
-                  '[a-z0-9]+')) AS token FROM documents)
+                  '[a-z0-9]+')) AS token FROM ({doc_source}))
 SELECT d.doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(pieces.p) AS BIGINT) AS n_pieces
 FROM docs d JOIN pieces USING (token)
@@ -3697,6 +3705,226 @@ def _q_winsorized_value(sf_dir: str):
         _events(sf_dir, ["event_type", "value"]), "event_type", "value")
     out = _round_col(_round_col(out, "q_lo", 9), "q_hi", 9)
     return _round_col(out, "wmean", 6)
+
+
+def _q_burstiness(sf_dir: str):
+    """Per-user Fano factor (var/mean of daily event counts) — burstiness
+    screen; map-side (user, day) pre-counts, ONE bounded shuffle, moment
+    math over the bounded count table."""
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch.column("ts").cast(pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"user_id": batch.column("user_id"), "_day": day})
+        g = t.group_by(["user_id", "_day"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "_day": g.column("_day"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    counts = (ev.map_batches(day_counts, batch_format="pyarrow")
+              .groupby(["user_id", "_day"])
+              .aggregate(Sum("_n", alias_name="_n"))).take_all()
+    counts.sort(key=lambda r: (r["user_id"], r["_day"]))
+    agg: dict = {}
+    for r in counts:
+        a = agg.setdefault(r["user_id"], [0, 0.0, 0.0])
+        a[0] += 1
+        a[1] += r["_n"]
+        a[2] += r["_n"] * r["_n"]
+    users = sorted(agg)
+    n_days, fano = [], []
+    for u in users:
+        k, s1, s2 = agg[u]
+        if k > 1:
+            var = (s2 - s1 * s1 / k) / (k - 1)
+            fano.append(var / (s1 / k))
+        else:
+            fano.append(None)
+        n_days.append(k)
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "n_days": pa.array(n_days, pa.int64()),
+        "fano": pa.array(fano, pa.float64()),
+    })
+    return _round_col(tbl, "fano", 6)
+
+
+def _q_conversion_latency(sf_dir: str):
+    """First-view→first-purchase latency per user — conditional per-type
+    Min partials, ONE keyed combine, integer-µs exact."""
+    from ray.data.aggregate import Min
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("event_type"),
+                                  value_set=pa.array(["view", "purchase"])))
+        tt = pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "_ts": t.column("ts").cast(pa.int64()),
+        })
+        g = tt.group_by(["user_id", "event_type"]).aggregate([("_ts", "min")])
+        return g.rename_columns(["user_id", "event_type", "_ts"])
+
+    rows = (ev.map_batches(firsts, batch_format="pyarrow")
+            .groupby(["user_id", "event_type"])
+            .aggregate(Min("_ts", alias_name="_ts"))).take_all()
+    views, buys = {}, {}
+    for r in rows:
+        (views if r["event_type"] == "view" else buys)[r["user_id"]] = r["_ts"]
+    out = sorted((u, buys[u] - views[u]) for u in views
+                 if u in buys and buys[u] >= views[u])
+    return pa.table({
+        "user_id": pa.array([u for u, _ in out], pa.int64()),
+        "latency_us": pa.array([l for _, l in out], pa.int64()),
+    })
+
+
+def _q_q13_custdist(sf_dir: str):
+    """TPC-H Q13 analog: distribution of customers by order count,
+    zero-order customers included — orders pre-count, one left join onto
+    the customer key column, tiny histogram combine."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return pa.table({"c_custkey": g.column("o_custkey"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    per_cust = (orders.map_batches(pre, batch_format="pyarrow")
+                .groupby("c_custkey").aggregate(Sum("_n", alias_name="_n")))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(per_cust, join_type="left_outer", on=("c_custkey",),
+                       num_partitions=_join_partitions())
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch.column("_n"), 0)
+        t = pa.table({"c_count": n})
+        g = t.group_by(["c_count"]).aggregate([([], "count_all")])
+        return pa.table({"c_count": g.column("c_count"),
+                         "_d": g.column("count_all").cast(pa.int64())})
+
+    rows = (joined.map_batches(hist, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("_d", alias_name="custdist"))
+            ).take_all()
+    rows.sort(key=lambda r: (-r["custdist"], -r["c_count"]))
+    return pa.table({
+        "c_count": pa.array([r["c_count"] for r in rows], pa.int64()),
+        "custdist": pa.array([r["custdist"] for r in rows], pa.int64()),
+    })
+
+
+def _q_pretrain_prep_bpe(sf_dir: str):
+    """Pretrain chain v2: gates -> decontaminate -> dedup -> BPE tokenizer
+    TRAINED ON THE SURVIVORS -> piece counts -> packing.  The oracle is
+    the full v1 CTE chain extended with the unrolled-BPE chain over the
+    survivor set — one SQL pipeline verifies the whole composition."""
+    from insurance_pdf_extractor_ray.pipelines.pretrain import pretrain_prep
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def _slice(keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_eval else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    out = pretrain_prep(
+        docs.map_batches(_slice(False), batch_format="pyarrow"),
+        "text", "doc_id",
+        eval_ds=docs.map_batches(_slice(True), batch_format="pyarrow"),
+        seq_len=1024, bucket=100, tokenizer="bpe", bpe_merges_n=8)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["doc_id"], r["seq_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "seq_id": pa.array([r["seq_id"] for r in rows], pa.int64()),
+        "start_tok": pa.array([r["start_tok"] for r in rows], pa.int64()),
+        "end_tok": pa.array([r["end_tok"] for r in rows], pa.int64()),
+    })
+
+
+def _pretrain_bpe_oracle(k: int = 8) -> str:
+    """v1 survivor chain (gates -> decontaminate -> dedup) + unrolled-BPE
+    trained over the survivors + piece-count packing, as ONE CTE pipeline."""
+    surv_chain = """wn AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+      FROM documents
+    ), corp AS (SELECT * FROM wn WHERE doc_id % 50 <> 0
+    ), uni AS (
+      SELECT doc_id, count(DISTINCT x) AS nd
+      FROM corp, unnest(w) AS u(x) GROUP BY doc_id
+    ), bi AS (
+      SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+      FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, count(*) AS c
+            FROM corp, unnest(generate_series(1, nw - 1)) AS s(i)
+            WHERE nw >= 2 GROUP BY doc_id, g) GROUP BY doc_id
+    ), tri AS (
+      SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+      FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g, count(*) AS c
+            FROM corp, unnest(generate_series(1, nw - 2)) AS s(i)
+            WHERE nw >= 3 GROUP BY doc_id, g) GROUP BY doc_id
+    ), gated AS (
+      SELECT corp.doc_id FROM corp
+      LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+      LEFT JOIN tri USING (doc_id)
+      WHERE (CASE WHEN corp.nw > 0
+             THEN round(1 - uni.nd * 1.0 / corp.nw, 6) ELSE 0 END) <= 0.80
+        AND round(coalesce(bi.m * 2.0 / corp.nw, 0), 6) <= 0.20
+        AND round(coalesce(tri.m * 3.0 / corp.nw, 0), 6) <= 0.18
+    ), evg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+      WHERE nw >= 8 AND doc_id % 50 = 0
+    ), contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT c.doc_id, array_to_string(c.w[i:i+7], ' ') AS gram
+        FROM corp c JOIN gated USING (doc_id),
+             unnest(generate_series(1, c.nw - 8 + 1)) AS t(i)
+        WHERE c.nw >= 8)
+      WHERE gram IN (SELECT gram FROM evg)
+    ), clean AS (
+      SELECT c.doc_id, c.text FROM corp c JOIN gated USING (doc_id)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+    ), winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+        FROM clean) WHERE doc_id = m
+    ), surv AS MATERIALIZED (
+      SELECT c.doc_id, c.text FROM clean c JOIN winners USING (doc_id))"""
+    bpe_parts, _ = _bpe_chain_parts(k, "SELECT text FROM surv")
+    return ("WITH " + surv_chain + ",\n" + ",\n".join(bpe_parts) + f""",
+pieces AS (SELECT token, len(list_filter(string_split(s, ' '),
+                              x -> x <> '')) AS p FROM w{k}),
+sd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+              '[a-z0-9]+')) AS token FROM surv),
+npc AS (SELECT sd.doc_id, CAST(SUM(pieces.p) AS BIGINT) AS n_pieces
+        FROM sd JOIN pieces USING (token) GROUP BY 1),
+cum AS (SELECT doc_id, n_pieces,
+          CAST(COALESCE(sum(n_pieces) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS start_tok
+        FROM npc)
+SELECT doc_id,
+       unnest(generate_series(start_tok // 1024,
+                (start_tok + n_pieces - 1) // 1024)) AS seq_id,
+       start_tok, start_tok + n_pieces AS end_tok
+FROM cum WHERE n_pieces > 0
+ORDER BY doc_id, seq_id""")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3861,6 +4089,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths_top20": _q_event_paths,
         "activity_gini": _q_activity_gini,
         "winsorized_value_by_type": _q_winsorized_value,
+        "burstiness_by_user": _q_burstiness,
+        "conversion_latency": _q_conversion_latency,
+        "q13_custdist": _q_q13_custdist,
+        "pretrain_prep_bpe": _q_pretrain_prep_bpe,
     }
 
 
@@ -5714,4 +5946,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN q USING (event_type)
             GROUP BY 1 ORDER BY 1
         """,
+        "burstiness_by_user": """
+            WITH d AS (SELECT user_id,
+                         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                         COUNT(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_days,
+                   round(var_samp(n) / avg(n), 6) AS fano
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "conversion_latency": """
+            WITH f AS (SELECT user_id,
+                         MIN(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END) AS v,
+                         MIN(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END) AS p
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')
+                       GROUP BY 1)
+            SELECT user_id, CAST(p - v AS BIGINT) AS latency_us
+            FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+            ORDER BY user_id
+        """,
+        "q13_custdist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1)
+            GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "pretrain_prep_bpe": _pretrain_bpe_oracle(8),
     }

@@ -583,6 +583,40 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         seq_len=2048).count() > 0
     queries["pretrain_prep"] = round(time.time() - t0, 3)
 
+    # --- session-8 stages -------------------------------------------------
+    from insurance_pdf_extractor_ray.pipelines.graph import (
+        ip_threshold_graph, triangle_stats)
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        covariance_matrix)
+    from insurance_pdf_extractor_ray.pipelines.textpipe import (
+        char_entropy, readability)
+    from insurance_pdf_extractor_ray.pipelines.tfidf import (
+        bpe_apply_token_counts, bpe_train)
+
+    t0 = time.time()
+    emb8 = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+    assert covariance_matrix(emb8, "embedding").num_rows > 0
+    queries["embedding_covariance"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    edges8 = ip_threshold_graph(emb8.filter(expr="vec_id < 400"),
+                                "embedding", "vec_id", tau=0.25)
+    assert triangle_stats(edges8).count() > 0
+    queries["similarity_triangles"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs_txt = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    assert readability(docs_txt, "text", "doc_id").count() > 0
+    assert char_entropy(docs_txt, "text", "doc_id").count() > 0
+    queries["readability_entropy"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    merges8 = bpe_train(docs_txt, "text", num_merges=8)
+    assert bpe_apply_token_counts(docs_txt, "text", "doc_id",
+                                  merges8).count() > 0
+    queries["bpe_train_apply"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

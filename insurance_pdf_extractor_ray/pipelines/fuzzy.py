@@ -288,13 +288,26 @@ def entity_components(
         empty_schema=pa.schema([("id_a", id_type), ("id_b", id_type)]))
     if block_col is not None:
         P = _join_partitions()
+        blk_type = ds.schema().base_schema.field(block_col).type
         dim = ds.select_columns([id_col, block_col])
         pairs = pairs.join(dim, join_type="inner", num_partitions=P,
                            on=("id_a",), right_on=(id_col,),
                            right_suffix="_ra")
+        # join partitions that received no rows come back as zero-column
+        # blocks, which the NEXT hash join's per-partition pyarrow join
+        # rejects (intermittent, layout-dependent) — rebuild between joins
+        pairs = drop_empty_blocks(
+            pairs, empty_schema=pa.schema([
+                ("id_a", id_type), ("id_b", id_type),
+                (id_col, id_type), (block_col, blk_type)]))
         pairs = pairs.join(dim, join_type="inner", num_partitions=P,
                            on=("id_b",), right_on=(id_col,),
                            right_suffix="_rb")
+        pairs = drop_empty_blocks(
+            pairs, empty_schema=pa.schema([
+                ("id_a", id_type), ("id_b", id_type),
+                (id_col, id_type), (block_col, blk_type),
+                (id_col + "_rb", id_type), (block_col + "_rb", blk_type)]))
         pairs = pairs.map_batches(
             lambda t: t.filter(pc.equal(t.column(block_col),
                                         t.column(block_col + "_rb")))

@@ -65,6 +65,8 @@ def pretrain_prep(
     max_top_bigram: float = 0.20,
     max_top_trigram: float = 0.18,
     materialize_frontier: bool = False,
+    tokenizer: str = "ws",
+    bpe_merges_n: int = 8,
 ) -> ray.data.Dataset:
     """Quality-gate -> decontaminate -> dedup -> tokenize -> pack.
 
@@ -107,6 +109,15 @@ def pretrain_prep(
     if materialize_frontier:
         kept = kept.materialize()
     uniq = exact_dedup(kept, text_col, id_col)
+    if tokenizer == "bpe":
+        # train the tokenizer ON THE SURVIVORS (the corpus the model will
+        # actually see), then pack by piece counts — the honest budget
+        from .tfidf import bpe_apply_token_counts, bpe_train
+
+        merges = bpe_train(uniq, text_col, num_merges=bpe_merges_n)
+        toks = bpe_apply_token_counts(uniq, text_col, id_col, merges)
+        return pack_sequences(toks, id_col, "n_pieces", seq_len=seq_len,
+                              bucket=bucket)
     toks = count_ws_tokens(uniq, text_col, id_col)
     return pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len,
                           bucket=bucket)

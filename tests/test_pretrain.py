@@ -49,3 +49,38 @@ def test_no_eval_side_skips_decontamination():
     out = pretrain_prep(ray.data.from_arrow(corpus), "text", "doc_id",
                         seq_len=4, bucket=10)
     assert {r["doc_id"] for r in out.take_all()} == {1, 2}
+
+
+def test_bpe_tokenizer_packs_fewer_tokens(ray_session):
+    """v2 chain: BPE piece counts are <= char counts and the pack layout is
+    contiguous (end_tok of doc i == start_tok of doc i+1 over survivors)."""
+    import pyarrow as pa
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.pretrain import pretrain_prep
+
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(120)]
+
+    def mk(seed_off):
+        r = np.random.RandomState(31 + seed_off)
+        return " ".join(r.choice(vocab, 160))
+
+    texts = [mk(0), mk(1), mk(0), mk(2)]  # doc 2 = exact dup of doc 0
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    out = pretrain_prep(ray.data.from_arrow(docs).repartition(2),
+                        "text", "doc_id", seq_len=64, bucket=10,
+                        tokenizer="bpe", bpe_merges_n=6).take_all()
+    assert out, "chain produced no sequences"
+    ids = sorted({r["doc_id"] for r in out})
+    assert 2 not in ids  # dup dropped, min-id winner kept
+    spans = sorted({(r["doc_id"], r["start_tok"], r["end_tok"])
+                    for r in out})
+    for (d1, s1, e1), (d2, s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2  # contiguous global token layout
+    # piece budget sane: > 0 and less than the raw character count
+    for d, s, e in spans:
+        assert 0 < e - s < len(texts[d])
