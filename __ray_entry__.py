@@ -3927,6 +3927,92 @@ FROM cum WHERE n_pieces > 0
 ORDER BY doc_id, seq_id""")
 
 
+def _q_embedding_outliers(sf_dir: str):
+    """Diagonal-covariance Mahalanobis outliers — two zero-shuffle passes,
+    every per-dim term int64-quantized BEFORE the across-dim sum (no float
+    SUM-order hazard) (pipelines/similarity.py:mahalanobis_outliers)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        mahalanobis_outliers)
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return mahalanobis_outliers(emb, "embedding", "vec_id", top_k=25)
+
+
+def _q_selfjoin_size(sf_dir: str):
+    """Count-Min inner-product join-size estimation (AGMS-style) vs the
+    exact Σc² self-join cardinality — both integer-exact
+    (pipelines/sketches.py:count_min_inner_product)."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.pipelines.sketches import (
+        count_min_inner_product, count_min_table)
+
+    ds = _events(sf_dir, ["user_id"])
+    cm = count_min_table(ds, "user_id", width=512, depth=4)
+    est = count_min_inner_product(cm, cm, width=512, depth=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    rows = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("_n", alias_name="n"))
+            ).take_all()
+    exact = sum(r["n"] * r["n"] for r in rows)
+    total = sum(r["n"] for r in rows)
+    return pa.table({
+        "n_rows": pa.array([total], pa.int64()),
+        "exact": pa.array([exact], pa.int64()),
+        "est": pa.array([est], pa.int64()),
+    })
+
+
+def _q_twap(sf_dir: str):
+    """Time-weighted average of the value column per user — each
+    value×duration term half-rounded to int64 BEFORE the per-user sum
+    (value·µs units), so the reduction is order-proof; final division is
+    one mirrored float expression."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                ("event_id", "ascending")])
+        group = group.take(idx)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        span = int(ts[-1] - ts[0])
+        if span <= 0:
+            return pa.table({"user_id": group.column("user_id").slice(0, 0),
+                             "span_us": pa.array([], pa.int64()),
+                             "twap_q": pa.array([], pa.int64())})
+        dt = np.diff(ts).astype(np.float64)
+        terms = v[:-1] * dt
+        q = int((-np.floor(-terms + 0.5)).astype(np.int64).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "span_us": pa.array([span], pa.int64()),
+            "twap_q": pa.array([q], pa.int64()),
+        })
+
+    out = (_events(sf_dir, ["user_id", "ts", "event_id", "value"])
+           .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    q = np.array([r["twap_q"] for r in rows], np.float64)
+    span = np.array([r["span_us"] for r in rows], np.float64)
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "span_us": pa.array([r["span_us"] for r in rows], pa.int64()),
+        "twap": pa.array(q / span, pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4093,6 +4179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": _q_conversion_latency,
         "q13_custdist": _q_q13_custdist,
         "pretrain_prep_bpe": _q_pretrain_prep_bpe,
+        "embedding_outliers": _q_embedding_outliers,
+        "selfjoin_size_estimate": _q_selfjoin_size,
+        "twap_by_user": _q_twap,
     }
 
 
@@ -5977,4 +6066,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY custdist DESC, c_count DESC
         """,
         "pretrain_prep_bpe": _pretrain_bpe_oracle(8),
+        # per-dim μ/σ² derive from int64-quantized moment sums; each
+        # Mahalanobis term is quantized BEFORE the across-dim SUM, so the
+        # score (and the top-k cut) is integer-exact on both sides.
+        "embedding_outliers": """
+            WITH e AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+            m AS (SELECT i,
+                    SUM(CAST(-floor(-(v*1000000) + 0.5) AS BIGINT)) AS sx,
+                    SUM(CAST(-floor(-((v*v)*1000000) + 0.5) AS BIGINT))
+                      AS sxx,
+                    COUNT(*) AS n
+                  FROM e GROUP BY 1),
+            p AS (SELECT i, sx/1000000.0/n AS mu,
+                    (sxx/1000000.0 - (sx/1000000.0)*(sx/1000000.0)/n)
+                      / (n - 1.0) AS var
+                  FROM m),
+            d AS (SELECT e.vec_id,
+                    SUM(CAST(-floor(-(((e.v - p.mu)*(e.v - p.mu)/p.var)
+                                      *1000000) + 0.5) AS BIGINT))
+                      AS dist2_micro
+                  FROM e JOIN p USING (i) GROUP BY 1)
+            SELECT vec_id, dist2_micro FROM d
+            ORDER BY dist2_micro DESC, vec_id LIMIT 25
+        """,
+        "selfjoin_size_estimate": """
+            WITH params(i, a, b) AS (VALUES
+              (0, 1103515245, 12345), (1, 1664525, 1013904223),
+              (2, 69069, 362437), (3, 22695477, 133331)),
+            slots AS (
+              SELECT p.i AS i,
+                     ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647)
+                       % 512 AS bucket,
+                     COUNT(*) AS c
+              FROM events e CROSS JOIN params p GROUP BY 1, 2),
+            ip AS (SELECT i, SUM(c * c) AS s FROM slots GROUP BY 1),
+            cnts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(n * n) AS BIGINT) AS exact,
+                   (SELECT CAST(MIN(s) AS BIGINT) FROM ip) AS est
+            FROM cnts
+        """,
+        "twap_by_user": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS t, value,
+                         LEAD(epoch_us(ts)) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2
+                       FROM events),
+            g AS (SELECT user_id,
+                    CAST(SUM(CASE WHEN t2 IS NOT NULL THEN
+                      CAST(-floor(-(value * (t2 - t)) + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS q,
+                    CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+                  FROM s GROUP BY 1)
+            SELECT user_id, span_us, CAST(q AS DOUBLE) / span_us AS twap
+            FROM g WHERE span_us > 0 ORDER BY user_id
+        """,
     }

@@ -582,3 +582,79 @@ def pca_top_component(
         v = v / nv
     k = int(np.abs(v).argmax())
     return v if v[k] >= 0 else -v
+
+
+def mahalanobis_outliers(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 25,
+) -> "pa.Table":
+    """Corpus-level embedding outliers by diagonal-covariance Mahalanobis
+    distance — the vector-space health screen (mislabeled media, garbage
+    encodes, adversarial inserts sit far from the per-dimension envelope).
+
+    Two passes, zero shuffles:
+      1. per-dim moment sums with the ``covariance_matrix`` quantization
+         (every x and x² half-rounded to int64 micro-units BEFORE
+         reduction — layout-independent, SQL-re-derivable);
+      2. per-row distance with each per-dim term
+         ``(x−μ_i)²/σ²_i`` half-rounded to integer micro-units before the
+         across-dim sum, so the score is int64-exact on both sides (no
+         float SUM-order hazard in the oracle).
+    μ/σ² derive from the integer sums with one fixed float expression
+    mirrored by the SQL.  Returns the top-k (distance desc, id asc).
+    """
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch.column(emb_col))
+        d = x.shape[1]
+        sx = (-np.floor(-(x * 1e6) + 0.5)).astype(np.int64).sum(axis=0)
+        sxx = (-np.floor(-((x * x) * 1e6) + 0.5)).astype(np.int64).sum(axis=0)
+        return pa.table({
+            "i": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "_sx": pa.array(sx, pa.int64()),
+            "_sxx": pa.array(sxx, pa.int64()),
+            "_n": pa.array(np.full(d, x.shape[0], np.int64), pa.int64()),
+        })
+
+    agg = (ds.select_columns([emb_col])
+           .map_batches(moments, batch_format="pyarrow")
+           .groupby("i").aggregate(Sum("_sx", alias_name="sx"),
+                                   Sum("_sxx", alias_name="sxx"),
+                                   Sum("_n", alias_name="n"))).take_all()
+    agg.sort(key=lambda r: r["i"])
+    sx = np.array([r["sx"] for r in agg], np.float64)
+    sxx = np.array([r["sxx"] for r in agg], np.float64)
+    n = float(agg[0]["n"])
+    mu = sx / 1e6 / n
+    var = (sxx / 1e6 - (sx / 1e6) * (sx / 1e6) / n) / (n - 1.0)
+    ref = ray.put((mu, var))
+
+    def dist(batch: pa.Table, mv_ref) -> pa.Table:
+        m, v = ray.get(mv_ref)
+        x = embedding_matrix(batch.column(emb_col))
+        t = ((x - m[None, :]) ** 2 / v[None, :]) * 1e6
+        dq = (-np.floor(-t + 0.5)).astype(np.int64).sum(axis=1)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        k = min(top_k, len(dq))
+        part = np.argpartition(-dq, k - 1)[:k] if k else np.array([], int)
+        return pa.table({
+            id_col: pa.array(ids[part], pa.int64()),
+            "dist2_micro": pa.array(dq[part], pa.int64()),
+        })
+
+    import functools
+
+    cand = ds.select_columns([id_col, emb_col]).map_batches(
+        functools.partial(dist, mv_ref=ref), batch_format="pyarrow")
+    rows = cand.take_all()  # <= top_k per block
+    rows.sort(key=lambda r: (-r["dist2_micro"], r[id_col]))
+    rows = rows[:top_k]
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in rows], pa.int64()),
+        "dist2_micro": pa.array([r["dist2_micro"] for r in rows],
+                                pa.int64()),
+    })

@@ -663,3 +663,25 @@ def count_min_estimate(
     dense[cm.column("slot").to_numpy()] = cm.column("c").to_numpy()
     slots = _cm_slots(np.asarray(keys, dtype=np.int64), width, depth)
     return dense[slots].min(axis=0)
+
+
+def count_min_inner_product(
+    cm_a: pa.Table,
+    cm_b: pa.Table,
+    width: int,
+    depth: int,
+) -> int:
+    """Join-size / self-join-size estimation from two Count-Min sketches
+    (AGMS-style): ``est = min_i Σ_j A[i,j]·B[i,j]`` upper-bounds
+    ``Σ_k c_A(k)·c_B(k)`` — the equi-join cardinality — with the same
+    one-sided guarantee as point queries.  Both sketches must share the
+    hash family / width / depth.  Integer arithmetic end-to-end, so the
+    estimate is layout-deterministic and SQL-re-derivable exactly; the
+    sketches are depth×width-bounded however large the joined inputs."""
+    def dense(cm: pa.Table) -> np.ndarray:
+        d = np.zeros(depth * width, dtype=np.int64)
+        d[cm.column("slot").to_numpy()] = cm.column("c").to_numpy()
+        return d.reshape(depth, width)
+
+    a, b = dense(cm_a), dense(cm_b)
+    return int((a * b).sum(axis=1).min())
