@@ -2198,21 +2198,15 @@ def _q_apply_changes_balances(sf_dir: str):
     })
 
 
-def _q_name_pagerank(sf_dir: str):
-    """PageRank (3 synchronous iterations, d=0.85) over the nation-blocked
-    lev<=1 customer-name graph — per round ONE keyed join (ranks onto the
-    materialized edge list) + one keyed combine; the oracle unrolls the same
-    three iterations in SQL (pipelines/graph.py:pagerank)."""
-    from insurance_pdf_extractor_ray.pipelines.graph import pagerank
-
-    # same edge derivation as entity_components (fuzzy pairs + block join),
-    # then symmetrize for the undirected graph
+def _customer_name_graph(sf_dir: str):
+    """Symmetrized nation-blocked lev<=1 customer-name edge list — shared
+    by the PageRank-family queries (same derivation as entity_components:
+    fuzzy pairs + block dim joins, empty-block hygiene between them)."""
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
     from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
     from insurance_pdf_extractor_ray.pipelines.fuzzy import fuzzy_pairs
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
-
     pairs = drop_empty_blocks(
         fuzzy_pairs(cust.select_columns(["c_custkey", "c_name"]),
                     "c_custkey", "c_name"),
@@ -2222,6 +2216,10 @@ def _q_name_pagerank(sf_dir: str):
     dim = cust.select_columns(["c_custkey", "c_nationkey"])
     pairs = pairs.join(dim, join_type="inner", num_partitions=P,
                        on=("id_a",), right_on=("c_custkey",))
+    pairs = drop_empty_blocks(
+        pairs, empty_schema=pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()),
+            ("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]))
     pairs = pairs.join(dim, join_type="inner", num_partitions=P,
                        on=("id_b",), right_on=("c_custkey",),
                        right_suffix="_rb")
@@ -2230,18 +2228,28 @@ def _q_name_pagerank(sf_dir: str):
                                     t.column("c_nationkey_rb")))
                    .select(["id_a", "id_b"]),
         batch_format="pyarrow")
-    sym = pairs.map_batches(
+    return pairs.map_batches(
         lambda t: pa.table({
             "src": pa.concat_arrays([t.column("id_a").combine_chunks(),
                                      t.column("id_b").combine_chunks()]),
             "dst": pa.concat_arrays([t.column("id_b").combine_chunks(),
                                      t.column("id_a").combine_chunks()])}),
         batch_format="pyarrow")
+
+
+def _q_name_pagerank(sf_dir: str):
+    """PageRank (3 synchronous iterations, d=0.85) over the nation-blocked
+    lev<=1 customer-name graph — per round ONE keyed join (ranks onto the
+    materialized edge list) + one keyed combine; the oracle unrolls the same
+    three iterations in SQL (pipelines/graph.py:pagerank)."""
+    from insurance_pdf_extractor_ray.pipelines.graph import pagerank
+
+    sym = _customer_name_graph(sf_dir)
     ranks = pagerank(sym, n_iter=3, damping=0.85)
     rows = sorted(ranks.take_all(), key=lambda r: r["id"])
     return pa.table({
         "id": pa.array([r["id"] for r in rows], pa.int64()),
-        "rank": pa.array([_round_half_away(r["rank"], 9) for r in rows],
+        "rank": pa.array([_round_away(r["rank"], 9) for r in rows],
                          pa.float64()),
     })
 
@@ -4013,6 +4021,99 @@ def _q_twap(sf_dir: str):
     })
 
 
+def _q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (restart mass on custkey%100==0 seeds) over
+    the customer-name similarity graph — same one-join-one-combine rounds,
+    seed-concentrated restart vector (pipelines/graph.py:pagerank)."""
+    from insurance_pdf_extractor_ray.pipelines.graph import pagerank
+
+    keys = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"]).column("c_custkey")
+    seeds = [int(k) for k in keys.to_pylist() if k % 100 == 0]
+    sym = _customer_name_graph(sf_dir)
+    ranks = pagerank(sym, n_iter=3, damping=0.85, restart=seeds)
+    rows = sorted(ranks.take_all(), key=lambda r: r["id"])
+    return pa.table({
+        "id": pa.array([r["id"] for r in rows], pa.int64()),
+        "rank": pa.array([_round_away(r["rank"], 9) for r in rows],
+                         pa.float64()),
+    })
+
+
+def _q_stopword_coverage(sf_dir: str):
+    """Per-doc per-language stopword hit counts (integer-exact) — one
+    token explode + one is_in per language, zero shuffles
+    (pipelines/textpipe.py:stopword_coverage)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import (
+        stopword_coverage)
+
+    out = stopword_coverage(_documents(sf_dir, ["doc_id", "text"]))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    cols = {"doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64())}
+    for l in ("de", "en", "es", "fr"):
+        cols[f"sw_{l}"] = pa.array([r[f"sw_{l}"] for r in rows], pa.int64())
+    return pa.table(cols)
+
+
+def _q_kcore(sf_dir: str):
+    """k-core (k=4) of the embedding similarity graph by synchronous
+    peeling — fixed 6 rounds, per round one tiny node-keyed combine +
+    broadcast edge filter (pipelines/graph.py:kcore)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.graph import (
+        ip_threshold_graph, kcore)
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).filter(expr="vec_id < 400")
+    edges = ip_threshold_graph(emb, "embedding", "vec_id", tau=0.25)
+    return kcore(edges, k=4, rounds=6)
+
+
+def _stopword_oracle() -> str:
+    from insurance_pdf_extractor_ray.functions.textstats import _STOPWORDS
+
+    sums = []
+    for l in sorted(_STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[l]))
+        sums.append(f"SUM(CASE WHEN t IN ({lst}) THEN 1 ELSE 0 END)"
+                    f" AS sw_{l}")
+    return ("""
+        WITH tok AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS t
+                     FROM documents)
+        SELECT doc_id, COUNT(*) AS n_tokens, """ + ",\n".join(sums)
+            + " FROM tok GROUP BY 1 ORDER BY 1")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous peeling over the integer-exact similarity
+    edges (same edge CTE as similarity_triangles)."""
+    parts = ["""q AS (SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS i,
+             CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                           * 1048576) + 0.5) AS BIGINT) AS qv
+           FROM embeddings WHERE vec_id < 400),
+s AS (SELECT a.vec_id AS u, b.vec_id AS v, SUM(a.qv * b.qv) AS sim
+      FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+e0 AS MATERIALIZED (SELECT u, v FROM s WHERE sim >= 274877906944)"""]
+    for i in range(rounds):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS degree FROM
+  (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY 1),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE degree >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{i}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i}))""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node, degree FROM d{rounds - 1} WHERE degree >= {k} ORDER BY node""")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4182,6 +4283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _q_embedding_outliers,
         "selfjoin_size_estimate": _q_selfjoin_size,
         "twap_by_user": _q_twap,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "stopword_coverage": _q_stopword_coverage,
+        "kcore_embeddings": _q_kcore,
     }
 
 
@@ -6124,4 +6228,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, span_us, CAST(q AS DOUBLE) / span_us AS twap
             FROM g WHERE span_us > 0 ORDER BY user_id
         """,
+        "personalized_pagerank": """
+            WITH pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a, customer b
+              WHERE a.c_custkey < b.c_custkey
+                AND a.c_nationkey = b.c_nationkey
+                AND levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            ns AS (SELECT count(*) AS n FROM customer
+                   WHERE c_custkey % 100 = 0),
+            r0 AS (SELECT deg.src AS id,
+                          CASE WHEN deg.src % 100 = 0
+                               THEN 1.0 / ns.n ELSE 0.0 END AS r
+                   FROM deg, ns),
+            r1 AS (SELECT e.dst AS id,
+                          0.15 * CASE WHEN e.dst % 100 = 0
+                                 THEN 1.0 / (SELECT n FROM ns)
+                                 ELSE 0.0 END
+                          + 0.85 * SUM(r0.r / deg.d) AS r
+                   FROM edges e JOIN r0 ON e.src = r0.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS id,
+                          0.15 * CASE WHEN e.dst % 100 = 0
+                                 THEN 1.0 / (SELECT n FROM ns)
+                                 ELSE 0.0 END
+                          + 0.85 * SUM(r1.r / deg.d) AS r
+                   FROM edges e JOIN r1 ON e.src = r1.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS id,
+                          0.15 * CASE WHEN e.dst % 100 = 0
+                                 THEN 1.0 / (SELECT n FROM ns)
+                                 ELSE 0.0 END
+                          + 0.85 * SUM(r2.r / deg.d) AS r
+                   FROM edges e JOIN r2 ON e.src = r2.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst)
+            SELECT id, ROUND(r, 9) AS rank FROM r3 ORDER BY id
+        """,
+        "stopword_coverage": _stopword_oracle(),
+        "kcore_embeddings": _kcore_oracle(4, 6),
     }

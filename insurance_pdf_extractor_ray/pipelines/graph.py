@@ -28,11 +28,18 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     num_partitions: Optional[int] = None,
+    restart: Optional[list] = None,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list — Dataset(id, rank) after exactly
     ``n_iter`` synchronous iterations from the uniform start (fixed
     iteration count keeps the result deterministic and oracle-checkable;
     convergence loops can wrap this).
+
+    ``restart`` switches to PERSONALIZED PageRank: the restart
+    distribution concentrates uniformly on the given seed ids instead of
+    all nodes (and the walk starts from it) — "similar to THESE docs"
+    relevance over a similarity graph.  Seed list is driver-small by
+    contract (it parameterizes the query); same exchange shape per round.
 
     Assumes every node has out-degree >= 1 (true for symmetric/undirected
     edge lists — pass both directions; dangling-node mass redistribution is
@@ -59,6 +66,7 @@ def pagerank(
         return ray.data.from_arrow(pa.table(
             {"id": pa.array([], id_type),
              "rank": pa.array([], pa.float64())}))
+    seeds = pa.array(sorted(set(restart)), id_type) if restart else None
     base = (1.0 - damping) / n_nodes
 
     # (src, dst, out-degree of src) — joined ONCE, reused every round
@@ -66,6 +74,11 @@ def pagerank(
                     on=(src,), right_on=("id",)).materialize()
 
     def init_ranks(t: pa.Table) -> pa.Table:
+        if seeds is not None:
+            s = pc.cast(pc.is_in(t.column("id"), value_set=seeds),
+                        pa.float64())
+            return pa.table({"id": t.column("id"),
+                             "rank": pc.divide(s, float(len(seeds)))})
         return pa.table({"id": t.column("id"),
                          "rank": pa.array([1.0 / n_nodes] * t.num_rows,
                                           pa.float64())})
@@ -82,15 +95,22 @@ def pagerank(
                           t.column("_deg").cast(pa.float64()))
             return pa.table({"id": t.column(dst), "_c": c})
 
+        def finish_round(t: pa.Table) -> pa.Table:
+            if seeds is not None:
+                s = pc.cast(pc.is_in(t.column("id"), value_set=seeds),
+                            pa.float64())
+                b = pc.multiply(pc.divide(s, float(len(seeds))),
+                                1.0 - damping)
+            else:
+                b = base
+            return pa.table({
+                "id": t.column("id"),
+                "rank": pc.add(b, pc.multiply(damping, t.column("_s")))})
+
         ranks = drop_empty_blocks(
             msgs.map_batches(contrib, batch_format="pyarrow")
             .groupby("id").aggregate(Sum("_c", alias_name="_s"))
-            .map_batches(
-                lambda t: pa.table({
-                    "id": t.column("id"),
-                    "rank": pc.add(base, pc.multiply(
-                        damping, t.column("_s")))}),
-                batch_format="pyarrow"),
+            .map_batches(finish_round, batch_format="pyarrow"),
             empty_schema=rank_schema)
 
     return ranks
@@ -261,3 +281,76 @@ def triangle_stats(
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = 8,
+    u: str = "u",
+    v: str = "v",
+    max_broadcast_nodes: int = 4_000_000,
+) -> pa.Table:
+    """k-core decomposition by synchronous peeling: ``rounds`` fixed
+    iterations of (degree count → keep nodes with deg ≥ k → restrict edges
+    to kept endpoints).  Fixed round count keeps the result deterministic
+    and lets the SQL oracle unroll the same levels; pick ``rounds`` ≥ the
+    peeling depth (tests verify an extra round is a no-op).
+
+    The community-density screen over similarity graphs: the k-core is
+    where the near-duplicate cliques and template families live, the
+    periphery is one-off content.
+
+    Per round: map-side degree pre-counts, ONE node-keyed combine (tiny),
+    surviving-node set broadcast (``ray.put`` once per round, bounded by
+    ``max_broadcast_nodes``), one zero-shuffle edge filter.  Edge blocks
+    stream; driver holds only the node set.  Returns surviving (node,
+    degree) at the final round.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    e = edges.select_columns([u, v]).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([batch.column(u).combine_chunks(),
+                                 batch.column(v).combine_chunks()])
+        t = pa.table({"node": node})
+        g = t.group_by(["node"]).aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "_d": g.column("count_all").cast(pa.int64())})
+
+    last = []
+    for _ in range(rounds):
+        rows = (e.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("_d", alias_name="degree"))
+                ).take_all()
+        keep_rows = [(r["node"], r["degree"]) for r in rows
+                     if r["degree"] >= k]
+        last = sorted(keep_rows)
+        if len(last) == len(rows):  # fixed point: nothing peeled
+            break
+        if len(last) > max_broadcast_nodes:
+            raise ValueError("kcore node set exceeds broadcast cap; "
+                             "use a semi-join variant")
+        keep = np.array([n for n, _ in last], np.int64)
+        ref = ray.put(keep)
+
+        def filt(batch: pa.Table, keep_ref) -> pa.Table:
+            import numpy as _np
+            ks = ray.get(keep_ref)
+            uu = batch.column(u).to_numpy(zero_copy_only=False)
+            vv = batch.column(v).to_numpy(zero_copy_only=False)
+            m = _np.isin(uu, ks) & _np.isin(vv, ks)
+            return batch.filter(pa.array(m))
+
+        import functools
+
+        e = e.map_batches(functools.partial(filt, keep_ref=ref),
+                          batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "node": pa.array([n for n, _ in last], pa.int64()),
+        "degree": pa.array([d for _, d in last], pa.int64()),
+    })

@@ -341,3 +341,44 @@ def char_entropy(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         signals, batch_format="pyarrow")
+
+
+def stopword_coverage(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc stopword hit COUNTS for each supported language — the
+    integer-exact signal under the heuristic language ID (code-switch and
+    template pages show multi-language coverage; pure junk shows none).
+
+    Counts, not fractions, so the oracle is exact (fractions are one
+    division away for the consumer).  Vectorized: one token explode per
+    batch, one ``pc.is_in`` per language over the flat token array,
+    segmented int64 sums.  Zero shuffles; docs with no tokens excluded
+    (explode GROUP BY semantics).
+    """
+    from ..functions.textstats import _STOPWORDS
+    from .tfidf import _explode_tokens
+
+    langs = sorted(_STOPWORDS)
+    sets = {l: pa.array(sorted(_STOPWORDS[l])) for l in langs}
+
+    def cover(batch: pa.Table) -> pa.Table:
+        lens, flat = _explode_tokens(batch.column(text_col))
+        ends = np.cumsum(lens)
+        keep = lens > 0
+        cols = {
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
+        }
+        for l in langs:
+            hit = pc.is_in(flat, value_set=sets[l]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(hit)))
+            cols[f"sw_{l}"] = pa.array(
+                (csum[ends] - csum[ends - lens])[keep], pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        cover, batch_format="pyarrow")
