@@ -4114,6 +4114,59 @@ e{i + 1} AS MATERIALIZED (
 SELECT node, degree FROM d{rounds - 1} WHERE degree >= {k} ORDER BY node""")
 
 
+def _q_weighted_median(sf_dir: str):
+    """Exact lower weighted median per return flag — distributed sort +
+    per-(block,key) weight-offset metadata wave + one zero-move pick wave
+    (pipelines/statagg.py:weighted_median_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import (
+        weighted_median_by_key)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def cast_w(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("l_quantity"), "l_quantity",
+            t.column("l_quantity").cast(pa.int64()))
+
+    out = weighted_median_by_key(
+        li.map_batches(cast_w, batch_format="pyarrow"),
+        "l_returnflag", "l_extendedprice", "l_quantity")
+    return out.rename_columns(["l_returnflag", "wmedian"])
+
+
+def _q_time_in_state(sf_dir: str):
+    """Total dwell time per event type: each event owns the interval until
+    the user's next event (last event excluded) — per-user vectorized
+    diffs, map-side per-type partials, ONE tiny combine; integer-µs."""
+    from ray.data.aggregate import Sum
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                ("event_id", "ascending")])
+        group = group.take(idx)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "_d": pa.array([], pa.int64())})
+        dt = np.diff(ts)
+        t = pa.table({"event_type": group.column("event_type").slice(
+            0, len(ts) - 1), "_d": pa.array(dt, pa.int64())})
+        g = t.group_by(["event_type"]).aggregate([("_d", "sum")])
+        return g.rename_columns(["event_type", "_d"])
+
+    out = (_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+           .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("_d", alias_name="dwell_us")))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "dwell_us": pa.array([r["dwell_us"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4286,6 +4339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "stopword_coverage": _q_stopword_coverage,
         "kcore_embeddings": _q_kcore,
+        "weighted_median_price": _q_weighted_median,
+        "time_in_state": _q_time_in_state,
     }
 
 
@@ -6272,4 +6327,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stopword_coverage": _stopword_oracle(),
         "kcore_embeddings": _kcore_oracle(4, 6),
+        "weighted_median_price": """
+            WITH c AS (SELECT l_returnflag, l_extendedprice,
+                         CAST(l_quantity AS BIGINT) AS w,
+                         SUM(CAST(l_quantity AS BIGINT)) OVER
+                           (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS cw,
+                         SUM(CAST(l_quantity AS BIGINT)) OVER
+                           (PARTITION BY l_returnflag) AS tw
+                       FROM lineitem)
+            SELECT l_returnflag, MIN(l_extendedprice) AS wmedian
+            FROM c WHERE cw >= tw / 2.0 GROUP BY 1 ORDER BY 1
+        """,
+        "time_in_state": """
+            WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                         LEAD(epoch_us(ts)) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2
+                       FROM events)
+            SELECT event_type,
+                   CAST(SUM(t2 - t) AS BIGINT) AS dwell_us
+            FROM s WHERE t2 IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
     }

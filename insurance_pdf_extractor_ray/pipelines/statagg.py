@@ -639,3 +639,69 @@ def winsorized_mean_by_key(
         "q_hi": pa.array([bounds[r[key]][1] for r in rows], pa.float64()),
         "wmean": pa.array([r["_s"] / r["_n"] for r in rows], pa.float64()),
     })
+
+
+@ray.remote
+def _key_weight_sums(tbl: pa.Table, key: str, w: str):
+    """Per-key weight sums for one sorted block, in block key order."""
+    g = tbl.group_by([key]).aggregate([(w, "sum")])
+    return list(zip(g.column(key).to_pylist(),
+                    g.column(f"{w}_sum").to_pylist()))
+
+
+@ray.remote
+def _pick_weighted(tbl: pa.Table, key: str, value: str, w: str,
+                   starts: dict, thresholds: dict) -> pa.Table:
+    """Rows where the per-key running weight first reaches the threshold."""
+    k = tbl.column(key).to_pylist()
+    wv = tbl.column(w).to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.zeros(len(k), np.int64)
+    run: dict = {}
+    for i, kk in enumerate(k):
+        run[kk] = run.get(kk, starts.get(kk, 0)) + int(wv[i])
+        cum[i] = run[kk]
+    thr = np.array([thresholds[kk] for kk in k], np.float64)
+    prev = cum - wv  # running weight BEFORE this row
+    hit = (cum >= thr) & (prev < thr)
+    return tbl.filter(pa.array(hit)).select([key, value])
+
+
+def weighted_median_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    weight: str,
+) -> pa.Table:
+    """Exact lower weighted median per key: the smallest ``value`` whose
+    per-key cumulative ``weight`` (in value order) reaches half the key's
+    total weight — SQL ``MIN(value) FILTER (cum_w >= total_w/2)`` over a
+    windowed cumsum.
+
+    Same shape as ``median_by_key``, generalized from row positions to
+    WEIGHT positions: one distributed sort by (key, value); a metadata wave
+    of per-(block, key) weight sums gives each block its per-key starting
+    offsets (driver holds keys × blocks numbers, never rows); one zero-move
+    pick wave emits exactly the first threshold-crossing row per key.
+    Integer weights by contract (exact threshold arithmetic).
+    """
+    slim = ds.select_columns([key, value, weight])
+    ordered = slim.sort([key, value]).materialize()
+    refs = ordered.to_arrow_refs()
+    per_block = ray.get([_key_weight_sums.remote(r, key, weight)
+                         for r in refs])
+    totals: dict = {}
+    starts_per_block = []
+    running: dict = {}
+    for pb in per_block:
+        starts_per_block.append(
+            {k: running.get(k, 0) for k, _ in pb})
+        for k, s in pb:
+            running[k] = running.get(k, 0) + int(s)
+    totals = running
+    thresholds = {k: t / 2.0 for k, t in totals.items()}
+    out_refs = [_pick_weighted.remote(r, key, value, weight, st, thresholds)
+                for r, st in zip(refs, starts_per_block)]
+    picked = pa.concat_tables(ray.get(out_refs))
+    idx = pc.sort_indices(picked, sort_keys=[(key, "ascending")])
+    picked = picked.take(idx)
+    return picked.rename_columns([key, "wmedian"])

@@ -125,3 +125,44 @@ class TestWinsorizedMean:
                         "v": pa.array(vals, pa.float64())})
         out = winsorized_mean_by_key(ray.data.from_arrow(tbl), "k", "v")
         assert abs(out.column("wmean")[0].as_py() - 10.0) < 1.0
+
+
+class TestWeightedMedian:
+    def test_matches_duckdb_and_layouts(self):
+        from insurance_pdf_extractor_ray.pipelines.statagg import (
+            weighted_median_by_key)
+
+        rng = np.random.RandomState(3)
+        n = 10000
+        tbl = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], n)),
+            "v": pa.array(rng.randn(n), pa.float64()),
+            "w": pa.array(rng.randint(1, 50, n).astype(np.int64)),
+        })
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute("""
+            WITH c AS (SELECT k, v, w,
+                         SUM(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+                         SUM(w) OVER (PARTITION BY k) AS tw FROM t)
+            SELECT k, MIN(v) FROM c WHERE cw >= tw/2.0
+            GROUP BY k ORDER BY k
+        """).fetchall()
+        for parts in (1, 6):
+            got = weighted_median_by_key(
+                ray.data.from_arrow(tbl).repartition(parts), "k", "v", "w")
+            g = list(zip(got.column("k").to_pylist(),
+                         got.column("wmedian").to_pylist()))
+            assert g == [tuple(r) for r in want]
+
+    def test_heavy_weight_dominates(self):
+        from insurance_pdf_extractor_ray.pipelines.statagg import (
+            weighted_median_by_key)
+
+        tbl = pa.table({
+            "k": pa.array(["x"] * 4),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "w": pa.array([1, 1, 100, 1], pa.int64()),
+        })
+        got = weighted_median_by_key(ray.data.from_arrow(tbl), "k", "v", "w")
+        assert got.column("wmedian").to_pylist() == [3.0]
