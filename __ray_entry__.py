@@ -4167,6 +4167,18 @@ def _q_time_in_state(sf_dir: str):
     })
 
 
+def _q_ks_test(sf_dir: str):
+    """Exact two-sample KS statistic (view vs purchase value
+    distributions) — one distributed sort + metadata count wave + zero-move
+    per-block max wave; tie groups evaluate once, after their last row
+    (pipelines/statagg.py:ks_two_sample)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import ks_two_sample
+
+    out = ks_two_sample(_events(sf_dir, ["event_type", "value"]),
+                        "value", "event_type", "view", "purchase")
+    return _round_col(out, "ks_d", 9)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4341,6 +4353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_embeddings": _q_kcore,
         "weighted_median_price": _q_weighted_median,
         "time_in_state": _q_time_in_state,
+        "ks_view_purchase": _q_ks_test,
     }
 
 
@@ -6349,5 +6362,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(t2 - t) AS BIGINT) AS dwell_us
             FROM s WHERE t2 IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # default RANGE window frame makes the cumulative tie-inclusive —
+        # the engine evaluates only after each complete tie group, same rule
+        "ks_view_purchase": """
+            WITH x AS (SELECT value AS v,
+                         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS i1,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS i2
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            n AS (SELECT SUM(i1) AS n1, SUM(i2) AS n2 FROM x),
+            r AS (SELECT v, SUM(i1) OVER (ORDER BY v) AS c1,
+                         SUM(i2) OVER (ORDER BY v) AS c2 FROM x)
+            SELECT CAST(n.n1 AS BIGINT) AS n_a, CAST(n.n2 AS BIGINT) AS n_b,
+                   round(MAX(ABS(c1 * 1.0 / n.n1 - c2 * 1.0 / n.n2)), 9)
+                     AS ks_d
+            FROM r, n GROUP BY 1, 2
         """,
     }

@@ -705,3 +705,87 @@ def weighted_median_by_key(
     idx = pc.sort_indices(picked, sort_keys=[(key, "ascending")])
     picked = picked.take(idx)
     return picked.rename_columns([key, "wmedian"])
+
+
+@ray.remote
+def _ks_block_counts(tbl: pa.Table, value: str, flag: str):
+    """(n1, n2, first_value) for one sorted block (possibly a zero-column
+    empty block — guard before touching columns)."""
+    if tbl.num_rows == 0:
+        return 0, 0, None
+    f = tbl.column(flag).to_numpy(zero_copy_only=False)
+    n1 = int(f.sum())
+    return n1, tbl.num_rows - n1, tbl.column(value)[0].as_py()
+
+
+@ray.remote
+def _ks_block_max(tbl: pa.Table, value: str, flag: str,
+                  start1: int, start2: int, n1: int, n2: int,
+                  next_first) -> float:
+    """Max |F1−F2| over this block's VALID evaluation points (rows whose
+    successor — including the next block's first row — has a different
+    value; ties evaluate only after their last row, matching SQL's
+    RANGE-framed cumulative)."""
+    if tbl.num_rows == 0:
+        return 0.0
+    v = tbl.column(value).to_numpy(zero_copy_only=False)
+    f = tbl.column(flag).to_numpy(zero_copy_only=False).astype(np.int64)
+    c1 = start1 + np.cumsum(f)
+    c2 = start2 + np.cumsum(1 - f)
+    valid = np.ones(len(v), dtype=bool)
+    valid[:-1] = v[:-1] != v[1:]
+    if next_first is not None and v[-1] == next_first:
+        valid[-1] = False
+    if not valid.any():
+        return 0.0
+    d = np.abs(c1[valid] / n1 - c2[valid] / n2)
+    return float(d.max())
+
+
+def ks_two_sample(
+    ds: ray.data.Dataset,
+    value: str,
+    group: str,
+    group_a,
+    group_b,
+) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the ``value``
+    distributions of two groups — the standard distribution-shift test for
+    "did this source's score distribution move?".
+
+    ``D = max_x |F_a(x) − F_b(x)|`` evaluated after each complete tie
+    group (identical to the SQL RANGE-framed window cumulative).  Shape:
+    ONE distributed sort by value; a metadata wave of per-block (n_a, n_b,
+    first_value) gives every block its starting cumulative counts AND its
+    successor's first value (so ties spanning block boundaries are never
+    evaluated mid-tie); one zero-move max wave; driver reduces #blocks
+    floats.
+    """
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(group),
+                     value_set=pa.array([group_a, group_b]))
+        t = batch.filter(m)
+        flag = pc.cast(pc.equal(t.column(group), group_a), pa.int8())
+        return pa.table({value: t.column(value), "_f": flag})
+
+    slim = ds.select_columns([group, value]).map_batches(
+        keep, batch_format="pyarrow")
+    ordered = slim.sort([value]).materialize()
+    refs = ordered.to_arrow_refs()
+    meta = ray.get([_ks_block_counts.remote(r, value, "_f") for r in refs])
+    n1 = sum(m[0] for m in meta)
+    n2 = sum(m[1] for m in meta)
+    if n1 == 0 or n2 == 0:
+        raise ValueError("both groups must be non-empty")
+    starts1 = np.concatenate(([0], np.cumsum([m[0] for m in meta])[:-1]))
+    starts2 = np.concatenate(([0], np.cumsum([m[1] for m in meta])[:-1]))
+    next_firsts = [meta[i + 1][2] if i + 1 < len(meta) else None
+                   for i in range(len(meta))]
+    maxes = ray.get([
+        _ks_block_max.remote(r, value, "_f", int(s1), int(s2), n1, n2, nf)
+        for r, s1, s2, nf in zip(refs, starts1, starts2, next_firsts)])
+    return pa.table({
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "ks_d": pa.array([max(maxes)], pa.float64()),
+    })

@@ -114,3 +114,49 @@ class TestDriftByKey:
               np.floor(r["chi2"] * 1e6 + 0.5) / 1e6)
              for r in out.to_pylist()))
         assert got == [tuple(r) for r in want]
+
+
+class TestKsTwoSample:
+    def _ks_brute(self, a, b):
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        f1 = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        f2 = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        return np.abs(f1 - f2).max()
+
+    def _run(self, a, b, parts=5):
+        from insurance_pdf_extractor_ray.pipelines.statagg import (
+            ks_two_sample)
+
+        tbl = pa.table({
+            "g": pa.array(["a"] * len(a) + ["b"] * len(b)),
+            "v": pa.array(np.concatenate([a, b]), pa.float64()),
+        })
+        out = ks_two_sample(ray.data.from_arrow(tbl).repartition(parts),
+                            "v", "g", "a", "b")
+        return out.column("ks_d")[0].as_py()
+
+    def test_matches_brute_force(self):
+        rng = np.random.RandomState(51)
+        a, b = rng.randn(3000), rng.randn(2000) + 0.3
+        assert self._run(a, b) == pytest.approx(self._ks_brute(a, b),
+                                                abs=1e-12)
+
+    def test_identical_distributions_near_zero(self):
+        rng = np.random.RandomState(52)
+        x = rng.randn(5000)
+        d = self._run(x[:2500], x[2500:])
+        assert d < 0.06  # same distribution: D ~ O(1/sqrt(n))
+
+    def test_heavy_ties_across_blocks(self):
+        # discrete values with huge tie groups that straddle block splits
+        rng = np.random.RandomState(53)
+        a = rng.choice([1.0, 2.0, 3.0], 4000, p=[.5, .3, .2])
+        b = rng.choice([1.0, 2.0, 3.0], 3000, p=[.2, .3, .5])
+        for parts in (1, 9):
+            assert self._run(a, b, parts) == pytest.approx(
+                self._ks_brute(a, b), abs=1e-12)
+
+    def test_disjoint_supports_give_one(self):
+        a = np.arange(100, dtype=np.float64)
+        b = np.arange(1000, 1100, dtype=np.float64)
+        assert self._run(a, b) == pytest.approx(1.0, abs=1e-12)
