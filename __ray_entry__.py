@@ -4179,6 +4179,42 @@ def _q_ks_test(sf_dir: str):
     return _round_col(out, "ks_d", 9)
 
 
+def _q_changepoint(sf_dir: str):
+    """Single change-point detection over the daily event-count series:
+    the split minimizing two-segment SSE, computed in closed form from
+    prefix sums — distributed day-count shuffle (bounded by days), driver
+    scan over the tiny series; same float expression as the SQL twin."""
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["ts"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch.column("ts").cast(pa.int64()), 86_400_000_000)
+        t = pa.table({"_day": day})
+        g = t.group_by(["_day"]).aggregate([([], "count_all")])
+        return pa.table({"_day": g.column("_day"),
+                         "_n": g.column("count_all").cast(pa.int64())})
+
+    rows = (ev.map_batches(day_counts, batch_format="pyarrow")
+            .groupby("_day").aggregate(Sum("_n", alias_name="_n"))
+            ).take_all()
+    rows.sort(key=lambda r: r["_day"])
+    days = np.array([r["_day"] for r in rows], np.int64)
+    x = np.array([r["_n"] for r in rows], np.float64)
+    m = len(x)
+    s1 = np.cumsum(x)
+    s2 = np.cumsum(x * x)
+    i = np.arange(1, m, dtype=np.float64)  # candidate split after row i
+    sse = ((s2[:-1] - s1[:-1] * s1[:-1] * 1.0 / i)
+           + ((s2[-1] - s2[:-1])
+              - (s1[-1] - s1[:-1]) * (s1[-1] - s1[:-1]) * 1.0 / (m - i)))
+    best = int(np.lexsort((days[:-1], sse))[0])
+    return pa.table({
+        "change_day": pa.array([int(days[best])], pa.int64()),
+        "sse": pa.array([_round_away(float(sse[best]), 6)], pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4354,6 +4390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": _q_weighted_median,
         "time_in_state": _q_time_in_state,
         "ks_view_purchase": _q_ks_test,
+        "changepoint_daily": _q_changepoint,
     }
 
 
@@ -6380,5 +6417,25 @@ def oracle_sql() -> dict[str, str]:
                    round(MAX(ABS(c1 * 1.0 / n.n1 - c2 * 1.0 / n.n2)), 9)
                      AS ks_d
             FROM r, n GROUP BY 1, 2
+        """,
+        "changepoint_daily": """
+            WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         AS day, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            o AS (SELECT day, n,
+                    ROW_NUMBER() OVER (ORDER BY day) AS i,
+                    SUM(n) OVER (ORDER BY day) AS s1,
+                    SUM(n * n) OVER (ORDER BY day) AS s2
+                  FROM d),
+            t AS (SELECT MAX(s1) AS st1, MAX(s2) AS st2,
+                         COUNT(*) AS m FROM o),
+            c AS (SELECT o.day,
+                    (o.s2 - o.s1 * o.s1 * 1.0 / o.i)
+                    + ((t.st2 - o.s2)
+                       - (t.st1 - o.s1) * (t.st1 - o.s1) * 1.0
+                         / (t.m - o.i)) AS sse
+                  FROM o, t WHERE o.i < t.m)
+            SELECT day AS change_day, round(sse, 6) AS sse
+            FROM c ORDER BY sse ASC, day ASC LIMIT 1
         """,
     }

@@ -160,3 +160,31 @@ class TestKsTwoSample:
         a = np.arange(100, dtype=np.float64)
         b = np.arange(1000, 1100, dtype=np.float64)
         assert self._run(a, b) == pytest.approx(1.0, abs=1e-12)
+
+
+class TestChangepoint:
+    def test_planted_level_shift_found(self):
+        # synthesize events: 20 days at ~5/day then 20 days at ~50/day
+        import __ray_entry__ as entry
+
+        rows = []
+        eid = 0
+        for day in range(40):
+            per = 5 if day < 20 else 50
+            for j in range(per):
+                rows.append((eid, (day * 86_400 + j * 60) * 1_000_000))
+                eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+        })
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="cp_test_")
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        out = entry._q_changepoint(d)
+        assert out.column("change_day")[0].as_py() == 19  # last low day
