@@ -4215,6 +4215,101 @@ def _q_changepoint(sf_dir: str):
     })
 
 
+def _global_ndistinct(ds, col: str) -> int:
+    """Global COUNT(DISTINCT col): map-side per-batch dedup, one
+    value-keyed combine, metadata count."""
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.select([col]).group_by([col]).aggregate([])
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(col).count().count())
+
+
+def _q_csv_source(sf_dir: str):
+    """CSV source reader exercised end-to-end: orders exported to CSV
+    (integer cents — exact through the text format), re-read with
+    ``sources.io.read_csv``, aggregated; the oracle computes the same
+    stats straight from the parquet view."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.sources.io import read_csv
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")
+                       ).metadata.num_rows
+    out_dir = f"/tmp/ipe_csv_src/{n}"
+    if not glob.glob(os.path.join(out_dir, "*")):
+        os.makedirs(out_dir, exist_ok=True)
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            cents = (-np.floor(-(p * 100) + 0.5)).astype(np.int64)
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_custkey": t.column("o_custkey"),
+                             "cents": pa.array(cents, pa.int64())})
+
+        orders.map_batches(to_cents, batch_format="pyarrow"
+                           ).write_csv(out_dir)
+    ds = read_csv(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_n": pa.array([t.num_rows], pa.int64()),
+            "_s": pa.array([int(pc.sum(t.column("cents")).as_py() or 0)],
+                           pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_cust = _global_ndistinct(ds, "o_custkey")
+    return pa.table({
+        "n_orders": pa.array([sum(r["_n"] for r in rows)], pa.int64()),
+        "sum_cents": pa.array([sum(r["_s"] for r in rows)], pa.int64()),
+        "n_cust": pa.array([n_cust], pa.int64()),
+    })
+
+
+def _q_jsonl_source(sf_dir: str):
+    """JSONL source reader roundtrip: events exported to NDJSON (integer
+    milli-values), re-read with ``sources.io.read_jsonl``, aggregated."""
+    from insurance_pdf_extractor_ray.sources.io import read_jsonl
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")
+                       ).metadata.num_rows
+    out_dir = f"/tmp/ipe_jsonl_src/{n}"
+    if not glob.glob(os.path.join(out_dir, "*")):
+        os.makedirs(out_dir, exist_ok=True)
+        ev = _events(sf_dir, ["event_id", "user_id", "value", "event_type"])
+
+        def to_milli(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            m = np.where(v >= 0, np.floor(v * 1000 + 0.5),
+                         -np.floor(-v * 1000 + 0.5)).astype(np.int64)
+            return pa.table({"event_id": t.column("event_id"),
+                             "user_id": t.column("user_id"),
+                             "milli": pa.array(m, pa.int64()),
+                             "event_type": t.column("event_type")})
+
+        ev.map_batches(to_milli, batch_format="pyarrow").write_json(out_dir)
+    ds = read_jsonl(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_n": pa.array([t.num_rows], pa.int64()),
+            "_s": pa.array([int(pc.sum(t.column("milli")).as_py() or 0)],
+                           pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_types = _global_ndistinct(ds, "event_type")
+    return pa.table({
+        "n_events": pa.array([sum(r["_n"] for r in rows)], pa.int64()),
+        "sum_milli": pa.array([sum(r["_s"] for r in rows)], pa.int64()),
+        "n_types": pa.array([n_types], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4391,6 +4486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_in_state": _q_time_in_state,
         "ks_view_purchase": _q_ks_test,
         "changepoint_daily": _q_changepoint,
+        "csv_source_stats": _q_csv_source,
+        "jsonl_source_stats": _q_jsonl_source,
     }
 
 
@@ -6437,5 +6534,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM o, t WHERE o.i < t.m)
             SELECT day AS change_day, round(sse, 6) AS sse
             FROM c ORDER BY sse ASC, day ASC LIMIT 1
+        """,
+        # engine side round-trips through CSV/NDJSON text (integer-quantized
+        # value columns survive exactly); oracle reads the parquet directly
+        "csv_source_stats": """
+            SELECT COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(-floor(-(o_totalprice * 100) + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents,
+                   COUNT(DISTINCT o_custkey) AS n_cust
+            FROM orders
+        """,
+        "jsonl_source_stats": """
+            SELECT COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN value >= 0
+                             THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                             ELSE -CAST(floor(-value * 1000 + 0.5)
+                                        AS BIGINT) END) AS BIGINT)
+                     AS sum_milli,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events
         """,
     }

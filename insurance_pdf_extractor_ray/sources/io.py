@@ -110,6 +110,32 @@ def read_bucketed(path: str, columns: Optional[List[str]] = None) -> ray.data.Da
     return ray.data.read_parquet(bucket_dirs, columns=columns)
 
 
+def read_csv(path: str, columns: Optional[List[str]] = None
+             ) -> ray.data.Dataset:
+    """Read CSV file(s) as a streaming Dataset (crawl dumps, vendor drops).
+
+    Column pruning happens via Arrow's CSV convert options so unwanted
+    columns are dropped at parse time, not in a later projection."""
+    if columns:
+        from pyarrow import csv as pacsv
+
+        return ray.data.read_csv(
+            path, convert_options=pacsv.ConvertOptions(
+                include_columns=list(columns)))
+    return ray.data.read_csv(path)
+
+
+def read_jsonl(path: str, columns: Optional[List[str]] = None
+               ) -> ray.data.Dataset:
+    """Read newline-delimited JSON as a streaming Dataset — the lingua
+    franca of crawl corpora.  Arrow's JSON reader infers the schema per
+    file; prune after parse (JSONL has no columnar projection)."""
+    ds = ray.data.read_json(path)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
 def export_json(ds: ray.data.Dataset, path: str) -> None:
     """JSON export sink (reference S7, app/api/routes/storage.py:122-210)."""
     os.makedirs(path, exist_ok=True)
