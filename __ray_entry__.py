@@ -4310,6 +4310,45 @@ def _q_jsonl_source(sf_dir: str):
     })
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-20 + exact-cosine semantic top-20
+    fused by Reciprocal Rank Fusion (1/(60+rank), the standard k=60) —
+    both legs are the already-oracle-verified operators; fusion is a tiny
+    driver merge (pipelines/tfidf.py:bm25_search,
+    pipelines/similarity.py:knn_brute_force)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        knn_brute_force)
+    from insurance_pdf_extractor_ray.pipelines.tfidf import bm25_search
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    lex = bm25_search(docs, "text", "doc_id",
+                      ["shuffle", "spark", "window"], k=20)
+    lex_ranked = list(enumerate(lex.column("doc_id").to_pylist(), start=1))
+
+    qvec = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    q = np.array([qvec.column("embedding")[0].as_py()], np.float64)
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    sem = knn_brute_force(emb, q, k=20)
+    sem_ranked = list(enumerate(sem.column("vec_id").to_pylist(), start=1))
+
+    rrf: dict = {}
+    for rank, did in lex_ranked:
+        rrf[did] = rrf.get(did, 0.0) + 1.0 / (60 + rank)
+    for rank, did in sem_ranked:
+        rrf[did] = rrf.get(did, 0.0) + 1.0 / (60 + rank)
+    top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf": pa.array([_round_away(s, 9) for _, s in top], pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4488,6 +4527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_daily": _q_changepoint,
         "csv_source_stats": _q_csv_source,
         "jsonl_source_stats": _q_jsonl_source,
+        "hybrid_search_rrf": _q_hybrid_search,
     }
 
 
@@ -6553,5 +6593,48 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_milli,
                    COUNT(DISTINCT event_type) AS n_types
             FROM events
+        """,
+        # both legs reuse the verified bm25 / cosine rankings; RRF adds at
+        # most two floats per doc (float addition of two terms is
+        # order-free), rounded at 9
+        "hybrid_search_rrf": """
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('shuffle', 'spark', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            bm AS (SELECT t.doc_id,
+                     sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * t.tf * (1.2 + 1.0)
+                         / (t.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * l.dl / s.avgdl)))
+                       AS score
+                   FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+                   CROSS JOIN stats s GROUP BY t.doc_id),
+            lex AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                    FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings ORDER BY vec_id LIMIT 1),
+            scored AS (SELECT e.vec_id,
+                         list_cosine_similarity(q.emb,
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                       FROM q CROSS JOIN embeddings e),
+            sem AS (SELECT vec_id AS doc_id,
+                      row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+                    FROM scored ORDER BY sim DESC, vec_id LIMIT 20),
+            fused AS (SELECT doc_id, SUM(1.0 / (60 + rk)) AS rrf FROM (
+                        SELECT doc_id, rk FROM lex
+                        UNION ALL SELECT doc_id, rk FROM sem)
+                      GROUP BY 1)
+            SELECT doc_id, round(rrf, 9) AS rrf
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
         """,
     }
