@@ -4349,6 +4349,67 @@ def _q_hybrid_search(sf_dir: str):
     })
 
 
+def _q_priority_dedup(sf_dir: str):
+    """Mixture-aware exact dedup: among duplicate texts keep the copy from
+    the highest-priority source (then min id) — grouped_top_k k=1 over the
+    text key with map-side per-batch winners pre-reduced
+    (pipelines/rankagg.py:grouped_top_k)."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def add_prio(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("prio", pa.array(ids % 3, pa.int64()))
+
+    w = grouped_top_k(docs.map_batches(add_prio, batch_format="pyarrow"),
+                      "text", order_by=["prio", "doc_id"],
+                      descending=[True, False], k=1,
+                      columns=["doc_id"])
+    rows = sorted(r["doc_id"] for r in w.take_all())
+    return pa.table({"doc_id": pa.array(rows, pa.int64())})
+
+
+def _q_longest_streak(sf_dir: str):
+    """Longest run of consecutive active days per user — distinct
+    (user, day) map-side pre-reduce, one keyed shuffle, vectorized
+    islands detection inside each (bounded) group."""
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch.column("ts").cast(pa.int64()), 86_400_000_000)
+        t = pa.table({"user_id": batch.column("user_id"), "_day": day})
+        return t.group_by(["user_id", "_day"]).aggregate([])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        days = np.unique(group.column("_day").to_numpy(
+            zero_copy_only=False))
+        if len(days) == 0:
+            return pa.table({"user_id": group.column("user_id").slice(0, 0),
+                             "n_days": pa.array([], pa.int64()),
+                             "longest_streak": pa.array([], pa.int64())})
+        breaks = np.flatnonzero(np.diff(days) != 1)
+        run_lens = np.diff(np.concatenate(([-1], breaks, [len(days) - 1])))
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_days": pa.array([len(days)], pa.int64()),
+            "longest_streak": pa.array([int(run_lens.max())], pa.int64()),
+        })
+
+    out = (ev.map_batches(day_pairs, batch_format="pyarrow")
+           .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "n_days": pa.array([r["n_days"] for r in rows], pa.int64()),
+        "longest_streak": pa.array([r["longest_streak"] for r in rows],
+                                   pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4528,6 +4589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_source_stats": _q_csv_source,
         "jsonl_source_stats": _q_jsonl_source,
         "hybrid_search_rrf": _q_hybrid_search,
+        "priority_dedup": _q_priority_dedup,
+        "longest_streak_by_user": _q_longest_streak,
     }
 
 
@@ -6636,5 +6699,30 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY 1)
             SELECT doc_id, round(rrf, 9) AS rrf
             FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "priority_dedup": """
+            SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                       PARTITION BY text
+                       ORDER BY doc_id % 3 DESC, doc_id ASC) AS rn
+              FROM documents) WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        "longest_streak_by_user": """
+            WITH d AS (SELECT DISTINCT user_id,
+                         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                    day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS grp
+                  FROM d),
+            runs AS (SELECT user_id, grp, COUNT(*) AS len
+                     FROM g GROUP BY 1, 2),
+            nd AS (SELECT user_id, COUNT(*) AS n_days FROM d GROUP BY 1),
+            ls AS (SELECT user_id, MAX(len) AS longest_streak
+                   FROM runs GROUP BY 1)
+            SELECT nd.user_id, CAST(nd.n_days AS BIGINT) AS n_days,
+                   CAST(ls.longest_streak AS BIGINT) AS longest_streak
+            FROM nd JOIN ls USING (user_id) ORDER BY user_id
         """,
     }
