@@ -4410,6 +4410,64 @@ def _q_longest_streak(sf_dir: str):
     })
 
 
+def _q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: per anchor (first 3 vecs by id), exact cosine
+    top-5 among DIFFERENT-label vectors — broadcast anchors, per-batch
+    masked top-k, tiny driver merge (pipelines/similarity.py:hard_negatives)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import hard_negatives
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+    order = pc.sort_indices(head.column("vec_id"))[:3]
+    q_ids = head.column("vec_id").take(order).to_pylist()
+    q_labels = head.column("label").take(order).to_pylist()
+    qmat = np.asarray(head.column("embedding").take(order).to_pylist(),
+                      dtype=np.float64)
+    ds = ray.data.read_parquet(path)
+    out = hard_negatives(ds, qmat, q_ids, q_labels, k=5, batch_size=4096)
+    return pa.table({
+        "query_id": pa.array([q_ids[q] for q in
+                              out.column("query_id").to_pylist()], pa.int64()),
+        "vec_id": out.column("vec_id"),
+        "score": pc.round(out.column("score"), ndigits=6),
+    })
+
+
+def _q_nearest_centroid(sf_dir: str):
+    """Nearest-centroid eval confusion matrix — integer-exact per-label
+    quantized centroid sums (order-free), cosine argmax assignment,
+    all-integer output (pipelines/similarity.py:nearest_centroid_confusion)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        nearest_centroid_confusion)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["embedding", "label"])
+    return nearest_centroid_confusion(ds)
+
+
+def _q_span_corruption(sf_dir: str):
+    """T5 span-corruption planning stats per source — all-integer sums
+    from one zero-shuffle vectorized pass + a 20-row groupby
+    (pipelines/pretrain.py:span_corruption_stats)."""
+    from insurance_pdf_extractor_ray.pipelines.pretrain import (
+        span_corruption_stats)
+
+    out = span_corruption_stats(_documents(sf_dir, ["doc_id", "text",
+                                                    "source"]))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["source"])
+    cols = ["n_docs", "sum_input_tokens", "sum_target_tokens", "sum_spans",
+            "seqs"]
+    t = {"source": pa.array([r["source"] for r in rows], pa.string())}
+    for c in cols:
+        t[c] = pa.array([r[c] for r in rows], pa.int64())
+    return pa.table(t)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4591,6 +4649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search_rrf": _q_hybrid_search,
         "priority_dedup": _q_priority_dedup,
         "longest_streak_by_user": _q_longest_streak,
+        "hard_negative_mining": _q_hard_negatives,
+        "nearest_centroid_eval": _q_nearest_centroid,
+        "span_corruption_stats": _q_span_corruption,
     }
 
 
@@ -6724,5 +6785,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT nd.user_id, CAST(nd.n_days AS BIGINT) AS n_days,
                    CAST(ls.longest_streak AS BIGINT) AS longest_streak
             FROM nd JOIN ls USING (user_id) ORDER BY user_id
+        """,
+        "hard_negative_mining": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS q_label,
+                     CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.emb,
+                       CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.label <> q.q_label AND e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(sim, 6) AS score
+            FROM ranked WHERE rk <= 5
+        """,
+        # centroid = per-label SUM of half-rounded fixed-point values
+        # (integer-exact, order-free); cosine is scale-invariant so the SUM
+        # vector scores identically to the mean — no division needed
+        "nearest_centroid_eval": """
+            WITH ql AS (
+              SELECT label AS c_label, i,
+                     SUM(CAST(-floor(-(CAST(e AS DOUBLE) * 1048576) + 0.5)
+                              AS BIGINT)) AS s
+              FROM (SELECT label, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+              GROUP BY 1, 2),
+            cent AS (SELECT c_label,
+                            list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+                     FROM ql GROUP BY 1),
+            scored AS (
+              SELECT e.vec_id, e.label, c.c_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.cv) AS sim
+              FROM embeddings e CROSS JOIN cent c),
+            pick AS (
+              SELECT vec_id, label, c_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, c_label) AS rk
+              FROM scored)
+            SELECT CAST(label AS BIGINT) AS true_label,
+                   CAST(c_label AS BIGINT) AS pred_label,
+                   COUNT(*) AS n
+            FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "span_corruption_stats": """
+            WITH plan AS (
+              SELECT source,
+                     LEAST(GREATEST(CAST(floor(n * 0.15 + 0.5) AS BIGINT),
+                                    1), n - 1) AS noise, n
+              FROM (SELECT source,
+                           CAST(len(regexp_extract_all(text, '\\S+'))
+                                AS BIGINT) AS n
+                    FROM documents)
+              WHERE n >= 2),
+            p2 AS (
+              SELECT source, n, noise,
+                     GREATEST(CAST(floor(noise / 3.0 + 0.5) AS BIGINT), 1)
+                       AS spans
+              FROM plan),
+            p3 AS (
+              SELECT source, spans,
+                     n - noise + spans + 1 AS input_len,
+                     noise + spans + 1 AS target_len
+              FROM p2)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(input_len) AS BIGINT) AS sum_input_tokens,
+                   CAST(SUM(target_len) AS BIGINT) AS sum_target_tokens,
+                   CAST(SUM(spans) AS BIGINT) AS sum_spans,
+                   CAST(SUM((input_len + 511) // 512) AS BIGINT) AS seqs
+            FROM p3 GROUP BY 1 ORDER BY 1
         """,
     }

@@ -121,3 +121,80 @@ def pretrain_prep(
     toks = count_ws_tokens(uniq, text_col, id_col)
     return pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len,
                           bucket=bucket)
+
+
+def span_corruption_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    noise_density: float = 0.15,
+    mean_span_len: float = 3.0,
+    seq_len: int = 512,
+) -> ray.data.Dataset:
+    """T5-style span-corruption PLANNING stats per group — how much
+    encoder/decoder budget a corpus costs before any example is built.
+
+    Per doc (n = whitespace-run token count, the doc_token_stats rule;
+    docs with n < 2 are excluded — nothing to corrupt):
+
+      noise  = clamp(round(n * noise_density), 1, n - 1)
+      spans  = max(round(noise / mean_span_len), 1)
+      input_len  = n - noise + spans + 1   (+1: EOS sentinel)
+      target_len = noise + spans + 1
+
+    round() is floor(x + 0.5) — positive args only, so half-up equals
+    half-away and the SQL oracle's floor(x + 0.5) matches bit-exactly
+    (the x * density product is the same IEEE double on both sides).
+
+    Output: one row per group — n_docs, sum_input_tokens,
+    sum_target_tokens, sum_spans, seqs (SUM of ceil(input_len / seq_len),
+    integer arithmetic).  All-integer columns: no float SUM-order hazard.
+
+    Shape: one vectorized zero-shuffle counting pass with per-batch
+    per-group partials, then one group-count-sized groupby sum.
+    """
+
+    def plan(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        n = s.str.count_matches(r"\S+").fill_null(0).to_numpy().astype(
+            np.int64)
+        grp = batch.column(group_col)
+        keep = n >= 2
+        n = n[keep]
+        grp = grp.filter(pa.array(keep))
+        noise = np.floor(n * noise_density + 0.5).astype(np.int64)
+        noise = np.clip(noise, 1, n - 1)
+        spans = np.maximum(
+            np.floor(noise / mean_span_len + 0.5).astype(np.int64), 1)
+        input_len = n - noise + spans + 1
+        target_len = noise + spans + 1
+        seqs = (input_len + seq_len - 1) // seq_len
+        t = pa.table({group_col: grp,
+                      "input_len": pa.array(input_len, pa.int64()),
+                      "target_len": pa.array(target_len, pa.int64()),
+                      "spans": pa.array(spans, pa.int64()),
+                      "seqs": pa.array(seqs, pa.int64())})
+        # per-batch per-group partials (group-count-sized rows out)
+        df = pl.from_arrow(t).group_by(group_col).agg(
+            pl.len().alias("n_docs"),
+            pl.col("input_len").sum().alias("sum_input_tokens"),
+            pl.col("target_len").sum().alias("sum_target_tokens"),
+            pl.col("spans").sum().alias("sum_spans"),
+            pl.col("seqs").sum().alias("seqs"))
+        out = df.to_arrow()
+        return out.set_column(
+            out.schema.get_field_index(group_col), group_col,
+            out.column(group_col).cast(pa.string()))
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.select_columns([text_col, group_col]).map_batches(
+        plan, batch_format="pyarrow")
+    return partials.groupby(group_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_input_tokens", alias_name="sum_input_tokens"),
+        Sum("sum_target_tokens", alias_name="sum_target_tokens"),
+        Sum("sum_spans", alias_name="sum_spans"),
+        Sum("seqs", alias_name="seqs"))

@@ -658,3 +658,189 @@ def mahalanobis_outliers(
         "dist2_micro": pa.array([r["dist2_micro"] for r in rows],
                                 pa.int64()),
     })
+
+
+class LabelMaskedTopK(BruteForceTopK):
+    """Hard-negative mining stage: per-batch cosine top-k against the
+    broadcast queries, EXCLUDING candidates that share the query's label
+    (and the query row itself).
+
+    Mining hard negatives for contrastive / retrieval training: for each
+    anchor, the highest-similarity examples with a DIFFERENT label are the
+    negatives that most improve the margin.  Same candidate-row contract as
+    BruteForceTopK (at most k per (query, batch); tiny driver merge).
+    """
+
+    def __init__(self, queries_ref, emb_col: str, id_col: str,
+                 label_col: str, k: int):
+        # queries_ref resolves to (matrix, query_ids, query_labels)
+        mat, qids, qlabels = ray.get(queries_ref)
+        self.queries = _normalize(np.asarray(mat, dtype=np.float64))
+        self.q_ids = np.asarray(qids, dtype=np.int64)
+        self.q_labels = np.asarray(qlabels, dtype=np.int64)
+        self.emb_col, self.id_col, self.label_col, self.k = (
+            emb_col, id_col, label_col, k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = embedding_matrix(batch.column(self.emb_col))
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          self.id_col: pa.array(
+                              [], batch.column(self.id_col).type),
+                          "score": pa.array([], pa.float64())})
+        if embs.size == 0:
+            return empty
+        ids = batch.column(self.id_col)
+        labels = batch.column(self.label_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sims = self.queries @ _normalize(embs).T  # (q, n)
+        # mask same-label candidates (which also masks the anchor itself
+        # when labels match — belt-and-braces mask the anchor id too)
+        rid = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mask = (self.q_labels[:, None] == labels[None, :]) | (
+            self.q_ids[:, None] == rid[None, :])
+        sims = np.where(mask, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_idx = np.repeat(np.arange(sims.shape[0]), k)
+        flat = top.ravel()
+        keep = np.isfinite(sims[q_idx, flat])
+        q_idx, flat = q_idx[keep], flat[keep]
+        return pa.table(
+            {"query_id": pa.array(q_idx, pa.int64()),
+             self.id_col: ids.take(pa.array(flat)),
+             "score": pa.array(sims[q_idx, flat].astype(np.float64))})
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    query_labels,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Exact cosine hard-negative top-k per anchor: (query_id, id, score)
+    where every returned id has a label DIFFERENT from the anchor's.
+
+    query_id in the output is the POSITIONAL index of the anchor (caller
+    remaps to real ids).  Ties on score break by ascending id — total order,
+    oracle-comparable.  Broadcast once via ray.put; per-batch partial top-k;
+    O(anchors * k * num_batches) candidate merge on the driver.
+    """
+    qref = ray.put((np.asarray(queries, dtype=np.float64),
+                    np.asarray(query_ids, dtype=np.int64),
+                    np.asarray(query_labels, dtype=np.int64)))
+    candidates = ds.select_columns([id_col, emb_col, label_col]).map_batches(
+        LabelMaskedTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col,
+                                   id_col=id_col, label_col=label_col, k=k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).take_all()
+
+    best: dict = {}
+    for r in candidates:
+        heapq.heappush(best.setdefault(r["query_id"], []),
+                       (-r["score"], r[id_col]))
+    out_q, out_id, out_s = [], [], []
+    for q in sorted(best):
+        for negs, rid in heapq.nsmallest(k, best[q]):
+            out_q.append(q)
+            out_id.append(rid)
+            out_s.append(-negs)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     id_col: pa.array(out_id),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def nearest_centroid_confusion(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Nearest-centroid classification eval — confusion matrix
+    (true_label, pred_label, n) of assigning every vector to the
+    most-cosine-similar per-label mean centroid.
+
+    Integer-exact centroids: per-label per-dim sums of HALF-ROUNDED
+    fixed-point values (q(x) = round(x * 2^20), the ip_threshold_graph
+    quantizer), so the centroid is deterministic regardless of block
+    arrival order — no float SUM-order hazard.  Cosine is scale-invariant,
+    so scoring against the integer SUM vector equals scoring against the
+    mean; no division by the group count is needed.
+
+    Two zero-shuffle passes: (1) map-side per-(batch,label) partial sums,
+    label-count-sized driver combine; (2) broadcast centroid matrix,
+    per-batch argmax + per-batch confusion partials, label^2-sized driver
+    combine.  Ties on cosine break toward the LOWEST label.
+    """
+    Q = float(1 << 20)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch.column(emb_col))
+        lab = batch.column(label_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if x.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sums": pa.array([], pa.list_(pa.int64()))})
+        qx = (-np.floor(-(x * Q) + 0.5)).astype(np.int64)
+        ulab = np.unique(lab)
+        sums = [qx[lab == l].sum(axis=0) for l in ulab]
+        cnts = [int((lab == l).sum()) for l in ulab]
+        return pa.table({"label": pa.array(ulab, pa.int64()),
+                         "n": pa.array(cnts, pa.int64()),
+                         "sums": pa.array([s.tolist() for s in sums],
+                                          pa.list_(pa.int64()))})
+
+    parts = ds.select_columns([emb_col, label_col]).map_batches(
+        partial_sums, batch_format="pyarrow",
+        batch_size=batch_size).take_all()  # <= n_labels per batch
+    acc: dict = {}
+    for r in parts:
+        s = np.asarray(r["sums"], dtype=np.int64)
+        if r["label"] in acc:
+            acc[r["label"]] = acc[r["label"]] + s
+        else:
+            acc[r["label"]] = s
+    labels = np.array(sorted(acc), np.int64)
+    cent = np.stack([acc[l].astype(np.float64) for l in labels])
+    ref = ray.put((labels, _normalize(cent)))
+
+    def confuse(batch: pa.Table, c_ref) -> pa.Table:
+        labs, cn = ray.get(c_ref)
+        x = embedding_matrix(batch.column(emb_col))
+        if x.size == 0:
+            return pa.table({"true_label": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sims = _normalize(x) @ cn.T  # (n, n_labels)
+        pred = labs[np.argmax(sims, axis=1)]  # first max = lowest label
+        true = batch.column(label_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = true * (labs.max() + 1) + pred
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "true_label": pa.array(uk // (labs.max() + 1), pa.int64()),
+            "pred_label": pa.array(uk % (labs.max() + 1), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    import functools
+
+    cells = ds.select_columns([emb_col, label_col]).map_batches(
+        functools.partial(confuse, c_ref=ref), batch_format="pyarrow",
+        batch_size=batch_size).take_all()  # <= n_labels^2 per batch
+    agg: dict = {}
+    for r in cells:
+        kk = (r["true_label"], r["pred_label"])
+        agg[kk] = agg.get(kk, 0) + r["n"]
+    keys = sorted(agg)
+    return pa.table({
+        "true_label": pa.array([k[0] for k in keys], pa.int64()),
+        "pred_label": pa.array([k[1] for k in keys], pa.int64()),
+        "n": pa.array([agg[k] for k in keys], pa.int64())})

@@ -1,0 +1,134 @@
+"""Hard-negative mining, nearest-centroid eval, span-corruption planning."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.pretrain import span_corruption_stats
+from insurance_pdf_extractor_ray.pipelines.similarity import (
+    hard_negatives,
+    nearest_centroid_confusion,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _vec_table():
+    # two tight clusters around orthogonal axes + one planted traitor
+    rng = np.random.RandomState(7)
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    rows, labels = [], []
+    for i in range(20):
+        base = a if i % 2 == 0 else b
+        rows.append(base + rng.standard_normal(3) * 0.05)
+        labels.append(i % 2)
+    # vec 20: labeled 0 but sitting in cluster 1
+    rows.append(b + rng.standard_normal(3) * 0.01)
+    labels.append(0)
+    return pa.table({
+        "vec_id": pa.array(range(21), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float64())),
+        "label": pa.array(labels, pa.int32()),
+    })
+
+
+def test_hard_negatives_exclude_same_label_and_self():
+    t = _vec_table()
+    ds = ray.data.from_arrow(t)
+    q = np.asarray(t.column("embedding").to_pylist())[:2]
+    out = hard_negatives(ds, q, query_ids=[0, 1], query_labels=[0, 1],
+                         k=4, concurrency=2, batch_size=5)
+    labels = dict(zip(t.column("vec_id").to_pylist(),
+                      t.column("label").to_pylist()))
+    got = out.to_pylist()
+    assert {r["query_id"] for r in got} == {0, 1}
+    for r in got:
+        assert r["vec_id"] != r["query_id"]
+        assert labels[r["vec_id"]] != [0, 1][r["query_id"]]
+    # anchor 0 (cluster a, label 0): its hardest negative must be the
+    # traitor vec 20 (label 0 is excluded... 20 has label 0 so NOT eligible);
+    # eligible negatives are label-1 vectors only
+    q0 = [r["vec_id"] for r in got if r["query_id"] == 0]
+    assert 20 not in q0  # label 0 == anchor label, masked
+    assert all(labels[v] == 1 for v in q0)
+
+
+def test_hard_negatives_match_numpy_oracle():
+    t = _vec_table()
+    ds = ray.data.from_arrow(t)
+    embs = np.asarray(t.column("embedding").to_pylist())
+    labels = np.asarray(t.column("label").to_pylist())
+    q = embs[:3]
+    out = hard_negatives(ds, q, query_ids=[0, 1, 2],
+                         query_labels=labels[:3], k=3,
+                         concurrency=2, batch_size=4).to_pylist()
+    en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    sims = en[:3] @ en.T
+    for qi in range(3):
+        elig = [i for i in range(21)
+                if labels[i] != labels[qi] and i != qi]
+        want = sorted(elig, key=lambda i: (-sims[qi, i], i))[:3]
+        got = [r["vec_id"] for r in out if r["query_id"] == qi]
+        assert got == want
+
+
+def test_nearest_centroid_confusion_diagonal_plus_traitor():
+    ds = ray.data.from_arrow(_vec_table())
+    out = nearest_centroid_confusion(ds, batch_size=6).to_pylist()
+    cells = {(r["true_label"], r["pred_label"]): r["n"] for r in out}
+    # 10 clean label-0 vectors stay diagonal; the traitor (true 0, sits in
+    # cluster 1) lands off-diagonal; all label-1 vectors stay diagonal
+    assert cells[(0, 0)] == 10
+    assert cells[(0, 1)] == 1
+    assert cells[(1, 1)] == 10
+    assert (1, 0) not in cells
+    assert sum(cells.values()) == 21
+
+
+def test_nearest_centroid_batch_order_invariant():
+    t = _vec_table()
+    a = nearest_centroid_confusion(ray.data.from_arrow(t),
+                                   batch_size=3).to_pylist()
+    b = nearest_centroid_confusion(
+        ray.data.from_arrow(t.take(pa.array(list(reversed(range(21)))))),
+        batch_size=21).to_pylist()
+    assert a == b
+
+
+def test_span_corruption_formula():
+    # n=10 tokens: noise=round(1.5)=2, spans=max(round(2/3),1)=1,
+    # input=10-2+1+1=10, target=2+1+1=4, seqs(512)=1
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["t " * 9 + "t", "a b", "solo"], pa.string()),
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+    })
+    out = span_corruption_stats(
+        ray.data.from_arrow(docs)).take_all()
+    by = {r["source"]: r for r in out}
+    # doc2: n=2, noise=clamp(round(0.3),1,1)=1, spans=1, input=2-1+1+1=3,
+    # target=1+1+1=3
+    assert by["s1"]["n_docs"] == 2
+    assert by["s1"]["sum_input_tokens"] == 10 + 3
+    assert by["s1"]["sum_target_tokens"] == 4 + 3
+    assert by["s1"]["sum_spans"] == 2
+    assert by["s1"]["seqs"] == 2
+    # 'solo' has n=1 < 2 -> excluded entirely
+    assert "s2" not in by
+
+
+def test_span_corruption_long_doc_seq_split():
+    docs = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([("w " * 1200).strip()], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+    })
+    r = span_corruption_stats(ray.data.from_arrow(docs),
+                              seq_len=512).take_all()[0]
+    # n=1200, noise=180, spans=60, input=1200-180+60+1=1081 -> 3 seqs of 512
+    assert r["sum_input_tokens"] == 1081
+    assert r["seqs"] == 3
