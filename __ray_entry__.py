@@ -4079,8 +4079,8 @@ def _stopword_oracle() -> str:
     sums = []
     for l in sorted(_STOPWORDS):
         lst = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[l]))
-        sums.append(f"SUM(CASE WHEN t IN ({lst}) THEN 1 ELSE 0 END)"
-                    f" AS sw_{l}")
+        sums.append(f"CAST(SUM(CASE WHEN t IN ({lst}) THEN 1 ELSE 0"
+                    f" END) AS BIGINT) AS sw_{l}")
     return ("""
         WITH tok AS (SELECT doc_id,
                        unnest(regexp_extract_all(lower(text),
@@ -5261,7 +5261,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT seq_id, string_agg(piece, ' ' ORDER BY doc_id)
                      AS seq_text,
-                   sum(ntok) AS n_tokens, count(*) AS n_docs
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens, count(*) AS n_docs
             FROM slices GROUP BY seq_id ORDER BY seq_id
         """,
         "dow_hour_heatmap": """
@@ -5278,8 +5278,8 @@ def oracle_sql() -> dict[str, str]:
                               mad(value) AS md
                        FROM events GROUP BY event_type)
             SELECT e.event_type,
-                   sum(CASE WHEN abs(e.value - s.med) > 3 * s.md
-                       THEN 1 ELSE 0 END) AS n_outliers,
+                   CAST(sum(CASE WHEN abs(e.value - s.med) > 3 * s.md
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    count(*) AS n
             FROM events e JOIN s USING (event_type)
             GROUP BY e.event_type ORDER BY e.event_type
@@ -5336,7 +5336,7 @@ def oracle_sql() -> dict[str, str]:
                         CAST(CASE WHEN x >= 0 THEN floor(x*1000000 + 0.5)
                              ELSE -floor(-x*1000000 + 0.5) END AS BIGINT) AS m
                       FROM ratio)
-            SELECT t.doc_id, count(*) AS n_tokens, sum(m.m) AS dsir_micro
+            SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(m.m) AS BIGINT) AS dsir_micro
             FROM toks t JOIN micro m USING (token)
             GROUP BY t.doc_id ORDER BY doc_id
         """,
@@ -5351,7 +5351,7 @@ def oracle_sql() -> dict[str, str]:
                                        * 1000000 + 0.5) AS BIGINT) AS micro
                    FROM cnt)
             SELECT t.doc_id, count(*) AS n_tokens,
-                   sum(lp.micro) AS logprob_micro
+                   CAST(sum(lp.micro) AS BIGINT) AS logprob_micro
             FROM toks t JOIN lp USING (token)
             GROUP BY t.doc_id ORDER BY doc_id
         """,
@@ -5699,19 +5699,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                     AS sum_base_c,
-                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-                            AS BIGINT)) AS sum_disc_c,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS sum_disc_c,
                    count(*) AS n
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "promo_nation_profit": """
             SELECT n_name,
-                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-                            AS BIGINT)) AS rev_c
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS rev_c
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -5851,24 +5851,24 @@ def oracle_sql() -> dict[str, str]:
         "quality_audit": """
             SELECT * FROM (
               SELECT 'empty_text' AS rule,
-                     COALESCE(SUM(CASE WHEN text IS NULL OR text = ''
-                                       THEN 1 ELSE 0 END), 0) AS violations,
+                     CAST(COALESCE(SUM(CASE WHEN text IS NULL OR text = ''
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
                      COUNT(*) AS total FROM documents
               UNION ALL
               SELECT 'len_mismatch',
-                     COALESCE(SUM(CASE WHEN n_chars <> length(text)
-                                       THEN 1 ELSE 0 END), 0),
+                     CAST(COALESCE(SUM(CASE WHEN n_chars <> length(text)
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT),
                      COUNT(*) FROM documents
               UNION ALL
               SELECT 'unknown_lang',
-                     COALESCE(SUM(CASE WHEN lang NOT IN
+                     CAST(COALESCE(SUM(CASE WHEN lang NOT IN
                                        ('de','en','es','fr','zh')
-                                       THEN 1 ELSE 0 END), 0),
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT),
                      COUNT(*) FROM documents
               UNION ALL
               SELECT 'oversize',
-                     COALESCE(SUM(CASE WHEN n_chars > 500
-                                       THEN 1 ELSE 0 END), 0),
+                     CAST(COALESCE(SUM(CASE WHEN n_chars > 500
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT),
                      COUNT(*) FROM documents)
             ORDER BY rule
         """,
@@ -6054,8 +6054,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pushdown_read_orders": """
             SELECT count(*) AS n,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                     AS total_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS total_cents
             FROM orders WHERE o_totalprice > 400000.0
         """,
         "weekly_top_event": """
@@ -6076,9 +6076,9 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(1, len(e.embedding))) AS t(dim)
             ), s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim)
             SELECT x.dim, s.mn, s.mx,
-                   sum(CASE WHEN s.mx > s.mn THEN CAST(round(
+                   CAST(sum(CASE WHEN s.mx > s.mn THEN CAST(round(
                      (x.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
-                   ELSE 0 END) AS sum_q
+                   ELSE 0 END) AS BIGINT) AS sum_q
             FROM x JOIN s USING (dim) GROUP BY x.dim, s.mn, s.mx
             ORDER BY x.dim
         """,
@@ -6138,9 +6138,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumsum_by_user": """
             SELECT event_id,
-                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
                    COUNT(*) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS cum_n
@@ -6190,7 +6190,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'train' END AS split
               FROM h
             )
-            SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM lab GROUP BY split ORDER BY split
         """,
         "anti_join_shuffle": """
@@ -6202,7 +6202,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_rolling_user": """
             SELECT event_id,
-                   SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS rr_cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS rr_cents,
                    COUNT(*) OVER w AS rr_n
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -6262,8 +6262,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                            AS BIGINT)) AS revenue_i4
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS BIGINT) AS revenue_i4
             FROM customer, orders, lineitem, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -6274,8 +6274,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_unshipped_topk": """
             SELECT l_orderkey,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                            AS BIGINT)) AS revenue_i4,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS BIGINT) AS revenue_i4,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING'
@@ -6412,7 +6412,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM e e1 JOIN e e2
                     ON e1.vec_id = e2.vec_id AND e1.i <= e2.i
                   GROUP BY 1, 2)
-            SELECT i, j, n, s_xy AS s_xy_micro,
+            SELECT i, j, n, CAST(s_xy AS BIGINT) AS s_xy_micro,
                    (s_xy/1000000.0 - (s_x/1000000.0)*(s_y/1000000.0)/n)
                      / (n - 1.0) AS cov
             FROM p ORDER BY i, j
@@ -6559,7 +6559,7 @@ def oracle_sql() -> dict[str, str]:
                                       *1000000) + 0.5) AS BIGINT))
                       AS dist2_micro
                   FROM e JOIN p USING (i) GROUP BY 1)
-            SELECT vec_id, dist2_micro FROM d
+            SELECT vec_id, CAST(dist2_micro AS BIGINT) AS dist2_micro FROM d
             ORDER BY dist2_micro DESC, vec_id LIMIT 25
         """,
         "selfjoin_size_estimate": """

@@ -274,8 +274,8 @@ def entity_components(
     Dataset min-label-propagation rounds of
     ``dedup.dup_components_distributed``; pass ``distributed`` to force.
     """
-    from .dedup import (_join_partitions, dup_components,
-                        dup_components_distributed)
+    from .dedup import (dup_components, dup_components_distributed,
+                        join_partitions_for)
 
     from ..dsutil import drop_empty_blocks
 
@@ -286,8 +286,13 @@ def entity_components(
     pairs = drop_empty_blocks(
         fuzzy_pairs(ds.select_columns([id_col, text_col]), id_col, text_col),
         empty_schema=pa.schema([("id_a", id_type), ("id_b", id_type)]))
+    # materialize BEFORE the block joins: the edge list is reused (count +
+    # closure) and its known size lets the joins spawn only as many
+    # aggregator actors as the data fills (size-aware partitioning)
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
     if block_col is not None:
-        P = _join_partitions()
+        P = join_partitions_for(n_pairs)
         blk_type = ds.schema().base_schema.field(block_col).type
         dim = ds.select_columns([id_col, block_col])
         pairs = pairs.join(dim, join_type="inner", num_partitions=P,
@@ -314,7 +319,8 @@ def entity_components(
                        .select(["id_a", "id_b"]),
             batch_format="pyarrow")
 
-    pairs = pairs.materialize()  # edge-bounded; reused count + components
+    if block_col is not None:
+        pairs = pairs.materialize()  # re-materialize the block-filtered edges
     if distributed is None:
         distributed = pairs.count() > max_broadcast
     if distributed:
