@@ -3634,7 +3634,7 @@ w{i + 1} AS MATERIALIZED (SELECT token, replace(s,
          || string_split((SELECT pair FROM b{i}), ' ')[2] || ' ',
      ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ') AS s, c
    FROM w{i})""")
-        sel.append(f"""SELECT {i} AS rank,
+        sel.append(f"""SELECT CAST({i} AS BIGINT) AS rank,
   string_split(pair, ' ')[1] AS "left",
   string_split(pair, ' ')[2] AS "right",
   replace(pair, ' ', '') AS merged,
@@ -5037,7 +5037,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 ORDER BY doc_id
         """,
         "orders_lineitem_join": """
-            SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice,
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                   o.o_totalprice,
                    round(l.l_extendedprice * (1.0 - l.l_discount), 4) AS revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderpriority = '1-URGENT'
@@ -5725,7 +5726,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(regr_intercept(l_quantity, l_discount), 9)
                      AS intercept,
                    ROUND(regr_r2(l_quantity, l_discount), 9) AS r2,
-                   regr_count(l_quantity, l_discount) AS n
+                   CAST(regr_count(l_quantity, l_discount) AS BIGINT) AS n
             FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "snapshot_diff_users": """

@@ -607,7 +607,6 @@ def dup_components_distributed(
     driver-resident).  LSH dup components are short chains in practice, so a
     handful of rounds suffices; ``max_rounds`` caps pathological graphs.
     """
-    P = num_partitions or _join_partitions()
     edges = pairs.select_columns([id_a, id_b]).map_batches(
         lambda t: pa.table({"src": pa.concat_arrays([
                                 t.column(id_a).combine_chunks(),
@@ -617,6 +616,10 @@ def dup_components_distributed(
                                 t.column(id_a).combine_chunks()])}),
         batch_format="pyarrow",
     ).materialize()  # edge list reused every round; dup-pairs-sized
+    # size the per-round joins by the (known, just-materialized) edge count —
+    # label-propagation rounds on a small dup graph must not each spawn a
+    # CPU-count aggregator-actor pool
+    P = num_partitions or join_partitions_for(edges.count() * 2)
     id_type = edges.schema().base_schema.field("src").type
 
     from ray.data.aggregate import Min
