@@ -4468,6 +4468,17 @@ def _q_span_corruption(sf_dir: str):
     return pa.table(t)
 
 
+def _q_source_overlap(sf_dir: str):
+    """Cross-source k-word-window overlap matrix — two aggregate shuffles
+    over the distinct (window, source) table, bitmask pair expansion,
+    group-pair-sized combine (pipelines/substrdedup.py:source_overlap_matrix)."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        source_overlap_matrix)
+
+    return source_overlap_matrix(
+        _documents(sf_dir, ["text", "source"]), "text", "source", k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4652,6 +4663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negative_mining": _q_hard_negatives,
         "nearest_centroid_eval": _q_nearest_centroid,
         "span_corruption_stats": _q_span_corruption,
+        "source_overlap_matrix": _q_source_overlap,
     }
 
 
@@ -6865,5 +6877,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(spans) AS BIGINT) AS sum_spans,
                    CAST(SUM((input_len + 511) // 512) AS BIGINT) AS seqs
             FROM p3 GROUP BY 1 ORDER BY 1
+        """,
+        # re-derives every 3-word window as a STRING (engine uses the 64-bit
+        # rolling hash; collision odds in substrdedup module header)
+        "source_overlap_matrix": """
+            WITH toks AS (
+              SELECT source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            win AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 2),
+                       j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]))
+                       AS w
+              FROM toks)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS n_shared
+            FROM win a JOIN win b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -448,3 +448,107 @@ def boilerplate_stats(
         "n_dup_positions": pa.array([tot["n_dup_positions"]], pa.int64()),
         "n_docs_touched": pa.array([tot["n_docs_touched"]], pa.int64()),
     })
+
+
+def source_overlap_matrix(
+    ds: ray.data.Dataset,
+    text_col: str,
+    group_col: str,
+    k: int = 8,
+    max_groups: int = 63,
+) -> pa.Table:
+    """Cross-source duplication matrix: for every pair of ``group_col``
+    values (sources), the number of DISTINCT k-word windows that occur in
+    both — the corpus-curation signal for "which feeds copy from each
+    other" (mirror detection, syndication, license leakage).
+
+    Shape (all vectorized, nothing corpus-scale on the driver):
+
+      pass 1  per-batch distinct (window_hash, group) pairs
+              → ``groupby([wh, gid]).count()``      — shuffle 1 (pair table)
+      pass 2  pairs → (wh, 1 << gid) bit rows
+              → ``groupby(wh).Sum``                 — shuffle 2; the Sum IS
+              a bitwise OR because pass 1 made each (wh, gid) unique
+      pass 3  per-batch mask histogram → pair expansion (≤ C(G,2) rows per
+              batch) → group-pair-sized driver combine.
+
+    Groups are indexed into bits of an int64, hence ``max_groups`` ≤ 63 —
+    the operator targets SOURCE-level granularity (feeds, crawls, dumps),
+    not per-document keys.  Window identity is the same 64-bit rolling hash
+    as :func:`dup_window_hashes` (collision odds documented in the module
+    header; the SQL oracle re-derives from window strings).
+    """
+    from ray.data.aggregate import Count
+
+    groups = sorted({r[group_col] for r in ds.select_columns([group_col])
+                     .map_batches(lambda t: pa.table(
+                         {group_col: t.column(group_col).unique()}),
+                         batch_format="pyarrow").take_all()})
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"source_overlap_matrix indexes groups into int64 bits: "
+            f"{len(groups)} groups > {max_groups}; pre-bucket the key")
+    gid = {g: i for i, g in enumerate(groups)}
+    gid_ref = ray.put(gid)
+
+    def windows(batch: pa.Table, ref) -> pa.Table:
+        gmap = ray.get(ref)
+        counts, _, word_hash = _batch_windows(
+            batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        gcol = batch.column(group_col).to_pylist()
+        g = np.array([gmap[v] for v in gcol], np.int64)[wd] if len(wd) else \
+            np.empty(0, np.int64)
+        if len(wh) == 0:
+            return pa.table({"__wh": pa.array([], pa.int64()),
+                             "__g": pa.array([], pa.int64())})
+        order = np.lexsort((g, wh))
+        ws, gs = wh[order], g[order]
+        first = np.ones(len(ws), dtype=bool)
+        first[1:] = (ws[1:] != ws[:-1]) | (gs[1:] != gs[:-1])
+        return pa.table({"__wh": pa.array(ws[first], pa.int64()),
+                         "__g": pa.array(gs[first], pa.int64())})
+
+    import functools
+
+    pairs = (ds.select_columns([text_col, group_col])
+             .map_batches(functools.partial(windows, ref=gid_ref),
+                          batch_format="pyarrow")
+             .groupby(["__wh", "__g"]).count())  # global distinct (wh, g)
+    masks = (pairs.map_batches(
+        lambda t: pa.table({
+            "__wh": t.column("__wh"),
+            "__bit": pc.shift_left(
+                pa.array(np.ones(t.num_rows, np.int64)),
+                t.column("__g").cast(pa.int64()))}),
+        batch_format="pyarrow")
+        .groupby("__wh").aggregate(Sum("__bit", alias_name="__mask")))
+
+    G = len(groups)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        m = batch.column("__mask").to_numpy(zero_copy_only=False)
+        um, cnt = np.unique(m, return_counts=True)
+        out_a, out_b, out_n = [], [], []
+        for mask, n in zip(um.tolist(), cnt.tolist()):
+            bits = [i for i in range(G) if mask >> i & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    out_a.append(bits[x])
+                    out_b.append(bits[y])
+                    out_n.append(n)
+        return pa.table({"__a": pa.array(out_a, pa.int64()),
+                         "__b": pa.array(out_b, pa.int64()),
+                         "n_shared": pa.array(out_n, pa.int64())})
+
+    cells = masks.map_batches(pair_partials,
+                              batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in cells:  # <= C(G,2) per batch
+        kk = (r["__a"], r["__b"])
+        agg[kk] = agg.get(kk, 0) + r["n_shared"]
+    keys = sorted(agg)
+    return pa.table({
+        "src_a": pa.array([groups[a] for a, _ in keys], pa.string()),
+        "src_b": pa.array([groups[b] for _, b in keys], pa.string()),
+        "n_shared": pa.array([agg[kk] for kk in keys], pa.int64())})

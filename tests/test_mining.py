@@ -132,3 +132,36 @@ def test_span_corruption_long_doc_seq_split():
     # n=1200, noise=180, spans=60, input=1200-180+60+1=1081 -> 3 seqs of 512
     assert r["sum_input_tokens"] == 1081
     assert r["seqs"] == 3
+
+
+def test_source_overlap_matrix_planted():
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        source_overlap_matrix)
+
+    docs = pa.table({
+        "text": pa.array([
+            "alpha beta gamma delta",       # A: windows abg, bgd
+            "alpha beta gamma zeta",        # A: abg, bgz
+            "alpha beta gamma eta",         # B: abg, bge -> shares abg w/ A
+            "one two three four",           # C: ott, ttf -> no overlap
+        ]),
+        "src": pa.array(["A", "A", "B", "C"]),
+    })
+    out = source_overlap_matrix(ray.data.from_arrow(docs), "text", "src",
+                                k=3).to_pylist()
+    cells = {(r["src_a"], r["src_b"]): r["n_shared"] for r in out}
+    # 'alpha beta gamma' is the single shared window, counted ONCE even
+    # though two A docs contain it (distinct per source)
+    assert cells == {("A", "B"): 1}
+
+
+def test_source_overlap_matrix_group_cap():
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        source_overlap_matrix)
+
+    docs = pa.table({
+        "text": pa.array([f"w{i} x y z" for i in range(70)]),
+        "src": pa.array([f"s{i}" for i in range(70)]),
+    })
+    with pytest.raises(ValueError):
+        source_overlap_matrix(ray.data.from_arrow(docs), "text", "src", k=3)
