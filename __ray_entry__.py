@@ -4479,6 +4479,22 @@ def _q_source_overlap(sf_dir: str):
         _documents(sf_dir, ["text", "source"]), "text", "source", k=3)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM quintile segmentation — one user-grain shuffle + three ntile
+    sort waves, all-integer output (pipelines/behavior.py:rfm_segments)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import rfm_segments
+
+    out = rfm_segments(_events(sf_dir, ["user_id", "ts", "value"]), k=5)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["user_id"])
+    cols = ["recency_days", "frequency", "m_cents", "r_score", "f_score",
+            "m_score", "rfm"]
+    t = {"user_id": pa.array([r["user_id"] for r in rows], pa.int64())}
+    for c in cols:
+        t[c] = pa.array([r[c] for r in rows], pa.int64())
+    return pa.table(t)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4664,6 +4680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid_eval": _q_nearest_centroid,
         "span_corruption_stats": _q_span_corruption,
         "source_overlap_matrix": _q_source_overlap,
+        "rfm_user_segments": _q_rfm_segments,
     }
 
 
@@ -6896,5 +6913,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_shared
             FROM win a JOIN win b ON a.w = b.w AND a.source < b.source
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rfm_user_segments": """
+            WITH u AS (
+              SELECT user_id,
+                     MAX(epoch_us(ts)) AS last_ts_us,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CASE WHEN value >= 0
+                              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT)
+                              END) AS BIGINT) AS m_cents
+              FROM events GROUP BY 1),
+            mx AS (SELECT MAX(last_ts_us) AS mts FROM u),
+            s AS (
+              SELECT u.user_id, u.frequency, u.m_cents,
+                     CAST((mx.mts - u.last_ts_us) // 86400000000 AS BIGINT)
+                       AS recency_days,
+                     CAST(NTILE(5) OVER (ORDER BY u.last_ts_us DESC,
+                                         u.user_id) AS BIGINT) AS r_score,
+                     CAST(NTILE(5) OVER (ORDER BY u.frequency DESC,
+                                         u.user_id) AS BIGINT) AS f_score,
+                     CAST(NTILE(5) OVER (ORDER BY u.m_cents DESC,
+                                         u.user_id) AS BIGINT) AS m_score
+              FROM u CROSS JOIN mx)
+            SELECT user_id, recency_days, frequency, m_cents,
+                   r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS rfm
+            FROM s ORDER BY user_id
         """,
     }

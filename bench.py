@@ -58,7 +58,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)  # keep stdout = the one JSON line
 
     import numpy as np
     import pyarrow.parquet as pq
@@ -689,7 +690,8 @@ def main() -> None:
 
     if args.gen_only:
         if not ray.is_initialized():
-            ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+            ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                     log_to_driver=False)
         corpus, n = ensure_corpus(SF_DIR, args.mult)
         print(json.dumps({"corpus": corpus, "n_docs": n}))
         ray.shutdown()

@@ -463,3 +463,77 @@ def path_ngrams(
         "path": pa.array([r["path"] for r in rows], pa.string()),
         "n_paths": pa.array([r["n_paths"] for r in rows], pa.int64()),
     })
+
+
+def rfm_segments(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """RFM segmentation — per-user Recency / Frequency / Monetary quintile
+    scores, the classic audience-curation layout (reference analog: the
+    per-model GROUP BY stats of ``app/services/storage.py:461-479``, widened
+    to per-entity rank tiers).
+
+    Per user: ``recency_days`` (whole days between the user's last event and
+    the corpus max timestamp), ``frequency`` (event count), ``m_cents``
+    (half-rounded value cents — integer-exact sum).  Scores are SQL
+    ``NTILE(k)`` tiers, 1 = best, with ``user_col`` as the tiebreak so every
+    rank is total-ordered:
+
+      r_score ~ ORDER BY last_ts DESC, user   (most recent first)
+      f_score ~ ORDER BY frequency DESC, user
+      m_score ~ ORDER BY m_cents DESC, user
+
+    Shape: one keyed shuffle to user grain (map-side partial aggregates),
+    then three :func:`ordering.ntile` waves over the user-cardinality
+    table — each one Ray-native sort plus two metadata-weight task passes,
+    nothing user-scale on the driver.
+    """
+    from ray.data.aggregate import Max
+
+    from .ordering import ntile
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch.column(value_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.where(v >= 0, np.floor(v * 100 + 0.5),
+                         -np.floor(-v * 100 + 0.5)).astype(np.int64)
+        return pa.table({user_col: batch.column(user_col),
+                         "_ts_us": ts,
+                         "_cents": pa.array(cents, pa.int64())})
+
+    per_user = (ds.select_columns([user_col, ts_col, value_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(user_col).aggregate(
+                    Max("_ts_us", alias_name="last_ts_us"),
+                    Count(alias_name="frequency"),
+                    Sum("_cents", alias_name="m_cents"))).materialize()
+    max_ts = per_user.max("last_ts_us")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_ts_us").to_numpy(zero_copy_only=False)
+        days = (int(max_ts) - last) // 86_400_000_000
+        return batch.append_column("recency_days",
+                                   pa.array(days.astype(np.int64), pa.int64()))
+
+    scored = per_user.map_batches(derive, batch_format="pyarrow")
+    scored = ntile(scored, ["last_ts_us", user_col], k,
+                   descending=[True, False], out_col="r_score")
+    scored = ntile(scored, ["frequency", user_col], k,
+                   descending=[True, False], out_col="f_score")
+    scored = ntile(scored, ["m_cents", user_col], k,
+                   descending=[True, False], out_col="m_score")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("r_score").to_numpy(zero_copy_only=False)
+        f = batch.column("f_score").to_numpy(zero_copy_only=False)
+        m = batch.column("m_score").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "rfm", pa.array(r * 100 + f * 10 + m, pa.int64())
+        ).drop_columns(["last_ts_us"])
+
+    return scored.map_batches(finish, batch_format="pyarrow")

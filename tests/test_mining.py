@@ -165,3 +165,35 @@ def test_source_overlap_matrix_group_cap():
     })
     with pytest.raises(ValueError):
         source_overlap_matrix(ray.data.from_arrow(docs), "text", "src", k=3)
+
+
+def test_rfm_segments_tiers_and_composite():
+    from datetime import datetime
+
+    from insurance_pdf_extractor_ray.pipelines.behavior import rfm_segments
+
+    # 5 users, one event each except u1 (3 events); values make monetary
+    # order u1 > u2 > u3 > u4 > u5; timestamps make recency order u5 best
+    rows = []
+    for i, (u, day, val) in enumerate([
+            (1, 1, 50.0), (1, 2, 30.0), (1, 3, 20.004),
+            (2, 4, 90.0), (3, 5, 80.0), (4, 6, 70.0), (5, 7, 60.0)]):
+        rows.append({"user_id": u,
+                     "ts": datetime(2024, 1, day, 12, 0, 0),
+                     "value": val})
+    ds = ray.data.from_items(rows)
+    out = {r["user_id"]: r for r in rfm_segments(ds, k=5).take_all()}
+    assert len(out) == 5
+    # recency: u5 last (day7) -> tier 1 ... u1 (day3) -> tier 5
+    assert [out[u]["r_score"] for u in (5, 4, 3, 2, 1)] == [1, 2, 3, 4, 5]
+    # frequency: u1 has 3 events -> tier 1; rest tie at 1 event,
+    # user_id tiebreak ascending -> u2..u5 get tiers 2..5
+    assert out[1]["f_score"] == 1
+    assert [out[u]["f_score"] for u in (2, 3, 4, 5)] == [2, 3, 4, 5]
+    # monetary: u1 100.00 (50+30+20.004 -> 10000 cents after half-round)
+    assert out[1]["m_cents"] == 10000
+    assert out[1]["m_score"] == 1
+    assert out[5]["m_score"] == 5
+    # composite
+    assert out[1]["rfm"] == 5 * 100 + 1 * 10 + 1
+    assert out[1]["recency_days"] == 4  # day3 noon -> day7 noon
