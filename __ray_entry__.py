@@ -4495,6 +4495,41 @@ def _q_rfm_segments(sf_dir: str):
     return pa.table(t)
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over (lang, source) quasi-identifiers — one keyed
+    shuffle to class grain, block-sized driver combine
+    (pipelines/profile.py:k_anonymity_stats)."""
+    from insurance_pdf_extractor_ray.pipelines.profile import k_anonymity_stats
+
+    return k_anonymity_stats(_documents(sf_dir, ["lang", "source"]),
+                             ["lang", "source"], k=5)
+
+
+def _q_knn_ndcg(sf_dir: str):
+    """NDCG@10 of exact cosine retrieval, relevance = same label — the
+    embedding-quality eval (pipelines/similarity.py:knn_label_ndcg)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_label_ndcg
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+    order = pc.sort_indices(head.column("vec_id"))[:10]
+    q_ids = head.column("vec_id").take(order).to_pylist()
+    q_labels = head.column("label").take(order).to_pylist()
+    qmat = np.asarray(head.column("embedding").take(order).to_pylist(),
+                      dtype=np.float64)
+    ds = ray.data.read_parquet(path)
+    counts = {r["label"]: r["count()"] for r in
+              ds.groupby("label").count().take_all()}
+    out = knn_label_ndcg(ds, qmat, q_ids, q_labels, counts, k=10)
+    return pa.table({
+        "query_id": pa.array([q_ids[q] for q in
+                              out.column("query_id").to_pylist()], pa.int64()),
+        "ndcg": pc.round(out.column("ndcg"), ndigits=6),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4681,6 +4716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_stats": _q_span_corruption,
         "source_overlap_matrix": _q_source_overlap,
         "rfm_user_segments": _q_rfm_segments,
+        "k_anonymity_audit": _q_k_anonymity,
+        "knn_ndcg_eval": _q_knn_ndcg,
     }
 
 
@@ -6940,5 +6977,45 @@ def oracle_sql() -> dict[str, str]:
                    r_score, f_score, m_score,
                    r_score * 100 + f_score * 10 + m_score AS rfm
             FROM s ORDER BY user_id
+        """,
+        "k_anonymity_audit": """
+            WITH cls AS (SELECT lang, source, COUNT(*) AS n
+                         FROM documents GROUP BY 1, 2)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unsafe_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_unsafe_rows,
+                   CAST(MIN(n) AS BIGINT) AS min_class_size
+            FROM cls
+        """,
+        "knn_ndcg_eval": """
+            WITH q AS (
+              SELECT vec_id AS qid, label AS qlab,
+                     CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings ORDER BY vec_id LIMIT 10),
+            scored AS (
+              SELECT q.qid, q.qlab, e.vec_id, e.label,
+                     list_cosine_similarity(q.emb,
+                       CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+            ranked AS (
+              SELECT qid, qlab, label,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM scored),
+            dcg AS (
+              SELECT qid, SUM(CASE WHEN label = qlab
+                              THEN 1.0 / log2(rk + 1) ELSE 0 END) AS dcg
+              FROM ranked WHERE rk <= 10 GROUP BY 1),
+            cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+            idcg AS (
+              SELECT q.qid, SUM(1.0 / log2(s.i + 1)) AS idcg
+              FROM q JOIN cnt c ON c.label = q.qlab
+              CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i) s
+              WHERE s.i <= LEAST(10, c.n - 1) GROUP BY q.qid)
+            SELECT d.qid AS query_id, round(d.dcg / i.idcg, 6) AS ndcg
+            FROM dcg d JOIN idcg i USING (qid) ORDER BY 1
         """,
     }

@@ -222,3 +222,67 @@ def drift_by_key(
         "kl_bits": pa.array(kl, pa.float64()),
         "chi2": pa.array(chi2, pa.float64()),
     })
+
+
+def k_anonymity_stats(
+    ds: ray.data.Dataset,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> pa.Table:
+    """k-anonymity audit over a quasi-identifier combination — how much of
+    the table sits in equivalence classes smaller than ``k`` (the rows a
+    release would have to suppress or generalize).  Privacy-family sibling
+    of :mod:`..functions.redact` (content-level PII removal); this is the
+    LINKAGE-level risk measure.
+
+    Output (one row): ``n_rows``, ``n_classes`` (distinct quasi-identifier
+    combos), ``n_unsafe_classes`` (size < k), ``n_unsafe_rows`` (rows in
+    them), ``min_class_size``.
+
+    Shape: ONE keyed shuffle to class grain (map-side partial counts over
+    the quasi columns), then class-table-sized per-batch partials combined
+    on the driver (a handful of ints per block) — the raw table never
+    leaves its blocks, and nothing class-scale is driver-resident.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(quasi_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(cols))
+        g = df.group_by(cols).agg(pl.len().alias("_n"))
+        out = g.to_arrow()
+        return out.set_column(out.schema.get_field_index("_n"), "_n",
+                              out.column("_n").cast(pa.int64()))
+
+    classes = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby(cols).aggregate(Sum("_n", alias_name="n")))
+
+    def audit(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        unsafe = n < k
+        return pa.table({
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+            "n_classes": pa.array([len(n)], pa.int64()),
+            "n_unsafe_classes": pa.array([int(unsafe.sum())], pa.int64()),
+            "n_unsafe_rows": pa.array([int(n[unsafe].sum())], pa.int64()),
+            "min_class_size": pa.array(
+                [int(n.min()) if len(n) else 0], pa.int64()),
+        })
+
+    parts = classes.map_batches(audit, batch_format="pyarrow").take_all()
+    agg = {c: 0 for c in ("n_rows", "n_classes", "n_unsafe_classes",
+                          "n_unsafe_rows")}
+    mn = None
+    for r in parts:  # one row per class-table block
+        for c in agg:
+            agg[c] += r[c]
+        if r["n_classes"]:
+            mn = r["min_class_size"] if mn is None else min(
+                mn, r["min_class_size"])
+    return pa.table({c: pa.array([agg[c]], pa.int64()) for c in agg}
+                    ).append_column("min_class_size",
+                                    pa.array([mn or 0], pa.int64()))

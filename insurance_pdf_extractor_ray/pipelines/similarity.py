@@ -844,3 +844,87 @@ def nearest_centroid_confusion(
         "true_label": pa.array([k[0] for k in keys], pa.int64()),
         "pred_label": pa.array([k[1] for k in keys], pa.int64()),
         "n": pa.array([agg[k] for k in keys], pa.int64())})
+
+
+class EvalTopK(LabelMaskedTopK):
+    """Retrieval-eval stage: cosine top-k candidates per anchor, masking
+    ONLY the anchor row itself (same-label rows stay — they are the
+    relevant results being graded) and carrying the candidate label."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = embedding_matrix(batch.column(self.emb_col))
+        id_type = batch.column(self.id_col).type
+        if embs.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], id_type),
+                             "score": pa.array([], pa.float64()),
+                             self.label_col: pa.array([], pa.int64())})
+        ids = batch.column(self.id_col)
+        rid = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        labels = batch.column(self.label_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sims = self.queries @ _normalize(embs).T
+        sims = np.where(self.q_ids[:, None] == rid[None, :], -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_idx = np.repeat(np.arange(sims.shape[0]), k)
+        flat = top.ravel()
+        keep = np.isfinite(sims[q_idx, flat])
+        q_idx, flat = q_idx[keep], flat[keep]
+        return pa.table(
+            {"query_id": pa.array(q_idx, pa.int64()),
+             self.id_col: ids.take(pa.array(flat)),
+             "score": pa.array(sims[q_idx, flat].astype(np.float64)),
+             self.label_col: pa.array(labels[flat], pa.int64())})
+
+
+def knn_label_ndcg(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    query_labels,
+    label_counts: dict,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> pa.Table:
+    """NDCG@k of exact cosine retrieval where relevance = candidate label
+    == anchor label (the standard embedding-quality eval: does the space
+    rank same-class neighbors first?).
+
+    DCG@k = Σ_{i≤k} rel_i / log2(i+1) over the (score desc, id asc)
+    ranking with the anchor excluded; IDCG puts min(k, n_same_label − 1)
+    relevant results in the top ranks.  ``label_counts`` is the corpus
+    label histogram (label-count-sized — pass the tiny groupby result).
+    Returns (query_id positional, ndcg) — caller remaps and rounds.
+    """
+    qref = ray.put((np.asarray(queries, dtype=np.float64),
+                    np.asarray(query_ids, dtype=np.int64),
+                    np.asarray(query_labels, dtype=np.int64)))
+    candidates = ds.select_columns([id_col, emb_col, label_col]).map_batches(
+        EvalTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col,
+                                   id_col=id_col, label_col=label_col, k=k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).take_all()
+
+    per_q: dict = {}
+    for r in candidates:
+        per_q.setdefault(r["query_id"], []).append(
+            (-r["score"], r[id_col], r[label_col]))
+    out_q, out_n = [], []
+    for qi in sorted(per_q):
+        ranked = sorted(per_q[qi])[:k]
+        qlab = int(np.asarray(query_labels)[qi])
+        dcg = sum(1.0 / np.log2(i + 2.0)
+                  for i, (_, _, lab) in enumerate(ranked) if lab == qlab)
+        n_rel = min(k, int(label_counts.get(qlab, 0)) - 1)
+        idcg = sum(1.0 / np.log2(i + 2.0) for i in range(max(n_rel, 0)))
+        out_q.append(qi)
+        out_n.append(dcg / idcg if idcg > 0 else 0.0)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "ndcg": pa.array(out_n, pa.float64())})

@@ -197,3 +197,42 @@ def test_rfm_segments_tiers_and_composite():
     # composite
     assert out[1]["rfm"] == 5 * 100 + 1 * 10 + 1
     assert out[1]["recency_days"] == 4  # day3 noon -> day7 noon
+
+
+def test_k_anonymity_stats_planted():
+    from insurance_pdf_extractor_ray.pipelines.profile import k_anonymity_stats
+
+    t = pa.table({
+        "a": pa.array(["x"] * 6 + ["y"] * 2 + ["z"]),
+        "b": pa.array(["p"] * 6 + ["q"] * 2 + ["r"]),
+    })
+    r = k_anonymity_stats(ray.data.from_arrow(t), ["a", "b"],
+                          k=3).to_pylist()[0]
+    # classes: (x,p)=6 safe, (y,q)=2 unsafe, (z,r)=1 unsafe
+    assert r == {"n_rows": 9, "n_classes": 3, "n_unsafe_classes": 2,
+                 "n_unsafe_rows": 3, "min_class_size": 1}
+
+
+def test_knn_label_ndcg_perfect_and_zero():
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_label_ndcg
+
+    t = _vec_table()  # clusters: label 0 on x-axis, label 1 on y-axis
+    ds = ray.data.from_arrow(t)
+    embs = np.asarray(t.column("embedding").to_pylist())
+    labels = np.asarray(t.column("label").to_pylist())
+    counts = {0: int((labels == 0).sum()), 1: int((labels == 1).sum())}
+    out = knn_label_ndcg(ds, embs[:2], [0, 1], labels[:2], counts,
+                         k=3, batch_size=7).to_pylist()
+    by = {r["query_id"]: r["ndcg"] for r in out}
+    # anchor 1 (label 1): the traitor (label 0, planted in cluster 1)
+    # sneaks into its top-3 at rank 3 -> rel pattern (1, 1, 0)
+    dcg = 1.0 + 1.0 / np.log2(3)
+    idcg = dcg + 1.0 / np.log2(4)
+    assert by[1] == pytest.approx(dcg / idcg)
+    # anchor 0 (label 0, clean x-axis cluster): top-3 all label 0 -> 1.0
+    assert by[0] == pytest.approx(1.0)
+    # orthogonal-cluster sanity: a query with NO same-label neighbor scores 0
+    lone_counts = {0: counts[0], 1: counts[1], 9: 1}
+    out2 = knn_label_ndcg(ds, embs[:1], [999], [9], lone_counts,
+                          k=3).to_pylist()
+    assert out2[0]["ndcg"] == 0.0
