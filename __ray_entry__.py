@@ -4530,6 +4530,24 @@ def _q_knn_ndcg(sf_dir: str):
     })
 
 
+def _q_padding_efficiency(sf_dir: str):
+    """Length-bucketed padding-waste plan — zero-shuffle partials + a
+    bucket-sized groupby (pipelines/packing.py:padding_efficiency)."""
+    from insurance_pdf_extractor_ray.pipelines.packing import padding_efficiency
+
+    out = padding_efficiency(_documents(sf_dir, ["text"]), bucket=16,
+                             max_len=512)
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["bucket_len"])
+    return pa.table({
+        "bucket_len": pa.array([r["bucket_len"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "sum_tokens": pa.array([r["sum_tokens"] for r in rows], pa.int64()),
+        "sum_padding": pa.array([r["sum_padding"] for r in rows],
+                                pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4718,6 +4736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_user_segments": _q_rfm_segments,
         "k_anonymity_audit": _q_k_anonymity,
         "knn_ndcg_eval": _q_knn_ndcg,
+        "padding_efficiency": _q_padding_efficiency,
     }
 
 
@@ -7017,5 +7036,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.i <= LEAST(10, c.n - 1) GROUP BY q.qid)
             SELECT d.qid AS query_id, round(d.dcg / i.idcg, 6) AS ndcg
             FROM dcg d JOIN idcg i USING (qid) ORDER BY 1
+        """,
+        "padding_efficiency": """
+            WITH n AS (
+              SELECT LEAST(len(regexp_extract_all(text, '\\S+')), 512) AS n
+              FROM documents),
+            b AS (SELECT n, CAST(ceil(n / 16.0) * 16 AS BIGINT)
+                       AS bucket_len FROM n WHERE n > 0)
+            SELECT bucket_len, COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(bucket_len - n) AS BIGINT) AS sum_padding
+            FROM b GROUP BY 1 ORDER BY 1
         """,
     }

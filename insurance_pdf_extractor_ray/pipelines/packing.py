@@ -205,3 +205,52 @@ def materialize_sequences(
 
     return pieces.groupby("seq_id").map_groups(concat,
                                                batch_format="pyarrow")
+
+
+def padding_efficiency(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    bucket: int = 64,
+    max_len: int = 512,
+) -> ray.data.Dataset:
+    """Length-bucketed padding-waste plan — what dynamic batching by
+    length buckets costs vs. concat-packing (:func:`pack_sequences`).
+
+    Each doc's whitespace-token length n (clipped to ``max_len``) lands in
+    bucket ``ceil(n / bucket) * bucket``; padding it to the bucket edge
+    wastes ``bucket_len - n`` positions.  Output per bucket: ``n_docs``,
+    ``sum_tokens``, ``sum_padding`` — the numbers a batching policy trades
+    off (bigger buckets = fewer batch shapes, more pad waste).
+
+    One vectorized zero-shuffle pass with per-batch per-bucket partials,
+    then a bucket-count-sized groupby sum.  All-integer output.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def plan(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.column(text_col).cast(pa.large_string()))
+        n = s.str.count_matches(r"\S+").fill_null(0).to_numpy().astype(
+            np.int64)
+        n = np.minimum(n, max_len)
+        n = n[n > 0]
+        blen = -(-n // bucket) * bucket
+        t = pa.table({"bucket_len": pa.array(blen, pa.int64()),
+                      "n": pa.array(n, pa.int64()),
+                      "pad": pa.array(blen - n, pa.int64())})
+        df = pl.from_arrow(t).group_by("bucket_len").agg(
+            pl.len().alias("n_docs"),
+            pl.col("n").sum().alias("sum_tokens"),
+            pl.col("pad").sum().alias("sum_padding"))
+        out = df.to_arrow()
+        return pa.table({c: out.column(c).cast(pa.int64())
+                         for c in ("bucket_len", "n_docs", "sum_tokens",
+                                   "sum_padding")})
+
+    return (ds.select_columns([text_col])
+            .map_batches(plan, batch_format="pyarrow")
+            .groupby("bucket_len").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("sum_tokens", alias_name="sum_tokens"),
+                Sum("sum_padding", alias_name="sum_padding")))

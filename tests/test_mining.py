@@ -236,3 +236,22 @@ def test_knn_label_ndcg_perfect_and_zero():
     out2 = knn_label_ndcg(ds, embs[:1], [999], [9], lone_counts,
                           k=3).to_pylist()
     assert out2[0]["ndcg"] == 0.0
+
+
+def test_padding_efficiency_buckets():
+    from insurance_pdf_extractor_ray.pipelines.packing import padding_efficiency
+
+    docs = pa.table({"text": pa.array([
+        "a b c",                    # n=3  -> bucket 4, pad 1
+        "a b c d",                  # n=4  -> bucket 4, pad 0
+        "a b c d e",                # n=5  -> bucket 8, pad 3
+        "",                         # n=0  -> excluded
+        " ".join(["w"] * 600),      # n=600 -> clipped 512 -> bucket 512
+    ])})
+    out = padding_efficiency(ray.data.from_arrow(docs), bucket=4,
+                             max_len=512).take_all()
+    by = {r["bucket_len"]: r for r in out}
+    assert by[4]["n_docs"] == 2 and by[4]["sum_padding"] == 1
+    assert by[8]["n_docs"] == 1 and by[8]["sum_padding"] == 3
+    assert by[512]["n_docs"] == 1 and by[512]["sum_padding"] == 0
+    assert sum(r["n_docs"] for r in out) == 4
