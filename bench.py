@@ -618,6 +618,49 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                                   merges8).count() > 0
     queries["bpe_train_apply"] = round(time.time() - t0, 3)
 
+    # --- session-9 stages -------------------------------------------------
+    from insurance_pdf_extractor_ray.pipelines.behavior import rfm_segments
+    from insurance_pdf_extractor_ray.pipelines.packing import (
+        padding_efficiency)
+    from insurance_pdf_extractor_ray.pipelines.pretrain import (
+        span_corruption_stats)
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        hard_negatives, knn_label_ndcg, nearest_centroid_confusion)
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        source_overlap_matrix)
+
+    emb9_path = os.path.join(sf_dir, "embeddings.parquet")
+    head9 = pq.read_table(emb9_path,
+                          columns=["vec_id", "embedding", "label"])
+    q9 = np.asarray(head9.column("embedding")[:8].to_pylist(), np.float64)
+    q9_ids = head9.column("vec_id")[:8].to_pylist()
+    q9_lab = head9.column("label")[:8].to_pylist()
+
+    t0 = time.time()
+    emb9 = ray.data.read_parquet(emb9_path)
+    assert hard_negatives(emb9, q9, q9_ids, q9_lab, k=10).num_rows > 0
+    counts9 = {r["label"]: r["count()"] for r in
+               emb9.groupby("label").count().take_all()}
+    assert knn_label_ndcg(emb9, q9, q9_ids, q9_lab, counts9,
+                          k=10).num_rows > 0
+    assert nearest_centroid_confusion(emb9).num_rows > 0
+    queries["mining_eval"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs9 = ray.data.read_parquet(docs_path, columns=["text", "source"])
+    assert span_corruption_stats(docs9).count() > 0
+    assert padding_efficiency(docs9).count() > 0
+    queries["corruption_padding_plan"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assert source_overlap_matrix(docs9, "text", "source", k=8).num_rows >= 0
+    queries["source_overlap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assert rfm_segments(ray.data.read_parquet(
+        events, columns=["user_id", "ts", "value"])).count() > 0
+    queries["rfm_segments"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

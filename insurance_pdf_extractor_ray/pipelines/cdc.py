@@ -63,6 +63,15 @@ def apply_changes(
         return t.rename_columns([rename[c] for c in t.column_names])
 
     latest = latest.map_batches(ren, batch_format="pyarrow")
+    # latest_by_key's groupby can emit empty zero-column blocks at small
+    # scales; the acero hash join below rejects a block without "__k"
+    chg_schema = changes.schema()
+    chg_types = dict(zip(chg_schema.names, chg_schema.types))
+    from ..dsutil import drop_empty_blocks
+
+    latest = drop_empty_blocks(latest, empty_schema=pa.schema(
+        [("__k", chg_types[change_key_col]), ("__op", chg_types[op_col])]
+        + [(f"__p_{c}", chg_types[c]) for c in payload_map]))
 
     base_schema = base.schema()
     base_names = base_schema.names
