@@ -4548,6 +4548,42 @@ def _q_padding_efficiency(sf_dir: str):
     })
 
 
+def _q_stratified_split(sf_dir: str):
+    """Exact per-stratum 80/10/10 split — grouped row-number metadata wave
+    (one sort + two metadata task waves), integer rank thresholds
+    (pipelines/ordering.py:grouped_row_number)."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    ds = grouped_row_number(_documents(sf_dir, ["doc_id", "lang"]),
+                            ["lang"], ["doc_id"], out_col="_rn",
+                            total_col="_n")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rn = batch.column("_rn").to_numpy(zero_copy_only=False)
+        n = batch.column("_n").to_numpy(zero_copy_only=False)
+        split = np.where(rn * 10 < n * 8, "train",
+                         np.where(rn * 10 < n * 9, "val", "test"))
+        return pa.table({"lang": batch.column("lang"),
+                         "split": pa.array(split, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby(["lang", "split"]).aggregate(
+               Count(alias_name="n_docs"),
+               Sum("doc_id", alias_name="id_sum")))
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["lang"], r["split"]))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "split": pa.array([r["split"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "id_sum": pa.array([r["id_sum"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4737,6 +4773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": _q_k_anonymity,
         "knn_ndcg_eval": _q_knn_ndcg,
         "padding_efficiency": _q_padding_efficiency,
+        "stratified_split": _q_stratified_split,
     }
 
 
@@ -7047,5 +7084,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS sum_tokens,
                    CAST(SUM(bucket_len - n) AS BIGINT) AS sum_padding
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "stratified_split": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY doc_id) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN rk * 10 < n * 8 THEN 'train'
+                        WHEN rk * 10 < n * 9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

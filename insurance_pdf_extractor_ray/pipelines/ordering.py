@@ -106,3 +106,93 @@ def ntile(
         return out.drop_columns(["_rn0"])
 
     return numbered.map_batches(assign, batch_format="pyarrow")
+
+
+@ray.remote
+def _group_counts(tbl: pa.Table, group_cols: List[str]):
+    """Per-group row counts within one sorted block — group-count-sized
+    (the block is contiguous in group order after the sort, but a plain
+    value_counts is simpler and still metadata-weight)."""
+    import polars as pl
+
+    if tbl.num_rows == 0:
+        return []
+    g = (pl.from_arrow(tbl.select(group_cols)).group_by(group_cols)
+         .agg(pl.len().alias("_n")))
+    keys = g.select(group_cols).rows()
+    return list(zip(keys, g.get_column("_n").to_list()))
+
+
+@ray.remote
+def _append_group_rn(tbl: pa.Table, group_cols: List[str],
+                     starts: dict, totals: dict, out_col: str,
+                     total_col: Optional[str]) -> pa.Table:
+    """Append the per-group 0-based row number (and optionally the group
+    total) given this block's per-group start offsets.  The block is
+    sorted by (group, sort_keys), so each group's rows are one contiguous
+    run — offsets are a run-length walk, no per-row Python."""
+    import polars as pl
+
+    if tbl.num_rows == 0:
+        out = tbl.append_column(out_col, pa.array([], pa.int64()))
+        if total_col:
+            out = out.append_column(total_col, pa.array([], pa.int64()))
+        return out
+    keys = pl.from_arrow(tbl.select(group_cols)).rows()
+    # contiguous runs of identical keys
+    rn = np.empty(tbl.num_rows, np.int64)
+    tot = np.empty(tbl.num_rows, np.int64) if total_col else None
+    i = 0
+    while i < tbl.num_rows:
+        j = i
+        k = keys[i]
+        while j < tbl.num_rows and keys[j] == k:
+            j += 1
+        base = starts[k]
+        rn[i:j] = np.arange(base, base + (j - i))
+        if total_col:
+            tot[i:j] = totals[k]
+        i = j
+    out = tbl.append_column(out_col, pa.array(rn, pa.int64()))
+    if total_col:
+        out = out.append_column(total_col, pa.array(tot, pa.int64()))
+    return out
+
+
+def grouped_row_number(
+    ds: ray.data.Dataset,
+    group_cols: Sequence[str],
+    sort_keys: Sequence[str],
+    descending: Optional[Sequence[bool]] = None,
+    out_col: str = "group_rn",
+    total_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """``row_number() OVER (PARTITION BY group_cols ORDER BY sort_keys)``
+    (0-based), optionally with the group's total count in ``total_col`` —
+    the primitive behind exact stratified splits, per-group percentile
+    gates and curriculum sharding within strata.
+
+    Same shape as :func:`with_row_number`: ONE Ray-native sort over
+    (group_cols, sort_keys), then two metadata-weight task waves — wave 1
+    ships per-(block, group) counts to the driver (O(#blocks × #groups
+    touched per block) tuples; group keys are strata — languages, sources,
+    splits — bounded, not per-row), wave 2 appends each block's offset
+    ranges in place.  Blocks never move after the sort.
+    """
+    gcols = list(group_cols)
+    desc = ([False] * len(gcols)) + (list(descending) if descending
+                                     else [False] * len(sort_keys))
+    ordered = ds.sort(gcols + list(sort_keys), descending=desc).materialize()
+    refs = ordered.to_arrow_refs()
+    per_block = ray.get([_group_counts.remote(r, gcols) for r in refs])
+    run: dict = {}
+    starts_per_block = []
+    for counts in per_block:
+        starts_per_block.append({k: run.get(k, 0) for k, _ in counts})
+        for k, n in counts:
+            run[k] = run.get(k, 0) + n
+    out_refs = [
+        _append_group_rn.remote(r, gcols, st, run, out_col, total_col)
+        for r, st in zip(refs, starts_per_block)
+    ]
+    return ray.data.from_arrow_refs(out_refs)

@@ -255,3 +255,33 @@ def test_padding_efficiency_buckets():
     assert by[8]["n_docs"] == 1 and by[8]["sum_padding"] == 3
     assert by[512]["n_docs"] == 1 and by[512]["sum_padding"] == 0
     assert sum(r["n_docs"] for r in out) == 4
+
+
+def test_grouped_row_number_spanning_blocks():
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    # group 'a' has 7 rows, 'b' has 5 — small blocks force groups to span
+    t = pa.table({
+        "g": pa.array(["a"] * 7 + ["b"] * 5),
+        "id": pa.array(list(range(7)) + list(range(100, 105)), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = grouped_row_number(ds, ["g"], ["id"], out_col="rn",
+                             total_col="n").take_all()
+    by = {(r["g"], r["id"]): (r["rn"], r["n"]) for r in out}
+    assert [by[("a", i)][0] for i in range(7)] == list(range(7))
+    assert [by[("b", i)][0] for i in range(100, 105)] == list(range(5))
+    assert all(by[("a", i)][1] == 7 for i in range(7))
+    assert all(by[("b", i)][1] == 5 for i in range(100, 105))
+
+
+def test_grouped_row_number_descending():
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    t = pa.table({"g": pa.array(["x"] * 3),
+                  "v": pa.array([10, 30, 20], pa.int64())})
+    out = grouped_row_number(ray.data.from_arrow(t), ["g"], ["v"],
+                             descending=[True], out_col="rn").take_all()
+    assert {r["v"]: r["rn"] for r in out} == {30: 0, 20: 1, 10: 2}
