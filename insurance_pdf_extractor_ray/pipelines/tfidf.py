@@ -790,8 +790,25 @@ def bigram_logprob(
 
         tf = ds.select_columns([id_col, text_col]).map_batches(
             doc_bigram_tf, batch_format="pyarrow")
+        # groupby-derived join sides and the first join's output can carry
+        # empty zero-column blocks; the NEXT hash join's per-partition
+        # pyarrow join rejects them (intermittent, layout-dependent) —
+        # rebuild from non-empty blocks around each join (same class as
+        # fuzzy.entity_components' chained block joins)
+        from ..dsutil import drop_empty_blocks
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        cbf = drop_empty_blocks(cbf, empty_schema=pa.schema(
+            [("bigram", pa.string()), ("c", pa.int64()),
+             ("_ctx_tok", pa.string())]))
+        ctx = drop_empty_blocks(ctx, empty_schema=pa.schema(
+            [("_ctx_tok", pa.string()), ("cc", pa.int64())]))
         j = tf.join(cbf, join_type="inner", on=("bigram",),
                     num_partitions=_join_partitions())
+        j = drop_empty_blocks(j, empty_schema=pa.schema(
+            [(id_col, id_type), ("bigram", pa.string()),
+             ("tf", pa.int64()), ("c", pa.int64()),
+             ("_ctx_tok", pa.string())]))
         j = j.join(ctx, join_type="inner", on=("_ctx_tok",),
                    num_partitions=_join_partitions())
 
