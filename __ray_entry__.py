@@ -4584,6 +4584,57 @@ def _q_stratified_split(sf_dir: str):
     })
 
 
+def _q_top_quartile_by_lang(sf_dir: str):
+    """Per-stratum percentile gate: keep each lang's top 25% docs by
+    n_chars (ties broken by doc_id) — grouped_row_number + integer rank
+    threshold, then a lang-sized aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    ds = grouped_row_number(
+        _documents(sf_dir, ["doc_id", "lang", "n_chars"]),
+        ["lang"], ["n_chars", "doc_id"], descending=[True, False],
+        out_col="_rn", total_col="_n")
+    kept = ds.map_batches(
+        lambda t: t.filter(pc.less(
+            pc.multiply(t.column("_rn"), pa.scalar(4, pa.int64())),
+            t.column("_n"))),
+        batch_format="pyarrow")
+    out = kept.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doc_id", alias_name="id_sum"),
+        Sum("n_chars", alias_name="chars_sum"))
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "id_sum": pa.array([r["id_sum"] for r in rows], pa.int64()),
+        "chars_sum": pa.array([r["chars_sum"] for r in rows], pa.int64()),
+    })
+
+
+def _q_value_band_pairs(sf_dir: str):
+    """Scalar band self-join: event pairs within 1 milli-unit of value —
+    banded-bucket equi-join, integer-exact |diff| filter
+    (pipelines/joins.py:scalar_band_join)."""
+    from insurance_pdf_extractor_ray.pipelines.joins import scalar_band_join
+
+    ev = _events(sf_dir, ["event_id", "value"])
+    out = scalar_band_join(ev, ev, "value", "event_id", eps_q=1,
+                           quant=1000.0)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.table({
+        "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+        "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+        "q_a": pa.array([r["q_a"] for r in rows], pa.int64()),
+        "q_b": pa.array([r["q_b"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4774,6 +4825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ndcg_eval": _q_knn_ndcg,
         "padding_efficiency": _q_padding_efficiency,
         "stratified_split": _q_stratified_split,
+        "top_quartile_by_lang": _q_top_quartile_by_lang,
+        "value_band_pairs": _q_value_band_pairs,
     }
 
 
@@ -7099,5 +7152,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_quartile_by_lang": """
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM r WHERE rk * 4 < n GROUP BY 1 ORDER BY 1
+        """,
+        "value_band_pairs": """
+            WITH q AS (
+              SELECT event_id,
+                     CASE WHEN value >= 0
+                          THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                          ELSE -CAST(floor(-value * 1000 + 0.5) AS BIGINT)
+                     END AS qv
+              FROM events)
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   a.qv AS q_a, b.qv AS q_b
+            FROM q a JOIN q b
+              ON b.qv BETWEEN a.qv - 1 AND a.qv + 1
+             AND a.event_id < b.event_id
+            ORDER BY 1, 2
         """,
     }

@@ -285,3 +285,31 @@ def test_grouped_row_number_descending():
     out = grouped_row_number(ray.data.from_arrow(t), ["g"], ["v"],
                              descending=[True], out_col="rn").take_all()
     assert {r["v"]: r["rn"] for r in out} == {30: 0, 20: 1, 10: 2}
+
+
+def test_scalar_band_join_bucket_edges():
+    from insurance_pdf_extractor_ray.pipelines.joins import scalar_band_join
+
+    # quant=1: values ARE the quantized units; eps_q=1 -> |diff| <= 1
+    t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array([0.0, 1.0, 2.0, 5.0, -1.0], pa.float64())})
+    ds = ray.data.from_arrow(t)
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 scalar_band_join(ds, ds, "v", "id", eps_q=1,
+                                  quant=1.0).take_all())
+    # pairs within 1: (0,1),(1,2),(0,-1) -> ids (1,2),(2,3),(1,5)
+    assert got == [(1, 2), (1, 5), (2, 3)]
+
+
+def test_scalar_band_join_cross_no_self_filter():
+    from insurance_pdf_extractor_ray.pipelines.joins import scalar_band_join
+
+    l = ray.data.from_arrow(pa.table({"id": pa.array([10], pa.int64()),
+                                      "v": pa.array([3.0])}))
+    r = ray.data.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                      "v": pa.array([3.0005, 4.0])}))
+    got = sorted((x["id_a"], x["id_b"]) for x in
+                 scalar_band_join(l, r, "v", "id", eps_q=1, quant=1000.0,
+                                  self_pairs=True).take_all())
+    # q(3.0)=3000, q(3.0005)=3001 (half-up) -> in band; q(4.0)=4000 -> out
+    assert got == [(10, 1)]
