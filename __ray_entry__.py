@@ -4635,6 +4635,35 @@ def _q_value_band_pairs(sf_dir: str):
     })
 
 
+def _q_percent_rank_by_type(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value,
+    event_id) — grouped row-number metadata wave; rank ratio rounded at 9
+    (pipelines/ordering.py:grouped_row_number)."""
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    ds = grouped_row_number(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        ["event_type"], ["value", "event_id"], out_col="_rn",
+        total_col="_n")
+
+    def pct(batch: pa.Table) -> pa.Table:
+        rn = batch.column("_rn").to_numpy(zero_copy_only=False)
+        n = batch.column("_n").to_numpy(zero_copy_only=False)
+        p = np.where(n > 1, rn / np.maximum(n - 1, 1), 0.0)
+        m = 1e9
+        p = np.floor(p * m + 0.5) / m  # values in [0,1]: half-away == half-up
+        return pa.table({"event_id": batch.column("event_id"),
+                         "pct_rank": pa.array(p, pa.float64())})
+
+    rows = ds.map_batches(pct, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "pct_rank": pa.array([r["pct_rank"] for r in rows], pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4827,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _q_stratified_split,
         "top_quartile_by_lang": _q_top_quartile_by_lang,
         "value_band_pairs": _q_value_band_pairs,
+        "percent_rank_by_type": _q_percent_rank_by_type,
     }
 
 
@@ -7179,5 +7209,11 @@ def oracle_sql() -> dict[str, str]:
               ON b.qv BETWEEN a.qv - 1 AND a.qv + 1
              AND a.event_id < b.event_id
             ORDER BY 1, 2
+        """,
+        "percent_rank_by_type": """
+            SELECT event_id,
+                   round(PERCENT_RANK() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id), 9) AS pct_rank
+            FROM events ORDER BY event_id
         """,
     }

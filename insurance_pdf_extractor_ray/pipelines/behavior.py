@@ -235,7 +235,11 @@ def cohort_retention(
             with_day, batch_format="pyarrow")
         from .dedup import _join_partitions
 
-        joined = ev.join(first, join_type="inner",
+        from ..dsutil import drop_empty_blocks
+
+        # first-activity groupby can emit empty zero-column blocks the
+        # hash join rejects (layout-dependent) — rebuild before joining
+        joined = ev.join(drop_empty_blocks(first), join_type="inner",
                          num_partitions=num_partitions or _join_partitions(),
                          on=(user_col,))
 

@@ -156,7 +156,12 @@ def bloom_semi_join(
                  .groupby(right_on).count()
                  .select_columns([right_on]))
     P = num_partitions or _join_partitions()
-    joined = survivors.join(keys, join_type="inner", num_partitions=P,
+    from ..dsutil import drop_empty_blocks
+
+    # the distinct-key groupby can emit empty zero-column blocks the hash
+    # join rejects — rebuild from non-empty blocks (key-cardinality-sized)
+    joined = survivors.join(drop_empty_blocks(keys), join_type="inner",
+                            num_partitions=P,
                             on=(on,), right_on=(right_on,))
     big_cols = list(big.schema().names)
     return joined.map_batches(lambda t: t.select(big_cols),

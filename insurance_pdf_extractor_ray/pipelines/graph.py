@@ -72,6 +72,10 @@ def pagerank(
     # (src, dst, out-degree of src) — joined ONCE, reused every round
     ed = edges.join(degrees, join_type="inner", num_partitions=P,
                     on=(src,), right_on=("id",)).materialize()
+    # the join itself can emit empty zero-column partition blocks that the
+    # per-round ed ⋈ ranks join would reject; edges is non-empty here, so
+    # the inner join against its own degree table is too — no schema needed
+    ed = drop_empty_blocks(ed)
 
     def init_ranks(t: pa.Table) -> pa.Table:
         if seeds is not None:

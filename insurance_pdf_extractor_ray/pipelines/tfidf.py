@@ -191,7 +191,9 @@ def tfidf_table(
     else:
         from .dedup import _join_partitions
 
-        joined = tf.join(df, join_type="inner",
+        from ..dsutil import drop_empty_blocks
+
+        joined = tf.join(drop_empty_blocks(df), join_type="inner",
                          num_partitions=_join_partitions(), on=("token",))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -456,8 +458,10 @@ def unigram_logprob(
         # honest fallback: pair-table join + doc-keyed combine
         from .dedup import _join_partitions
 
+        from ..dsutil import drop_empty_blocks
+
         tf = doc_term_freq(ds, text_col, id_col)
-        joined = tf.join(cnt, join_type="inner",
+        joined = tf.join(drop_empty_blocks(cnt), join_type="inner",
                          num_partitions=_join_partitions(), on=("token",))
 
         def score_joined(batch: pa.Table) -> pa.Table:
