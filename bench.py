@@ -88,8 +88,11 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     # Best-of-2: this sandbox VM shows vCPU steal with ±20% run-to-run
     # variance, so a single trial measures the hypervisor as much as the
     # pipeline (both trials are reported).
+    # 2 trials ALSO on the scaling legs: measured back-to-back identical
+    # 16-CPU runs at 210 s and 74 s on this VM — single-trial scaling
+    # numbers measure the hypervisor's steal schedule, not the pipeline
     trials = []
-    for _ in range(1 if extract_only else 2):  # scaling legs stay single-trial
+    for _ in range(2):
         t0 = time.time()
         src = ray.data.read_parquet(corpus, override_num_blocks=4 * num_cpus)
         n_out = extract_pipeline(src).count()
