@@ -4179,6 +4179,68 @@ def _q_ks_test(sf_dir: str):
     return _round_col(out, "ks_d", 9)
 
 
+def _q_roc_auc(sf_dir: str):
+    """Exact ROC AUC of `value` ranking purchases above other events —
+    map-side per-score combine, one distinct-score groupby shuffle, sorted
+    metadata wave; ties get the standard half credit
+    (pipelines/evalstats.py:roc_auc)."""
+    from insurance_pdf_extractor_ray.pipelines.evalstats import roc_auc
+
+    out = roc_auc(_events(sf_dir, ["event_type", "value"]),
+                  "value", "event_type", "purchase")
+    return _round_col(out, "auc", 9)
+
+
+def _q_calibration(sf_dir: str):
+    """Reliability-diagram bins of p = value/500 vs observed purchase rate
+    — algebraic per-bin aggregate, shuffle bounded by bins × blocks
+    (pipelines/evalstats.py:calibration_bins).  The predictor transform is
+    one IEEE division, bit-identical to the SQL twin so bin assignment at
+    boundaries can't diverge."""
+    from insurance_pdf_extractor_ray.pipelines.evalstats import calibration_bins
+
+    def add_p(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "p", pc.divide(batch.column("value"), 500.0))
+
+    ev = _events(sf_dir, ["event_type", "value"]).map_batches(
+        add_p, batch_format="pyarrow")
+    out = calibration_bins(ev, "p", "event_type", "purchase", n_bins=10)
+    out = _round_col(out, "mean_p", 9)
+    return _round_col(out, "frac_pos", 9)
+
+
+def _q_mi_lang_source(sf_dir: str):
+    """Mutual information / chi-square / Cramer's V between documents.lang
+    and documents.source from one distributed contingency count; the
+    closed-form chi2 n*(sum o^2/(r*c) - 1) never enumerates empty cells
+    (pipelines/evalstats.py:categorical_association)."""
+    from insurance_pdf_extractor_ray.pipelines.evalstats import (
+        categorical_association,
+    )
+
+    out = categorical_association(
+        _documents(sf_dir, ["lang", "source"]), "lang", "source")
+    out = _round_col(out, "mi_nats", 9)
+    out = _round_col(out, "chi2", 6)
+    return _round_col(out, "cramers_v", 9)
+
+
+def _q_benford(sf_dir: str):
+    """Benford first-digit audit of o_totalprice — digit taken from the
+    integer cents value (round(x*100), repeated integer division), so the
+    substr(cast(bigint)) SQL twin is bit-identical; no float log10 in the
+    digit path (pipelines/evalstats.py:benford_first_digit)."""
+    from insurance_pdf_extractor_ray.pipelines.evalstats import (
+        benford_first_digit,
+    )
+
+    out = benford_first_digit(
+        _read(sf_dir, "orders", ["o_totalprice"]), "o_totalprice")
+    out = _round_col(out, "observed_p", 9)
+    return _round_col(out, "expected_p", 9)
+
+
 def _q_changepoint(sf_dir: str):
     """Single change-point detection over the daily event-count series:
     the split minimizing two-segment SSE, computed in closed form from
@@ -4839,6 +4901,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": _q_weighted_median,
         "time_in_state": _q_time_in_state,
         "ks_view_purchase": _q_ks_test,
+        "roc_auc_purchase": _q_roc_auc,
+        "calibration_purchase": _q_calibration,
+        "mi_lang_source": _q_mi_lang_source,
+        "benford_totalprice": _q_benford,
         "changepoint_daily": _q_changepoint,
         "csv_source_stats": _q_csv_source,
         "jsonl_source_stats": _q_jsonl_source,
@@ -6869,6 +6935,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         # default RANGE window frame makes the cumulative tie-inclusive —
         # the engine evaluates only after each complete tie group, same rule
+        "roc_auc_purchase": """
+            WITH x AS (SELECT value AS s,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS p
+                       FROM events WHERE value IS NOT NULL),
+            a AS (SELECT s, SUM(p) AS np, SUM(1 - p) AS nn
+                  FROM x GROUP BY s),
+            w AS (SELECT np, nn,
+                    COALESCE(SUM(nn) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS below
+                  FROM a),
+            t AS (SELECT SUM(np) AS n1, SUM(nn) AS n0 FROM a)
+            SELECT CAST(t.n1 AS BIGINT) AS n_pos,
+                   CAST(t.n0 AS BIGINT) AS n_neg,
+                   round(SUM(np * (below + 0.5 * nn)) / (t.n1 * t.n0), 9)
+                     AS auc
+            FROM w, t GROUP BY t.n1, t.n0
+        """,
+        "calibration_purchase": """
+            WITH x AS (SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS p,
+                         CASE WHEN event_type = 'purchase' THEN 1.0
+                              ELSE 0.0 END AS l
+                       FROM events WHERE value IS NOT NULL)
+            SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+                   COUNT(*) AS n,
+                   round(AVG(p), 9) AS mean_p,
+                   round(AVG(l), 9) AS frac_pos
+            FROM x GROUP BY 1 ORDER BY 1
+        """,
+        "mi_lang_source": """
+            WITH c AS (SELECT lang AS x, source AS y, COUNT(*) AS o
+                       FROM documents GROUP BY 1, 2),
+            rx AS (SELECT x, SUM(o) AS r FROM c GROUP BY 1),
+            cy AS (SELECT y, SUM(o) AS cc FROM c GROUP BY 1),
+            t AS (SELECT SUM(o) AS n FROM c),
+            k AS (SELECT LEAST((SELECT COUNT(*) FROM rx),
+                               (SELECT COUNT(*) FROM cy)) AS k)
+            SELECT CAST(t.n AS BIGINT) AS n,
+                   round(SUM((c.o * 1.0 / t.n)
+                             * ln(c.o * 1.0 * t.n / (rx.r * cy.cc))), 9)
+                     AS mi_nats,
+                   round(t.n * (SUM(c.o * c.o * 1.0 / (rx.r * cy.cc)) - 1.0),
+                         6) AS chi2,
+                   round(sqrt(GREATEST(t.n * (SUM(c.o * c.o * 1.0
+                                                  / (rx.r * cy.cc)) - 1.0),
+                                       0.0) / (t.n * (k.k - 1))), 9)
+                     AS cramers_v
+            FROM c JOIN rx ON c.x = rx.x JOIN cy ON c.y = cy.y, t, k
+            GROUP BY t.n, k.k
+        """,
+        "benford_totalprice": """
+            WITH i AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                       FROM orders WHERE o_totalprice > 0),
+            d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit
+                  FROM i WHERE c > 0),
+            g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT SUM(n) AS tot FROM g),
+            all9 AS (SELECT CAST(r + 1 AS BIGINT) AS digit
+                     FROM range(9) AS x(r))
+            SELECT all9.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+                   round(COALESCE(g.n, 0) * 1.0 / t.tot, 9) AS observed_p,
+                   round(log10(1 + 1.0 / all9.digit), 9) AS expected_p
+            FROM all9 LEFT JOIN g USING (digit), t
+            ORDER BY all9.digit
+        """,
         "ks_view_purchase": """
             WITH x AS (SELECT value AS v,
                          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
