@@ -686,7 +686,19 @@ def _q_media_decode(sf_dir: str):
     assets = fake_assets_for_docs([(r["doc_id"], r["media_ref"]) for r in refs],
                                   corrupt_frac=0.1)
     gated = media_consistency_gate(ray.data.from_arrow(assets))
-    return decode_media(gated)
+    out = decode_media(gated)
+
+    # Driver-sortable scalar projection: the decode emits a list<float>
+    # feature column, which generic result normalizers (sort/hash) can't
+    # order — ship its first element instead of the vector.
+    def scalarize(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features")
+        f0 = pc.list_element(feats, 0) if batch.num_rows else \
+            pa.array([], pa.float64())
+        keep = [c for c in batch.column_names if c != "features"]
+        return batch.select(keep).append_column("f0", f0)
+
+    return out.map_batches(scalarize, batch_format="pyarrow")
 
 
 def _q_media_decode_check(sf_dir: str):
@@ -703,7 +715,7 @@ def _q_media_decode_check(sf_dir: str):
         c = cells.setdefault(key, [0, 0, 0.0])
         c[0] += 1
         c[1] += int(r["thumb_w"]) * int(r["thumb_h"])
-        c[2] += float(r["features"][0])
+        c[2] += float(r["f0"])
     keys = sorted(cells)
     return pa.table({
         "kind": pa.array([k[0] for k in keys], pa.string()),
@@ -4726,6 +4738,305 @@ def _q_percent_rank_by_type(sf_dir: str):
     })
 
 
+def _q_q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 analog: top-20 customers by revenue from RETURNED items in
+    one order-date quarter.  Shape: aggregate-below-join (returned-line
+    revenue pre-reduced per orderkey), ONE big-big hash join, custkey
+    groupby, global sort-limit; the 20 winners' names resolved by a tiny
+    driver-side lookup against a key-filtered customer read (never a full
+    dimension broadcast)."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
+        .filter(expr="l_returnflag == 'R'")
+    li_rev = drop_empty_blocks(
+        li.map_batches(lambda b: _rev_i4(b, "l_orderkey"),
+                       batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(Sum("rev_i4", alias_name="rev_i4")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("rev_i4", pa.int64())]))
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1996-04-01").value // 1000)
+
+    def date_window(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(date_window, batch_format="pyarrow"),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+    j = shuffle_join(li_rev, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    top = (j.groupby("o_custkey")
+            .aggregate(Sum("rev_i4", alias_name="revenue_i4"))
+            .sort(["revenue_i4", "o_custkey"], descending=[True, False])
+            .limit(20).take_all())
+    keys = [r["o_custkey"] for r in top]
+
+    key_arr = pa.array(sorted(keys), pa.int64())
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]) \
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_custkey"),
+                                        value_set=key_arr)),
+            batch_format="pyarrow").take_all()
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation",
+                             ["n_nationkey", "n_name"]).take_all()}
+    info = {r["c_custkey"]: (r["c_name"], nation[r["c_nationkey"]])
+            for r in cust}
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([info[k][0] for k in keys], pa.string()),
+        "n_name": pa.array([info[k][1] for k in keys], pa.string()),
+        "revenue_i4": pa.array([r["revenue_i4"] for r in top], pa.int64()),
+    })
+
+
+def _q_q18_big_orders(sf_dir: str):
+    """TPC-H Q18 analog: orders whose total quantity exceeds 250 — HAVING
+    pushed below the join (per-orderkey integer-quantity pre-aggregate,
+    filter, then ONE hash join against orders), top-100 by quantity."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    def qty_i2(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "qty_i2": pa.array(np.floor(q * 100.0 + 0.5).astype(np.int64),
+                               pa.int64()),
+        })
+
+    big = drop_empty_blocks(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_i2, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("qty_i2", alias_name="qty_i2"))
+        .filter(expr="qty_i2 > 25000"),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("qty_i2", pa.int64())]))
+
+    def tp_i2(b: pa.Table) -> pa.Table:
+        t = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "totalprice_i2": pa.array(
+                np.floor(t * 100.0 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(tp_i2, batch_format="pyarrow")
+    j = shuffle_join(big, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    rows = (j.sort(["qty_i2", "l_orderkey"], descending=[True, False])
+             .limit(100).take_all())
+    return pa.table({
+        "o_orderkey": pa.array([r["l_orderkey"] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+        "totalprice_i2": pa.array([r["totalprice_i2"] for r in rows],
+                                  pa.int64()),
+        "qty_i2": pa.array([r["qty_i2"] for r in rows], pa.int64()),
+    })
+
+
+def _q_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series — day-keyed
+    count shuffle (bounded by distinct days), exact integer moment sums on
+    the day table, closed-form Pearson r mirrored operation-for-operation
+    by the oracle SQL."""
+    from ray.data.aggregate import Sum
+
+    def day_part(b: pa.Table) -> pa.Table:
+        d = pc.divide(b.column("ts").cast(pa.int64()), 86_400_000_000)
+        t = pa.table({"day": d,
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        g = t.group_by("day").aggregate([("_n", "sum")])
+        return g.rename_columns(["day", "_n"])
+
+    rows = (_events(sf_dir, ["ts"])
+            .map_batches(day_part, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("_n", alias_name="n"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    ns = [int(r["n"]) for r in rows]
+    x, y = ns[1:], ns[:-1]          # (n_t, n_{t-1}) over consecutive rows
+    k = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    syy = sum(v * v for v in y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    import math
+    den = math.sqrt(float(k * sxx - sx * sx) * float(k * syy - sy * sy))
+    r = float(k * sxy - sx * sy) / den
+    return pa.table({"autocorr_lag1": pa.array([_round_away(r, 9)],
+                                               pa.float64())})
+
+
+def _q_first_touch_revenue(sf_dir: str):
+    """First-touch attribution: each purchase's value credited to the FIRST
+    event type the user ever produced (ts, event_id total order) — grouped
+    top-1 per user, ONE user-keyed hash join, tiny type-keyed combine."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+    firsts = grouped_top_k(
+        ev.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id", ["ts", "event_id"], [False, False], k=1)
+
+    def first_cols(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "first_type": b.column("event_type")})
+
+    firsts = firsts.map_batches(first_cols, batch_format="pyarrow")
+
+    def pvals(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "val_i2": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64),
+                               pa.int64()),
+        })
+
+    purchases = drop_empty_blocks(
+        ev.filter(expr="event_type == 'purchase'")
+          .map_batches(pvals, batch_format="pyarrow"),
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("val_i2", pa.int64())]))
+    j = shuffle_join(purchases, firsts, on="user_id", right_on="user_id",
+                     num_partitions=_join_partitions())
+    agg = j.groupby("first_type").aggregate(
+        Count(alias_name="n_purchases"),
+        Sum("val_i2", alias_name="revenue_i2"))
+    rows = sorted(agg.take_all(), key=lambda r: r["first_type"])
+    return pa.table({
+        "first_type": pa.array([r["first_type"] for r in rows], pa.string()),
+        "n_purchases": pa.array([r["n_purchases"] for r in rows], pa.int64()),
+        "revenue_i2": pa.array([r["revenue_i2"] for r in rows], pa.int64()),
+    })
+
+
+def _q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-50 word bigrams by pointwise mutual
+    information among bigrams with corpus count >= 20 — map-side distinct
+    n-gram pre-counts, vocabulary-bounded combines, driver math only on the
+    qualifying-bigram table (min-count-bounded)."""
+    import math
+
+    from insurance_pdf_extractor_ray.pipelines.tfidf import (
+        ngram_counts,
+        vocab_counts,
+    )
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    big_all = ngram_counts(docs, "text", "doc_id", n=2, k=None).materialize()
+    n_b = big_all.sum("n")
+    big = big_all.filter(expr="n >= 20").take_all()
+
+    uni_all = vocab_counts(docs, "text", "doc_id", k=None).materialize()
+    n_u = uni_all.sum("n")
+    need = set()
+    for r in big:
+        a, b = r["ngram"].split(" ")
+        need.add(a)
+        need.add(b)
+
+    def keep_needed(t: pa.Table, need_ref) -> pa.Table:
+        import ray as _ray
+        toks = _ray.get(need_ref)
+        return t.filter(pc.is_in(t.column("token"),
+                                 value_set=pa.array(sorted(toks))))
+
+    import ray as _ray
+    need_ref = _ray.put(need)
+    uni = {r["token"]: int(r["n"]) for r in uni_all.map_batches(
+        keep_needed, fn_args=[need_ref], batch_format="pyarrow").take_all()}
+
+    out = []
+    for r in big:
+        a, b = r["ngram"].split(" ")
+        n_ab = int(r["n"])
+        num = float(n_ab) * float(n_u) * float(n_u)
+        den = float(n_b) * float(uni[a]) * float(uni[b])
+        out.append((r["ngram"], n_ab, _round_away(math.log(num / den), 9)))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    out = out[:50]
+    return pa.table({
+        "bigram": pa.array([t[0] for t in out], pa.string()),
+        "n_ab": pa.array([t[1] for t in out], pa.int64()),
+        "pmi": pa.array([t[2] for t in out], pa.float64()),
+    })
+
+
+def _q_welch_ttest_value(sf_dir: str):
+    """Welch two-sample t-test (purchase vs view event values) from
+    integer-quantized moment sums — per-batch (n, Σq, Σq²) partials in
+    exact int64, ONE two-row combine, closed-form t and Welch–Satterthwaite
+    df mirrored by the oracle SQL's arithmetic."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        q = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "grp": b.column("event_type"),
+            "_n": pa.array(np.ones(len(q), dtype=np.int64)),
+            "_s": pa.array(q), "_ss": pa.array(q * q),
+        })
+        g = t.group_by("grp").aggregate([("_n", "sum"), ("_s", "sum"),
+                                         ("_ss", "sum")])
+        return g.rename_columns(["grp", "_n", "_s", "_ss"])
+
+    agg = (_events(sf_dir, ["event_type", "value"])
+           .filter(expr="event_type == 'purchase' or event_type == 'view'")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("grp")
+           .aggregate(Sum("_n", alias_name="n"), Sum("_s", alias_name="s"),
+                      Sum("_ss", alias_name="ss")))
+    stats = {r["grp"]: r for r in agg.take_all()}
+
+    def mv(r):
+        n = int(r["n"])
+        m = float(r["s"]) / n / 1000.0
+        v = (float(r["ss"]) - float(r["s"]) * float(r["s"]) / n) \
+            / (n - 1) / 1000000.0
+        return n, m, v
+
+    n1, m1, v1 = mv(stats["purchase"])
+    n2, m2, v2 = mv(stats["view"])
+    se2 = v1 / n1 + v2 / n2
+    t_stat = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                      + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    return pa.table({
+        "n_purchase": pa.array([n1], pa.int64()),
+        "n_view": pa.array([n2], pa.int64()),
+        "mean_diff": pa.array([_round_away(m1 - m2, 9)], pa.float64()),
+        "t_stat": pa.array([_round_away(t_stat, 9)], pa.float64()),
+        "df": pa.array([_round_away(df, 9)], pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -4923,6 +5234,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quartile_by_lang": _q_top_quartile_by_lang,
         "value_band_pairs": _q_value_band_pairs,
         "percent_rank_by_type": _q_percent_rank_by_type,
+        "q10_returned_revenue": _q_q10_returned_revenue,
+        "q18_big_orders": _q_q18_big_orders,
+        "daily_autocorr": _q_daily_autocorr,
+        "first_touch_revenue": _q_first_touch_revenue,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "welch_ttest_value": _q_welch_ttest_value,
     }
 
 
@@ -7348,5 +7665,129 @@ def oracle_sql() -> dict[str, str]:
                    round(PERCENT_RANK() OVER (PARTITION BY event_type
                          ORDER BY value, event_id), 9) AS pct_rank
             FROM events ORDER BY event_id
+        """,
+        "q10_returned_revenue": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT)) AS BIGINT)
+                       AS rev_i4
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(rev_i4) AS BIGINT) AS revenue_i4
+            FROM rev
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_i4 DESC, c_custkey LIMIT 20
+        """,
+        "q18_big_orders": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty_i2
+              FROM lineitem GROUP BY 1)
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS totalprice_i2,
+                   qty_i2
+            FROM orders JOIN q ON o_orderkey = l_orderkey
+            WHERE qty_i2 > 25000
+            ORDER BY qty_i2 DESC, o_orderkey LIMIT 100
+        """,
+        "daily_autocorr": """
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            p AS (SELECT n, LAG(n) OVER (ORDER BY day) AS pn FROM d),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                         CAST(SUM(n) AS BIGINT) AS sx,
+                         CAST(SUM(pn) AS BIGINT) AS sy,
+                         CAST(SUM(n * pn) AS BIGINT) AS sxy,
+                         CAST(SUM(n * n) AS BIGINT) AS sxx,
+                         CAST(SUM(pn * pn) AS BIGINT) AS syy
+                  FROM p WHERE pn IS NOT NULL)
+            SELECT ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                                * CAST(k * syy - sy * sy AS DOUBLE)), 9)
+                     AS autocorr_lag1
+            FROM s
+        """,
+        "first_touch_revenue": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            f AS (SELECT user_id, event_type AS first_type FROM r
+                  WHERE rn = 1),
+            p AS (SELECT user_id,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                  FROM events WHERE event_type = 'purchase')
+            SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(v) AS BIGINT) AS revenue_i2
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "pmi_bigrams": """
+            WITH w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                       FROM documents),
+            b AS (SELECT unnest(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+            bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+                   FROM b GROUP BY 1),
+            u AS (SELECT unnest(ws) AS tok FROM w),
+            uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM u GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nb,
+                           (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nu)
+            SELECT bigram, n_ab,
+                   ROUND(ln((CAST(n_ab AS DOUBLE) * nu * nu)
+                            / (CAST(nb AS DOUBLE) * ca.n * cb.n)), 9) AS pmi
+            FROM bc, tot, uc ca, uc cb
+            WHERE ca.tok = split_part(bigram, ' ', 1)
+              AND cb.tok = split_part(bigram, ' ', 2)
+              AND n_ab >= 20
+            ORDER BY pmi DESC, bigram LIMIT 50
+        """,
+        "welch_ttest_value": """
+            WITH q AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS qv
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            s AS (
+              SELECT CAST(COUNT(*) FILTER (event_type = 'purchase')
+                          AS BIGINT) AS n1,
+                     CAST(SUM(qv) FILTER (event_type = 'purchase')
+                          AS DOUBLE) AS s1,
+                     CAST(SUM(qv * qv) FILTER (event_type = 'purchase')
+                          AS DOUBLE) AS ss1,
+                     CAST(COUNT(*) FILTER (event_type = 'view')
+                          AS BIGINT) AS n2,
+                     CAST(SUM(qv) FILTER (event_type = 'view')
+                          AS DOUBLE) AS s2,
+                     CAST(SUM(qv * qv) FILTER (event_type = 'view')
+                          AS DOUBLE) AS ss2
+              FROM q),
+            m AS (
+              SELECT n1, n2,
+                     s1 / n1 / 1000.0 AS m1, s2 / n2 / 1000.0 AS m2,
+                     (ss1 - s1 * s1 / n1) / (n1 - 1) / 1000000.0 AS v1,
+                     (ss2 - s2 * s2 / n2) / (n2 - 1) / 1000000.0 AS v2
+              FROM s),
+            f AS (SELECT n1, n2, m1, m2, v1, v2,
+                         v1 / n1 + v2 / n2 AS se2 FROM m)
+            SELECT n1 AS n_purchase, n2 AS n_view,
+                   ROUND(m1 - m2, 9) AS mean_diff,
+                   ROUND((m1 - m2) / sqrt(se2), 9) AS t_stat,
+                   ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 9) AS df
+            FROM f
         """,
     }

@@ -225,7 +225,7 @@ def vocab_counts(
     ds: ray.data.Dataset,
     text_col: str,
     id_col: str,
-    k: int = 100,
+    k: Optional[int] = 100,
 ) -> ray.data.Dataset:
     """Global top-``k`` vocabulary: (token, n) by corpus frequency, token-asc
     tiebreak.  Map-side per-batch counting collapses each block to its
@@ -248,6 +248,8 @@ def vocab_counts(
         .groupby("token")
         .aggregate(Sum("_n", alias_name="n"))
     )
+    if k is None:
+        return counts
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
@@ -659,7 +661,8 @@ def ngram_counts(
     text_col: str,
     id_col: str,
     n: int = 2,
-    k: int = 100,
+    k: Optional[int] = 100,
+    min_count: int = 0,
 ) -> ray.data.Dataset:
     """Global top-``k`` word n-grams (token windows WITHIN a document, space-
     joined) by corpus frequency — the language-model / contamination-check
@@ -700,6 +703,10 @@ def ngram_counts(
               .map_batches(explode_ngrams, batch_format="pyarrow")
               .groupby("ngram")
               .aggregate(Sum("_n", alias_name="n")))
+    if min_count > 1:
+        counts = counts.filter(expr=f"n >= {int(min_count)}")
+    if k is None:
+        return counts
     return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
 
 
