@@ -5037,6 +5037,161 @@ def _q_welch_ttest_value(sf_dir: str):
     })
 
 
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size histogram (corpus-duplication audit): cluster
+    docs by identical text, histogram the cluster sizes — map-side text-hash
+    pre-count, ONE hash-keyed combine, size-bounded final histogram.  Hash
+    identity as in exact_dedup (collision odds documented there); the oracle
+    groups by the full text."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.functions.hashing import (
+        durable_hash64_column)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = durable_hash64_column(b.column("text"))
+        t = pa.table({"_h": h,
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        g = t.group_by("_h").aggregate([("_n", "sum")])
+        return g.rename_columns(["_h", "_n"])
+
+    sizes = (_documents(sf_dir, ["doc_id", "text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_h").aggregate(Sum("_n", alias_name="cluster_size")))
+    hist = sizes.groupby("cluster_size").aggregate(
+        Count(alias_name="n_clusters"))
+    rows = sorted(hist.take_all(), key=lambda r: r["cluster_size"])
+    return pa.table({
+        "cluster_size": pa.array([r["cluster_size"] for r in rows],
+                                 pa.int64()),
+        "n_clusters": pa.array([r["n_clusters"] for r in rows], pa.int64()),
+    })
+
+
+def _q_logprob_deciles_by_source(sf_dir: str):
+    """Perplexity-decile mixing audit: per-token unigram-LM score per doc
+    (integer micro-nats), global NTILE(10) sort wave, doc-keyed join back to
+    the source column, (source × decile) count combine — the
+    quality-curriculum sharding signal."""
+    from ray.data.aggregate import Count
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+    from insurance_pdf_extractor_ray.pipelines.ordering import ntile
+    from insurance_pdf_extractor_ray.pipelines.tfidf import unigram_logprob
+
+    lp = unigram_logprob(_documents(sf_dir, ["doc_id", "text"]),
+                         "text", "doc_id")
+
+    def score(b: pa.Table) -> pa.Table:
+        m = b.column("logprob_micro").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        s = np.floor(m * 1000.0 / n + 0.5).astype(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "score": pa.array(s, pa.int64())})
+
+    scored = lp.map_batches(score, batch_format="pyarrow")
+    tiled = ntile(scored, ["score", "doc_id"], 10, out_col="decile")
+    src = _documents(sf_dir, ["doc_id", "source"])
+    j = shuffle_join(
+        drop_empty_blocks(tiled.select_columns(["doc_id", "decile"]),
+                          empty_schema=pa.schema([("doc_id", pa.int64()),
+                                                  ("decile", pa.int64())])),
+        src, on="doc_id", num_partitions=_join_partitions())
+    agg = j.groupby(["source", "decile"]).aggregate(
+        Count(alias_name="n_docs"))
+    rows = sorted(agg.take_all(), key=lambda r: (r["source"], r["decile"]))
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "decile": pa.array([r["decile"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+    })
+
+
+def _q_containment_pairs(sf_dir: str):
+    """Rare-window containment pairs (near-superset / quotation detection)
+    — pipelines/substrdedup.py:containment_pairs; rarity caps the pair
+    fan-out at C(rare_max,2) per window; integer-exact ratio predicate."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        containment_pairs)
+
+    out = containment_pairs(_documents(sf_dir, ["doc_id", "text"]),
+                            "text", "doc_id", k=3, rare_max=8,
+                            ratio_num=1, ratio_den=4)
+    rows = sorted(out.take_all(), key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.table({
+        "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+        "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+        "shared": pa.array([r["shared"] for r in rows], pa.int64()),
+        "min_windows": pa.array([r["min_windows"] for r in rows],
+                                pa.int64()),
+    })
+
+
+def _q_revenue_share_rank(sf_dir: str):
+    """Share-of-parent + rank within group (window over aggregate): each
+    nation's share of its region's order revenue — dims broadcast, ONE
+    customer-keyed join, (region, nation)-sized combine, window math on the
+    bounded result."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        broadcast_join,
+        shuffle_join,
+    )
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    nat = broadcast_join(nation, region, on="n_regionkey",
+                         right_on="r_regionkey", add_cols=["r_name"],
+                         how="inner")
+    cust = broadcast_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]), nat,
+        on="c_nationkey", right_on="n_nationkey",
+        add_cols=["n_name", "r_name"], how="inner")
+
+    def tp_i2(b: pa.Table) -> pa.Table:
+        t = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "tp_i2": pa.array(np.floor(t * 100.0 + 0.5).astype(np.int64),
+                              pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(tp_i2, batch_format="pyarrow")
+    j = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     num_partitions=_join_partitions())
+    agg = j.groupby(["r_name", "n_name"]).aggregate(
+        Sum("tp_i2", alias_name="revenue_i2"))
+    rows = sorted(agg.take_all(), key=lambda r: (r["r_name"], r["n_name"]))
+    totals: dict = {}
+    for r in rows:
+        totals[r["r_name"]] = totals.get(r["r_name"], 0) + int(r["revenue_i2"])
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    out = []
+    for reg in sorted(by_region):
+        rs = sorted(by_region[reg],
+                    key=lambda r: (-int(r["revenue_i2"]), r["n_name"]))
+        for i, r in enumerate(rs):
+            share = _round_away(
+                float(r["revenue_i2"]) / float(totals[reg]), 9)
+            out.append((reg, r["n_name"], int(r["revenue_i2"]), share,
+                        i + 1))
+    return pa.table({
+        "r_name": pa.array([t[0] for t in out], pa.string()),
+        "n_name": pa.array([t[1] for t in out], pa.string()),
+        "revenue_i2": pa.array([t[2] for t in out], pa.int64()),
+        "share": pa.array([t[3] for t in out], pa.float64()),
+        "rnk": pa.array([t[4] for t in out], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_fields": _q_extract_fields,
@@ -5240,6 +5395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_revenue": _q_first_touch_revenue,
         "pmi_bigrams": _q_pmi_bigrams,
         "welch_ttest_value": _q_welch_ttest_value,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "logprob_deciles_by_source": _q_logprob_deciles_by_source,
+        "containment_pairs": _q_containment_pairs,
+        "revenue_share_rank": _q_revenue_share_rank,
     }
 
 
@@ -7789,5 +7948,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                          + (v2 / n2) * (v2 / n2) / (n2 - 1)), 9) AS df
             FROM f
+        """,
+        "dup_cluster_sizes": """
+            WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                       FROM documents GROUP BY 1)
+            SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "logprob_deciles_by_source": """
+            WITH toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')) AS token
+                          FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM toks),
+            lp AS (SELECT token,
+                          CAST(-floor(-ln(c * 1.0 / (SELECT n FROM tot))
+                                       * 1000000 + 0.5) AS BIGINT) AS micro
+                   FROM cnt),
+            dlp AS (SELECT t.doc_id, count(*) AS n_tokens,
+                           CAST(sum(lp.micro) AS BIGINT) AS lp_micro
+                    FROM toks t JOIN lp USING (token) GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          CAST(floor(lp_micro * 1000.0 / n_tokens + 0.5)
+                               AS BIGINT) AS score
+                   FROM dlp),
+            nt AS (SELECT doc_id,
+                          CAST(NTILE(10) OVER (ORDER BY score, doc_id)
+                               AS BIGINT) AS decile
+                   FROM sc)
+            SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM nt JOIN documents USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "containment_pairs": """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                          FROM documents),
+            win AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, len(ts) - 2),
+                        j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]))
+                        AS w
+                    FROM toks),
+            wc AS (SELECT w, COUNT(*) AS c FROM win GROUP BY 1),
+            rare AS (SELECT win.doc_id, win.w FROM win JOIN wc USING (w)
+                     WHERE c BETWEEN 2 AND 8),
+            nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM (SELECT win.doc_id, win.w FROM win
+                         JOIN wc USING (w) WHERE c <= 8)
+                   GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS shared
+                      FROM rare a JOIN rare b
+                        ON a.w = b.w AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, shared,
+                   LEAST(na.n, nb.n) AS min_windows
+            FROM pairs
+            JOIN nw na ON id_a = na.doc_id
+            JOIN nw nb ON id_b = nb.doc_id
+            WHERE shared * 4 >= LEAST(na.n, nb.n)
+            ORDER BY 1, 2
+        """,
+        "revenue_share_rank": """
+            WITH a AS (
+              SELECT r_name, n_name,
+                     CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS revenue_i2
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name, revenue_i2,
+                   ROUND(CAST(revenue_i2 AS DOUBLE)
+                         / CAST(SUM(revenue_i2) OVER (PARTITION BY r_name)
+                                AS DOUBLE), 9) AS share,
+                   CAST(RANK() OVER (PARTITION BY r_name
+                        ORDER BY revenue_i2 DESC, n_name) AS BIGINT) AS rnk
+            FROM a ORDER BY r_name, rnk
         """,
     }

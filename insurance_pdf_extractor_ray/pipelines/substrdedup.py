@@ -552,3 +552,163 @@ def source_overlap_matrix(
         "src_a": pa.array([groups[a] for a, _ in keys], pa.string()),
         "src_b": pa.array([groups[b] for _, b in keys], pa.string()),
         "n_shared": pa.array([agg[kk] for kk in keys], pa.int64())})
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    rare_max: int = 8,
+    ratio_num: int = 1,
+    ratio_den: int = 4,
+    n_buckets: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Doc pairs whose shared RARE k-word windows cover >= ratio_num/ratio_den
+    of the smaller doc's rare-window set — near-superset / quotation
+    detection (the containment counterpart of resemblance-based MinHash).
+
+    Rarity IS the scale bound: only windows occurring in <= ``rare_max``
+    docs generate pairs, so the pair explosion is capped at C(rare_max, 2)
+    per window instead of C(df, 2) — boilerplate windows (high df) never
+    fan out.  The predicate is integer-exact
+    (``shared * ratio_den >= ratio_num * min(n_a, n_b)``).
+
+    Shape:
+      1. per-batch DISTINCT (window_hash, doc) rows       — map-side
+      2. ONE coarse-bucket shuffle (hash % n_buckets); inside each bucket a
+         vectorized run scan emits per-doc rare-window count partials AND
+         per-run triu pairs (per-size-class broadcast, no Python per pair)
+      3. pair-keyed combine + two doc-keyed joins for the denominators.
+
+    Window identity is the 64-bit rolling hash (collision odds as in the
+    module header); the SQL oracle re-derives from window strings.
+    Returns Dataset(id_a, id_b, shared, min_windows).
+    """
+    from ..dsutil import drop_empty_blocks
+    from .joins import shuffle_join
+
+    if n_buckets is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(64, 4 * n_cpus)
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts, _, word_hash = _batch_windows(batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        if len(wh) == 0:
+            return pa.table({"_b": pa.array([], pa.int64()),
+                             "_wh": pa.array([], pa.int64()),
+                             "_doc": pa.array([], pa.int64())})
+        d = ids[wd]
+        order = np.lexsort((d, wh))
+        w, dd = wh[order], d[order]
+        first = np.ones(len(w), dtype=bool)
+        first[1:] = (w[1:] != w[:-1]) | (dd[1:] != dd[:-1])
+        w, dd = w[first], dd[first]
+        bkt = (w.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"_b": pa.array(bkt, pa.int64()),
+                         "_wh": pa.array(w, pa.int64()),
+                         "_doc": pa.array(dd, pa.int64())})
+
+    def bucket_stage(group: pa.Table) -> pa.Table:
+        w = group.column("_wh").to_numpy(zero_copy_only=False)
+        d = group.column("_doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        sizes = np.diff(np.r_[starts, len(w)])
+        size_of_row = np.repeat(sizes, sizes)
+        rare_docs = d[size_of_row <= rare_max]
+        out_k, out_a, out_b, out_n = [], [], [], []
+        if len(rare_docs):
+            t = pa.table({"a": pa.array(rare_docs, pa.int64())})
+            g = t.group_by("a").aggregate([([], "count_all")])
+            na = g.column("a").to_numpy(zero_copy_only=False)
+            nn = g.column("count_all").to_numpy(zero_copy_only=False)
+            out_k.append(np.zeros(len(na), np.int64))
+            out_a.append(na)
+            out_b.append(np.zeros(len(na), np.int64))
+            out_n.append(nn.astype(np.int64))
+        pair_a, pair_b = [], []
+        for s in np.unique(sizes[(sizes >= 2) & (sizes <= rare_max)]):
+            run_starts = starts[sizes == s]
+            mem = d[run_starts[:, None] + np.arange(s)]
+            iu, ju = np.triu_indices(int(s), 1)
+            pair_a.append(mem[:, iu].ravel())
+            pair_b.append(mem[:, ju].ravel())
+        if pair_a:
+            pa_arr = np.concatenate(pair_a)
+            pb_arr = np.concatenate(pair_b)
+            t = pa.table({"a": pa.array(pa_arr, pa.int64()),
+                          "b": pa.array(pb_arr, pa.int64())})
+            g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+            out_k.append(np.ones(g.num_rows, np.int64))
+            out_a.append(g.column("a").to_numpy(zero_copy_only=False))
+            out_b.append(g.column("b").to_numpy(zero_copy_only=False))
+            out_n.append(g.column("count_all").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        if not out_k:
+            return pa.table({"_k": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "_k": pa.array(np.concatenate(out_k), pa.int64()),
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    tagged = (ds.select_columns([id_col, text_col])
+              .map_batches(windows, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(bucket_stage, batch_format="pyarrow")
+              .materialize())
+
+    count_schema = pa.schema([("doc", pa.int64()), ("n_rare", pa.int64())])
+    nw = drop_empty_blocks(
+        tagged.filter(expr="_k == 0")
+        .map_batches(lambda t: pa.table({"doc": t.column("a"),
+                                         "n_rare": t.column("n")}),
+                     batch_format="pyarrow")
+        .groupby("doc").aggregate(Sum("n_rare", alias_name="n_rare")),
+        empty_schema=count_schema)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("shared", pa.int64())])
+    pairs = drop_empty_blocks(
+        tagged.filter(expr="_k == 1")
+        .map_batches(lambda t: t.select(["a", "b", "n"]).rename_columns(
+            ["a", "b", "shared"]), batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Sum("shared", alias_name="shared")),
+        empty_schema=pair_schema)
+
+    P = _join_partitions()
+    j1 = shuffle_join(pairs, nw, on="a", right_on="doc", num_partitions=P)
+
+    def keep_na(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "shared": t.column("shared"),
+                         "n_a": t.column("n_rare")})
+
+    j1 = drop_empty_blocks(
+        j1.map_batches(keep_na, batch_format="pyarrow"),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("shared", pa.int64()), ("n_a", pa.int64())]))
+    j2 = shuffle_join(j1, nw, on="b", right_on="doc", num_partitions=P)
+
+    def finish(t: pa.Table) -> pa.Table:
+        sh = t.column("shared").to_numpy(zero_copy_only=False)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n_rare").to_numpy(zero_copy_only=False)
+        mn = np.minimum(na, nb)
+        keep = sh * ratio_den >= ratio_num * mn
+        return pa.table({
+            "id_a": t.column("a").filter(pa.array(keep)),
+            "id_b": t.column("b").filter(pa.array(keep)),
+            "shared": pa.array(sh[keep], pa.int64()),
+            "min_windows": pa.array(mn[keep], pa.int64()),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")
