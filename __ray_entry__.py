@@ -5129,6 +5129,26 @@ def _q_containment_pairs(sf_dir: str):
     })
 
 
+def _q_set_jaccard_pairs(sf_dir: str):
+    """EXACT set-similarity join (Jaccard >= 0.5 over distinct 5-word
+    shingle sets) via prefix filtering (SSJoin / Vernica et al. SIGMOD'10)
+    — pipelines/substrdedup.py:set_similarity_pairs.  Only prefix shingles
+    enter the candidate shuffle; verification is per-candidate (the output
+    lower bound)."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        set_similarity_pairs)
+
+    out = set_similarity_pairs(_documents(sf_dir, ["doc_id", "text"]),
+                               "text", "doc_id", k=5, tau_num=1, tau_den=2)
+    rows = sorted(out.take_all(), key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.table({
+        "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+        "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+        "shared": pa.array([r["shared"] for r in rows], pa.int64()),
+        "union_size": pa.array([r["union_size"] for r in rows], pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5399,6 +5419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logprob_deciles_by_source": _q_logprob_deciles_by_source,
         "containment_pairs": _q_containment_pairs,
         "revenue_share_rank": _q_revenue_share_rank,
+        "set_jaccard_pairs": _q_set_jaccard_pairs,
     }
 
 
@@ -8028,5 +8049,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(RANK() OVER (PARTITION BY r_name
                         ORDER BY revenue_i2 DESC, n_name) AS BIGINT) AS rnk
             FROM a ORDER BY r_name, rnk
+        """,
+        "set_jaccard_pairs": """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 4),
+                       j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]
+                            || ' ' || ts[j + 3] || ' ' || ts[j + 4])) AS w
+                   FROM toks),
+            n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM sh GROUP BY 1),
+            i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS shared
+                  FROM sh a JOIN sh b
+                    ON a.w = b.w AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, shared,
+                   na.n + nb.n - shared AS union_size
+            FROM i
+            JOIN n na ON id_a = na.doc_id
+            JOIN n nb ON id_b = nb.doc_id
+            WHERE 2 * shared >= na.n + nb.n - shared
+            ORDER BY 1, 2
         """,
     }

@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from .dedup import MAX_BROADCAST_ROWS, _join_partitions
 
@@ -712,3 +712,203 @@ def containment_pairs(
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def set_similarity_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    n_buckets: Optional[int] = None,
+) -> ray.data.Dataset:
+    """EXACT set-similarity join: all doc pairs whose DISTINCT k-word-shingle
+    sets have Jaccard >= tau_num/tau_den — the prefix-filtering join of
+    Chaudhuri/Ganti/Kaushik (SSJoin) as distributed by Vernica, Carey &
+    Li (SIGMOD 2010), re-expressed over Ray Data.
+
+    Prefix filter (exact, no candidates lost): under ONE global token order
+    (df asc, hash asc), two sets with J >= τ must share a token within each
+    set's first ``n - ceil(τ·n) + 1`` tokens.  Only prefix tokens are
+    exploded into the candidate shuffle — rare tokens first, so the blocking
+    groups stay small exactly where the data is dense.
+
+    Shape:
+      1. per-batch DISTINCT (shingle_hash, doc) + a zero-shuffle per-doc
+         sorted full-array table (each doc lives in one input row)
+      2. df combine (shingle-keyed)  → join df back (shingle-keyed)
+         → doc-bucketed prefix selection (vectorized run scan; integer-exact
+         ceil via -(-num·n // den))
+      3. prefix-token-bucketed run scan → candidate pairs → pair-distinct
+      4. two pair-keyed array joins + per-pair sorted-array intersection
+         (per-candidate verification IS the output-size lower bound);
+         integer-exact predicate ``den·shared >= num·(n_a + n_b - shared)``.
+
+    Shingle identity is the 64-bit rolling hash (collision odds in the
+    module header); the SQL oracle re-derives from shingle strings.
+    Returns Dataset(id_a, id_b, shared, union_size).
+    """
+    from ..dsutil import drop_empty_blocks
+    from .joins import shuffle_join
+
+    if n_buckets is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(64, 4 * n_cpus)
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts, _, word_hash = _batch_windows(batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        if len(wh) == 0:
+            return pa.table({"_wh": pa.array([], pa.int64()),
+                             "_doc": pa.array([], pa.int64())})
+        d = ids[wd]
+        order = np.lexsort((d, wh))
+        w, dd = wh[order], d[order]
+        first = np.ones(len(w), dtype=bool)
+        first[1:] = (w[1:] != w[:-1]) | (dd[1:] != dd[:-1])
+        return pa.table({"_wh": pa.array(w[first], pa.int64()),
+                         "_doc": pa.array(dd[first], pa.int64())})
+
+    def array_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts, _, word_hash = _batch_windows(batch.column(text_col).to_pylist())
+        wh, wd, _ = _roll(word_hash, counts, k)
+        docs, arrs, ns = [], [], []
+        if len(wh):
+            order = np.lexsort((wh, wd))
+            w, dd = wh[order], wd[order]
+            starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+            bounds = np.r_[starts, len(dd)]
+            for i, s in enumerate(starts):
+                e = bounds[i + 1]
+                u = np.unique(w[s:e])          # sorted distinct hashes
+                docs.append(int(ids[dd[s]]))
+                arrs.append(u.astype(np.int64))
+                ns.append(len(u))
+        # int64 arrays ship as binary payloads: Arrow's hash join
+        # rejects list-typed non-key fields, and bytes round-trip zero-copy
+        # via np.frombuffer on the verify side
+        return pa.table({
+            "doc": pa.array(docs, pa.int64()),
+            "arr": pa.array([a.tobytes() for a in arrs], pa.binary()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    sh = ds.select_columns([id_col, text_col]) \
+        .map_batches(sh_rows, batch_format="pyarrow").materialize()
+    arrays = drop_empty_blocks(
+        ds.select_columns([id_col, text_col])
+          .map_batches(array_rows, batch_format="pyarrow"),
+        empty_schema=pa.schema([("doc", pa.int64()),
+                                ("arr", pa.binary()),
+                                ("n", pa.int64())]))
+
+    df = sh.groupby("_wh").aggregate(Count(alias_name="_df"))
+    P = _join_partitions()
+    joined = shuffle_join(sh, df, on="_wh", num_partitions=P)
+
+    def to_doc_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("_doc").to_numpy(zero_copy_only=False)
+        b = (d.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("_db", pa.array(b, pa.int64()))
+
+    def prefix_select(group: pa.Table) -> pa.Table:
+        d = group.column("_doc").to_numpy(zero_copy_only=False)
+        w = group.column("_wh").to_numpy(zero_copy_only=False)
+        f = group.column("_df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, f, d))
+        d, w = d[order], w[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sizes = np.diff(np.r_[starts, len(d)])
+        n_of = np.repeat(sizes, sizes)
+        # within-doc index
+        idx = np.arange(len(d)) - np.repeat(starts, sizes)
+        # prefix length p = n - ceil(tau*n) + 1 (integer-exact ceil)
+        p_of = n_of - (-(tau_num * n_of) // tau_den) + 1
+        keep = idx < p_of
+        return pa.table({"_wh": pa.array(w[keep], pa.int64()),
+                         "_doc": pa.array(d[keep], pa.int64())})
+
+    prefixes = (joined.map_batches(to_doc_bucket, batch_format="pyarrow")
+                .groupby("_db").map_groups(prefix_select,
+                                           batch_format="pyarrow"))
+
+    def to_tok_bucket(t: pa.Table) -> pa.Table:
+        w = t.column("_wh").to_numpy(zero_copy_only=False)
+        b = (w.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("_tb", pa.array(b, pa.int64()))
+
+    def candidate_pairs(group: pa.Table) -> pa.Table:
+        w = group.column("_wh").to_numpy(zero_copy_only=False)
+        d = group.column("_doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        sizes = np.diff(np.r_[starts, len(w)])
+        pair_a, pair_b = [], []
+        for s in np.unique(sizes[sizes >= 2]):
+            run_starts = starts[sizes == s]
+            mem = d[run_starts[:, None] + np.arange(s)]
+            iu, ju = np.triu_indices(int(s), 1)
+            pair_a.append(mem[:, iu].ravel())
+            pair_b.append(mem[:, ju].ravel())
+        if not pair_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        aa = np.concatenate(pair_a)
+        bb = np.concatenate(pair_b)
+        t = pa.table({"a": pa.array(aa, pa.int64()),
+                      "b": pa.array(bb, pa.int64())})
+        g = t.group_by(["a", "b"]).aggregate([])
+        return g
+
+    cands = drop_empty_blocks(
+        prefixes.map_batches(to_tok_bucket, batch_format="pyarrow")
+        .groupby("_tb").map_groups(candidate_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_c")),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("_c", pa.int64())])).drop_columns(["_c"])
+
+    j1 = shuffle_join(cands, arrays, on="a", right_on="doc",
+                      num_partitions=P)
+    j1 = drop_empty_blocks(
+        j1.map_batches(lambda t: pa.table(
+            {"a": t.column("a"), "b": t.column("b"),
+             "arr_a": t.column("arr"), "n_a": t.column("n")}),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("arr_a", pa.binary()),
+                                ("n_a", pa.int64())]))
+    j2 = shuffle_join(j1, arrays, on="b", right_on="doc",
+                      num_partitions=P)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "shared": pa.array([], pa.int64()),
+                             "union_size": pa.array([], pa.int64())})
+        aa = t.column("a").to_numpy(zero_copy_only=False)
+        bb = t.column("b").to_numpy(zero_copy_only=False)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n").to_numpy(zero_copy_only=False)
+        arr_a = t.column("arr_a").to_pylist()
+        arr_b = t.column("arr").to_pylist()
+        shared = np.empty(len(aa), np.int64)
+        for i in range(len(aa)):   # per-CANDIDATE work = verification floor
+            shared[i] = len(np.intersect1d(
+                np.frombuffer(arr_a[i], np.int64),
+                np.frombuffer(arr_b[i], np.int64), assume_unique=True))
+        union = na + nb - shared
+        keep = tau_den * shared >= tau_num * union
+        return pa.table({
+            "id_a": pa.array(aa[keep], pa.int64()),
+            "id_b": pa.array(bb[keep], pa.int64()),
+            "shared": pa.array(shared[keep], pa.int64()),
+            "union_size": pa.array(union[keep], pa.int64()),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")

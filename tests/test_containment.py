@@ -88,3 +88,55 @@ def test_matches_bruteforce_on_random_corpus():
             if shared * 4 >= mn and shared > 0:
                 want[(i, j)] = (shared, mn)
     assert got == want
+
+
+def test_set_similarity_pairs_matches_bruteforce():
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        set_similarity_pairs)
+
+    rng = np.random.RandomState(3)
+    words = ["w%d" % i for i in range(200)]
+
+    def mk(n):
+        return " ".join(rng.choice(words, n))
+
+    texts = [mk(30) for _ in range(50)]
+    texts[10] = texts[4] + " x1 x2"       # near-dup (J ~ 26/28)
+    texts[20] = texts[7]                  # exact dup (J = 1)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    rows = set_similarity_pairs(ds, "text", "doc_id", k=5,
+                                tau_num=1, tau_den=2).take_all()
+    got = sorted((r["id_a"], r["id_b"], r["shared"], r["union_size"])
+                 for r in rows)
+
+    def sh(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+
+    S = [sh(t) for t in texts]
+    want = sorted((i, j, len(S[i] & S[j]), len(S[i] | S[j]))
+                  for i in range(50) for j in range(i + 1, 50)
+                  if len(S[i] | S[j])
+                  and 2 * len(S[i] & S[j]) >= len(S[i] | S[j]))
+    assert got == want
+
+
+def test_set_similarity_high_threshold_only_exact():
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        set_similarity_pairs)
+
+    rng = np.random.RandomState(9)
+    words = ["w%d" % i for i in range(200)]
+    texts = [" ".join(rng.choice(words, 25)) for _ in range(20)]
+    texts[5] = texts[2]                    # J = 1 pair
+    texts[11] = texts[3] + " q1 q2 q3 q4 q5 q6 q7 q8"  # diluted, J < 0.9
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    rows = set_similarity_pairs(ds, "text", "doc_id", k=5,
+                                tau_num=9, tau_den=10).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(2, 5)}
