@@ -5149,6 +5149,68 @@ def _q_set_jaccard_pairs(sf_dir: str):
     })
 
 
+def _q_bfs_hops_embeddings(sf_dir: str):
+    """Minimum-hop BFS labels from seed vertices over the integer-exact
+    similarity graph — per round ONE zero-shuffle edge scan against the
+    broadcast frontier (pipelines/graph.py:bfs_hops); oracle is a real
+    WITH RECURSIVE re-derivation."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.graph import (
+        bfs_hops,
+        ip_threshold_graph,
+    )
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).filter(expr="vec_id < 400")
+    edges = ip_threshold_graph(emb, "embedding", "vec_id", tau=0.25)
+    return bfs_hops(edges, seeds=range(5), max_hops=4)
+
+
+def _q_pareto_front_orders(sf_dir: str):
+    """Distributed 2-D skyline (Pareto front) of DISTINCT
+    (totalprice, order-day) points — per-block vectorized local skyline
+    (sort + strict running-max scan), tiny union of local fronts, final
+    scan on the driver (front size << data; block-local fronts are the
+    classic distributed-skyline reduction)."""
+
+    def local_front(b: pa.Table) -> pa.Table:
+        t = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        tp = np.floor(t * 100.0 + 0.5).astype(np.int64)
+        dt = (b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        tp2, dt2 = _skyline_2d(tp, dt)
+        return pa.table({"tp": pa.array(tp2, pa.int64()),
+                         "dt": pa.array(dt2, pa.int64())})
+
+    rows = (_read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+            .map_batches(local_front, batch_format="pyarrow").take_all())
+    tp = np.array([r["tp"] for r in rows], np.int64)
+    dt = np.array([r["dt"] for r in rows], np.int64)
+    tp, dt = _skyline_2d(tp, dt)
+    return pa.table({"totalprice_i2": pa.array(tp, pa.int64()),
+                     "order_day": pa.array(dt, pa.int64())})
+
+
+def _skyline_2d(x: np.ndarray, y: np.ndarray):
+    """Distinct 2-D maxima: keep (x, y) iff no other point has both
+    coords >= with one strictly greater.  Per distinct x keep max y, then
+    one descending-x scan with a strict running max over y."""
+    if len(x) == 0:
+        return x, y
+    order = np.lexsort((-y, -x))
+    x, y = x[order], y[order]
+    first = np.ones(len(x), dtype=bool)
+    first[1:] = x[1:] != x[:-1]          # max-y per distinct x
+    x, y = x[first], y[first]
+    runmax = np.maximum.accumulate(np.concatenate(([np.iinfo(np.int64).min],
+                                                   y[:-1])))
+    keep = y > runmax
+    out = np.argsort(x[keep], kind="stable")
+    return x[keep][out], y[keep][out]
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5420,6 +5482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "revenue_share_rank": _q_revenue_share_rank,
         "set_jaccard_pairs": _q_set_jaccard_pairs,
+        "bfs_hops_embeddings": _q_bfs_hops_embeddings,
+        "pareto_front_orders": _q_pareto_front_orders,
     }
 
 
@@ -8074,5 +8138,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN n nb ON id_b = nb.doc_id
             WHERE 2 * shared >= na.n + nb.n - shared
             ORDER BY 1, 2
+        """,
+        "bfs_hops_embeddings": """
+            WITH RECURSIVE q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS (SELECT u, v FROM s WHERE sim >= 274877906944),
+            e2 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            bfs AS (
+              SELECT vec_id AS node, 0 AS hop FROM embeddings
+              WHERE vec_id < 5
+              UNION
+              SELECT e2.v, bfs.hop + 1 FROM bfs JOIN e2 ON e2.u = bfs.node
+              WHERE bfs.hop < 4)
+            SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+            FROM bfs GROUP BY 1 ORDER BY 1
+        """,
+        "pareto_front_orders": """
+            WITH p AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                              AS BIGINT) AS tp,
+                              CAST(epoch_us(o_orderdate) // 86400000000
+                              AS BIGINT) AS dt
+                       FROM orders),
+            m AS (SELECT tp, MAX(dt) AS dt FROM p GROUP BY 1),
+            s AS (SELECT tp, dt,
+                         MAX(dt) OVER (ORDER BY tp DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mx
+                  FROM m)
+            SELECT tp AS totalprice_i2, dt AS order_day
+            FROM s WHERE mx IS NULL OR dt > mx ORDER BY 1
         """,
     }

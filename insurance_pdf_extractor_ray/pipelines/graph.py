@@ -358,3 +358,56 @@ def kcore(
         "node": pa.array([n for n, _ in last], pa.int64()),
         "degree": pa.array([d for _, d in last], pa.int64()),
     })
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds,
+    max_hops: int = 4,
+) -> pa.Table:
+    """Minimum-hop distance labels from a seed set over an undirected edge
+    Dataset (u, v) — bounded-frontier BFS.
+
+    Same vertex contract as the exact similarity graph this composes with
+    (:func:`ip_threshold_graph`): node state is vertex-bounded, so the
+    hop map lives on the driver while the EDGES stay distributed — each
+    round is ONE zero-shuffle edge scan against the broadcast frontier
+    (``ray.put`` once per round), emitting only per-block distinct touched
+    neighbors.  Rounds are bounded by ``max_hops``; early-exits when a
+    frontier empties.  For billion-edge open graphs swap the driver map for
+    a (node, hop) Dataset and a per-round min-combine join — the same
+    round structure :func:`pagerank` / :func:`kcore` use.
+
+    Returns pa.Table(node, hop) for every node within ``max_hops`` of a
+    seed (seeds themselves at hop 0, isolated seeds included).
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+    dist: dict = {int(s): 0 for s in seeds}
+    frontier = set(dist)
+    for h in range(max_hops):
+        if not frontier:
+            break
+        fref = _ray.put(np.array(sorted(frontier), np.int64))
+
+        def nbrs(batch: pa.Table, ref=fref) -> pa.Table:
+            f = _ray.get(ref)
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            out = np.unique(np.concatenate(
+                [v[np.isin(u, f)], u[np.isin(v, f)]]))
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        reached = edges.map_batches(nbrs, batch_format="pyarrow").take_all()
+        new = {int(r["node"]) for r in reached} - dist.keys()
+        for n in new:
+            dist[n] = h + 1
+        frontier = new
+    nodes = sorted(dist)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "hop": pa.array([dist[n] for n in nodes], pa.int64()),
+    })
