@@ -5211,6 +5211,66 @@ def _skyline_2d(x: np.ndarray, y: np.ndarray):
     return x[keep][out], y[keep][out]
 
 
+def _q_daily_ohlc(sf_dir: str):
+    """Daily OHLC bars over event values — selection-based open/close
+    (argmin/argmax partials under the (ts, event_id) total order: no float
+    reduction-order hazard), one bar-sized combine
+    (pipelines/statagg.py:ohlc_by_key)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import ohlc_by_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64())
+        return pa.table({
+            "day": pc.divide(ts, 86_400_000_000),
+            "ts_us": ts,
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+        })
+
+    ds = _events(sf_dir, ["event_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    out = ohlc_by_key(ds, "day", "ts_us", "event_id", "value",
+                      vol_scale=1000)
+    rows = sorted(out.take_all(), key=lambda r: r["day"])
+    return pa.table({
+        "day": pa.array([r["day"] for r in rows], pa.int64()),
+        "open": pa.array([r["open"] for r in rows], pa.float64()),
+        "high": pa.array([r["high"] for r in rows], pa.float64()),
+        "low": pa.array([r["low"] for r in rows], pa.float64()),
+        "close": pa.array([r["close"] for r in rows], pa.float64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "vol_q": pa.array([r["vol_q"] for r in rows], pa.int64()),
+    })
+
+
+def _q_events_fingerprint(sf_dir: str):
+    """Order-independent 64-bit table digest (anti-entropy / replica
+    comparison) — commutative mod-2⁶⁴ dot product, one vectorized
+    wraparound pass per batch (pipelines/profile.py:table_fingerprint).
+    The oracle recomputes the same digest in HUGEINT; proven layout-proof
+    by the repartition test."""
+    from insurance_pdf_extractor_ray.pipelines.profile import (
+        table_fingerprint)
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "qv": pa.array(np.floor(v * 1000.0 + 0.5).astype(np.int64),
+                           pa.int64()),
+            "user_id": b.column("user_id"),
+        })
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    hexd = table_fingerprint(ds, ["event_id", "qv", "user_id"])
+    d = int(hexd, 16)
+    return pa.table({
+        "digest_hi": pa.array([d >> 32], pa.int64()),
+        "digest_lo": pa.array([d & 0xFFFFFFFF], pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5484,6 +5544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_jaccard_pairs": _q_set_jaccard_pairs,
         "bfs_hops_embeddings": _q_bfs_hops_embeddings,
         "pareto_front_orders": _q_pareto_front_orders,
+        "daily_ohlc": _q_daily_ohlc,
+        "events_fingerprint": _q_events_fingerprint,
     }
 
 
@@ -8174,5 +8236,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT tp AS totalprice_i2, dt AS order_day
             FROM s WHERE mx IS NULL OR dt > mx ORDER BY 1
+        """,
+        "daily_ohlc": """
+            WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day, ts, event_id, value
+                       FROM events),
+            r AS (SELECT day, value,
+                         ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY ts, event_id) AS rn,
+                         ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY ts DESC, event_id DESC) AS rn2
+                  FROM e)
+            SELECT day,
+                   MAX(CASE WHEN rn = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn2 = 1 THEN value END) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vol_q
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "events_fingerprint": """
+            WITH q AS (SELECT CAST(event_id AS HUGEINT) AS e,
+                              CAST(user_id AS HUGEINT) AS u,
+                              CAST(floor(value * 1000 + 0.5) AS HUGEINT)
+                                AS v
+                       FROM events),
+            s AS (SELECT SUM(e * 11400714819323198485
+                             + v * 14029467366897019727
+                             + u * 1609587929392839161)
+                           % 18446744073709551616 AS d
+                  FROM q)
+            SELECT CAST(d // 4294967296 AS BIGINT) AS digest_hi,
+                   CAST(d % 4294967296 AS BIGINT) AS digest_lo
+            FROM s
         """,
     }

@@ -789,3 +789,86 @@ def ks_two_sample(
         "n_b": pa.array([n2], pa.int64()),
         "ks_d": pa.array([max(maxes)], pa.float64()),
     })
+
+
+def ohlc_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    vol_scale: int = 1000,
+) -> ray.data.Dataset:
+    """Time-bucketed OHLC bars: per ``key`` the first (open) and last
+    (close) ``value_col`` under the total order ``(order_col,
+    tiebreak_col)``, the min/max, the row count, and an integer-quantized
+    volume sum.
+
+    Open/close are SELECTIONS (mergeable argmin/argmax partials), so no
+    float reduction-order hazard exists anywhere: per batch one
+    ``lexsort`` + ``reduceat`` pass emits a single partial row per key;
+    the final combine is a key-sized ``map_groups`` over partial rows
+    (bars, not events).  Volume is summed in int64 ``vol_scale`` units.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        o = batch.column(order_col).to_numpy(zero_copy_only=False)
+        t = batch.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({
+                key: pa.array([], pa.int64()),
+                "_ots": pa.array([], pa.int64()),
+                "_otie": pa.array([], pa.int64()),
+                "_oval": pa.array([], pa.float64()),
+                "_cts": pa.array([], pa.int64()),
+                "_ctie": pa.array([], pa.int64()),
+                "_cval": pa.array([], pa.float64()),
+                "_mn": pa.array([], pa.float64()),
+                "_mx": pa.array([], pa.float64()),
+                "_n": pa.array([], pa.int64()),
+                "_vol": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((t, o, k))
+        k, o, t, v = k[order], o[order], t[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)] - 1
+        qv = np.floor(v * float(vol_scale) + 0.5).astype(np.int64)
+        return pa.table({
+            key: pa.array(k[starts], pa.int64()),
+            "_ots": pa.array(o[starts], pa.int64()),
+            "_otie": pa.array(t[starts], pa.int64()),
+            "_oval": pa.array(v[starts], pa.float64()),
+            "_cts": pa.array(o[ends], pa.int64()),
+            "_ctie": pa.array(t[ends], pa.int64()),
+            "_cval": pa.array(v[ends], pa.float64()),
+            "_mn": pa.array(np.minimum.reduceat(v, starts), pa.float64()),
+            "_mx": pa.array(np.maximum.reduceat(v, starts), pa.float64()),
+            "_n": pa.array(ends - starts + 1, pa.int64()),
+            "_vol": pa.array(np.add.reduceat(qv, starts), pa.int64()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        ots = group.column("_ots").to_numpy(zero_copy_only=False)
+        otie = group.column("_otie").to_numpy(zero_copy_only=False)
+        cts = group.column("_cts").to_numpy(zero_copy_only=False)
+        ctie = group.column("_ctie").to_numpy(zero_copy_only=False)
+        oi = np.lexsort((otie, ots))[0]
+        ci = np.lexsort((ctie, cts))[-1]
+        return pa.table({
+            key: group.column(key).slice(0, 1),
+            "open": group.column("_oval").slice(int(oi), 1),
+            "high": pa.array([pc.max(group.column("_mx")).as_py()],
+                             pa.float64()),
+            "low": pa.array([pc.min(group.column("_mn")).as_py()],
+                            pa.float64()),
+            "close": group.column("_cval").slice(int(ci), 1),
+            "n": pa.array([pc.sum(group.column("_n")).as_py()], pa.int64()),
+            "vol_q": pa.array([pc.sum(group.column("_vol")).as_py()],
+                              pa.int64()),
+        })
+
+    return (ds.select_columns([key, order_col, tiebreak_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(final, batch_format="pyarrow"))
