@@ -5271,6 +5271,120 @@ def _q_events_fingerprint(sf_dir: str):
     })
 
 
+def _q_user_churn_daily(sf_dir: str):
+    """Day-over-day user churn (retained / new / churned per day) — distinct
+    (day, user) pre-reduce, self-alignment by a +1-day shifted tagged union
+    (flag-sum 1=new, 2=churned, 3=retained), ONE (day,user)-keyed combine,
+    day-sized final counts.  No self-join: the shift IS the join."""
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        d = pc.divide(b.column("ts").cast(pa.int64()), 86_400_000_000) \
+            .to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        # distinct (day, user) within batch
+        order = np.lexsort((u, d))
+        d, u = d[order], u[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (u[1:] != u[:-1])
+        d, u = d[first], u[first]
+        # presence BITS combined by Max (a (day,user) pair may recur across
+        # batches — Sum of flags would double-count; Max is the OR)
+        return pa.table({
+            "day": pa.array(np.concatenate([d, d + 1]), pa.int64()),
+            "user_id": pa.array(np.concatenate([u, u]), pa.int64()),
+            "_t": pa.array(np.concatenate(
+                [np.ones(len(d), np.int64),
+                 np.zeros(len(d), np.int64)]), pa.int64()),
+            "_y": pa.array(np.concatenate(
+                [np.zeros(len(d), np.int64),
+                 np.ones(len(d), np.int64)]), pa.int64()),
+        })
+
+    from ray.data.aggregate import Max
+    g = (_events(sf_dir, ["ts", "user_id"])
+         .map_batches(tag, batch_format="pyarrow")
+         .groupby(["day", "user_id"]).aggregate(
+             Max("_t", alias_name="t"), Max("_y", alias_name="y")))
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        s = (2 * b.column("y").to_numpy(zero_copy_only=False)
+             + b.column("t").to_numpy(zero_copy_only=False))
+        t = pa.table({
+            "day": pa.array(d, pa.int64()),
+            "_r": pa.array((s == 3).astype(np.int64)),
+            "_n": pa.array((s == 1).astype(np.int64)),
+            "_c": pa.array((s == 2).astype(np.int64)),
+        })
+        agg = t.group_by("day").aggregate(
+            [("_r", "sum"), ("_n", "sum"), ("_c", "sum")])
+        return agg.rename_columns(["day", "_r", "_n", "_c"])
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = (g.map_batches(day_counts, batch_format="pyarrow")
+           .groupby("day").aggregate(
+               _Sum("_r", alias_name="retained"),
+               _Sum("_n", alias_name="new_users"),
+               _Sum("_c", alias_name="churned")))
+    rows = sorted(agg.take_all(), key=lambda r: r["day"])
+    return pa.table({
+        "day": pa.array([r["day"] for r in rows], pa.int64()),
+        "retained": pa.array([r["retained"] for r in rows], pa.int64()),
+        "new_users": pa.array([r["new_users"] for r in rows], pa.int64()),
+        "churned": pa.array([r["churned"] for r in rows], pa.int64()),
+    })
+
+
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization code assignment: 64-dim embeddings split into
+    4×16-dim sub-blocks, each assigned to the nearest of 8 fixed codebook
+    centroids (the sub-vectors of vec_ids 0..7) — integer-quantized squared
+    L2 so the argmin is exact on both sides; codebook broadcast once, one
+    zero-shuffle vectorized assignment pass (the PQ *training* loop is
+    kmeans_embeddings' job)."""
+    import ray.data
+
+    Q = 1 << 20
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    seed_rows = sorted(emb.filter(expr="vec_id < 8").take_all(),
+                       key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in seed_rows], np.float64)
+    qcb = (-np.floor(-(mat * Q) + 0.5)).astype(np.int64)   # (8, 64)
+    dim = qcb.shape[1]
+    n_sub = 4
+    sub = dim // n_sub
+    import ray as _ray
+    cb_ref = _ray.put(qcb)
+
+    def assign(b: pa.Table, ref) -> pa.Table:
+        cb = _ray.get(ref)
+        from insurance_pdf_extractor_ray.pipelines.similarity import (
+            embedding_matrix)
+        x = embedding_matrix(b.column("embedding"))
+        qx = (-np.floor(-(x * Q) + 0.5)).astype(np.int64)
+        cols = {"vec_id": b.column("vec_id")}
+        for s in range(n_sub):
+            xs = qx[:, s * sub:(s + 1) * sub]
+            cs = cb[:, s * sub:(s + 1) * sub]
+            d2 = (xs * xs).sum(axis=1, keepdims=True) \
+                - 2 * (xs @ cs.T) + (cs * cs).sum(axis=1)[None, :]
+            cols[f"code{s}"] = pa.array(np.argmin(d2, axis=1)
+                                        .astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    import functools
+    out = emb.map_batches(functools.partial(assign, ref=cb_ref),
+                          batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["vec_id"])
+    return pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        **{f"code{s}": pa.array([r[f"code{s}"] for r in rows], pa.int64())
+           for s in range(n_sub)},
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5546,6 +5660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_front_orders": _q_pareto_front_orders,
         "daily_ohlc": _q_daily_ohlc,
         "events_fingerprint": _q_events_fingerprint,
+        "user_churn_daily": _q_user_churn_daily,
+        "pq_codes": _q_pq_codes,
     }
 
 
@@ -8271,5 +8387,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d // 4294967296 AS BIGINT) AS digest_hi,
                    CAST(d % 4294967296 AS BIGINT) AS digest_lo
             FROM s
+        """,
+        "user_churn_daily": """
+            WITH du AS (SELECT DISTINCT
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                          user_id
+                        FROM events),
+            f AS (SELECT day, user_id, 1 AS fl FROM du
+                  UNION ALL
+                  SELECT day + 1, user_id, 2 FROM du),
+            g AS (SELECT day, user_id, SUM(fl) AS s FROM f GROUP BY 1, 2)
+            SELECT day,
+                   CAST(COUNT(*) FILTER (s = 3) AS BIGINT) AS retained,
+                   CAST(COUNT(*) FILTER (s = 1) AS BIGINT) AS new_users,
+                   CAST(COUNT(*) FILTER (s = 2) AS BIGINT) AS churned
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "pq_codes": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings),
+            cb AS (SELECT vec_id AS cid, i, qv AS cv FROM q
+                   WHERE vec_id < 8),
+            d AS (SELECT q.vec_id, q.i // 16 AS sub, cb.cid,
+                         (q.qv - cb.cv) * (q.qv - cb.cv) AS sq
+                  FROM q JOIN cb ON q.i = cb.i),
+            ds AS (SELECT vec_id, sub, cid, SUM(sq) AS dist
+                   FROM d GROUP BY 1, 2, 3),
+            r AS (SELECT vec_id, sub, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                           ORDER BY dist, cid) AS rn
+                  FROM ds)
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN sub = 0 THEN cid END) AS BIGINT)
+                     AS code0,
+                   CAST(MAX(CASE WHEN sub = 1 THEN cid END) AS BIGINT)
+                     AS code1,
+                   CAST(MAX(CASE WHEN sub = 2 THEN cid END) AS BIGINT)
+                     AS code2,
+                   CAST(MAX(CASE WHEN sub = 3 THEN cid END) AS BIGINT)
+                     AS code3
+            FROM r WHERE rn = 1
+            GROUP BY 1 ORDER BY 1
         """,
     }
