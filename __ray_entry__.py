@@ -5385,6 +5385,48 @@ def _q_pq_codes(sf_dir: str):
     })
 
 
+def _q_weekday_residuals(sf_dir: str):
+    """Seasonal-naive anomaly signal: each day's event-value total vs its
+    weekday-of-week mean (integer day-keyed count shuffle bounded by days;
+    residual math on the day table, mirrored op-for-op in SQL)."""
+    from ray.data.aggregate import Sum
+
+    def day_part(b: pa.Table) -> pa.Table:
+        d = pc.divide(b.column("ts").cast(pa.int64()), 86_400_000_000)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "day": d,
+            "_v": pa.array(np.floor(v * 1000.0 + 0.5).astype(np.int64)),
+        })
+        g = t.group_by("day").aggregate([("_v", "sum")])
+        return g.rename_columns(["day", "_v"])
+
+    rows = (_events(sf_dir, ["ts", "value"])
+            .map_batches(day_part, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("_v", alias_name="total_i3"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    wsum: dict = {}
+    wcnt: dict = {}
+    for r in rows:
+        w = int(r["day"]) % 7
+        wsum[w] = wsum.get(w, 0) + int(r["total_i3"])
+        wcnt[w] = wcnt.get(w, 0) + 1
+    out = []
+    for r in rows:
+        w = int(r["day"]) % 7
+        mean = float(wsum[w]) / wcnt[w]
+        resid = (float(r["total_i3"]) - mean) / mean
+        out.append((int(r["day"]), w, int(r["total_i3"]),
+                    _round_away(resid, 9)))
+    return pa.table({
+        "day": pa.array([t[0] for t in out], pa.int64()),
+        "weekday": pa.array([t[1] for t in out], pa.int64()),
+        "total_i3": pa.array([t[2] for t in out], pa.int64()),
+        "resid": pa.array([t[3] for t in out], pa.float64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5662,6 +5704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fingerprint": _q_events_fingerprint,
         "user_churn_daily": _q_user_churn_daily,
         "pq_codes": _q_pq_codes,
+        "weekday_residuals": _q_weekday_residuals,
     }
 
 
@@ -8431,5 +8474,22 @@ def oracle_sql() -> dict[str, str]:
                      AS code3
             FROM r WHERE rn = 1
             GROUP BY 1 ORDER BY 1
+        """,
+        "weekday_residuals": """
+            WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day,
+                              CAST(SUM(CAST(floor(value * 1000 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                AS total_i3
+                       FROM events GROUP BY 1),
+            w AS (SELECT day, day % 7 AS weekday, total_i3,
+                         CAST(SUM(total_i3) OVER (PARTITION BY day % 7)
+                              AS DOUBLE)
+                         / COUNT(*) OVER (PARTITION BY day % 7) AS mean
+                  FROM d)
+            SELECT day, weekday, total_i3,
+                   ROUND((CAST(total_i3 AS DOUBLE) - mean) / mean, 9)
+                     AS resid
+            FROM w ORDER BY day
         """,
     }
