@@ -5427,6 +5427,52 @@ def _q_weekday_residuals(sf_dir: str):
     })
 
 
+def _q_proportional_budget_sample(sf_dir: str):
+    """Exact proportional eval-set allocation (largest-remainder / Hamilton
+    apportionment of a 137-doc budget across sources) + deterministic
+    per-source take — source-sized count combine, integer-exact quota math,
+    grouped row-number gate; total sampled == budget exactly."""
+    from ray.data.aggregate import Count
+
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    B = 137
+    counts = sorted(
+        _documents(sf_dir, ["doc_id", "source"])
+        .groupby("source").aggregate(Count(alias_name="n")).take_all(),
+        key=lambda r: r["source"])
+    tot = sum(int(r["n"]) for r in counts)
+    fl = {r["source"]: (B * int(r["n"])) // tot for r in counts}
+    rem = {r["source"]: (B * int(r["n"])) % tot for r in counts}
+    leftover = B - sum(fl.values())
+    order = sorted(fl, key=lambda s: (-rem[s], s))
+    quota = {s: fl[s] + (1 if i < leftover else 0)
+             for i, s in enumerate(order)}
+    assert sum(quota.values()) == B
+
+    ds = grouped_row_number(
+        _documents(sf_dir, ["doc_id", "source"]),
+        ["source"], ["doc_id"], out_col="_rn")
+
+    def gate(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        rn = b.column("_rn").to_numpy(zero_copy_only=False)
+        keep = np.array([rn[i] < quota[s] for i, s in enumerate(src)],
+                        dtype=bool)   # rn is 0-based: first `quota` rows
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(keep)),
+            "source": b.column("source").filter(pa.array(keep)),
+        })
+
+    rows = sorted(ds.map_batches(gate, batch_format="pyarrow").take_all(),
+                  key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5705,6 +5751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_churn_daily": _q_user_churn_daily,
         "pq_codes": _q_pq_codes,
         "weekday_residuals": _q_weekday_residuals,
+        "proportional_budget_sample": _q_proportional_budget_sample,
     }
 
 
@@ -8491,5 +8538,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((CAST(total_i3 AS DOUBLE) - mean) / mean, 9)
                      AS resid
             FROM w ORDER BY day
+        """,
+        "proportional_budget_sample": """
+            WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS tot FROM c),
+            q AS (SELECT source, n,
+                         (137 * n) // tot AS fl, (137 * n) % tot AS rem
+                  FROM c, t),
+            lv AS (SELECT 137 - SUM(fl) AS extra FROM q),
+            r AS (SELECT source, fl,
+                         RANK() OVER (ORDER BY rem DESC, source) AS rk
+                  FROM q),
+            qq AS (SELECT source,
+                          fl + CASE WHEN rk <= (SELECT extra FROM lv)
+                               THEN 1 ELSE 0 END AS quota
+                   FROM r),
+            s AS (SELECT doc_id, source,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY doc_id) AS rn
+                  FROM documents)
+            SELECT s.doc_id, s.source
+            FROM s JOIN qq USING (source)
+            WHERE rn <= quota ORDER BY doc_id
         """,
     }
