@@ -5473,6 +5473,81 @@ def _q_proportional_budget_sample(sf_dir: str):
     })
 
 
+def _q_mannwhitney_value(sf_dir: str):
+    """Exact Mann-Whitney U (purchase vs view event values) with the full
+    tie correction — pairwise-count formulation over the QUANTIZED distinct
+    value table (U from per-value counts + a cumulative less-than sum, no
+    global rank assignment): map-side (value, n1, n2) partials, ONE
+    value-keyed combine bounded by distinct quantized values, closed-form z
+    mirrored op-for-op in SQL.  2·U stays integer under average-rank tie
+    handling."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        qv = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+        is1 = np.asarray(
+            pc.equal(b.column("event_type"), "purchase")).astype(np.int64)
+        t = pa.table({"qv": pa.array(qv), "_n1": pa.array(is1),
+                      "_n2": pa.array(1 - is1)})
+        g = t.group_by("qv").aggregate([("_n1", "sum"), ("_n2", "sum")])
+        return g.rename_columns(["qv", "_n1", "_n2"])
+
+    rows = (_events(sf_dir, ["event_type", "value"])
+            .filter(expr="event_type == 'purchase' or event_type == 'view'")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("qv").aggregate(Sum("_n1", alias_name="n1"),
+                                     Sum("_n2", alias_name="n2"))
+            .take_all())
+    rows.sort(key=lambda r: r["qv"])
+    tn1 = tn2 = u2 = tie = less2 = 0
+    for r in rows:
+        n1, n2 = int(r["n1"]), int(r["n2"])
+        u2 += 2 * n1 * less2 + n1 * n2
+        t = n1 + n2
+        tie += t * t * t - t
+        tn1 += n1
+        tn2 += n2
+        less2 += n2
+    num = float(u2) / 2 - float(tn1 * tn2) / 2
+    den = math.sqrt(float(tn1 * tn2) / 12
+                    * ((tn1 + tn2 + 1)
+                       - float(tie) / ((tn1 + tn2) * (tn1 + tn2 - 1))))
+    return pa.table({
+        "u2x": pa.array([u2], pa.int64()),
+        "z": pa.array([_round_away(num / den, 9)], pa.float64()),
+    })
+
+
+def _q_third_purchase_ts(sf_dir: str):
+    """Per-user k-th-event milestone (timestamp of the 3rd purchase under
+    the (ts, event_id) total order) — grouped row-number metadata wave,
+    zero-move rank gate (pipelines/ordering.py:grouped_row_number)."""
+    from insurance_pdf_extractor_ray.pipelines.ordering import (
+        grouped_row_number)
+
+    p = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'purchase'")
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "ts_us": b.column("ts").cast(pa.int64())})
+
+    p = p.map_batches(us, batch_format="pyarrow")
+    ds = grouped_row_number(p, ["user_id"], ["ts_us", "event_id"],
+                            out_col="_rn")
+    rows = sorted(
+        ds.filter(expr="_rn == 2").select_columns(["user_id", "ts_us"])
+          .take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "third_ts_us": pa.array([r["ts_us"] for r in rows], pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5752,6 +5827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "weekday_residuals": _q_weekday_residuals,
         "proportional_budget_sample": _q_proportional_budget_sample,
+        "mannwhitney_value": _q_mannwhitney_value,
+        "third_purchase_ts": _q_third_purchase_ts,
     }
 
 
@@ -8561,5 +8638,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.source
             FROM s JOIN qq USING (source)
             WHERE rn <= quota ORDER BY doc_id
+        """,
+        "mannwhitney_value": """
+            WITH q AS (SELECT event_type,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                                AS qv
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            c AS (SELECT qv,
+                         CAST(COUNT(*) FILTER (event_type = 'purchase')
+                              AS BIGINT) AS n1,
+                         CAST(COUNT(*) FILTER (event_type = 'view')
+                              AS BIGINT) AS n2
+                  FROM q GROUP BY 1),
+            w AS (SELECT qv, n1, n2,
+                         COALESCE(SUM(n2) OVER (ORDER BY qv
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS less2
+                  FROM c),
+            s AS (SELECT SUM(n1) AS tn1, SUM(n2) AS tn2,
+                         SUM(2 * n1 * less2 + n1 * n2) AS u2,
+                         SUM((n1 + n2) * (n1 + n2) * (n1 + n2)
+                             - (n1 + n2)) AS tie
+                  FROM w)
+            SELECT CAST(u2 AS BIGINT) AS u2x,
+                   ROUND((CAST(u2 AS DOUBLE) / 2
+                          - CAST(tn1 * tn2 AS DOUBLE) / 2)
+                         / sqrt(CAST(tn1 * tn2 AS DOUBLE) / 12
+                                * ((tn1 + tn2 + 1)
+                                   - CAST(tie AS DOUBLE)
+                                     / ((tn1 + tn2) * (tn1 + tn2 - 1)))),
+                         9) AS z
+            FROM s
+        """,
+        "third_purchase_ts": """
+            WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+                       FROM events WHERE event_type = 'purchase')
+            SELECT user_id, CAST(ts_us AS BIGINT) AS third_ts_us
+            FROM r WHERE rn = 3 ORDER BY user_id
         """,
     }

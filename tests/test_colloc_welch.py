@@ -81,3 +81,50 @@ def test_welch_math_matches_direct_computation():
     assert t == pytest.approx(tt, rel=1e-9)
     assert df > min(n1, n2) - 1  # Welch df bounds
     assert df < n1 + n2 - 2 + 1e-9
+
+
+def test_mannwhitney_pairwise_formulation():
+    """The distinct-value U formulation equals the direct pairwise count
+    2U = 2·#(x>y) + #(x==y), and the tie-corrected z matches the textbook
+    closed form."""
+    rng = np.random.RandomState(21)
+    a = rng.randint(0, 40, 120)   # integer values force heavy ties
+    b = rng.randint(5, 45, 200)
+
+    # distinct-value formulation (engine math)
+    vals = sorted(set(a) | set(b))
+    tn1 = tn2 = u2 = tie = less2 = 0
+    import collections
+    ca, cb = collections.Counter(a), collections.Counter(b)
+    for v in vals:
+        n1, n2 = ca.get(v, 0), cb.get(v, 0)
+        u2 += 2 * n1 * less2 + n1 * n2
+        t = n1 + n2
+        tie += t ** 3 - t
+        tn1 += n1
+        tn2 += n2
+        less2 += n2
+
+    direct = sum(2 * int(x > y) + int(x == y) for x in a for y in b)
+    assert u2 == direct
+
+    n, m = len(a), len(b)
+    N = n + m
+    mu = n * m / 2
+    var = n * m / 12 * ((N + 1) - tie / (N * (N - 1)))
+    z = (u2 / 2 - mu) / math.sqrt(var)
+    # textbook check via rank sums (average ranks)
+    allv = np.concatenate([a, b]).astype(float)
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(N)
+    i = 0
+    sv = allv[order]
+    while i < N:
+        j = i
+        while j < N and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    r1 = ranks[:n].sum()
+    u_rank = r1 - n * (n + 1) / 2
+    assert u2 / 2 == pytest.approx(u_rank, abs=1e-9)
