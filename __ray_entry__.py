@@ -5548,6 +5548,46 @@ def _q_third_purchase_ts(sf_dir: str):
     })
 
 
+def _q_interval_coverage(sf_dir: str):
+    """Interval-union coverage per user (sweep-line): total distinct
+    microseconds covered by the user's 5-minute event windows + island
+    count — merge-islands operator then a user-sized combine
+    (pipelines/intervals.py:merge_intervals_by_key)."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.pipelines.intervals import (
+        merge_intervals_by_key)
+
+    W = 300_000_000  # 5 min in µs
+
+    def iv(b: pa.Table) -> pa.Table:
+        s = b.column("ts").cast(pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "s": s,
+                         "e": pc.add(s, W)})
+
+    islands = merge_intervals_by_key(
+        _events(sf_dir, ["user_id", "ts"]).map_batches(
+            iv, batch_format="pyarrow"),
+        "user_id", "s", "e")
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "_len": pc.subtract(b.column("e"), b.column("s")),
+        })
+
+    agg = (islands.map_batches(lengths, batch_format="pyarrow")
+           .groupby("user_id").aggregate(
+               Sum("_len", alias_name="covered_us"),
+               Count(alias_name="n_islands")))
+    rows = sorted(agg.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "covered_us": pa.array([r["covered_us"] for r in rows], pa.int64()),
+        "n_islands": pa.array([r["n_islands"] for r in rows], pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5829,6 +5869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proportional_budget_sample": _q_proportional_budget_sample,
         "mannwhitney_value": _q_mannwhitney_value,
         "third_purchase_ts": _q_third_purchase_ts,
+        "interval_coverage": _q_interval_coverage,
     }
 
 
@@ -8678,5 +8719,28 @@ def oracle_sql() -> dict[str, str]:
                        FROM events WHERE event_type = 'purchase')
             SELECT user_id, CAST(ts_us AS BIGINT) AS third_ts_us
             FROM r WHERE rn = 3 ORDER BY user_id
+        """,
+        "interval_coverage": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 300000000 AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                  FROM iv),
+            i AS (SELECT user_id, s, e,
+                         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
+                           AS brk
+                  FROM m),
+            g AS (SELECT user_id, s, e,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM i),
+            l AS (SELECT user_id, isl, MAX(e) - MIN(s) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM l GROUP BY 1 ORDER BY 1
         """,
     }

@@ -684,7 +684,10 @@ def containment_pairs(
         .groupby(["a", "b"]).aggregate(Sum("shared", alias_name="shared")),
         empty_schema=pair_schema)
 
-    P = _join_partitions()
+    from .dedup import join_partitions_for
+
+    # joins sized by their larger side (pairs and nw are both materialized)
+    P = join_partitions_for(pairs.count(), nw.count())
     j1 = shuffle_join(pairs, nw, on="a", right_on="doc", num_partitions=P)
 
     def keep_na(t: pa.Table) -> pa.Table:
@@ -806,8 +809,11 @@ def set_similarity_pairs(
                                 ("arr", pa.binary()),
                                 ("n", pa.int64())]))
 
+    from .dedup import join_partitions_for
+
+    n_sh = sh.count()   # sh is materialized: metadata-only
     df = sh.groupby("_wh").aggregate(Count(alias_name="_df"))
-    P = _join_partitions()
+    P = join_partitions_for(n_sh)
     joined = shuffle_join(sh, df, on="_wh", num_partitions=P)
 
     def to_doc_bucket(t: pa.Table) -> pa.Table:
@@ -872,8 +878,10 @@ def set_similarity_pairs(
         empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
                                 ("_c", pa.int64())])).drop_columns(["_c"])
 
+    # both verify joins sized by their larger side (both materialized)
+    Pv = join_partitions_for(cands.count(), arrays.count())
     j1 = shuffle_join(cands, arrays, on="a", right_on="doc",
-                      num_partitions=P)
+                      num_partitions=Pv)
     j1 = drop_empty_blocks(
         j1.map_batches(lambda t: pa.table(
             {"a": t.column("a"), "b": t.column("b"),
@@ -883,7 +891,7 @@ def set_similarity_pairs(
                                 ("arr_a", pa.binary()),
                                 ("n_a", pa.int64())]))
     j2 = shuffle_join(j1, arrays, on="b", right_on="doc",
-                      num_partitions=P)
+                      num_partitions=Pv)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
