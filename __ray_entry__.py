@@ -5588,6 +5588,42 @@ def _q_interval_coverage(sf_dir: str):
     })
 
 
+def _q_top_dims_per_vector(sf_dir: str):
+    """Vector/list ops: the 3 highest-|value| dimensions per embedding
+    (integer-quantized magnitudes, stable argsort so ties break by
+    dimension index — exact on both sides; zero-shuffle pass)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        embedding_matrix)
+
+    Q = 1 << 20
+
+    def top3(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             **{f"d{j}": pa.array([], pa.int64())
+                                for j in range(3)}})
+        x = embedding_matrix(b.column("embedding"))
+        q = (-np.floor(-(x * Q) + 0.5)).astype(np.int64)
+        idx = np.argsort(-np.abs(q), axis=1, kind="stable")[:, :3]
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            **{f"d{j}": pa.array(idx[:, j], pa.int64()) for j in range(3)},
+        })
+
+    out = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).map_batches(
+            top3, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["vec_id"])
+    return pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        **{f"d{j}": pa.array([r[f"d{j}"] for r in rows], pa.int64())
+           for j in range(3)},
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5870,6 +5906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_value": _q_mannwhitney_value,
         "third_purchase_ts": _q_third_purchase_ts,
         "interval_coverage": _q_interval_coverage,
+        "top_dims_per_vector": _q_top_dims_per_vector,
     }
 
 
@@ -8742,5 +8779,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
                    CAST(COUNT(*) AS BIGINT) AS n_islands
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "top_dims_per_vector": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         ABS(CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT)) AS aq
+                       FROM embeddings),
+            r AS (SELECT vec_id, i,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY aq DESC, i) AS rn
+                  FROM q)
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN i END) AS BIGINT) AS d0,
+                   CAST(MAX(CASE WHEN rn = 2 THEN i END) AS BIGINT) AS d1,
+                   CAST(MAX(CASE WHEN rn = 3 THEN i END) AS BIGINT) AS d2
+            FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1
         """,
     }
