@@ -5624,6 +5624,100 @@ def _q_top_dims_per_vector(sf_dir: str):
     })
 
 
+def _q_reciprocal_topk_pairs(sf_dir: str):
+    """Reciprocal nearest-neighbor pairs (mutual top-3 by the integer-exact
+    quantized inner product, neighbor-id tiebreak) — the agglomerative-
+    clustering / duplicate-candidate primitive.  Broadcast candidate matrix,
+    per-batch int64 matmul + stable argsort (ties break by column order =
+    ascending id), directed top-3 edges, ONE pair-keyed combine keeping
+    count==2 (both directions present)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import (
+        embedding_matrix)
+
+    Q = 1 << 20
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).filter(expr="vec_id < 400")
+    small = sorted(emb.take_all(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in small], np.int64)
+    mat = np.array([r["embedding"] for r in small], np.float64)
+    qm = (-np.floor(-(mat * Q) + 0.5)).astype(np.int64)
+    import ray as _ray
+    ref = _ray.put((ids, qm))
+
+    def edges(b: pa.Table, bref) -> pa.Table:
+        bids, bq = _ray.get(bref)
+        x = embedding_matrix(b.column("embedding"))
+        qx = (-np.floor(-(x * Q) + 0.5)).astype(np.int64)
+        rid = b.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sim = qx @ bq.T
+        # min+1, NOT min: argsort ranks by -sim and -int64.min overflows
+        # back to int64.min (would rank self FIRST); -(min+1) == int64.max
+        # ranks self last, which is the exclusion we want
+        sim[rid[:, None] == bids[None, :]] = np.iinfo(np.int64).min + 1
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :3]
+        a = np.repeat(rid, 3)
+        nb = bids[top.ravel()]
+        return pa.table({
+            "lo": pa.array(np.minimum(a, nb), pa.int64()),
+            "hi": pa.array(np.maximum(a, nb), pa.int64()),
+        })
+
+    import functools
+    pairs = (emb.map_batches(functools.partial(edges, bref=ref),
+                             batch_format="pyarrow")
+             .groupby(["lo", "hi"]).aggregate(Count(alias_name="n"))
+             .filter(expr="n == 2"))
+    rows = sorted(pairs.take_all(), key=lambda r: (r["lo"], r["hi"]))
+    return pa.table({
+        "id_a": pa.array([r["lo"] for r in rows], pa.int64()),
+        "id_b": pa.array([r["hi"] for r in rows], pa.int64()),
+    })
+
+
+def _q_lang_majority_mismatch(sf_dir: str):
+    """Data-quality audit: docs whose language differs from their source's
+    majority language (mode with (count desc, lang asc) tiebreak) —
+    (source, lang)-sized count combine, driver majority map, broadcast
+    filter pass."""
+    from ray.data.aggregate import Count
+
+    counts = (_documents(sf_dir, ["source", "lang"])
+              .groupby(["source", "lang"]).aggregate(Count(alias_name="n"))
+              .take_all())
+    best: dict = {}
+    for r in counts:
+        key = r["source"]
+        cand = (-int(r["n"]), r["lang"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    majority = {s: v[1] for s, v in best.items()}
+
+    def mism(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        lang = b.column("lang").to_pylist()
+        keep = np.array([lang[i] != majority[s] for i, s in enumerate(src)],
+                        dtype=bool)
+        pk = pa.array(keep)
+        return pa.table({"doc_id": b.column("doc_id").filter(pk),
+                         "source": b.column("source").filter(pk),
+                         "lang": b.column("lang").filter(pk)})
+
+    rows = sorted(
+        _documents(sf_dir, ["doc_id", "source", "lang"])
+        .map_batches(mism, batch_format="pyarrow").take_all(),
+        key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -5907,6 +6001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "third_purchase_ts": _q_third_purchase_ts,
         "interval_coverage": _q_interval_coverage,
         "top_dims_per_vector": _q_top_dims_per_vector,
+        "reciprocal_topk_pairs": _q_reciprocal_topk_pairs,
+        "lang_majority_mismatch": _q_lang_majority_mismatch,
     }
 
 
@@ -8795,5 +8891,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CASE WHEN rn = 2 THEN i END) AS BIGINT) AS d1,
                    CAST(MAX(CASE WHEN rn = 3 THEN i END) AS BIGINT) AS d2
             FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1
+        """,
+        "reciprocal_topk_pairs": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2),
+            r AS (SELECT u, v,
+                         ROW_NUMBER() OVER (PARTITION BY u
+                           ORDER BY sim DESC, v) AS rn
+                  FROM s),
+            e AS (SELECT u, v FROM r WHERE rn <= 3)
+            SELECT LEAST(u, v) AS id_a, GREATEST(u, v) AS id_b
+            FROM e GROUP BY 1, 2 HAVING COUNT(*) = 2
+            ORDER BY 1, 2
+        """,
+        "lang_majority_mismatch": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            m AS (SELECT source, lang AS maj,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n DESC, lang) AS rn
+                  FROM c)
+            SELECT doc_id, d.source, d.lang
+            FROM documents d
+            JOIN m ON d.source = m.source AND m.rn = 1
+            WHERE d.lang <> m.maj
+            ORDER BY doc_id
         """,
     }
