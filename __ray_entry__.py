@@ -5718,6 +5718,25 @@ def _q_lang_majority_mismatch(sf_dir: str):
     })
 
 
+def _q_dup_window_profile(sf_dir: str):
+    """Duplication profile across window scales: for k in {4, 8, 16, 32},
+    the number of k-word windows shared by >= 2 docs — the curve that picks
+    the substring-dedup k (Lee et al. 2022 run length).  One distributed
+    pass per k over pipelines/substrdedup.py:dup_window_hashes (hash
+    identity; the oracle re-derives from window strings)."""
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        dup_window_hashes)
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    ks = [4, 8, 16, 32]
+    counts = [dup_window_hashes(docs, "text", k=k, min_docs=2).count()
+              for k in ks]
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "n_dup_windows": pa.array(counts, pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6003,6 +6022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_dims_per_vector": _q_top_dims_per_vector,
         "reciprocal_topk_pairs": _q_reciprocal_topk_pairs,
         "lang_majority_mismatch": _q_lang_majority_mismatch,
+        "dup_window_profile": _q_dup_window_profile,
     }
 
 
@@ -8923,5 +8943,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ON d.source = m.source AND m.rn = 1
             WHERE d.lang <> m.maj
             ORDER BY doc_id
+        """,
+        "dup_window_profile": """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                          FROM documents),
+            w4 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                     generate_series(1, len(ts) - 3),
+                     j -> list_aggregate(ts[j:j+3], 'string_agg', ' ')))
+                     AS w FROM toks),
+            w8 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                     generate_series(1, len(ts) - 7),
+                     j -> list_aggregate(ts[j:j+7], 'string_agg', ' ')))
+                     AS w FROM toks),
+            w16 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                      generate_series(1, len(ts) - 15),
+                      j -> list_aggregate(ts[j:j+15], 'string_agg', ' ')))
+                      AS w FROM toks),
+            w32 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                      generate_series(1, len(ts) - 31),
+                      j -> list_aggregate(ts[j:j+31], 'string_agg', ' ')))
+                      AS w FROM toks),
+            c AS (
+              SELECT 4 AS k, w FROM w4 GROUP BY w HAVING COUNT(*) >= 2
+              UNION ALL
+              SELECT 8, w FROM w8 GROUP BY w HAVING COUNT(*) >= 2
+              UNION ALL
+              SELECT 16, w FROM w16 GROUP BY w HAVING COUNT(*) >= 2
+              UNION ALL
+              SELECT 32, w FROM w32 GROUP BY w HAVING COUNT(*) >= 2),
+            agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM c GROUP BY 1)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_dup_windows
+            FROM (VALUES (4), (8), (16), (32)) ks(k)
+            LEFT JOIN agg ON ks.k = agg.k
+            ORDER BY 1
         """,
     }
