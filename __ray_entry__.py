@@ -5737,6 +5737,48 @@ def _q_dup_window_profile(sf_dir: str):
     })
 
 
+def _q_bounce_rate_daily(sf_dir: str):
+    """Daily session bounce rate: share of 30-minute activity sessions
+    containing exactly one event, bucketed by session-start day — islands
+    operator then a day-sized combine; the ratio is mirrored as an exact
+    integer pair + one rounded division."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.pipelines.intervals import (
+        merge_intervals_by_key)
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "s_us": s,
+                         "e_us": pc.add(s, 1_800_000_000)})
+
+    islands = merge_intervals_by_key(
+        ev.map_batches(to_iv, batch_format="pyarrow"),
+        "user_id", "s_us", "e_us", count_alias="n_events")
+
+    def day_part(b: pa.Table) -> pa.Table:
+        d = pc.divide(b.column("s_us"), 86_400_000_000)
+        one = pc.cast(pc.equal(b.column("n_events"), 1), pa.int64())
+        return pa.table({"day": d,
+                         "_n": pa.array(np.ones(b.num_rows, np.int64)),
+                         "_b": one})
+
+    agg = (islands.map_batches(day_part, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("_n", alias_name="n_sessions"),
+                                     Sum("_b", alias_name="n_bounces")))
+    rows = sorted(agg.take_all(), key=lambda r: r["day"])
+    return pa.table({
+        "day": pa.array([r["day"] for r in rows], pa.int64()),
+        "n_sessions": pa.array([r["n_sessions"] for r in rows], pa.int64()),
+        "n_bounces": pa.array([r["n_bounces"] for r in rows], pa.int64()),
+        "bounce_rate": pa.array(
+            [_round_away(float(r["n_bounces"]) / float(r["n_sessions"]), 9)
+             for r in rows], pa.float64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6023,6 +6065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_topk_pairs": _q_reciprocal_topk_pairs,
         "lang_majority_mismatch": _q_lang_majority_mismatch,
         "dup_window_profile": _q_dup_window_profile,
+        "bounce_rate_daily": _q_bounce_rate_daily,
     }
 
 
@@ -8979,5 +9022,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (4), (8), (16), (32)) ks(k)
             LEFT JOIN agg ON ks.k = agg.k
             ORDER BY 1
+        """,
+        "bounce_rate_daily": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+                               epoch_us(ts) + 1800000000 AS e_us
+                        FROM events),
+            flagged AS (
+              SELECT user_id, s_us, e_us,
+                     CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                            PARTITION BY user_id ORDER BY s_us, e_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), s_us - 1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM iv),
+            grouped AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, e_us
+                                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged),
+            sess AS (SELECT user_id, island, MIN(s_us) AS s_us,
+                            COUNT(*) AS n FROM grouped GROUP BY 1, 2),
+            d AS (SELECT s_us // 86400000000 AS day,
+                         CASE WHEN n = 1 THEN 1 ELSE 0 END AS b
+                  FROM sess)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(b) AS BIGINT) AS n_bounces,
+                   ROUND(CAST(SUM(b) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 9) AS bounce_rate
+            FROM d GROUP BY 1 ORDER BY 1
         """,
     }
