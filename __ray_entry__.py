@@ -5779,6 +5779,104 @@ def _q_bounce_rate_daily(sf_dir: str):
     })
 
 
+def _q_acf_daily(sf_dir: str):
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 (weekly-seasonality detector) — ONE day-keyed count shuffle, then
+    per-lag exact integer moment sums and the closed-form Pearson r
+    mirrored per-lag in SQL (LAG(n, L))."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def day_part(b: pa.Table) -> pa.Table:
+        d = pc.divide(b.column("ts").cast(pa.int64()), 86_400_000_000)
+        t = pa.table({"day": d,
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by("day").aggregate([("_n", "sum")]) \
+                .rename_columns(["day", "_n"])
+
+    rows = (_events(sf_dir, ["ts"])
+            .map_batches(day_part, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("_n", alias_name="n"))
+            .take_all())
+    rows.sort(key=lambda r: r["day"])
+    ns = [int(r["n"]) for r in rows]
+    lags, acfs = [], []
+    for L in range(1, 8):
+        x, y = ns[L:], ns[:-L]
+        k = len(x)
+        if k < 2:
+            continue
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        syy = sum(v * v for v in y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        den = math.sqrt(float(k * sxx - sx * sx) * float(k * syy - sy * sy))
+        lags.append(L)
+        acfs.append(_round_away(float(k * sxy - sx * sy) / den, 9))
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "acf": pa.array(acfs, pa.float64())})
+
+
+def _acf_oracle() -> str:
+    legs = []
+    for L in range(1, 8):
+        legs.append(f"""
+            SELECT {L} AS lag, n,
+                   LAG(n, {L}) OVER (ORDER BY day) AS pn
+            FROM d""")
+    return ("""
+        WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                          AS day, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        p AS (""" + " UNION ALL ".join(legs) + """),
+        s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(n) AS BIGINT) AS sx,
+                     CAST(SUM(pn) AS BIGINT) AS sy,
+                     CAST(SUM(n * pn) AS BIGINT) AS sxy,
+                     CAST(SUM(n * n) AS BIGINT) AS sxx,
+                     CAST(SUM(pn * pn) AS BIGINT) AS syy
+              FROM p WHERE pn IS NOT NULL GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag,
+               ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                            * CAST(k * syy - sy * sy AS DOUBLE)), 9) AS acf
+        FROM s WHERE k >= 2 ORDER BY lag
+    """)
+
+
+def _q_lorenz_chars(sf_dir: str):
+    """Data-concentration audit (Lorenz points): per length-decile share
+    and cumulative share of total corpus characters — global NTILE sort
+    wave, decile-sized integer combine, shares mirrored as rounded
+    divisions of exact integer sums."""
+    from ray.data.aggregate import Count, Sum
+
+    from insurance_pdf_extractor_ray.pipelines.ordering import ntile
+
+    docs = _documents(sf_dir, ["doc_id", "n_chars"])
+    tiled = ntile(docs, ["n_chars", "doc_id"], 10, out_col="decile")
+    agg = (tiled.groupby("decile").aggregate(
+        Sum("n_chars", alias_name="chars"), Count(alias_name="n_docs")))
+    rows = sorted(agg.take_all(), key=lambda r: r["decile"])
+    total = sum(int(r["chars"]) for r in rows)
+    cum = 0
+    out = []
+    for r in rows:
+        c = int(r["chars"])
+        cum += c
+        out.append((int(r["decile"]), int(r["n_docs"]), c,
+                    _round_away(float(c) / float(total), 9),
+                    _round_away(float(cum) / float(total), 9)))
+    return pa.table({
+        "decile": pa.array([t[0] for t in out], pa.int64()),
+        "n_docs": pa.array([t[1] for t in out], pa.int64()),
+        "chars": pa.array([t[2] for t in out], pa.int64()),
+        "share": pa.array([t[3] for t in out], pa.float64()),
+        "cum_share": pa.array([t[4] for t in out], pa.float64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6066,6 +6164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_majority_mismatch": _q_lang_majority_mismatch,
         "dup_window_profile": _q_dup_window_profile,
         "bounce_rate_daily": _q_bounce_rate_daily,
+        "acf_daily": _q_acf_daily,
+        "lorenz_chars": _q_lorenz_chars,
     }
 
 
@@ -9051,5 +9151,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(b) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 9) AS bounce_rate
             FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "acf_daily": _acf_oracle(),
+        "lorenz_chars": """
+            WITH t AS (SELECT doc_id, n_chars,
+                              CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                                   AS BIGINT) AS decile
+                       FROM documents),
+            a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS chars
+                  FROM t GROUP BY 1),
+            w AS (SELECT decile, n_docs, chars,
+                         CAST(SUM(chars) OVER () AS BIGINT) AS total,
+                         CAST(SUM(chars) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM a)
+            SELECT decile, n_docs, chars,
+                   ROUND(CAST(chars AS DOUBLE) / CAST(total AS DOUBLE), 9)
+                     AS share,
+                   ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9)
+                     AS cum_share
+            FROM w ORDER BY decile
         """,
     }
