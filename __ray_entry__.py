@@ -5877,6 +5877,35 @@ def _q_lorenz_chars(sf_dir: str):
     })
 
 
+def _q_markov_entropy_rate(sf_dir: str):
+    """Behavior predictability: entropy rate of the per-user event-type
+    Markov chain, H = Σ_ij (n_ij/N)·ln(n_i/n_ij) over the transition-count
+    table — ONE keyed transition shuffle (type²-bounded result), driver
+    arithmetic mirrored in SQL."""
+    import math
+
+    from insurance_pdf_extractor_ray.pipelines.behavior import (
+        transition_counts)
+
+    out = transition_counts(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "ts"]),
+        "user_id", "event_type", "ts", order_tiebreak="event_id")
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["from_item"], r["to_item"]))
+    N = sum(int(r["n"]) for r in rows)
+    row_tot: dict = {}
+    for r in rows:
+        row_tot[r["from_item"]] = row_tot.get(r["from_item"], 0) \
+            + int(r["n"])
+    h = sum((float(r["n"]) / N)
+            * math.log(float(row_tot[r["from_item"]]) / float(r["n"]))
+            for r in rows)
+    return pa.table({
+        "n_transitions": pa.array([N], pa.int64()),
+        "entropy_rate": pa.array([_round_away(h, 9)], pa.float64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6166,6 +6195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_daily": _q_bounce_rate_daily,
         "acf_daily": _q_acf_daily,
         "lorenz_chars": _q_lorenz_chars,
+        "markov_entropy_rate": _q_markov_entropy_rate,
     }
 
 
@@ -9172,5 +9202,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9)
                      AS cum_share
             FROM w ORDER BY decile
+        """,
+        "markov_entropy_rate": """
+            WITH m AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                       FROM events),
+            c AS (SELECT prev AS f, event_type AS t,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM m WHERE prev IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM c),
+            rt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf
+                   FROM c GROUP BY 1)
+            SELECT (SELECT N FROM tot) AS n_transitions,
+                   ROUND(SUM((CAST(c.n AS DOUBLE) / (SELECT N FROM tot))
+                             * ln(CAST(rt.nf AS DOUBLE)
+                                  / CAST(c.n AS DOUBLE))), 9)
+                     AS entropy_rate
+            FROM c JOIN rt USING (f)
         """,
     }
