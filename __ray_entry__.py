@@ -5906,6 +5906,88 @@ def _q_markov_entropy_rate(sf_dir: str):
     })
 
 
+def _q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 analog: forecast-revenue-change scalar — pruned-column
+    read, one vectorized filtered integer partial per batch, zero
+    shuffles."""
+    from ray.data.aggregate import Sum
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1997-01-01").value // 1000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        keep = ((d >= lo) & (d < hi) & (disc >= 0.05) & (disc <= 0.07)
+                & (qty < 24))
+        rev = ep[keep] * disc[keep] * 10000.0
+        s = int(np.floor(rev + 0.5).astype(np.int64).sum())
+        return pa.table({"_s": pa.array([s], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("_s", alias_name="revenue_i4")))
+    return pa.table({"revenue_i4": pa.array([agg["revenue_i4"]],
+                                            pa.int64())})
+
+
+def _q_q14_promo_share(sf_dir: str):
+    """TPC-H Q14 analog: monthly promo-revenue share — broadcast promo
+    partkey set (ray.put once), per-batch conditional integer partials,
+    ONE month-sized combine, mirrored rounded division."""
+    from ray.data.aggregate import Sum
+
+    promo = np.array(sorted(
+        r["p_partkey"] for r in _read(sf_dir, "part",
+                                      ["p_partkey", "p_type"]).take_all()
+        if r["p_type"].startswith("PROMO")), np.int64)
+    import ray as _ray
+    pref = _ray.put(promo)
+
+    def partial(b: pa.Table, ref) -> pa.Table:
+        pk = _ray.get(ref)
+        us = b.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = np.asarray(us, dtype="datetime64[us]") \
+            .astype("datetime64[M]").astype(np.int64)
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        isp = np.isin(part, pk)
+        t = pa.table({
+            "m": pa.array(month, pa.int64()),
+            "_p": pa.array(np.where(isp, rev, 0), pa.int64()),
+            "_t": pa.array(rev, pa.int64()),
+        })
+        return t.group_by("m").aggregate([("_p", "sum"), ("_t", "sum")]) \
+                .rename_columns(["m", "_p", "_t"])
+
+    import functools
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_partkey", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(functools.partial(partial, ref=pref),
+                        batch_format="pyarrow")
+           .groupby("m").aggregate(Sum("_p", alias_name="promo_i4"),
+                                   Sum("_t", alias_name="total_i4")))
+    rows = sorted(agg.take_all(), key=lambda r: r["m"])
+    return pa.table({
+        "month_idx": pa.array([r["m"] for r in rows], pa.int64()),
+        "promo_i4": pa.array([r["promo_i4"] for r in rows], pa.int64()),
+        "total_i4": pa.array([r["total_i4"] for r in rows], pa.int64()),
+        "promo_pct": pa.array(
+            [_round_away(100.0 * float(r["promo_i4"])
+                         / float(r["total_i4"]), 9) for r in rows],
+            pa.float64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6196,6 +6278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_daily": _q_acf_daily,
         "lorenz_chars": _q_lorenz_chars,
         "markov_entropy_rate": _q_markov_entropy_rate,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q14_promo_share": _q_q14_promo_share,
     }
 
 
@@ -9220,5 +9304,32 @@ def oracle_sql() -> dict[str, str]:
                                   / CAST(c.n AS DOUBLE))), 9)
                      AS entropy_rate
             FROM c JOIN rt USING (f)
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_i4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_share": """
+            WITH li AS (
+              SELECT (year(l_shipdate) - 1970) * 12
+                     + (month(l_shipdate) - 1) AS m,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                + 0.5) AS BIGINT) AS rev,
+                     p_type LIKE 'PROMO%' AS isp
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT CAST(m AS BIGINT) AS month_idx,
+                   CAST(SUM(CASE WHEN isp THEN rev ELSE 0 END) AS BIGINT)
+                     AS promo_i4,
+                   CAST(SUM(rev) AS BIGINT) AS total_i4,
+                   ROUND(100.0 * CAST(SUM(CASE WHEN isp THEN rev ELSE 0 END)
+                                      AS DOUBLE)
+                         / CAST(SUM(rev) AS DOUBLE), 9) AS promo_pct
+            FROM li GROUP BY 1 ORDER BY 1
         """,
     }
