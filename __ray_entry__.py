@@ -5988,6 +5988,56 @@ def _q_q14_promo_share(sf_dir: str):
     })
 
 
+def _q_heaps_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: cumulative DISTINCT 3-word windows
+    after each corpus quartile (by doc id) — computed in ONE window-keyed
+    shuffle, not four scans: each window hash keeps the MIN quartile that
+    contains it, a quartile-sized count combine follows, and the cumulative
+    curve is the running sum (hash identity; oracle re-derives from window
+    strings)."""
+    from ray.data.aggregate import Count, Min
+
+    from insurance_pdf_extractor_ray.pipelines.substrdedup import (
+        _batch_windows,
+        _roll,
+    )
+
+    def partial(b: pa.Table, denom) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        counts, _, wordh = _batch_windows(b.column("text").to_pylist())
+        wh, wd, _ = _roll(wordh, counts, 3)
+        if len(wh) == 0:
+            return pa.table({"_wh": pa.array([], pa.int64()),
+                             "_q": pa.array([], pa.int64())})
+        q = (ids[wd] * 4) // denom
+        t = pa.table({"_wh": pa.array(wh, pa.int64()),
+                      "_q": pa.array(q, pa.int64())})
+        g = t.group_by("_wh").aggregate([("_q", "min")])
+        return g.rename_columns(["_wh", "_q"])
+
+    import functools
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    mx = int(docs.select_columns(["doc_id"]).max("doc_id")) + 1
+
+    agg = (docs.map_batches(functools.partial(partial, denom=mx),
+                            batch_format="pyarrow")
+           .groupby("_wh").aggregate(Min("_q", alias_name="q"))
+           .groupby("q").aggregate(Count(alias_name="new_windows")))
+    rows = sorted(agg.take_all(), key=lambda r: r["q"])
+    got = {int(r["q"]): int(r["new_windows"]) for r in rows}
+    cum = 0
+    out = []
+    for qq in range(4):
+        n = got.get(qq, 0)
+        cum += n
+        out.append((qq, n, cum))
+    return pa.table({
+        "quartile": pa.array([t[0] for t in out], pa.int64()),
+        "new_windows": pa.array([t[1] for t in out], pa.int64()),
+        "cum_distinct": pa.array([t[2] for t in out], pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6280,6 +6330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": _q_markov_entropy_rate,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q14_promo_share": _q_q14_promo_share,
+        "heaps_growth": _q_heaps_growth,
     }
 
 
@@ -9331,5 +9382,31 @@ def oracle_sql() -> dict[str, str]:
                                       AS DOUBLE)
                          / CAST(SUM(rev) AS DOUBLE), 9) AS promo_pct
             FROM li GROUP BY 1 ORDER BY 1
+        """,
+        "heaps_growth": """
+            WITH mx AS (SELECT MAX(doc_id) + 1 AS d FROM documents),
+            toks AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                     FROM documents),
+            win AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, len(ts) - 2),
+                        j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]))
+                        AS w
+                    FROM toks),
+            q AS (SELECT w,
+                         MIN((doc_id * 4) // (SELECT d FROM mx)) AS qt
+                  FROM win GROUP BY 1),
+            c AS (SELECT qt, CAST(COUNT(*) AS BIGINT) AS new_windows
+                  FROM q GROUP BY 1)
+            SELECT CAST(ks.qt AS BIGINT) AS quartile,
+                   CAST(COALESCE(c.new_windows, 0) AS BIGINT)
+                     AS new_windows,
+                   CAST(SUM(COALESCE(c.new_windows, 0)) OVER (
+                        ORDER BY ks.qt ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_distinct
+            FROM (VALUES (0), (1), (2), (3)) ks(qt)
+            LEFT JOIN c ON ks.qt = c.qt
+            ORDER BY 1
         """,
     }
