@@ -6038,6 +6038,57 @@ def _q_heaps_growth(sf_dir: str):
     })
 
 
+def _q_q19_band_revenue(sf_dir: str):
+    """TPC-H Q19 analog: revenue under a DISJUNCTION of (brand, size band,
+    quantity band) predicates — part attributes broadcast once as aligned
+    arrays (ray.put), per-batch vectorized compound mask via searchsorted
+    key lookup, scalar integer combine, zero shuffles."""
+    from ray.data.aggregate import Sum
+
+    parts = sorted(_read(sf_dir, "part",
+                         ["p_partkey", "p_brand", "p_size"]).take_all(),
+                   key=lambda r: r["p_partkey"])
+    keys = np.array([r["p_partkey"] for r in parts], np.int64)
+    brands = np.array([r["p_brand"] for r in parts])
+    sizes = np.array([r["p_size"] for r in parts], np.int64)
+    import ray as _ray
+    ref = _ray.put((keys, brands, sizes))
+
+    def partial(b: pa.Table, r) -> pa.Table:
+        k, br, sz = _ray.get(r)
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(k, part), 0, len(k) - 1)
+        valid = k[idx] == part          # FK orphans match nothing
+        pb, ps = br[idx], sz[idx]
+        qty = np.where(valid, qty, -1.0)
+        m1 = (pb == "Brand#11") & (ps >= 1) & (ps <= 10) \
+            & (qty >= 1) & (qty <= 20)
+        m2 = (pb == "Brand#22") & (ps >= 5) & (ps <= 20) \
+            & (qty >= 10) & (qty <= 30)
+        keep = m1 | m2
+        rev = ep[keep] * (1.0 - disc[keep]) * 10000.0
+        s = int(np.floor(rev + 0.5).astype(np.int64).sum())
+        n = int(keep.sum())
+        return pa.table({"_s": pa.array([s], pa.int64()),
+                         "_n": pa.array([n], pa.int64())})
+
+    import functools
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(functools.partial(partial, r=ref),
+                        batch_format="pyarrow")
+           .aggregate(Sum("_s", alias_name="revenue_i4"),
+                      Sum("_n", alias_name="n_lines")))
+    return pa.table({
+        "revenue_i4": pa.array([agg["revenue_i4"]], pa.int64()),
+        "n_lines": pa.array([agg["n_lines"]], pa.int64()),
+    })
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6331,6 +6382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q14_promo_share": _q_q14_promo_share,
         "heaps_growth": _q_heaps_growth,
+        "q19_band_revenue": _q_q19_band_revenue,
     }
 
 
@@ -9408,5 +9460,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2), (3)) ks(qt)
             LEFT JOIN c ON ks.qt = c.qt
             ORDER BY 1
+        """,
+        "q19_band_revenue": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_i4,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
+                   AND l_quantity BETWEEN 10 AND 30)
         """,
     }
