@@ -6089,6 +6089,17 @@ def _q_q19_band_revenue(sf_dir: str):
     })
 
 
+def _q_order_concentration_gini(sf_dir: str):
+    """Gini coefficient of per-customer order counts — the demand-skew /
+    hot-key health number on the orders stream
+    (pipelines/statagg.py:gini_of_counts)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import gini_of_counts
+
+    out = gini_of_counts(_read(sf_dir, "orders", ["o_custkey"]),
+                         "o_custkey")
+    return _round_col(out, "gini", 9)
+
+
 def _q_revenue_share_rank(sf_dir: str):
     """Share-of-parent + rank within group (window over aggregate): each
     nation's share of its region's order revenue — dims broadcast, ONE
@@ -6383,6 +6394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": _q_q14_promo_share,
         "heaps_growth": _q_heaps_growth,
         "q19_band_revenue": _q_q19_band_revenue,
+        "order_concentration_gini": _q_order_concentration_gini,
     }
 
 
@@ -9471,5 +9483,15 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 1 AND 20)
                OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
                    AND l_quantity BETWEEN 10 AND 30)
+        """,
+        "order_concentration_gini": """
+            WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                       GROUP BY 1),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   round((2.0 * SUM(i * n)) / (COUNT(*) * SUM(n))
+                         - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+            FROM r
         """,
     }
