@@ -4906,7 +4906,10 @@ def _q_first_touch_revenue(sf_dir: str):
         return pa.table({"user_id": b.column("user_id"),
                          "first_type": b.column("event_type")})
 
-    firsts = firsts.map_batches(first_cols, batch_format="pyarrow")
+    firsts = drop_empty_blocks(
+        firsts.map_batches(first_cols, batch_format="pyarrow"),
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("first_type", pa.string())]))
 
     def pvals(b: pa.Table) -> pa.Table:
         v = b.column("value").to_numpy(zero_copy_only=False)
@@ -9112,9 +9115,11 @@ def oracle_sql() -> dict[str, str]:
                               CAST(floor(value * 1000 + 0.5) AS HUGEINT)
                                 AS v
                        FROM events),
-            s AS (SELECT SUM(e * 11400714819323198485
-                             + v * 14029467366897019727
-                             + u * 1609587929392839161)
+            s AS (SELECT ((SUM(e * 11400714819323198485
+                              + v * 14029467366897019727
+                              + u * 1609587929392839161)
+                           % 18446744073709551616)
+                          + 18446744073709551616)
                            % 18446744073709551616 AS d
                   FROM q)
             SELECT CAST(d // 4294967296 AS BIGINT) AS digest_hi,

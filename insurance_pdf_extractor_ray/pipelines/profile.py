@@ -304,6 +304,13 @@ def table_fingerprint(
     mirror computes the same sum in HUGEINT and reduces mod 2⁶⁴ once —
     headroom holds to ~10⁹ rows per digest (1e24·1e9 « 2¹²⁷); shard the
     digest by key range beyond that.
+
+    Contract: ``int_cols`` must be null-free (nulls would silently cast to
+    NaN float64 and ``.view(uint64)`` would reinterpret the float bits —
+    a garbage digest); enforced per batch.  The HUGEINT SQL mirror must
+    reduce with a non-negative modulo (DuckDB's ``%`` is remainder, which
+    is negative for negative sums): use
+    ``(s % 2^64 + 2^64) % 2^64`` — the oracle in ``__ray_entry__`` does.
     """
     if coeffs is None:
         coeffs = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
@@ -316,7 +323,15 @@ def table_fingerprint(
         acc = np.zeros(batch.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for col, c in zip(int_cols, cs):
-                v = batch.column(col).cast(pa.int64()).to_numpy(
+                a = batch.column(col)
+                if a.null_count:
+                    raise ValueError(
+                        f"table_fingerprint: column {col!r} has "
+                        f"{a.null_count} nulls; the int64->uint64 "
+                        "reinterpret requires null-free input (cast of a "
+                        "null column yields float64 NaN whose bit pattern "
+                        "would corrupt the digest) — fill or filter first")
+                v = a.cast(pa.int64()).to_numpy(
                     zero_copy_only=False).view(np.uint64)
                 acc += v * c
             s = np.add.reduce(acc, dtype=np.uint64) if len(acc) else \

@@ -812,13 +812,17 @@ def ohlc_by_key(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Key type follows the input schema (``key`` is generic: int or
+        # string callers both get schema-consistent blocks, including the
+        # empty-batch partial).
+        ktype = batch.schema.field(key).type
         k = batch.column(key).to_numpy(zero_copy_only=False)
         o = batch.column(order_col).to_numpy(zero_copy_only=False)
         t = batch.column(tiebreak_col).to_numpy(zero_copy_only=False)
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
         if len(k) == 0:
             return pa.table({
-                key: pa.array([], pa.int64()),
+                key: pa.array([], ktype),
                 "_ots": pa.array([], pa.int64()),
                 "_otie": pa.array([], pa.int64()),
                 "_oval": pa.array([], pa.float64()),
@@ -836,7 +840,7 @@ def ohlc_by_key(
         ends = np.r_[starts[1:], len(k)] - 1
         qv = np.floor(v * float(vol_scale) + 0.5).astype(np.int64)
         return pa.table({
-            key: pa.array(k[starts], pa.int64()),
+            key: pa.array(k[starts].tolist(), ktype),
             "_ots": pa.array(o[starts], pa.int64()),
             "_otie": pa.array(t[starts], pa.int64()),
             "_oval": pa.array(v[starts], pa.float64()),

@@ -686,7 +686,11 @@ def containment_pairs(
 
     from .dedup import join_partitions_for
 
-    # joins sized by their larger side (pairs and nw are both materialized)
+    # Materialize both sides before counting so the aggregation pipelines
+    # execute exactly once (count reads cached metadata; the joins reuse
+    # the same blocks instead of re-running the groupbys).
+    pairs = pairs.materialize()
+    nw = nw.materialize()
     P = join_partitions_for(pairs.count(), nw.count())
     j1 = shuffle_join(pairs, nw, on="a", right_on="doc", num_partitions=P)
 
@@ -878,7 +882,13 @@ def set_similarity_pairs(
         empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
                                 ("_c", pa.int64())])).drop_columns(["_c"])
 
-    # both verify joins sized by their larger side (both materialized)
+    # Materialize BOTH sides before counting: .count() on a lazy Dataset
+    # would execute the candidate/aggregation pipeline once for the count
+    # and shuffle_join would re-execute it — the most expensive stage
+    # running twice.  Materialized, the count reads cached block metadata
+    # and the joins consume the same blocks.
+    cands = cands.materialize()
+    arrays = arrays.materialize()
     Pv = join_partitions_for(cands.count(), arrays.count())
     j1 = shuffle_join(cands, arrays, on="a", right_on="doc",
                       num_partitions=Pv)

@@ -73,3 +73,30 @@ def test_fingerprint_detects_single_row_change():
     d2 = table_fingerprint(ray.data.from_arrow(pa.Table.from_pandas(df)),
                            ["key", "ts", "eid"])
     assert d1 != d2
+
+def test_ohlc_string_key_with_empty_batches():
+    # String-keyed OHLC: the empty-batch partial and the key column in the
+    # non-empty partial must both follow the input key dtype (regression:
+    # the empty-batch schema hardcoded int64 and broke schema unification).
+    t = pa.table({
+        "key": pa.array(["a", "b", "a", "b", "c"], pa.string()),
+        "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "eid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    })
+    # repartition well past num_rows so some blocks are empty
+    rows = {r["key"]: r for r in
+            ohlc_by_key(ray.data.from_arrow(t).repartition(12),
+                        "key", "ts", "eid", "v").take_all()}
+    assert rows["a"]["open"] == 1.0 and rows["a"]["close"] == 3.0
+    assert rows["b"]["open"] == 2.0 and rows["b"]["close"] == 4.0
+    assert rows["c"]["n"] == 1
+
+
+def test_fingerprint_rejects_null_int_column():
+    t = pa.table({
+        "key": pa.array([1, None, 3], pa.int64()),
+        "ts": pa.array([1, 2, 3], pa.int64()),
+    })
+    with pytest.raises(Exception, match="null"):
+        table_fingerprint(ray.data.from_arrow(t), ["key", "ts"])
