@@ -111,12 +111,17 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         }
 
     # adaptive shuffle avoidance (mode='auto'): detects split docs and
-    # shuffles only those — reported alongside the general shuffle path
-    t0 = time.time()
-    # pass the PATH so auto's detector re-reads only the doc_id column
-    # (id_only_source) instead of decoding the heavy spans column twice
-    extract_pipeline(corpus, mode="auto").count()
-    queries["extract_auto"] = round(time.time() - t0, 3)
+    # shuffles only those — reported alongside the general shuffle path.
+    # Best-of-2 like the headline: same vCPU-steal variance applies.
+    auto_trials = []
+    for _ in range(2):
+        t0 = time.time()
+        # pass the PATH so auto's detector re-reads only the doc_id column
+        # (id_only_source) instead of decoding the heavy spans column twice
+        extract_pipeline(corpus, mode="auto").count()
+        auto_trials.append(time.time() - t0)
+    queries["extract_auto"] = round(min(auto_trials), 3)
+    queries["extract_auto_trials"] = [round(t, 3) for t in auto_trials]
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
 

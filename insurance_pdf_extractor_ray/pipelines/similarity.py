@@ -10,7 +10,6 @@ map tasks — never re-shipped per batch.
 
 from __future__ import annotations
 
-import heapq
 from typing import Optional
 
 import numpy as np
@@ -76,6 +75,28 @@ class BruteForceTopK:
         )
 
 
+def _topk_merge(candidates: ray.data.Dataset, id_col: str, k: int) -> pa.Table:
+    """Distributed global top-k-per-query reduce over a candidate stream of
+    (query_id, id, score) rows.
+
+    Per-block partial head (≤ q·k rows leave each block) → ONE keyed
+    shuffle on query_id → per-query final head.  The driver receives only
+    the q·k RESULT rows — never the O(q·k·num_batches) candidate stream,
+    which at 100 TB (~10⁶ blocks) would be driver-scale.  Ties on score
+    break by ascending id so results are total-ordered (oracle-comparable).
+    """
+    from .rankagg import grouped_top_k
+
+    rows = grouped_top_k(candidates, "query_id", ["score", id_col],
+                         [True, False], k=k).take_all()
+    rows.sort(key=lambda r: (r["query_id"], -r["score"], r[id_col]))
+    return pa.table({"query_id": pa.array([r["query_id"] for r in rows],
+                                          pa.int64()),
+                     id_col: pa.array([r[id_col] for r in rows]),
+                     "score": pa.array([r["score"] for r in rows],
+                                       pa.float64())})
+
+
 def knn_brute_force(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -88,29 +109,16 @@ def knn_brute_force(
     """Exact cosine top-k: (query_id, id, score) sorted by query, -score, id.
 
     Ties on score are broken by ascending id so results are total-ordered
-    (and oracle-comparable).
+    (and oracle-comparable).  Candidates are reduced DISTRIBUTIVELY
+    (:func:`_topk_merge`) — no driver-side heap over the candidate stream.
     """
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     candidates = ds.select_columns([id_col, emb_col]).map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col, k=k),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    ).take_all()  # candidate set is O(num_queries * k * num_batches) — small
-
-    best: dict = {}
-    for r in candidates:
-        heap = best.setdefault(r["query_id"], [])
-        # max-heap by (score, -id) via negation; keep k smallest of (-score, id)
-        heapq.heappush(heap, (-r["score"], r[id_col]))
-    out_q, out_id, out_s = [], [], []
-    for q in sorted(best):
-        for negs, rid in heapq.nsmallest(k, best[q]):
-            out_q.append(q)
-            out_id.append(rid)
-            out_s.append(-negs)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     id_col: pa.array(out_id),
-                     "score": pa.array(out_s, pa.float64())})
+    )
+    return _topk_merge(candidates, id_col, k)
 
 
 class LshTopK(BruteForceTopK):
@@ -245,19 +253,8 @@ def knn_ivf(
         fn_constructor_kwargs=dict(queries_ref=qref, centroids_ref=cref,
                                    emb_col=emb_col, id_col=id_col, k=k, n_probe=n_probe),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    ).take_all()
-    best: dict = {}
-    for r in candidates:
-        heapq.heappush(best.setdefault(r["query_id"], []), (-r["score"], r[id_col]))
-    out_q, out_id, out_s = [], [], []
-    for q in sorted(best):
-        for negs, rid in heapq.nsmallest(k, best[q]):
-            out_q.append(q)
-            out_id.append(rid)
-            out_s.append(-negs)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     id_col: pa.array(out_id),
-                     "score": pa.array(out_s, pa.float64())})
+    )
+    return _topk_merge(candidates, id_col, k)
 
 
 def build_ivf_index(
@@ -358,19 +355,8 @@ def knn_lsh(
         fn_constructor_kwargs=dict(queries_ref=qref, emb_col=emb_col, id_col=id_col,
                                    k=k, n_planes=n_planes, max_mismatch=max_mismatch),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    ).take_all()
-    best: dict = {}
-    for r in candidates:
-        heapq.heappush(best.setdefault(r["query_id"], []), (-r["score"], r[id_col]))
-    out_q, out_id, out_s = [], [], []
-    for q in sorted(best):
-        for negs, rid in heapq.nsmallest(k, best[q]):
-            out_q.append(q)
-            out_id.append(rid)
-            out_s.append(-negs)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     id_col: pa.array(out_id),
-                     "score": pa.array(out_s, pa.float64())})
+    )
+    return _topk_merge(candidates, id_col, k)
 
 
 def group_centroids(
@@ -729,7 +715,8 @@ def hard_negatives(
     query_id in the output is the POSITIONAL index of the anchor (caller
     remaps to real ids).  Ties on score break by ascending id — total order,
     oracle-comparable.  Broadcast once via ray.put; per-batch partial top-k;
-    O(anchors * k * num_batches) candidate merge on the driver.
+    distributed keyed top-k reduce (:func:`_topk_merge`) — the driver only
+    ever sees the final q·k result rows.
     """
     qref = ray.put((np.asarray(queries, dtype=np.float64),
                     np.asarray(query_ids, dtype=np.int64),
@@ -740,21 +727,8 @@ def hard_negatives(
                                    id_col=id_col, label_col=label_col, k=k),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-    ).take_all()
-
-    best: dict = {}
-    for r in candidates:
-        heapq.heappush(best.setdefault(r["query_id"], []),
-                       (-r["score"], r[id_col]))
-    out_q, out_id, out_s = [], [], []
-    for q in sorted(best):
-        for negs, rid in heapq.nsmallest(k, best[q]):
-            out_q.append(q)
-            out_id.append(rid)
-            out_s.append(-negs)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     id_col: pa.array(out_id),
-                     "score": pa.array(out_s, pa.float64())})
+    )
+    return _topk_merge(candidates, id_col, k)
 
 
 def nearest_centroid_confusion(
