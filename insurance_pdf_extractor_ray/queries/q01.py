@@ -1,0 +1,739 @@
+"""Query bodies _q_extract_fields.._q_asof_last_click (mechanical split of __ray_entry__.py)."""
+
+from __future__ import annotations
+import glob
+import os
+from collections.abc import Callable
+from typing import Any
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ._shared import *  # noqa: F401,F403
+
+__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
+
+def _q_extract_fields(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+
+    return flatten_fields(extract_pipeline(_corpus_for(sf_dir)))
+
+
+def _q_extract_spans(sf_dir: str):
+    """Span-sequence output (north-rule invariant surface) as flat rows."""
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+        for did, spans in zip(batch.column("doc_id").to_pylist(),
+                              batch.column("spans_out").to_pylist()):
+            for s in spans:
+                out["doc_id"].append(did)
+                out["kind"].append(s["kind"])
+                out["text"].append(s["text"])
+                out["media_ref"].append(s["media_ref"])
+                out["offset"].append(s["offset"])
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.string()),
+                         "kind": pa.array(out["kind"], pa.string()),
+                         "text": pa.array(out["text"], pa.string()),
+                         "media_ref": pa.array(out["media_ref"], pa.string()),
+                         "offset": pa.array(out["offset"], pa.int32())})
+
+    return extract_pipeline(_corpus_for(sf_dir)).map_batches(explode, batch_format="pyarrow")
+
+
+def _q_layout_extract(sf_dir: str):
+    """PDF-layout path: word boxes -> line/block clustering + whitespace-gap
+    table detection -> spans -> extraction (north-star layout surface).
+    Approximation-free but geometry-derived, so rows-only check."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.layoutpipe import words_to_docs
+    from insurance_pdf_extractor_ray.sources.synth import word_boxes_table
+
+    n = min(_docs_rows(sf_dir), 500)
+    idx = [i for i in range(n) if i % 12 != 9]  # media spans have no boxes
+    docs = words_to_docs(ray.data.from_arrow(word_boxes_table(idx)))
+    return flatten_fields(extract_pipeline(docs))
+
+
+def _q_extract_fields_check(sf_dir: str):
+    """Hard correctness gate for the flagship: distributed cell-level diff of
+    the extraction output against the first-principles ``expected_fields``
+    golden (sources/synth.py) — returns ONLY mismatching cells, so an empty
+    result (matching the oracle's WHERE 1=0) proves field-level equality of
+    every doc in the corpus."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+
+    root = _corpus_root(sf_dir)
+    engine = flatten_fields(extract_pipeline(os.path.join(root, "documents")))
+    golden = ray.data.read_parquet(os.path.join(root, "expected_fields"),
+                                   columns=["doc_id"] + FIELD_ORDER + ["status"])
+    return normalize_diff(golden_diff(engine, golden, key="doc_id"))
+
+
+def _q_extract_spans_check(sf_dir: str):
+    """North-rule invariant gate: per-doc span-sequence digests
+    (kind, text, media_ref, order) of the extraction output diffed against the
+    ``expected_spans`` golden.  Empty result = span-sequence equality."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+        span_digests,
+    )
+
+    root = _corpus_root(sf_dir)
+    engine = span_digests(extract_pipeline(os.path.join(root, "documents")),
+                          "spans_out")
+    golden = span_digests(
+        ray.data.read_parquet(os.path.join(root, "expected_spans")), "spans")
+    return normalize_diff(golden_diff(engine, golden, key="doc_id"))
+
+
+def _q_layout_extract_check(sf_dir: str):
+    """Layout-path gate: word boxes -> layout parse -> extraction, fields
+    diffed against the same ``expected_fields`` golden (media docs excluded —
+    they have no visual boxes)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.layoutpipe import words_to_docs
+    from insurance_pdf_extractor_ray.sources.synth import (
+        expected_tables,
+        word_boxes_table,
+    )
+
+    n = min(_docs_rows(sf_dir), 500)
+    idx = [i for i in range(n) if i % 12 != 9]  # media spans have no boxes
+    docs = words_to_docs(ray.data.from_arrow(word_boxes_table(idx)))
+    engine = flatten_fields(extract_pipeline(docs))
+    golden_tbl = expected_tables(idx)[0].select(["doc_id"] + FIELD_ORDER + ["status"])
+    return normalize_diff(golden_diff(engine, ray.data.from_arrow(golden_tbl),
+                                      key="doc_id"))
+
+
+def _q_exact_dedup(sf_dir: str):
+    """Exact dedup over documents ∪ relabeled copy; returns kept doc_ids."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.dedup import exact_dedup
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    shifted = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.add(t.column("doc_id"), 1000000),
+                            "text": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    kept = exact_dedup(ds.union(shifted), "text", "doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+def _q_global_stats(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import global_stats
+
+    t = global_stats(_events(sf_dir, ["value"]), "value")
+    t = _round_col(t, "total", 2)
+    t = _round_col(t, "avg", 4)
+    return t
+
+
+def _q_stats_by_type(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import stats_by
+
+    ds = stats_by(_events(sf_dir, ["event_type", "value"]), "event_type", "value",
+                  sort_by=None)
+    tbl = pa.concat_tables([pa.Table.from_pylist(ds.take_all())])
+    tbl = _round_col(tbl, "total", 2)
+    return tbl.drop_columns(["avg"])
+
+
+def _q_daily_trends(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import daily_trends
+
+    rows = daily_trends(_events(sf_dir, ["ts", "value"]), "ts", "value").take_all()
+    tbl = pa.Table.from_pylist(rows)
+    return _round_col(tbl, "total", 2)
+
+
+def _q_top10_by_value(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import top_k
+
+    return top_k(_events(sf_dir), "value", k=10, tiebreak="event_id",
+                 columns=["event_id", "event_type", "value"])
+
+
+def _q_breakdown(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import breakdown_with_pct
+
+    return breakdown_with_pct(_events(sf_dir, ["event_type"]), "event_type")
+
+
+def _q_recent_n(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(100) \
+             .select_columns(["event_id", "event_type", "value"])
+
+
+def _q_search_filter(sf_dir: str):
+    # F8 (storage.py:402-426): composed predicates incl. LIKE
+    ds = _documents(sf_dir)
+
+    def pred(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(batch.column("source"), "src3"),
+                    pc.greater_equal(batch.column("n_chars"), 200)),
+            pc.match_substring(batch.column("text"), "data"),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def _q_orders_join(sf_dir: str):
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.joins import broadcast_join
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                     columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, on="o_custkey", right_on="c_custkey",
+                            add_cols=["c_name", "c_mktsegment"])
+    return joined.select_columns(["o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"])
+
+
+def _q_anti_join(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.joins import broadcast_anti_join
+
+    ds = _documents(sf_dir, ["doc_id", "source", "n_chars"])
+    return broadcast_anti_join(ds, "source", {"src0", "src1", "src2"})
+
+
+def _q_token_explode(sf_dir: str):
+    # J2-style flat_map explosion: doc -> (doc_id, token) rows
+    import re
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    tok = re.compile(r"\S+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_tok = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for t in tok.findall(text or ""):
+                out_id.append(did)
+                out_tok.append(t)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "token": pa.array(out_tok, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_doc_token_stats(sf_dir: str):
+    # text-analysis subset that SQL can replicate exactly
+    from insurance_pdf_extractor_ray.pipelines.textpipe import analyze_text
+
+    ds = analyze_text(_documents(sf_dir, ["doc_id", "text"]), fingerprint=False,
+                      concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_ws": batch.column("n_tokens_ws"),
+            "n_chars_calc": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_brute_force
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))[:3]
+    q_ids = [head.column("vec_id").take(order).to_pylist()[i] for i in range(3)]
+    queries = np.asarray(head.column("embedding").take(order).to_pylist(), dtype=np.float64)
+
+    ds = ray.data.read_parquet(path)
+    out = knn_brute_force(ds, queries, k=5, batch_size=4096)
+    # remap positional query_id -> actual vec_id; round score for oracle hash
+    qmap = {i: q_ids[i] for i in range(3)}
+    return pa.table({
+        "query_id": pa.array([qmap[q] for q in out.column("query_id").to_pylist()], pa.int64()),
+        "vec_id": out.column("vec_id"),
+        "score": pc.round(out.column("score"), ndigits=6),
+    })
+
+
+def _q_knn_ivf(sf_dir: str):
+    """Approximate ANN via IVF (k-means inverted file) — deterministic but
+    approximate, so rows-only check (no SQL oracle)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.similarity import knn_ivf
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))[:3]
+    queries = np.asarray(head.column("embedding").take(order).to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(path)
+    out = knn_ivf(ds, queries, k=5, n_clusters=16, n_probe=6)
+    return _round_col(pa.table({
+        "query_id": out.column("query_id"),
+        "vec_id": out.column("vec_id"),
+        "score": out.column("score"),
+    }), "score", 6)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup ids.  Oracle: pinned id list at sf0.01, every id
+    independently verified to have an exact-Jaccard near-dup partner."""
+    from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return _ids_table(
+        minhash_dup_ids(ds, "text", "doc_id", threshold=0.8).select_columns(["doc_id"]))
+
+
+def _q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup ids (banded, pigeonhole-exact recall).  Oracle:
+    pinned id list at sf0.01."""
+    from insurance_pdf_extractor_ray.pipelines.dedup import simhash_dup_ids
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return _ids_table(
+        simhash_dup_ids(ds, "text", "doc_id", max_hamming=2).select_columns(["doc_id"]))
+
+
+def _q_text_analysis(sf_dir: str):
+    """Full text-analysis stage (lang-ID, token counts, quality,
+    fingerprint).  Oracle: committed golden parquet pinned at the driver's
+    correctness scale (sf0.01) — cross-validated independently for
+    n_tokens_ws (DuckDB regexp, see doc_token_stats) and spot-checked for
+    lang/quality; fingerprint emitted as hex (uint64 values above int64.max
+    round-trip poorly through row-based conversion)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import analyze_text
+
+    ds = analyze_text(_documents(sf_dir, ["doc_id", "text"]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        fp = batch.column("fingerprint").to_numpy(zero_copy_only=False)
+        q = batch.column("quality").to_numpy(zero_copy_only=False)
+        m = 1e6
+        q6 = np.floor(q * m + 0.5) / m  # half-away, DuckDB-ROUND-exact
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": batch.column("lang_pred"),
+            "n_tokens_ws": batch.column("n_tokens_ws"),
+            "n_tokens_bpe": batch.column("n_tokens_bpe"),
+            "quality": pa.array(q6, pa.float64()),
+            "fingerprint_hex": pa.array([f"{v:016x}" for v in fp], pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality gate over documents ∪ mangled copies (vowels
+    and spaces stripped -> degenerate word lengths, zero stopwords); the
+    mangled half must be rejected.  The oracle re-derives the whole rule
+    independently in SQL (regexp counts + ratio thresholds), so this is a
+    semantic check, not a determinism pin."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import quality_filter
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    drop_tbl = str.maketrans("", "", "aeiouAEIOU ")
+
+    def mangle(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").translate(drop_tbl) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.add(batch.column("doc_id"), 1000000),
+                         "text": pa.array(texts, pa.string())})
+
+    unioned = ds.union(ds.map_batches(mangle, batch_format="pyarrow"))
+    return _ids_table(quality_filter(unioned, min_quality=0.6))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Per-doc duplicate-line fraction (Gopher repetition filter family)."""
+    from insurance_pdf_extractor_ray.pipelines.textpipe import repetition_stats
+
+    ds = repetition_stats(_documents(sf_dir, ["doc_id", "text"]))
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_lines": pa.array([r["n_lines"] for r in rows], pa.int64()),
+        "n_distinct_lines": pa.array([r["n_distinct_lines"] for r in rows], pa.int64()),
+        "dup_line_ratio": pa.array(
+            [_round_away(r["dup_line_ratio"], 4) for r in rows], pa.float64()),
+    })
+
+
+def _q_field_success_rates(sf_dir: str):
+    from insurance_pdf_extractor_ray.pipelines.analytics import success_rates
+    from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline
+    from insurance_pdf_extractor_ray.pipelines.fields_table import (
+        explode_fields,
+        field_success_flags,
+    )
+
+    extracted = extract_pipeline(_corpus_for(sf_dir))
+    long = field_success_flags(explode_fields(extracted))
+    rows = success_rates(long, "field_name", "success_flag").take_all()
+    rows.sort(key=lambda r: r["field_name"])
+    return pa.table({
+        "field_name": pa.array([r["field_name"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "n_success": pa.array([r["n_success"] for r in rows], pa.int64()),
+        "success_rate": pa.array(
+            [_round_away(100.0 * r["n_success"] / r["n"], 2) for r in rows],
+            pa.float64()),
+    })
+
+
+def _q_html_main_content(sf_dir: str):
+    """HTML boilerplate strip (north-star DOM text-density scoring): wrap each
+    document's text in deterministic chrome (nav/header/link-farm/footer),
+    strip it back out — output must equal the original text exactly, which
+    the SQL oracle checks via SELECT doc_id, text."""
+    from insurance_pdf_extractor_ray.pipelines.htmlpipe import main_content
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        htmls = [
+            "<html><head><title>doc</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/p">Products</a> <a href="/c">Claims</a></nav>'
+            '<header><a href="/login">Login</a> | <a href="/signup">Sign up</a></header>'
+            f"<p>{t}</p>"
+            '<div><a href="/a">x</a> <a href="/b">y</a> <a href="/c">z</a></div>'
+            "<footer>&copy; 2024 Example Corp. All rights reserved.</footer>"
+            "</body></html>"
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array(htmls, pa.string())})
+
+    return main_content(ds.map_batches(wrap, batch_format="pyarrow"), "html", "doc_id")
+
+
+def _q_json_props_stats(sf_dir: str):
+    """A7 (analytics.py:82-91) derived per-group metrics over a JSON column:
+    parse events.props JSON, then per event_type n / total value / total k /
+    value per 1k k — the engine's JSON-scalar + post-aggregation projection
+    path (SURVEY.md §2.9).
+
+    Determinism: ``value`` is exact 2-decimal, so it is summed as integer
+    cents (int64 Sum is reduction-order-independent, unlike float Sum); the
+    final rounds mirror DuckDB's ROUND (std::round half-away: floor(v*10^nd+0.5))
+    rather than Python's banker's rounding — r01's hash-fail-with-identical-rows
+    pointed at exactly this boundary."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, ["event_type", "value", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        cents = pc.round(pc.multiply(batch.column("value"), 100.0)).cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": cents,
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    grouped = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("cents", alias_name="total_cents"),
+        Sum("k", alias_name="total_k"),
+    ).take_all()
+    rows = sorted(grouped, key=lambda r: r["event_type"])
+    totals = [r["total_cents"] / 100.0 for r in rows]  # exact 2-dec float
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "n": [r["n"] for r in rows],
+        "total_value": pa.array(totals, pa.float64()),
+        "total_k": [r["total_k"] for r in rows],
+        "value_per_1k": pa.array([
+            _round_away(t / r["total_k"] * 1000, 4) if r["total_k"] else 0.0
+            for t, r in zip(totals, rows)
+        ], pa.float64()),
+    })
+
+
+def _q_tumbling_window(sf_dir: str):
+    """Streaming-shaped: 1-hour tumbling window count/sum over events."""
+    from insurance_pdf_extractor_ray.pipelines.windows import tumbling_window
+
+    rows = tumbling_window(_events(sf_dir, ["ts", "value"]), "ts", _HOUR_US,
+                           "value").take_all()
+    rows.sort(key=lambda r: r["window_start"])
+    return pa.table({
+        "window_start": [r["window_start"] for r in rows],
+        "n": [r["n"] for r in rows],
+        "total": [_round_away(r["total"], 2) for r in rows],
+    })
+
+
+def _q_sliding_window(sf_dir: str):
+    """2-hour windows sliding by 1 hour (each event in 2 windows)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import sliding_window
+
+    rows = sliding_window(_events(sf_dir, ["ts", "value"]), "ts",
+                          2 * _HOUR_US, _HOUR_US, "value").take_all()
+    rows.sort(key=lambda r: r["window_start"])
+    return pa.table({
+        "window_start": [r["window_start"] for r in rows],
+        "n": [r["n"] for r in rows],
+        "total": [_round_away(r["total"], 2) for r in rows],
+    })
+
+
+def _q_session_windows(sf_dir: str):
+    """Per-user session windows with a 10-minute inactivity gap.
+
+    Normalized to a sorted, explicitly-typed Arrow table: the map_groups
+    shuffle can emit empty zero-column blocks whose schema poisons the
+    driver's value hash even when every row matches the oracle
+    (CORRECTNESS_r01 hash_match=false with identical rows)."""
+    from insurance_pdf_extractor_ray.pipelines.windows import session_windows
+
+    ds = session_windows(_events(sf_dir, ["user_id", "ts", "event_id"]),
+                         "user_id", "ts", gap_us=600_000_000,
+                         tiebreak_col="event_id")
+    rows = ds.take_all()
+    rows.sort(key=lambda r: (r["user_id"], r["session_id"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "session_id": pa.array([r["session_id"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "start_us": pa.array([r["start_us"] for r in rows], pa.int64()),
+        "end_us": pa.array([r["end_us"] for r in rows], pa.int64()),
+    })
+
+
+def _q_retention(sf_dir: str):
+    """D2 (storage.py:601-639): age-based expiry as a partition-prunable
+    predicate — keep rows at/after a fixed cutoff date."""
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = datetime.datetime(2024, 1, 15)
+        return batch.filter(pc.greater_equal(batch.column("ts"),
+                                             pa.scalar(cutoff, pa.timestamp("us"))))
+
+    return ds.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["event_id", "event_type"]
+    )
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        decode_media,
+        fake_assets_for_docs,
+        media_consistency_gate,
+        media_refs_from_docs,
+    )
+
+    docs = ray.data.read_parquet(_corpus_for(sf_dir))
+    refs = media_refs_from_docs(docs).take_all()
+    assets = fake_assets_for_docs([(r["doc_id"], r["media_ref"]) for r in refs],
+                                  corrupt_frac=0.1)
+    gated = media_consistency_gate(ray.data.from_arrow(assets))
+    out = decode_media(gated)
+
+    # Driver-sortable scalar projection: the decode emits a list<float>
+    # feature column, which generic result normalizers (sort/hash) can't
+    # order — ship its first element instead of the vector.
+    def scalarize(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features")
+        f0 = pc.list_element(feats, 0) if batch.num_rows else \
+            pa.array([], pa.float64())
+        keep = [c for c in batch.column_names if c != "features"]
+        return batch.select(keep).append_column("f0", f0)
+
+    return out.map_batches(scalarize, batch_format="pyarrow")
+
+
+def _q_media_decode_check(sf_dir: str):
+    """Deterministic digest of the media_decode output (count / thumbnail
+    area / first-feature sum per kind × consistency cell) so the multimodal
+    plumbing is driver-checkable against a pinned oracle — decode is the
+    documented deterministic stand-in (real codecs aren't in this
+    container), but the Ray-side schema, gate and actor plumbing are real."""
+    out = _q_media_decode(sf_dir)
+    rows = out.take_all()
+    cells: dict = {}
+    for r in rows:
+        key = (r["kind"], bool(r["kind_consistent"]))
+        c = cells.setdefault(key, [0, 0, 0.0])
+        c[0] += 1
+        c[1] += int(r["thumb_w"]) * int(r["thumb_h"])
+        c[2] += float(r["f0"])
+    keys = sorted(cells)
+    return pa.table({
+        "kind": pa.array([k[0] for k in keys], pa.string()),
+        "consistent": pa.array([k[1] for k in keys], pa.bool_()),
+        "n": pa.array([cells[k][0] for k in keys], pa.int64()),
+        "thumb_area": pa.array([cells[k][1] for k in keys], pa.int64()),
+        "f0_sum": pa.array([_round_away(cells[k][2], 6) for k in keys],
+                           pa.float64()),
+    })
+
+
+def _q_frame_sample_check(sf_dir: str):
+    """Deterministic digest of the video frame-sample stage (1 frame per
+    60 s, max 5 per clip) grouped by frame_idx — the frame features are the
+    documented deterministic stand-in, the explode layout / actor plumbing
+    is real (pipelines/multimodal.py:FrameSampleStage)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        fake_assets_for_docs,
+        frame_sample,
+        media_refs_from_docs,
+    )
+
+    docs = ray.data.read_parquet(_corpus_for(sf_dir))
+    refs = media_refs_from_docs(docs).take_all()
+    assets = fake_assets_for_docs(
+        [(r["doc_id"], r["media_ref"]) for r in refs])
+    out = frame_sample(ray.data.from_arrow(assets),
+                       every_ms=60_000, max_frames=5)
+    cells: dict = {}
+    for r in out.take_all():
+        c = cells.setdefault(int(r["frame_idx"]), [0, 0, 0.0])
+        c[0] += 1
+        c[1] += int(r["ts_ms"])
+        c[2] += float(r["features"][0])
+    keys = sorted(cells)
+    return pa.table({
+        "frame_idx": pa.array(keys, pa.int32()),
+        "n": pa.array([cells[k][0] for k in keys], pa.int64()),
+        "ts_sum": pa.array([cells[k][1] for k in keys], pa.int64()),
+        "f0_sum": pa.array([_round_away(cells[k][2], 6) for k in keys],
+                           pa.float64()),
+    })
+
+
+def _q_grouped_topk(sf_dir: str):
+    """Per-group top-k (row_number() OVER (PARTITION BY ...) <= k): top-3
+    events per type by value, event_id tiebreak — map-side partial top-k,
+    one bounded keyed shuffle (pipelines/rankagg.py)."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    out = grouped_top_k(
+        _events(sf_dir, ["event_type", "event_id", "value"]),
+        "event_type", order_by=["value", "event_id"], descending=[True, False],
+        k=3, columns=["event_type", "event_id", "value"],
+    )
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["event_type"], -r["value"], r["event_id"]))
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+
+
+def _q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — pair-dedup shuffle on the
+    composite key (no per-key reducer hot spot), then a tiny keyed count."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import distinct_count_by
+
+    out = distinct_count_by(_events(sf_dir, ["event_type", "user_id"]),
+                            "event_type", "user_id")
+    rows = sorted(out.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+    })
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Exact percentile_cont(0.5 / 0.9) per event_type over the
+    cents-quantized value column via a distinct-value histogram — one
+    composite-key shuffle, per-key interpolation over the tiny histogram."""
+    from insurance_pdf_extractor_ray.pipelines.rankagg import quantiles_by
+
+    out = quantiles_by(_events(sf_dir, ["event_type", "value"]),
+                       "event_type", "value", qs=(0.5, 0.9), names=("p50", "p90"))
+    rows = sorted(out.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "p50": pa.array([_round_away(r["p50"], 6) for r in rows], pa.float64()),
+        "p90": pa.array([_round_away(r["p90"], 6) for r in rows], pa.float64()),
+    })
+
+
+def _q_asof_last_click(sf_dir: str):
+    """Backward as-of join: for every non-click event, the most recent click
+    at-or-before it by the same user (big-big, single keyed shuffle,
+    vectorized searchsorted merge — pipelines/joins.py:asof_join)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    ev = ev.map_batches(us, batch_format="pyarrow")
+    left = ev.filter(expr="event_type != 'click'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = asof_join(left, right, by="user_id", on="ts_us", value_col="ts_us",
+                    out_col="last_click_ts")
+    rows = out.select_columns(["event_id", "last_click_ts"]).take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "last_click_ts": pa.array([r["last_click_ts"] for r in rows], pa.int64()),
+    })
+
+

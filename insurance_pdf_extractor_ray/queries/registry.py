@@ -1,0 +1,3299 @@
+"""Driver contract for the graft builder (Ray Data target).
+
+``entry()`` runs the flagship extraction pipeline on a corpus derived from
+sf0.001.  ``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the large-scale dedup/similarity/text-analysis additions);
+``oracle_sql()`` gives the DuckDB-equivalent for every SQL-expressible one.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float columns in oracle-checked queries are rounded identically on both sides
+(the driver hashes values; unrounded float sums differ across reduction
+orders).
+"""
+
+from __future__ import annotations
+import glob
+import os
+from collections.abc import Callable
+from typing import Any
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import entry  # noqa: F401
+from .q01 import *  # noqa: F401,F403
+from .q02 import *  # noqa: F401,F403
+from .q03 import *  # noqa: F401,F403
+from .q04 import *  # noqa: F401,F403
+from .q05 import *  # noqa: F401,F403
+from .q06 import *  # noqa: F401,F403
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "extract_fields": _q_extract_fields,
+        "extract_spans": _q_extract_spans,
+        "layout_extract": _q_layout_extract,
+        "extract_fields_check": _q_extract_fields_check,
+        "extract_spans_check": _q_extract_spans_check,
+        "layout_extract_check": _q_layout_extract_check,
+        "exact_dedup": _q_exact_dedup,
+        "global_stats": _q_global_stats,
+        "stats_by_type": _q_stats_by_type,
+        "daily_trends": _q_daily_trends,
+        "top10_by_value": _q_top10_by_value,
+        "event_breakdown": _q_breakdown,
+        "recent_n": _q_recent_n,
+        "search_filter": _q_search_filter,
+        "orders_customer_join": _q_orders_join,
+        "anti_join_docs": _q_anti_join,
+        "token_explode": _q_token_explode,
+        "doc_token_stats": _q_doc_token_stats,
+        "knn_embeddings": _q_knn,
+        "knn_ivf": _q_knn_ivf,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "text_analysis": _q_text_analysis,
+        "field_success_rates": _q_field_success_rates,
+        "quality_filter": _q_quality_filter,
+        "repetition_stats": _q_repetition_stats,
+        "media_decode": _q_media_decode,
+        "retention_filter": _q_retention,
+        "json_props_stats": _q_json_props_stats,
+        "html_main_content": _q_html_main_content,
+        "tumbling_window": _q_tumbling_window,
+        "sliding_window": _q_sliding_window,
+        "session_windows": _q_session_windows,
+        "grouped_topk": _q_grouped_topk,
+        "distinct_users_by_type": _q_distinct_users,
+        "value_quantiles_by_type": _q_value_quantiles,
+        "asof_last_click": _q_asof_last_click,
+        "embedding_dedup": _q_embedding_dedup,
+        "top_term_per_doc": _q_top_term,
+        "orders_lineitem_join": _q_orders_lineitem_join,
+        "hourly_distinct_users": _q_hourly_distinct_users,
+        "events_in_sessions": _q_events_in_sessions,
+        "stratified_sample": _q_stratified_sample,
+        "profile_documents": _q_profile_documents,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "pivot_event_daily": _q_pivot_event_daily,
+        "funnel_view_click_purchase": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "vocab_top100": _q_vocab_top100,
+        "dup_span_clean": _q_dup_span_clean,
+        "ngram_decontaminate": _q_ngram_decontaminate,
+        "boilerplate_stats": _q_boilerplate_stats,
+        "nfc_normalize": _q_nfc_normalize,
+        "gopher_repetition": _q_gopher_repetition,
+        "pretrain_prep": _q_pretrain_prep,
+        "unigram_logprob": _q_unigram_logprob,
+        "semantic_dedup": _q_semantic_dedup,
+        "dsir_weights": _q_dsir_weights,
+        "overlap_sessions_outages": _q_overlap_sessions_outages,
+        "minhash_cross_join": _q_minhash_cross_join,
+        "mad_by_type": _q_mad_by_type,
+        "robust_outliers": _q_robust_outliers,
+        "skew_kurt_by_type": _q_skew_kurt_by_type,
+        "dow_hour_heatmap": _q_dow_hour_heatmap,
+        "materialize_sequences": _q_materialize_sequences,
+        "asof_nearest_error": _q_asof_nearest_error,
+        "unimax_plan": _q_unimax_plan,
+        "quantiles_refine": _q_quantiles_refine,
+        "pii_redact": _q_pii_redact,
+        "mixture_interleave": _q_mixture,
+        "bm25_search": _q_bm25,
+        "bm25_search_indexed": _q_bm25_indexed,
+        "ntile_by_value": _q_ntile,
+        "rolling_avg_user": _q_rolling_avg,
+        "heavy_hitters_users": _q_heavy_hitters,
+        "rollup_source_lang": _q_rollup,
+        "hll_distinct_users": _q_hll_distinct,
+        "lag_prev_value": _q_lag,
+        "zscore_by_type": _q_zscore,
+        "value_histogram": _q_histogram,
+        "customer_order_counts": _q_outer_join,
+        "union_distinct_users": _q_union_distinct,
+        "mode_lang_per_source": _q_mode_lang,
+        "unpivot_daily_counts": _q_unpivot,
+        "media_decode_check": _q_media_decode_check,
+        "frame_sample_check": _q_frame_sample_check,
+        "corr_by_flag": _q_corr_by_flag,
+        "median_by_type": _q_median_by_type,
+        "string_agg_purchases": _q_string_agg_purchases,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "except_all_viewers": _q_except_all_viewers,
+        "intersect_all_engaged": _q_intersect_all_engaged,
+        "dense_rank_values": _q_dense_rank_values,
+        "weighted_sample": _q_weighted_sample,
+        "star_revenue": _q_star_revenue,
+        "name_pagerank": _q_name_pagerank,
+        "decayed_user_value": _q_decayed_user_value,
+        "vector_centroids": _q_vector_centroids,
+        "quality_audit": _q_quality_audit,
+        "events_in_outages": _q_events_in_outages,
+        "apply_changes_balances": _q_apply_changes_balances,
+        "event_transitions": _q_event_transitions,
+        "debounce_events": _q_debounce_events,
+        "entity_components": _q_entity_components,
+        "bigram_top100": _q_bigram_top100,
+        "cooccur_event_types": _q_cooccur_event_types,
+        "lang_entropy_by_source": _q_lang_entropy_by_source,
+        "cumulative_daily_value": _q_cumulative_daily_value,
+        "chunk_documents": _q_chunk_documents,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "regr_by_flag": _q_regr_by_flag,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "promo_nation_profit": _q_promo_nation_profit,
+        "snapshot_diff_users": _q_snapshot_diff_users,
+        "cube_source_lang": _q_cube_source_lang,
+        "salted_value_sum": _q_salted_sum,
+        "fixed_k_sample": _q_fixed_k_sample,
+        "bucketed_join_orders": _q_bucketed_join,
+        "quantiles_exact_by_type": _q_quantiles_exact,
+        "skew_join_events": _q_skew_join,
+        "percent_rank_values": _q_percent_rank,
+        "scd2_user_states": _q_scd2_user_states,
+        "events_with_state": _q_events_with_state,
+        "rolling_dau": _q_rolling_dau,
+        "range_layout_orders": _q_range_layout_orders,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "weekly_top_event": _q_weekly_top_event,
+        "pushdown_read_orders": _q_pushdown_read_orders,
+        "cumsum_by_user": _q_cumsum_by_user,
+        "bloom_semijoin_orders": _q_bloom_semijoin,
+        "daily_gapfill": _q_daily_gapfill,
+        "full_outer_balances": _q_full_outer_balances,
+        "hash_split_stats": _q_hash_split_stats,
+        "anti_join_shuffle": _q_anti_join_shuffle,
+        "range_rolling_user": _q_range_rolling_user,
+        "zorder_orders": _q_zorder_orders,
+        "merged_user_sessions": _q_merged_user_sessions,
+        "union_by_name_docs": _q_union_by_name,
+        "lead_next_value": _q_lead_next_value,
+        "gsets_source_lang": _q_gsets_source_lang,
+        "shuffled_docs_head": _q_shuffled_docs_head,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "cume_dist_values": _q_cume_dist,
+        "q5_region_revenue": _q_q5_region_revenue,
+        "q3_unshipped_topk": _q_q3_unshipped_topk,
+        "count_min_users": _q_count_min_users,
+        "bigram_logprob": _q_bigram_logprob,
+        "readability_docs": _q_readability,
+        "char_entropy_docs": _q_char_entropy,
+        "user_event_entropy": _q_user_event_entropy,
+        "interarrival_by_user": _q_interarrival,
+        "embedding_covariance": _q_embedding_covariance,
+        "lang_drift_by_source": _q_lang_drift,
+        "similarity_triangles": _q_similarity_triangles,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment_counts": _q_bpe_segment_counts,
+        "event_paths_top20": _q_event_paths,
+        "activity_gini": _q_activity_gini,
+        "winsorized_value_by_type": _q_winsorized_value,
+        "burstiness_by_user": _q_burstiness,
+        "conversion_latency": _q_conversion_latency,
+        "q13_custdist": _q_q13_custdist,
+        "pretrain_prep_bpe": _q_pretrain_prep_bpe,
+        "embedding_outliers": _q_embedding_outliers,
+        "selfjoin_size_estimate": _q_selfjoin_size,
+        "twap_by_user": _q_twap,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "stopword_coverage": _q_stopword_coverage,
+        "kcore_embeddings": _q_kcore,
+        "weighted_median_price": _q_weighted_median,
+        "time_in_state": _q_time_in_state,
+        "ks_view_purchase": _q_ks_test,
+        "roc_auc_purchase": _q_roc_auc,
+        "calibration_purchase": _q_calibration,
+        "mi_lang_source": _q_mi_lang_source,
+        "benford_totalprice": _q_benford,
+        "changepoint_daily": _q_changepoint,
+        "csv_source_stats": _q_csv_source,
+        "jsonl_source_stats": _q_jsonl_source,
+        "hybrid_search_rrf": _q_hybrid_search,
+        "priority_dedup": _q_priority_dedup,
+        "longest_streak_by_user": _q_longest_streak,
+        "hard_negative_mining": _q_hard_negatives,
+        "nearest_centroid_eval": _q_nearest_centroid,
+        "span_corruption_stats": _q_span_corruption,
+        "source_overlap_matrix": _q_source_overlap,
+        "rfm_user_segments": _q_rfm_segments,
+        "k_anonymity_audit": _q_k_anonymity,
+        "knn_ndcg_eval": _q_knn_ndcg,
+        "padding_efficiency": _q_padding_efficiency,
+        "stratified_split": _q_stratified_split,
+        "top_quartile_by_lang": _q_top_quartile_by_lang,
+        "value_band_pairs": _q_value_band_pairs,
+        "percent_rank_by_type": _q_percent_rank_by_type,
+        "q10_returned_revenue": _q_q10_returned_revenue,
+        "q18_big_orders": _q_q18_big_orders,
+        "daily_autocorr": _q_daily_autocorr,
+        "first_touch_revenue": _q_first_touch_revenue,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "welch_ttest_value": _q_welch_ttest_value,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "logprob_deciles_by_source": _q_logprob_deciles_by_source,
+        "containment_pairs": _q_containment_pairs,
+        "revenue_share_rank": _q_revenue_share_rank,
+        "set_jaccard_pairs": _q_set_jaccard_pairs,
+        "bfs_hops_embeddings": _q_bfs_hops_embeddings,
+        "pareto_front_orders": _q_pareto_front_orders,
+        "daily_ohlc": _q_daily_ohlc,
+        "events_fingerprint": _q_events_fingerprint,
+        "user_churn_daily": _q_user_churn_daily,
+        "pq_codes": _q_pq_codes,
+        "weekday_residuals": _q_weekday_residuals,
+        "proportional_budget_sample": _q_proportional_budget_sample,
+        "mannwhitney_value": _q_mannwhitney_value,
+        "third_purchase_ts": _q_third_purchase_ts,
+        "interval_coverage": _q_interval_coverage,
+        "top_dims_per_vector": _q_top_dims_per_vector,
+        "reciprocal_topk_pairs": _q_reciprocal_topk_pairs,
+        "lang_majority_mismatch": _q_lang_majority_mismatch,
+        "dup_window_profile": _q_dup_window_profile,
+        "bounce_rate_daily": _q_bounce_rate_daily,
+        "acf_daily": _q_acf_daily,
+        "lorenz_chars": _q_lorenz_chars,
+        "markov_entropy_rate": _q_markov_entropy_rate,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q14_promo_share": _q_q14_promo_share,
+        "heaps_growth": _q_heaps_growth,
+        "q19_band_revenue": _q_q19_band_revenue,
+        "order_concentration_gini": _q_order_concentration_gini,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    # NOTE on pinned oracles: minhash_dedup / simhash_dedup /
+    # field_success_rates / knn_ivf / text_analysis have no SQL-expressible
+    # semantics (LSH estimates, engine-defined heuristics, approximate ANN).
+    # Their oracles pin the independently-cross-validated expected output at
+    # the driver's correctness scale (sf0.01, seed-fixed inputs): every
+    # flagged minhash id was verified to have an exact n-gram-Jaccard >= 0.7
+    # smaller-id partner and no doc with a >= 0.85 partner is missed;
+    # text_analysis token counts re-derived in DuckDB regexp; results proven
+    # bit-identical across 4/8-CPU runs.  They are determinism+regression
+    # gates, valid at sf0.01 only.
+    return {
+        # golden-diff gates return ONLY mismatching cells; correctness = empty
+        "extract_fields_check": _EMPTY_DIFF_SQL,
+        "extract_spans_check": _EMPTY_DIFF_SQL,
+        "layout_extract_check": _EMPTY_DIFF_SQL,
+        "minhash_dedup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+              (134),(178),(185),(245),(267),(290),(293),(301),(323),(332),
+              (374),(377),(383),(387),(389),(413),(420),(446),(447),(450),
+              (455),(457),(462),(486)) AS t(doc_id)
+        """,
+        "simhash_dedup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+              (178),(185),(245),(290),(301),(323),(332),(389),(403),(413),
+              (420),(446),(447)) AS t(doc_id)
+        """,
+        "field_success_rates": """
+            SELECT field_name,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n_success AS BIGINT) AS n_success,
+                   CAST(success_rate AS DOUBLE) AS success_rate
+            FROM (VALUES
+              ('additional_named_insured_address', 500, 21, 4.2),
+              ('additional_named_insured_name', 500, 21, 4.2),
+              ('commission', 500, 42, 8.4),
+              ('estimated_premium_amount', 500, 416, 83.2),
+              ('issuing_carrier', 500, 416, 83.2),
+              ('minimum_earned_premium', 500, 42, 8.4),
+              ('named_insured_address', 500, 500, 100.0),
+              ('named_insured_name', 500, 500, 100.0),
+              ('policy_effective_date', 500, 416, 83.2),
+              ('policy_expiration_date', 500, 416, 83.2),
+              ('quote_number', 500, 458, 91.6),
+              ('taxes', 500, 416, 83.2),
+              ('tria', 500, 416, 83.2),
+              ('waiver_of_subrogation_type', 500, 416, 83.2),
+              ('workers_comp_disease_each_employee', 500, 416, 83.2),
+              ('workers_comp_disease_policy_limit', 500, 416, 83.2),
+              ('workers_comp_each_accident_limit', 500, 416, 83.2),
+              ('workers_comp_exclusion_description', 500, 42, 8.4)
+            ) AS t(field_name, n, n_success, success_rate)
+        """,
+        "text_analysis": """
+            SELECT * FROM read_parquet('/root/repo/goldens/text_analysis_sf0_01.parquet')
+        """,
+        "quality_filter": """
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     translate(text, 'aeiouAEIOU ', '') AS text
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     regexp_extract_all(text, '\\S+') AS words,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]')) AS n_alnum,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM unioned
+            ),
+            r AS (
+              SELECT doc_id, n_chars, len(words) AS n_words,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(words, w -> length(w))) * 1.0
+                               / len(words) END AS mean_wl,
+                     n_alnum * 1.0 / greatest(1, n_chars) AS alnum_ratio,
+                     n_punct * 1.0 / greatest(1, n_chars) AS punct_ratio,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE len(list_filter(words, w -> lower(w) IN
+                               ('the','and','of','to','a','in','is','that','it',
+                                'for','was','with','on','as','this'))) * 1.0
+                               / len(words) END AS stop_ratio
+              FROM m
+            ),
+            q AS (
+              SELECT doc_id,
+                     greatest(0.0,
+                       1.0
+                       - CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 0.0 ELSE 0.3 END
+                       - CASE WHEN alnum_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+                       - CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END
+                       - CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END
+                     ) AS quality
+              FROM r
+            )
+            SELECT doc_id FROM q WHERE quality >= 0.6
+        """,
+        "repetition_stats": """
+            SELECT doc_id,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+                   round(1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0
+                             / greatest(1, len(string_split(text, chr(10)))), 4)
+                     AS dup_line_ratio
+            FROM documents
+        """,
+        "knn_ivf": """
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(score AS DOUBLE) AS score
+            FROM (VALUES
+              (0, 0, 1.0), (0, 365, 0.369994), (0, 334, 0.362722),
+              (0, 387, 0.331139), (0, 423, 0.296934),
+              (1, 1, 1.0), (1, 386, 0.371485), (1, 27, 0.348208),
+              (1, 407, 0.32701), (1, 195, 0.322744),
+              (2, 2, 1.0), (2, 117, 0.318143), (2, 450, 0.266344),
+              (2, 145, 0.263494), (2, 320, 0.255043)
+            ) AS t(query_id, vec_id, score)
+        """,
+        "exact_dedup": """
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id FROM unioned GROUP BY text
+        """,
+        "global_stats": """
+            SELECT count(value) AS n,
+                   round(sum(value), 2) AS total,
+                   round(avg(value), 4) AS avg,
+                   min(value) AS min,
+                   max(value) AS max
+            FROM events
+        """,
+        "stats_by_type": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY event_type
+        """,
+        "daily_trends": """
+            SELECT strftime(ts, '%Y-%m-%d') AS date,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY 1
+        """,
+        "top10_by_value": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "event_breakdown": """
+            SELECT event_type, count(*) AS n,
+                   round(100.0 * count(*) / (SELECT count(*) FROM events), 2) AS pct
+            FROM events GROUP BY event_type
+        """,
+        "recent_n": """
+            SELECT event_id, event_type, value
+            FROM events ORDER BY ts DESC, event_id LIMIT 100
+        """,
+        "search_filter": """
+            SELECT * FROM documents
+            WHERE source = 'src3' AND n_chars >= 200 AND text LIKE '%data%'
+        """,
+        "orders_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "anti_join_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source NOT IN ('src0', 'src1', 'src2')
+        """,
+        "token_explode": """
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+            FROM documents
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+        "retention_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        """,
+        "html_main_content": """
+            SELECT doc_id, text FROM documents
+        """,
+        "json_props_stats": """
+            WITH parsed AS (
+              SELECT event_type, value,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value,
+                   CAST(sum(k) AS BIGINT) AS total_k,
+                   CASE WHEN sum(k) > 0
+                        THEN round(round(sum(value), 2) / sum(k) * 1000, 4)
+                        ELSE 0.0 END AS value_per_1k
+            FROM parsed GROUP BY event_type
+        """,
+        "tumbling_window": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1
+        """,
+        "sliding_window": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                     - i * 3600000000 AS window_start,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events, range(2) AS t(i)
+            GROUP BY 1
+        """,
+        "session_windows": """
+            WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+            m AS (SELECT user_id, event_id, e,
+                         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+                                                    ORDER BY e, event_id)
+                                  > 600000000 THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            s AS (SELECT user_id, e,
+                         CAST(sum(brk) OVER (PARTITION BY user_id
+                                             ORDER BY e, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS session_id
+                  FROM m)
+            SELECT user_id, session_id, count(*) AS n,
+                   min(e) AS start_us, max(e) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "knn_embeddings": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.emb, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(sim, 6) AS score
+            FROM ranked WHERE rk <= 5
+        """,
+        "grouped_topk": """
+            SELECT event_type, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) WHERE rn <= 3
+            ORDER BY event_type, value DESC, event_id
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type, COUNT(value) AS n,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "asof_last_click": """
+            SELECT l.event_id, r.ts_us AS last_click_ts
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                  WHERE event_type <> 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                  WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+            ORDER BY l.event_id
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE EXISTS (
+              SELECT 1 FROM embeddings b
+              WHERE b.vec_id < a.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.45)
+            ORDER BY a.vec_id
+        """,
+        "top_term_per_doc": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+                   GROUP BY token)
+            SELECT doc_id, token, tf, df FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, df.df ASC,
+                                                 tf.token ASC) AS rn
+              FROM tf JOIN df USING (token))
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "orders_lineitem_join": """
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                   o.o_totalprice,
+                   round(l.l_extendedprice * (1.0 - l.l_discount), 4) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        "hourly_distinct_users": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_in_sessions": """
+            WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+            m AS (SELECT user_id, event_id, e,
+                         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+                                                    ORDER BY e, event_id)
+                                  > 600000000 THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            s AS (SELECT user_id, event_id, e,
+                         CAST(sum(brk) OVER (PARTITION BY user_id
+                                             ORDER BY e, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS session_id
+                  FROM m),
+            iv AS (SELECT user_id, session_id,
+                          min(e) AS start_us, max(e) AS end_us
+                   FROM s GROUP BY user_id, session_id)
+            SELECT d.event_id, iv.session_id
+            FROM d JOIN iv ON d.user_id = iv.user_id
+                          AND d.e BETWEEN iv.start_us AND iv.end_us
+            ORDER BY d.event_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((CAST(doc_id AS HUGEINT) * 2654435761 + 13) % 4294967296)
+                  < CASE source WHEN 'src0' THEN 2147483648
+                                WHEN 'src1' THEN 4294967296
+                                WHEN 'src2' THEN 0
+                                ELSE 1073741824 END
+            ORDER BY doc_id
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS col_name, COUNT(*) AS n,
+                   COUNT(*) - COUNT(doc_id) AS n_null,
+                   COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source) FROM documents
+            ORDER BY col_name
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS start_tok
+              FROM d
+            )
+            SELECT doc_id,
+                   unnest(generate_series(start_tok // 2048,
+                                          (start_tok + n_tokens - 1) // 2048))
+                       AS seq_id,
+                   start_tok,
+                   start_tok + n_tokens AS end_tok
+            FROM c WHERE n_tokens > 0
+            ORDER BY doc_id, seq_id
+        """,
+        "decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
+              FROM tok, unnest(generate_series(1, len(ts) - 5)) AS t(i)
+            ),
+            eg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id < 5
+            )
+            SELECT tok.doc_id,
+                   COALESCE((SELECT COUNT(*) FROM g
+                             WHERE g.doc_id = tok.doc_id
+                               AND g.gram IN (SELECT gram FROM eg)),
+                            0) AS n_overlap
+            FROM tok ORDER BY tok.doc_id
+        """,
+        "pivot_event_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS date,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "funnel_view_click_purchase": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (VALUES
+              (1, 'view', (SELECT count(*) FROM s1)),
+              (2, 'click', (SELECT count(*) FROM s2)),
+              (3, 'purchase', (SELECT count(*) FROM s3))
+            ) AS t(step_idx, step, n_users)
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, f.cohort,
+                         datediff('day', f.cohort,
+                                  date_trunc('day', e.ts)) AS day_offset
+                  FROM events e JOIN f ON e.user_id = f.user_id)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+                   count(*) AS n_users
+            FROM a WHERE day_offset BETWEEN 0 AND 7
+            GROUP BY cohort, day_offset ORDER BY 1, 2
+        """,
+        "vocab_top100": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS token FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+        """,
+        # semantic_dedup's pinned set at sf0.01 (tau=0.30, k=8, 3 Lloyd
+        # iters): each id verified in DuckDB to have a smaller-id partner at
+        # list_cosine_similarity >= 0.30; set layout/CPU-count-stable
+        "semantic_dedup": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id FROM (VALUES
+              (27),(30),(33),(35),(58),(60),(77),(88),(91),(95),
+              (108),(110),(111),(112),(114),(115),(116),(117),(120),(123),
+              (124),(138),(139),(143),(145),(149),(150),(162),(169),(175),
+              (181),(187),(190),(196),(197),(202),(204),(205),(209),(214),
+              (218),(220),(224),(225),(227),(228),(233),(234),(235),(238),
+              (240),(256),(260),(261),(262),(264),(270),(271),(274),(277),
+              (278),(280),(281),(282),(289),(291),(292),(295),(296),(298),
+              (299),(300),(301),(302),(305),(306),(308),(309),(313),(314),
+              (317),(320),(322),(324),(325),(326),(334),(339),(340),(343),
+              (344),(347),(349),(350),(354),(355),(357),(359),(360),(361),
+              (363),(365),(366),(369),(370),(371),(372),(375),(380),(382),
+              (384),(385),(386),(387),(397),(398),(399),(401),(402),(403),
+              (404),(406),(407),(410),(411),(412),(413),(414),(415),(416),
+              (417),(419),(421),(427),(428),(430),(431),(432),(434),(436),
+              (437),(438),(442),(444),(445),(447),(449),(452),(456),(457),
+              (458),(460),(461),(462),(463),(466),(468),(470),(471),(472),
+              (473),(474),(475),(476),(477),(478),(479),(481),(483),(484),
+              (486),(488),(489),(491),(495),(496),(498),(499)) AS t(vec_id)
+        """,
+        "quantiles_refine": """
+            WITH a AS (
+              SELECT quantile_cont(value, [0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS c,
+                     quantile_disc(value, [0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS d
+              FROM events)
+            SELECT t.q, round(a.c[t.i], 6) AS cont, round(a.d[t.i], 6) AS disc
+            FROM a, (VALUES (1,0.01),(2,0.1),(3,0.25),(4,0.5),
+                            (5,0.75),(6,0.9),(7,0.99)) AS t(i, q)
+            ORDER BY t.q
+        """,
+        "unimax_plan": """
+            WITH c AS (SELECT event_type AS source, count(*) AS n
+                       FROM events GROUP BY 1),
+            s AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c)
+            SELECT source, n,
+                   round(least(total * pow(n, 0.5) / z / n, 4.0), 6)
+                     AS weight,
+                   CAST(floor(round(least(total * pow(n, 0.5) / z / n,
+                                          4.0), 6)) AS BIGINT)
+                     AS full_epochs
+            FROM c, s ORDER BY source
+        """,
+        "asof_nearest_error": """
+            SELECT p.event_id, p.user_id,
+                   (SELECT epoch_us(e.ts) FROM events e
+                    WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                    ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)),
+                             (epoch_us(e.ts) > epoch_us(p.ts)), e.ts
+                    LIMIT 1) AS nearest_error_ts
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id
+        """,
+        "materialize_sequences": """
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+                     len(regexp_extract_all(text, '\\S+')) AS n
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, w, n,
+                     CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_tok
+              FROM d
+            ), pairs AS (
+              SELECT doc_id, w, n, start_tok,
+                     unnest(generate_series(start_tok // 512,
+                              (start_tok + n - 1) // 512)) AS seq_id
+              FROM cum WHERE n > 0
+            ), slices AS (
+              SELECT seq_id, doc_id,
+                     array_to_string(
+                       w[greatest(seq_id * 512 - start_tok, 0) + 1 :
+                         least((seq_id + 1) * 512 - start_tok, n)],
+                       ' ') AS piece,
+                     least((seq_id + 1) * 512 - start_tok, n)
+                       - greatest(seq_id * 512 - start_tok, 0) AS ntok
+              FROM pairs)
+            SELECT seq_id, string_agg(piece, ' ' ORDER BY doc_id)
+                     AS seq_text,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens, count(*) AS n_docs
+            FROM slices GROUP BY seq_id ORDER BY seq_id
+        """,
+        "dow_hour_heatmap": """
+            SELECT dayofweek(ts) AS dow, hour(ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "skew_kurt_by_type": """
+            SELECT event_type, ROUND(skewness(value), 9) AS skewness,
+                   ROUND(kurtosis(value), 9) AS kurtosis, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "robust_outliers": """
+            WITH s AS (SELECT event_type, median(value) AS med,
+                              mad(value) AS md
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   CAST(sum(CASE WHEN abs(e.value - s.med) > 3 * s.md
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   count(*) AS n
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "mad_by_type": """
+            SELECT event_type, round(mad(value), 6) AS mad
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # minhash_cross_join pinned at sf0.01: 10 identity pairs (the eval
+        # slice rejoins itself at est=1.0) + pair (92,450) — exact 3-gram
+        # Jaccard 0.958 in DuckDB; est = 118/128 is a dyadic rational, so
+        # the float pins exactly
+        "minhash_cross_join": """
+            SELECT CAST(l AS BIGINT) AS l_id, CAST(r AS BIGINT) AS r_id,
+                   CAST(e AS DOUBLE) AS est
+            FROM (VALUES
+              (0,0,1.0),(50,50,1.0),(92,450,0.921875),(100,100,1.0),
+              (150,150,1.0),(200,200,1.0),(250,250,1.0),(300,300,1.0),
+              (350,350,1.0),(400,400,1.0),(450,450,1.0)) AS t(l, r, e)
+            ORDER BY l_id, r_id
+        """,
+        "overlap_sessions_outages": """
+            WITH l AS (SELECT event_id AS l_id,
+                              epoch_us(ts) AS ls,
+                              epoch_us(ts) + 5*60*1000000 AS le
+                       FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT event_id AS r_id,
+                         epoch_us(ts) AS rs,
+                         epoch_us(ts) + 10*60*1000000 AS re
+                  FROM events WHERE event_type = 'error')
+            SELECT l_id, r_id FROM l JOIN r
+            ON ls <= re AND rs <= le
+            ORDER BY l_id, r_id
+        """,
+        "dsir_weights": """
+            WITH toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS token FROM documents),
+            ttoks AS (SELECT t.token FROM toks t JOIN documents d
+                      USING (doc_id) WHERE d.source = 'src0'),
+            src AS (SELECT token, count(*) c FROM toks GROUP BY token),
+            tgt AS (SELECT token, count(*) c FROM ttoks GROUP BY token),
+            vocab AS (SELECT token, coalesce(s.c, 0) cs, coalesce(t.c, 0) ct
+                      FROM (SELECT token FROM src UNION SELECT token FROM tgt)
+                      LEFT JOIN src s USING (token)
+                      LEFT JOIN tgt t USING (token)),
+            stats AS (SELECT sum(cs) + count(*) AS stot,
+                             sum(ct) + count(*) AS ttot FROM vocab),
+            ratio AS (SELECT token,
+                        ln((ct+1)*1.0 / (SELECT ttot FROM stats))
+                        - ln((cs+1)*1.0 / (SELECT stot FROM stats)) AS x
+                      FROM vocab),
+            micro AS (SELECT token,
+                        CAST(CASE WHEN x >= 0 THEN floor(x*1000000 + 0.5)
+                             ELSE -floor(-x*1000000 + 0.5) END AS BIGINT) AS m
+                      FROM ratio)
+            SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(m.m) AS BIGINT) AS dsir_micro
+            FROM toks t JOIN micro m USING (token)
+            GROUP BY t.doc_id ORDER BY doc_id
+        """,
+        "unigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS token FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM toks),
+            lp AS (SELECT token,
+                          CAST(-floor(-ln(c * 1.0 / (SELECT n FROM tot))
+                                       * 1000000 + 0.5) AS BIGINT) AS micro
+                   FROM cnt)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST(sum(lp.micro) AS BIGINT) AS logprob_micro
+            FROM toks t JOIN lp USING (token)
+            GROUP BY t.doc_id ORDER BY doc_id
+        """,
+        "pretrain_prep": """
+            WITH wn AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), corp AS (SELECT * FROM wn WHERE doc_id % 50 <> 0
+            ), uni AS (
+              SELECT doc_id, count(DISTINCT x) AS nd
+              FROM corp, unnest(w) AS u(x) GROUP BY doc_id
+            ), bi AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+                           count(*) AS c
+                    FROM corp, unnest(generate_series(1, nw - 1)) AS s(i)
+                    WHERE nw >= 2 GROUP BY doc_id, g) GROUP BY doc_id
+            ), tri AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g,
+                           count(*) AS c
+                    FROM corp, unnest(generate_series(1, nw - 2)) AS s(i)
+                    WHERE nw >= 3 GROUP BY doc_id, g) GROUP BY doc_id
+            ), gated AS (
+              SELECT corp.doc_id FROM corp
+              LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+              LEFT JOIN tri USING (doc_id)
+              WHERE (CASE WHEN corp.nw > 0
+                     THEN round(1 - uni.nd * 1.0 / corp.nw, 6) ELSE 0 END)
+                    <= 0.80
+                AND round(coalesce(bi.m * 2.0 / corp.nw, 0), 6) <= 0.20
+                AND round(coalesce(tri.m * 3.0 / corp.nw, 0), 6) <= 0.18
+            ), evg AS (
+              SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8 AND doc_id % 50 = 0
+            ), contam AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT c.doc_id, array_to_string(c.w[i:i+7], ' ') AS gram
+                FROM corp c JOIN gated USING (doc_id),
+                     unnest(generate_series(1, c.nw - 8 + 1)) AS t(i)
+                WHERE c.nw >= 8)
+              WHERE gram IN (SELECT gram FROM evg)
+            ), clean AS (
+              SELECT c.doc_id, c.text FROM corp c JOIN gated USING (doc_id)
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+            ), winners AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+                FROM clean) WHERE doc_id = m
+            ), d AS (
+              SELECT c.doc_id,
+                     len(regexp_extract_all(c.text, '\\S+')) AS n_tokens
+              FROM clean c JOIN winners USING (doc_id)
+            ), cum AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_tok
+              FROM d)
+            SELECT doc_id,
+                   unnest(generate_series(start_tok // 1024,
+                            (start_tok + n_tokens - 1) // 1024)) AS seq_id,
+                   start_tok, start_tok + n_tokens AS end_tok
+            FROM cum WHERE n_tokens > 0
+            ORDER BY doc_id, seq_id
+        """,
+        "gopher_repetition": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, count(DISTINCT x) AS nd
+              FROM wn, unnest(w) AS u(x) GROUP BY doc_id
+            ), bi AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+                           count(*) AS c
+                    FROM wn, unnest(generate_series(1, nw - 1)) AS s(i)
+                    WHERE nw >= 2 GROUP BY doc_id, g) GROUP BY doc_id
+            ), tri AS (
+              SELECT doc_id, max(CASE WHEN c >= 2 THEN c ELSE 0 END) AS m
+              FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g,
+                           count(*) AS c
+                    FROM wn, unnest(generate_series(1, nw - 2)) AS s(i)
+                    WHERE nw >= 3 GROUP BY doc_id, g) GROUP BY doc_id
+            )
+            SELECT wn.doc_id, wn.nw AS n_words,
+              CASE WHEN wn.nw > 0
+                   THEN round(1 - uni.nd * 1.0 / wn.nw, 6) ELSE 0
+              END AS frac_dup_unigrams,
+              round(coalesce(bi.m * 2.0 / wn.nw, 0), 6) AS frac_top_bigram,
+              round(coalesce(tri.m * 3.0 / wn.nw, 0), 6) AS frac_top_trigram,
+              (CASE WHEN wn.nw > 0
+                    THEN round(1 - uni.nd * 1.0 / wn.nw, 6) ELSE 0 END) <= 0.80
+              AND round(coalesce(bi.m * 2.0 / wn.nw, 0), 6) <= 0.20
+              AND round(coalesce(tri.m * 3.0 / wn.nw, 0), 6) <= 0.18 AS keep
+            FROM wn LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+            LEFT JOIN tri USING (doc_id) ORDER BY wn.doc_id
+        """,
+        "nfc_normalize": """
+            SELECT doc_id, nfc_normalize(text) AS text_nfc,
+                   nfc_normalize(text) <> text AS changed
+            FROM documents ORDER BY doc_id
+        """,
+        "boilerplate_stats": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8
+            ), dup AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (SELECT doc_id, i FROM wins
+                        WHERE gram IN (SELECT gram FROM dup))
+            SELECT (SELECT count(*) FROM wins) AS n_windows,
+                   (SELECT count(*) FROM dup) AS n_dup_windows,
+                   (SELECT count(*) FROM hits) AS n_dup_positions,
+                   (SELECT count(DISTINCT doc_id) FROM hits)
+                     AS n_docs_touched
+        """,
+        "ngram_decontaminate": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), evg AS (
+              SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8 AND doc_id % 50 = 0
+            ), cg AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8 AND doc_id % 50 <> 0
+            ), hits AS (
+              SELECT doc_id, count(*) AS n FROM cg
+              WHERE gram IN (SELECT gram FROM evg) GROUP BY doc_id)
+            SELECT c.doc_id, greatest(c.nw - 8 + 1, 0) AS n_windows,
+                   coalesce(h.n, 0) AS n_eval_hits,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM wn c LEFT JOIN hits h USING (doc_id)
+            WHERE c.doc_id % 50 <> 0 ORDER BY c.doc_id
+        """,
+        "dup_span_clean": """
+            WITH wn AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+              FROM wn, unnest(generate_series(1, nw - 8 + 1)) AS t(i)
+              WHERE nw >= 8
+            ), dup AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), dpos AS (
+              SELECT doc_id, i FROM wins
+              WHERE gram IN (SELECT gram FROM dup)
+            ), wordrows AS (
+              SELECT doc_id, t.i AS pos, w[t.i] AS word
+              FROM wn, unnest(generate_series(1, nw)) AS t(i)
+            ), covered AS (
+              SELECT wr.doc_id, wr.pos, wr.word,
+                     EXISTS (SELECT 1 FROM dpos d WHERE d.doc_id = wr.doc_id
+                             AND wr.pos BETWEEN d.i AND d.i + 7) AS cov
+              FROM wordrows wr)
+            SELECT wn.doc_id, wn.nw AS n_words,
+                   greatest(wn.nw - 8 + 1, 0) AS n_windows,
+                   (SELECT count(*) FROM dpos d
+                    WHERE d.doc_id = wn.doc_id) AS n_dup_windows,
+                   (SELECT count(*) FROM covered c
+                    WHERE c.doc_id = wn.doc_id AND c.cov) AS n_dropped_words,
+                   coalesce((SELECT string_agg(c.word, ' ' ORDER BY c.pos)
+                             FROM covered c
+                             WHERE c.doc_id = wn.doc_id AND NOT c.cov),
+                            '') AS clean_text
+            FROM wn ORDER BY doc_id
+        """,
+        "pii_redact": _pii_redact_sql(),
+        "mixture_interleave": _mixture_sql(),
+        "bm25_search": """
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('shuffle', 'spark', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            SELECT t.doc_id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                             * t.tf * (1.2 + 1.0)
+                             / (t.tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * l.dl / s.avgdl))),
+                         6) AS score
+            FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 15
+        """,
+        "bm25_search_indexed": """
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('shuffle', 'spark', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            SELECT t.doc_id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                             * t.tf * (1.2 + 1.0)
+                             / (t.tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * l.dl / s.avgdl))),
+                         6) AS score
+            FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 15
+        """,
+        "ntile_by_value": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY value, event_id) AS rn,
+                   ntile(10) OVER (ORDER BY value, event_id) AS tile
+            FROM events ORDER BY rn
+        """,
+        "rolling_avg_user": """
+            SELECT event_id,
+                   count(*) OVER w AS roll_n,
+                   round(avg(value) OVER w, 6) AS roll_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "heavy_hitters_users": """
+            SELECT user_id AS value, count(*) AS n FROM events
+            GROUP BY 1 HAVING count(*) >= 80 ORDER BY n DESC, value
+        """,
+        "rollup_source_lang": """
+            SELECT source, lang, count(*) AS n FROM documents
+            GROUP BY ROLLUP(source, lang)
+        """,
+        "hll_distinct_users": _HLL_PINNED_SQL,
+        "lag_prev_value": """
+            SELECT event_id,
+                   lag(value, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_value
+            FROM events ORDER BY event_id
+        """,
+        "zscore_by_type": """
+            SELECT event_id,
+                   round((value - avg(value) OVER (PARTITION BY event_type))
+                         / stddev_pop(value) OVER (PARTITION BY event_type),
+                         6) AS zscore
+            FROM events ORDER BY event_id
+        """,
+        "value_histogram": """
+            WITH b AS (SELECT unnest(generate_series(0, 19)) AS bin),
+            c AS (SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT),
+                                        0), 19) AS bin,
+                         count(*) AS n
+                  FROM events GROUP BY 1)
+            SELECT b.bin, b.bin * 50.0 AS lo_edge, COALESCE(c.n, 0) AS n
+            FROM b LEFT JOIN c USING (bin) ORDER BY b.bin
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, COALESCE(o.n, 0) AS n_orders
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                       GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey
+        """,
+        "union_distinct_users": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              UNION
+              SELECT user_id FROM events WHERE event_type = 'error'
+            ) ORDER BY user_id
+        """,
+        "mode_lang_per_source": """
+            SELECT source, lang, n FROM (
+              SELECT source, lang, count(*) AS n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY count(*) DESC, lang) AS rk
+              FROM documents GROUP BY source, lang
+            ) WHERE rk = 1 ORDER BY source
+        """,
+        "unpivot_daily_counts": """
+            WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date
+                       FROM events),
+            t AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                                 'view']) AS metric),
+            c AS (SELECT strftime(ts, '%Y-%m-%d') AS date,
+                         event_type AS metric, count(*) AS n
+                  FROM events GROUP BY 1, 2)
+            SELECT d.date, t.metric, COALESCE(c.n, 0) AS n
+            FROM d CROSS JOIN t
+            LEFT JOIN c ON c.date = d.date AND c.metric = t.metric
+            ORDER BY d.date, t.metric
+        """,
+        # media_decode's digest pinned at sf0.01 (deterministic synthetic
+        # decode; proven identical across runs and block layouts) — makes
+        # the multimodal plumbing driver-checkable
+        # frame_sample_check pinned at sf0.01: the asset table is a pure
+        # deterministic function of the corpus media refs (seed 42), and the
+        # per-frame digest is layout/CPU-count-stable (proven in
+        # tests/test_multimodal.py::TestFrameSample)
+        "frame_sample_check": """
+            SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(n AS BIGINT) AS n, CAST(ts_sum AS BIGINT) AS ts_sum,
+                   f0_sum
+            FROM (VALUES
+              (0, 26, 0, 13.606888),
+              (1, 22, 1320000, 9.787698),
+              (2, 18, 2160000, 10.392069),
+              (3, 14, 2520000, 6.815966),
+              (4, 12, 2880000, 7.304632)
+            ) AS t(frame_idx, n, ts_sum, f0_sum)
+        """,
+        "media_decode_check": """
+            SELECT kind, consistent, CAST(n AS BIGINT) AS n,
+                   CAST(thumb_area AS BIGINT) AS thumb_area, f0_sum
+            FROM (VALUES
+              ('audio', false, 5, 0, 2.830273),
+              ('audio', true, 27, 0, 10.902026),
+              ('image', false, 1, 256, 0.936732),
+              ('image', true, 23, 40315, 11.746857),
+              ('video', true, 26, 0, 12.795594)
+            ) AS t(kind, consistent, n, thumb_area, f0_sum)
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   count(*) AS n
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "promo_nation_profit": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS rev_c
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "regr_by_flag": """
+            SELECT l_returnflag,
+                   ROUND(regr_slope(l_quantity, l_discount), 9) AS slope,
+                   ROUND(regr_intercept(l_quantity, l_discount), 9)
+                     AS intercept,
+                   ROUND(regr_r2(l_quantity, l_discount), 9) AS r2,
+                   CAST(regr_count(l_quantity, l_discount) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_diff_users": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events
+            ), cut AS (
+              SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts)))
+                                    // 2) AS c FROM e
+            ), o AS (
+              SELECT user_id, event_type, cents FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e WHERE ts < (SELECT c FROM cut)) WHERE rn = 1
+            ), n AS (
+              SELECT user_id, event_type, cents FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e) WHERE rn = 1
+            )
+            SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'insert'
+                        WHEN n.user_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   o.event_type AS old_event_type,
+                   n.event_type AS new_event_type,
+                   o.cents AS old_cents, n.cents AS new_cents
+            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+            WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+                       AND o.event_type IS NOT DISTINCT FROM n.event_type
+                       AND o.cents IS NOT DISTINCT FROM n.cents)
+            ORDER BY user_id
+        """,
+        "corr_by_flag": """
+            SELECT l_returnflag, ROUND(corr(l_quantity, l_discount), 9) AS corr,
+                   ROUND(covar_samp(l_quantity, l_discount), 9) AS covar_samp
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "median_by_type": """
+            SELECT event_type, ROUND(median(value), 9) AS med
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "string_agg_purchases": """
+            SELECT user_id,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY ts, event_id) AS agg
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY 1, 2
+        """,
+        "except_all_viewers": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "intersect_all_engaged": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "cube_source_lang": """
+            SELECT source, lang, COUNT(*) AS n FROM documents
+            GROUP BY CUBE(source, lang)
+        """,
+        "name_pagerank": """
+            WITH pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a, customer b
+              WHERE a.c_custkey < b.c_custkey
+                AND a.c_nationkey = b.c_nationkey
+                AND levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT deg.src AS id, 1.0 / nn.n AS r FROM deg, nn),
+            r1 AS (SELECT e.dst AS id,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r0.r / deg.d) AS r
+                   FROM edges e JOIN r0 ON e.src = r0.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS id,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r1.r / deg.d) AS r
+                   FROM edges e JOIN r1 ON e.src = r1.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS id,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r2.r / deg.d) AS r
+                   FROM edges e JOIN r2 ON e.src = r2.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst)
+            SELECT id, ROUND(r, 9) AS rank FROM r3 ORDER BY id
+        """,
+        "decayed_user_value": """
+            WITH w AS (
+              SELECT user_id,
+                     value * exp((epoch_us(ts) - 1704067200000000)
+                                 / 86400000000.0) AS wv,
+                     epoch_us(ts) AS e
+              FROM events)
+            SELECT user_id,
+                   ROUND(SUM(wv) * exp(-(MAX(e) - 1704067200000000)
+                                       / 86400000000.0), 6) AS decayed_sum
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "vector_centroids": """
+            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                   ROUND(AVG(e), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i ORDER BY label, dim
+        """,
+        "quality_audit": """
+            SELECT * FROM (
+              SELECT 'empty_text' AS rule,
+                     CAST(COALESCE(SUM(CASE WHEN text IS NULL OR text = ''
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+                     COUNT(*) AS total FROM documents
+              UNION ALL
+              SELECT 'len_mismatch',
+                     CAST(COALESCE(SUM(CASE WHEN n_chars <> length(text)
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT),
+                     COUNT(*) FROM documents
+              UNION ALL
+              SELECT 'unknown_lang',
+                     CAST(COALESCE(SUM(CASE WHEN lang NOT IN
+                                       ('de','en','es','fr','zh')
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT),
+                     COUNT(*) FROM documents
+              UNION ALL
+              SELECT 'oversize',
+                     CAST(COALESCE(SUM(CASE WHEN n_chars > 500
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT),
+                     COUNT(*) FROM documents)
+            ORDER BY rule
+        """,
+        "events_in_outages": """
+            SELECT e.event_id AS event_id, w.event_id AS outage_id
+            FROM events e JOIN events w
+              ON w.event_type = 'error'
+             AND e.ts >= w.ts AND e.ts <= w.ts + INTERVAL 600 SECOND
+            ORDER BY 1, 2
+        """,
+        "apply_changes_balances": """
+            WITH latest AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1)
+            SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+                   CASE WHEN l.user_id IS NOT NULL THEN l.value
+                        ELSE c.c_acctbal END AS c_acctbal
+            FROM customer c FULL OUTER JOIN latest l
+              ON c.c_custkey = l.user_id
+            WHERE l.event_type IS DISTINCT FROM 'error'
+            ORDER BY 1
+        """,
+        "event_transitions": """
+            WITH m AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM m WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "debounce_events": """
+            WITH m AS (SELECT event_id, user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS ptype,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                       FROM events)
+            SELECT event_id, user_id, event_type FROM m
+            WHERE ptype IS DISTINCT FROM event_type OR gap > 60000000
+            ORDER BY event_id
+        """,
+        "entity_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a, customer b
+              WHERE a.c_custkey < b.c_custkey
+                AND a.c_nationkey = b.c_nationkey
+                AND levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.dst AS id, reach.r FROM reach
+              JOIN edges e ON reach.id = e.src
+            )
+            SELECT id, MIN(r) AS root FROM reach GROUP BY id ORDER BY id
+        """,
+        "bigram_top100": """
+            WITH w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                       FROM documents),
+            b AS (SELECT unnest(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100
+        """,
+        "cooccur_event_types": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS n
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lang_entropy_by_source": """
+            SELECT source, ROUND(-SUM(p * ln(p)), 6) AS entropy FROM (
+              SELECT source,
+                     COUNT(*) * 1.0
+                       / SUM(COUNT(*)) OVER (PARTITION BY source) AS p
+              FROM documents GROUP BY source, lang)
+            GROUP BY source ORDER BY source
+        """,
+        "star_revenue": """
+            SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "cumulative_daily_value": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+                   CAST(SUM(COUNT(*)) OVER (ORDER BY CAST(ts AS DATE))
+                        AS BIGINT) AS cum_n,
+                   ROUND(SUM(SUM(value)) OVER (ORDER BY CAST(ts AS DATE)), 4)
+                     AS cum_total
+            FROM events GROUP BY CAST(ts AS DATE) ORDER BY date
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (ORDER BY
+              ln((((CAST(doc_id AS HUGEINT) * 2654435761 + 3)
+                   % 4294967296) + 1) / 4294967296.0) / n_chars DESC,
+              doc_id) <= 100
+            ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(
+                       0, CAST(length(text) AS BIGINT) - 1, 160)) AS gs
+              FROM documents)
+            SELECT doc_id, CAST(gs / 160 AS BIGINT) AS chunk_id,
+                   substr(text, CAST(gs AS BIGINT) + 1, 200) AS chunk_text
+            FROM s ORDER BY doc_id, chunk_id
+        """,
+        "dense_rank_values": """
+            SELECT event_type, value, drank FROM (
+              SELECT DISTINCT event_type, value,
+                     DENSE_RANK() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC) AS drank
+              FROM events)
+            WHERE drank <= 100 ORDER BY event_type, drank
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id
+        """,
+        "salted_value_sum": """
+            SELECT event_type, ROUND(SUM(value), 6) AS total
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "fixed_k_sample": """
+            SELECT event_type, event_id FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY
+                ((CAST(event_id AS HUGEINT) * 2654435761 + 7) % 4294967296),
+                event_id) <= 25
+            ORDER BY 1, 2
+        """,
+        "bucketed_join_orders": """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY 1
+        """,
+        "quantiles_exact_by_type": """
+            SELECT event_type, q, ROUND(quantile, 9) AS quantile FROM (
+              SELECT event_type, 0.25 AS q,
+                     quantile_cont(value, 0.25) AS quantile
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT event_type, 0.5, quantile_cont(value, 0.5)
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT event_type, 0.75, quantile_cont(value, 0.75)
+              FROM events GROUP BY 1
+            ) ORDER BY 1, 2
+        """,
+        "skew_join_events": """
+            SELECT event_id, user_id, c_mktsegment
+            FROM events JOIN customer ON user_id = c_custkey
+            ORDER BY event_id
+        """,
+        "percent_rank_values": """
+            SELECT event_id,
+                   ROUND(percent_rank() OVER (
+                     PARTITION BY event_type ORDER BY value, event_id), 9) AS pr
+            FROM events ORDER BY event_id
+        """,
+        "pushdown_read_orders": """
+            SELECT count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS total_cents
+            FROM orders WHERE o_totalprice > 400000.0
+        """,
+        "weekly_top_event": """
+            SELECT user_id, week, event_id, value FROM (
+              SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                     event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 604800000000
+                       ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1
+            ORDER BY user_id, week
+        """,
+        "quantize_embeddings": """
+            WITH x AS (
+              SELECT e.vec_id, t.dim,
+                     CAST(e.embedding[t.dim] AS DOUBLE) AS v
+              FROM embeddings e,
+                   unnest(generate_series(1, len(e.embedding))) AS t(dim)
+            ), s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim)
+            SELECT x.dim, s.mn, s.mx,
+                   CAST(sum(CASE WHEN s.mx > s.mn THEN CAST(round(
+                     (x.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS sum_q
+            FROM x JOIN s USING (dim) GROUP BY x.dim, s.mn, s.mx
+            ORDER BY x.dim
+        """,
+        "range_layout_orders": """
+            WITH b AS (SELECT unnest(quantile_disc(o_totalprice,
+                         [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]))
+                       AS bv FROM orders),
+            p AS (SELECT o_totalprice AS v,
+                         (SELECT count(*) FROM b WHERE bv < o_totalprice)
+                         AS part FROM orders)
+            SELECT part, count(*) AS n, min(v) AS mn, max(v) AS mx
+            FROM p GROUP BY part ORDER BY part
+        """,
+        "rolling_dau": """
+            WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                              user_id FROM events),
+                 days AS (SELECT DISTINCT day FROM e)
+            SELECT d.day, count(DISTINCT e.user_id) AS n_distinct
+            FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY d.day
+        """,
+        "events_with_state": """
+            WITH ch AS (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events WHERE event_type IN ('signup', 'error')
+            ), surv AS (
+              SELECT user_id, ts, event_id, event_type FROM ch
+              WHERE prev IS NULL OR event_type <> prev
+            ), dim AS (
+              SELECT user_id, event_type AS state, ts AS valid_from,
+                     LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+              FROM surv)
+            SELECT p.event_id, p.user_id, d.state
+            FROM events p JOIN dim d ON p.user_id = d.user_id
+              AND p.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+            WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id
+        """,
+        "scd2_user_states": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), changes AS (
+              SELECT user_id, ts, event_id, event_type FROM ordered
+              WHERE prev IS NULL OR event_type <> prev
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   LEAD(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+            FROM changes ORDER BY user_id, valid_from
+        """,
+        "cumsum_by_user": """
+            SELECT event_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   COUNT(*) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM events ORDER BY event_id
+        """,
+        "bloom_semijoin_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "daily_gapfill": """
+            WITH agg AS (
+              SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+              WHERE event_type = 'purchase' AND value > 4.97
+              GROUP BY 1
+            ), cal AS (
+              SELECT CAST(unnest(generate_series(
+                       (SELECT MIN(day) FROM agg),
+                       (SELECT MAX(day) FROM agg),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            )
+            SELECT strftime(cal.day, '%Y-%m-%d') AS date,
+                   COALESCE(agg.n, 0) AS n_events
+            FROM cal LEFT JOIN agg USING (day) ORDER BY 1
+        """,
+        "full_outer_balances": """
+            WITH s AS (
+              SELECT user_id,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT COALESCE(c_custkey, user_id) AS id, c_acctbal, total_cents
+            FROM customer FULL OUTER JOIN s ON c_custkey = user_id
+            ORDER BY id
+        """,
+        "hash_split_stats": """
+            WITH h AS (
+              SELECT n_chars,
+                     CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 9)
+                          % 4294967296 AS BIGINT) AS hv
+              FROM documents
+            ), lab AS (
+              SELECT n_chars,
+                     CASE WHEN hv < 214748364 THEN 'test'
+                          WHEN hv < 429496729 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM h
+            )
+            SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM lab GROUP BY split ORDER BY split
+        """,
+        "anti_join_shuffle": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = o_custkey
+                                AND c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "range_rolling_user": """
+            SELECT event_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS rr_cents,
+                   COUNT(*) OVER w AS rr_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "zorder_orders": _zorder_sql(),
+        "merged_user_sessions": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts) + 1800000000 AS e_us
+              FROM events
+            ), flagged AS (
+              SELECT user_id, s_us, e_us,
+                     CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                            PARTITION BY user_id ORDER BY s_us, e_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), s_us - 1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM iv
+            ), grouped AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, e_us
+                                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            )
+            SELECT user_id, MIN(s_us) AS s_us, MAX(e_us) AS e_us,
+                   COUNT(*) AS n_events
+            FROM grouped GROUP BY user_id, island
+            ORDER BY user_id, s_us
+        """,
+        "union_by_name_docs": """
+            SELECT doc_id, source, n_chars, lang FROM (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE lang = 'en'
+              UNION ALL BY NAME
+              SELECT doc_id, lang FROM documents WHERE lang <> 'en'
+            ) ORDER BY doc_id
+        """,
+        "lead_next_value": """
+            SELECT event_id,
+                   LEAD(value, 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS lead_value
+            FROM events ORDER BY event_id
+        """,
+        "gsets_source_lang": """
+            SELECT source, lang, COUNT(*) AS n FROM documents
+            GROUP BY GROUPING SETS ((source), (lang), ())
+            ORDER BY (source IS NULL), source, (lang IS NULL), lang
+        """,
+        "cume_dist_values": """
+            SELECT event_id,
+                   ROUND(cume_dist() OVER (
+                     PARTITION BY event_type ORDER BY value, event_id), 9) AS cd
+            FROM events ORDER BY event_id
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS BIGINT) AS revenue_i4
+            FROM customer, orders, lineitem, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q3_unshipped_topk": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS BIGINT) AS revenue_i4,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate  > TIMESTAMP '1998-06-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_i4 DESC, l_orderkey LIMIT 10
+        """,
+        "shuffled_docs_head": _shuffled_head_sql(),
+        # kmeans is iterative — not SQL-expressible.  This pins the engine's
+        # bit-deterministic output at the driver's correctness scale
+        # (sf0.01, seed=0, k=8, 5 iters): fixed-point int64 partials make
+        # the result identical across partitionings; verified bit-equal at
+        # 4 vs 16 CPUs.  Determinism+regression gate, valid at sf0.01 only.
+        "kmeans_embeddings": """
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(size AS BIGINT) AS size,
+                   CAST(centroid_norm AS DOUBLE) AS centroid_norm
+            FROM (VALUES
+              (0, 55, 0.265906), (1, 61, 0.255662), (2, 67, 0.250667),
+              (3, 66, 0.274938), (4, 63, 0.269473), (5, 63, 0.274249),
+              (6, 66, 0.273279), (7, 59, 0.274369)
+            ) AS t(cluster_id, size, centroid_norm)
+        """,
+        # Count-Min counters are integer sums (commutative), so the sketch
+        # is layout-deterministic and fully re-derivable in SQL: bucket the
+        # whole stream with the same hash family, then est = min over rows.
+        "count_min_users": """
+            WITH params(i, a, b) AS (VALUES
+              (0, 1103515245, 12345), (1, 1664525, 1013904223),
+              (2, 69069, 362437), (3, 22695477, 133331)),
+            slots AS (
+              SELECT p.i AS i,
+                     ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647)
+                       % 512 AS bucket,
+                     COUNT(*) AS c
+              FROM events e CROSS JOIN params p GROUP BY 1, 2),
+            qk AS (SELECT user_id, COUNT(*) AS exact FROM events
+                   WHERE user_id < 60 GROUP BY 1),
+            qs AS (
+              SELECT q.user_id, p.i,
+                     ((p.a * (q.user_id % 2147483647) + p.b) % 2147483647)
+                       % 512 AS bucket
+              FROM qk q CROSS JOIN params p),
+            est AS (
+              SELECT qs.user_id, MIN(s.c) AS est
+              FROM qs JOIN slots s ON s.i = qs.i AND s.bucket = qs.bucket
+              GROUP BY 1)
+            SELECT q.user_id, CAST(e.est AS BIGINT) AS est,
+                   CAST(q.exact AS BIGINT) AS exact
+            FROM qk q JOIN est e USING (user_id) ORDER BY user_id
+        """,
+        "bigram_logprob": """
+            WITH w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                       FROM documents),
+            tok AS (SELECT unnest(ws) AS token FROM w),
+            v AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+            b AS (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+            cb AS (SELECT bigram, COUNT(*) AS c FROM b GROUP BY 1),
+            ctx AS (SELECT string_split(bigram, ' ')[1] AS tok1,
+                           SUM(c) AS cc FROM cb GROUP BY 1),
+            mu AS (SELECT cb.bigram,
+                     CAST(-floor(-(ln((cb.c + 1.0) / (ctx.cc + v.v))
+                                  * 1000000) + 0.5) AS BIGINT) AS mu
+                   FROM cb, ctx, v
+                   WHERE string_split(cb.bigram, ' ')[1] = ctx.tok1)
+            SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(mu.mu) AS BIGINT) AS bigram_lp_micro
+            FROM b JOIN mu USING (bigram)
+            GROUP BY 1 ORDER BY doc_id
+        """,
+        "readability_docs": """
+            SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+              greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS n_sentences,
+              len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS n_syllables,
+              CAST(-floor(-((206.835 - 1.015*(n_words*1.0/n_sentences)
+                             - 84.6*(n_syllables*1.0/n_words))*1000000)
+                          + 0.5) AS BIGINT) AS fre_micro
+            FROM documents
+            WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+            ORDER BY doc_id
+        """,
+        "char_entropy_docs": """
+            WITH c AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(text, '')) AS ch
+                       FROM documents WHERE text <> '')
+            SELECT doc_id, COUNT(*) AS n_chars_h,
+                   round(entropy(ch), 6) AS char_entropy
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "user_event_entropy": """
+            SELECT user_id, round(entropy(event_type), 6) AS entropy,
+                   COUNT(DISTINCT event_type) AS n_cats
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "interarrival_by_user": """
+            WITH g AS (SELECT user_id, ts,
+                         epoch_us(ts) - epoch_us(
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                           AS gap
+                       FROM events)
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                     AS span_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        # Every x_i*x_j product of float32 values is exact in float64, and
+        # each product is half-rounded to integer micro-units BEFORE the
+        # reduction — so the co-moment sums are order-independent int64 and
+        # the covariance column derives from the same integers with the
+        # same float expression on both sides (bit-exact, no rounding).
+        "embedding_covariance": """
+            WITH e AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         unnest(embedding) AS v
+                       FROM embeddings),
+            p AS (SELECT e1.i AS i, e2.i AS j,
+                    SUM(CAST(-floor(-((CAST(e1.v AS DOUBLE)
+                                       * CAST(e2.v AS DOUBLE)) * 1000000)
+                                    + 0.5) AS BIGINT)) AS s_xy,
+                    SUM(CAST(-floor(-(CAST(e1.v AS DOUBLE) * 1000000)
+                                    + 0.5) AS BIGINT)) AS s_x,
+                    SUM(CAST(-floor(-(CAST(e2.v AS DOUBLE) * 1000000)
+                                    + 0.5) AS BIGINT)) AS s_y,
+                    COUNT(*) AS n
+                  FROM e e1 JOIN e e2
+                    ON e1.vec_id = e2.vec_id AND e1.i <= e2.i
+                  GROUP BY 1, 2)
+            SELECT i, j, n, CAST(s_xy AS BIGINT) AS s_xy_micro,
+                   (s_xy/1000000.0 - (s_x/1000000.0)*(s_y/1000000.0)/n)
+                     / (n - 1.0) AS cov
+            FROM p ORDER BY i, j
+        """,
+        "lang_drift_by_source": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            g AS (SELECT lang, SUM(n) AS gn FROM c GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM c),
+            k AS (SELECT source, SUM(n) AS kn FROM c GROUP BY 1),
+            grid AS (SELECT k.source, g.lang, k.kn, g.gn,
+                            COALESCE(c.n, 0) AS n
+                     FROM k CROSS JOIN g
+                     LEFT JOIN c ON c.source = k.source AND c.lang = g.lang)
+            SELECT grid.source, CAST(MAX(grid.kn) AS BIGINT) AS n,
+              round(SUM(CASE WHEN grid.n > 0 THEN (grid.n*1.0/grid.kn)
+                       * log2((grid.n*1.0/grid.kn) / (grid.gn*1.0/tot.t))
+                     ELSE 0 END), 6) AS kl_bits,
+              round(SUM(pow(grid.n - grid.kn*grid.gn*1.0/tot.t, 2)
+                        / (grid.kn*grid.gn*1.0/tot.t)), 6) AS chi2
+            FROM grid, tot GROUP BY 1 ORDER BY 1
+        """,
+        # Edge membership is an INTEGER threshold (per-value fixed-point
+        # quantization then exact int64 dot), so the graph — and every
+        # triangle — is re-derived exactly; no float-threshold flicker.
+        "similarity_triangles": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v, SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS (SELECT u, v FROM s WHERE sim >= 274877906944),
+            deg AS (SELECT node, COUNT(*) AS degree FROM
+                    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY 1),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+            tc AS (SELECT node, COUNT(*) AS triangles FROM
+                   (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1)
+            SELECT deg.node, deg.degree,
+                   COALESCE(tc.triangles, 0) AS triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN round(2.0 * COALESCE(tc.triangles, 0)
+                                   / (deg.degree * (deg.degree - 1.0)), 6)
+                        END AS clustering
+            FROM deg LEFT JOIN tc USING (node) ORDER BY node
+        """,
+        "bpe_merges": _bpe_oracle(8),
+        "bpe_segment_counts": _bpe_oracle(8, mode="apply"),
+        "event_paths_top20": """
+            WITH s AS (SELECT user_id, event_type,
+                         LEAD(event_type, 1) OVER w AS e2,
+                         LEAD(event_type, 2) OVER w AS e3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   COUNT(*) AS n_paths
+            FROM s WHERE e3 IS NOT NULL
+            GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+        """,
+        # 1-based ranks over ascending per-key counts; rank-weighted sum is
+        # tie-order invariant, so no tiebreak column is needed.
+        "activity_gini": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+                       GROUP BY 1),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   round((2.0 * SUM(i * n)) / (COUNT(*) * SUM(n))
+                         - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+            FROM r
+        """,
+        "winsorized_value_by_type": """
+            WITH q AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY 1)
+            SELECT e.event_type, COUNT(*) AS n,
+                   round(MAX(q.lo), 9) AS q_lo,
+                   round(MAX(q.hi), 9) AS q_hi,
+                   round(AVG(CASE WHEN e.value < q.lo THEN q.lo
+                                  WHEN e.value > q.hi THEN q.hi
+                                  ELSE e.value END), 6) AS wmean
+            FROM events e JOIN q USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "burstiness_by_user": """
+            WITH d AS (SELECT user_id,
+                         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                         COUNT(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_days,
+                   round(var_samp(n) / avg(n), 6) AS fano
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "conversion_latency": """
+            WITH f AS (SELECT user_id,
+                         MIN(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END) AS v,
+                         MIN(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END) AS p
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')
+                       GROUP BY 1)
+            SELECT user_id, CAST(p - v AS BIGINT) AS latency_us
+            FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+            ORDER BY user_id
+        """,
+        "q13_custdist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1)
+            GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "pretrain_prep_bpe": _pretrain_bpe_oracle(8),
+        # per-dim μ/σ² derive from int64-quantized moment sums; each
+        # Mahalanobis term is quantized BEFORE the across-dim SUM, so the
+        # score (and the top-k cut) is integer-exact on both sides.
+        "embedding_outliers": """
+            WITH e AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+            m AS (SELECT i,
+                    SUM(CAST(-floor(-(v*1000000) + 0.5) AS BIGINT)) AS sx,
+                    SUM(CAST(-floor(-((v*v)*1000000) + 0.5) AS BIGINT))
+                      AS sxx,
+                    COUNT(*) AS n
+                  FROM e GROUP BY 1),
+            p AS (SELECT i, sx/1000000.0/n AS mu,
+                    (sxx/1000000.0 - (sx/1000000.0)*(sx/1000000.0)/n)
+                      / (n - 1.0) AS var
+                  FROM m),
+            d AS (SELECT e.vec_id,
+                    SUM(CAST(-floor(-(((e.v - p.mu)*(e.v - p.mu)/p.var)
+                                      *1000000) + 0.5) AS BIGINT))
+                      AS dist2_micro
+                  FROM e JOIN p USING (i) GROUP BY 1)
+            SELECT vec_id, CAST(dist2_micro AS BIGINT) AS dist2_micro FROM d
+            ORDER BY dist2_micro DESC, vec_id LIMIT 25
+        """,
+        "selfjoin_size_estimate": """
+            WITH params(i, a, b) AS (VALUES
+              (0, 1103515245, 12345), (1, 1664525, 1013904223),
+              (2, 69069, 362437), (3, 22695477, 133331)),
+            slots AS (
+              SELECT p.i AS i,
+                     ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647)
+                       % 512 AS bucket,
+                     COUNT(*) AS c
+              FROM events e CROSS JOIN params p GROUP BY 1, 2),
+            ip AS (SELECT i, SUM(c * c) AS s FROM slots GROUP BY 1),
+            cnts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(n * n) AS BIGINT) AS exact,
+                   (SELECT CAST(MIN(s) AS BIGINT) FROM ip) AS est
+            FROM cnts
+        """,
+        "twap_by_user": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS t, value,
+                         LEAD(epoch_us(ts)) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2
+                       FROM events),
+            g AS (SELECT user_id,
+                    CAST(SUM(CASE WHEN t2 IS NOT NULL THEN
+                      CAST(-floor(-(value * (t2 - t)) + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS q,
+                    CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+                  FROM s GROUP BY 1)
+            SELECT user_id, span_us, CAST(q AS DOUBLE) / span_us AS twap
+            FROM g WHERE span_us > 0 ORDER BY user_id
+        """,
+        "personalized_pagerank": """
+            WITH pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a, customer b
+              WHERE a.c_custkey < b.c_custkey
+                AND a.c_nationkey = b.c_nationkey
+                AND levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            ns AS (SELECT count(*) AS n FROM customer
+                   WHERE c_custkey % 100 = 0),
+            r0 AS (SELECT deg.src AS id,
+                          CASE WHEN deg.src % 100 = 0
+                               THEN 1.0 / ns.n ELSE 0.0 END AS r
+                   FROM deg, ns),
+            r1 AS (SELECT e.dst AS id,
+                          0.15 * CASE WHEN e.dst % 100 = 0
+                                 THEN 1.0 / (SELECT n FROM ns)
+                                 ELSE 0.0 END
+                          + 0.85 * SUM(r0.r / deg.d) AS r
+                   FROM edges e JOIN r0 ON e.src = r0.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS id,
+                          0.15 * CASE WHEN e.dst % 100 = 0
+                                 THEN 1.0 / (SELECT n FROM ns)
+                                 ELSE 0.0 END
+                          + 0.85 * SUM(r1.r / deg.d) AS r
+                   FROM edges e JOIN r1 ON e.src = r1.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS id,
+                          0.15 * CASE WHEN e.dst % 100 = 0
+                                 THEN 1.0 / (SELECT n FROM ns)
+                                 ELSE 0.0 END
+                          + 0.85 * SUM(r2.r / deg.d) AS r
+                   FROM edges e JOIN r2 ON e.src = r2.id
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst)
+            SELECT id, ROUND(r, 9) AS rank FROM r3 ORDER BY id
+        """,
+        "stopword_coverage": _stopword_oracle(),
+        "kcore_embeddings": _kcore_oracle(4, 6),
+        "weighted_median_price": """
+            WITH c AS (SELECT l_returnflag, l_extendedprice,
+                         CAST(l_quantity AS BIGINT) AS w,
+                         SUM(CAST(l_quantity AS BIGINT)) OVER
+                           (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS cw,
+                         SUM(CAST(l_quantity AS BIGINT)) OVER
+                           (PARTITION BY l_returnflag) AS tw
+                       FROM lineitem)
+            SELECT l_returnflag, MIN(l_extendedprice) AS wmedian
+            FROM c WHERE cw >= tw / 2.0 GROUP BY 1 ORDER BY 1
+        """,
+        "time_in_state": """
+            WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                         LEAD(epoch_us(ts)) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2
+                       FROM events)
+            SELECT event_type,
+                   CAST(SUM(t2 - t) AS BIGINT) AS dwell_us
+            FROM s WHERE t2 IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        # default RANGE window frame makes the cumulative tie-inclusive —
+        # the engine evaluates only after each complete tie group, same rule
+        "roc_auc_purchase": """
+            WITH x AS (SELECT value AS s,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS p
+                       FROM events WHERE value IS NOT NULL),
+            a AS (SELECT s, SUM(p) AS np, SUM(1 - p) AS nn
+                  FROM x GROUP BY s),
+            w AS (SELECT np, nn,
+                    COALESCE(SUM(nn) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS below
+                  FROM a),
+            t AS (SELECT SUM(np) AS n1, SUM(nn) AS n0 FROM a)
+            SELECT CAST(t.n1 AS BIGINT) AS n_pos,
+                   CAST(t.n0 AS BIGINT) AS n_neg,
+                   round(SUM(np * (below + 0.5 * nn)) / (t.n1 * t.n0), 9)
+                     AS auc
+            FROM w, t GROUP BY t.n1, t.n0
+        """,
+        "calibration_purchase": """
+            WITH x AS (SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS p,
+                         CASE WHEN event_type = 'purchase' THEN 1.0
+                              ELSE 0.0 END AS l
+                       FROM events WHERE value IS NOT NULL)
+            SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+                   COUNT(*) AS n,
+                   round(AVG(p), 9) AS mean_p,
+                   round(AVG(l), 9) AS frac_pos
+            FROM x GROUP BY 1 ORDER BY 1
+        """,
+        "mi_lang_source": """
+            WITH c AS (SELECT lang AS x, source AS y, COUNT(*) AS o
+                       FROM documents GROUP BY 1, 2),
+            rx AS (SELECT x, SUM(o) AS r FROM c GROUP BY 1),
+            cy AS (SELECT y, SUM(o) AS cc FROM c GROUP BY 1),
+            t AS (SELECT SUM(o) AS n FROM c),
+            k AS (SELECT LEAST((SELECT COUNT(*) FROM rx),
+                               (SELECT COUNT(*) FROM cy)) AS k)
+            SELECT CAST(t.n AS BIGINT) AS n,
+                   round(SUM((c.o * 1.0 / t.n)
+                             * ln(c.o * 1.0 * t.n / (rx.r * cy.cc))), 9)
+                     AS mi_nats,
+                   round(t.n * (SUM(c.o * c.o * 1.0 / (rx.r * cy.cc)) - 1.0),
+                         6) AS chi2,
+                   round(sqrt(GREATEST(t.n * (SUM(c.o * c.o * 1.0
+                                                  / (rx.r * cy.cc)) - 1.0),
+                                       0.0) / (t.n * (k.k - 1))), 9)
+                     AS cramers_v
+            FROM c JOIN rx ON c.x = rx.x JOIN cy ON c.y = cy.y, t, k
+            GROUP BY t.n, k.k
+        """,
+        "benford_totalprice": """
+            WITH i AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                       FROM orders WHERE o_totalprice > 0),
+            d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit
+                  FROM i WHERE c > 0),
+            g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT SUM(n) AS tot FROM g),
+            all9 AS (SELECT CAST(r + 1 AS BIGINT) AS digit
+                     FROM range(9) AS x(r))
+            SELECT all9.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+                   round(COALESCE(g.n, 0) * 1.0 / t.tot, 9) AS observed_p,
+                   round(log10(1 + 1.0 / all9.digit), 9) AS expected_p
+            FROM all9 LEFT JOIN g USING (digit), t
+            ORDER BY all9.digit
+        """,
+        "ks_view_purchase": """
+            WITH x AS (SELECT value AS v,
+                         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS i1,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS i2
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            n AS (SELECT SUM(i1) AS n1, SUM(i2) AS n2 FROM x),
+            r AS (SELECT v, SUM(i1) OVER (ORDER BY v) AS c1,
+                         SUM(i2) OVER (ORDER BY v) AS c2 FROM x)
+            SELECT CAST(n.n1 AS BIGINT) AS n_a, CAST(n.n2 AS BIGINT) AS n_b,
+                   round(MAX(ABS(c1 * 1.0 / n.n1 - c2 * 1.0 / n.n2)), 9)
+                     AS ks_d
+            FROM r, n GROUP BY 1, 2
+        """,
+        "changepoint_daily": """
+            WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         AS day, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            o AS (SELECT day, n,
+                    ROW_NUMBER() OVER (ORDER BY day) AS i,
+                    SUM(n) OVER (ORDER BY day) AS s1,
+                    SUM(n * n) OVER (ORDER BY day) AS s2
+                  FROM d),
+            t AS (SELECT MAX(s1) AS st1, MAX(s2) AS st2,
+                         COUNT(*) AS m FROM o),
+            c AS (SELECT o.day,
+                    (o.s2 - o.s1 * o.s1 * 1.0 / o.i)
+                    + ((t.st2 - o.s2)
+                       - (t.st1 - o.s1) * (t.st1 - o.s1) * 1.0
+                         / (t.m - o.i)) AS sse
+                  FROM o, t WHERE o.i < t.m)
+            SELECT day AS change_day, round(sse, 6) AS sse
+            FROM c ORDER BY sse ASC, day ASC LIMIT 1
+        """,
+        # engine side round-trips through CSV/NDJSON text (integer-quantized
+        # value columns survive exactly); oracle reads the parquet directly
+        "csv_source_stats": """
+            SELECT COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(-floor(-(o_totalprice * 100) + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents,
+                   COUNT(DISTINCT o_custkey) AS n_cust
+            FROM orders
+        """,
+        "jsonl_source_stats": """
+            SELECT COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN value >= 0
+                             THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                             ELSE -CAST(floor(-value * 1000 + 0.5)
+                                        AS BIGINT) END) AS BIGINT)
+                     AS sum_milli,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events
+        """,
+        # both legs reuse the verified bm25 / cosine rankings; RRF adds at
+        # most two floats per doc (float addition of two terms is
+        # order-free), rounded at 9
+        "hybrid_search_rrf": """
+            WITH dl AS (SELECT doc_id,
+                          len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+                             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ('shuffle', 'spark', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            bm AS (SELECT t.doc_id,
+                     sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * t.tf * (1.2 + 1.0)
+                         / (t.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * l.dl / s.avgdl)))
+                       AS score
+                   FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+                   CROSS JOIN stats s GROUP BY t.doc_id),
+            lex AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                    FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings ORDER BY vec_id LIMIT 1),
+            scored AS (SELECT e.vec_id,
+                         list_cosine_similarity(q.emb,
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                       FROM q CROSS JOIN embeddings e),
+            sem AS (SELECT vec_id AS doc_id,
+                      row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+                    FROM scored ORDER BY sim DESC, vec_id LIMIT 20),
+            fused AS (SELECT doc_id, SUM(1.0 / (60 + rk)) AS rrf FROM (
+                        SELECT doc_id, rk FROM lex
+                        UNION ALL SELECT doc_id, rk FROM sem)
+                      GROUP BY 1)
+            SELECT doc_id, round(rrf, 9) AS rrf
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "priority_dedup": """
+            SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                       PARTITION BY text
+                       ORDER BY doc_id % 3 DESC, doc_id ASC) AS rn
+              FROM documents) WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        "longest_streak_by_user": """
+            WITH d AS (SELECT DISTINCT user_id,
+                         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                    day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS grp
+                  FROM d),
+            runs AS (SELECT user_id, grp, COUNT(*) AS len
+                     FROM g GROUP BY 1, 2),
+            nd AS (SELECT user_id, COUNT(*) AS n_days FROM d GROUP BY 1),
+            ls AS (SELECT user_id, MAX(len) AS longest_streak
+                   FROM runs GROUP BY 1)
+            SELECT nd.user_id, CAST(nd.n_days AS BIGINT) AS n_days,
+                   CAST(ls.longest_streak AS BIGINT) AS longest_streak
+            FROM nd JOIN ls USING (user_id) ORDER BY user_id
+        """,
+        "hard_negative_mining": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS q_label,
+                     CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.emb,
+                       CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.label <> q.q_label AND e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(sim, 6) AS score
+            FROM ranked WHERE rk <= 5
+        """,
+        # centroid = per-label SUM of half-rounded fixed-point values
+        # (integer-exact, order-free); cosine is scale-invariant so the SUM
+        # vector scores identically to the mean — no division needed
+        "nearest_centroid_eval": """
+            WITH ql AS (
+              SELECT label AS c_label, i,
+                     SUM(CAST(-floor(-(CAST(e AS DOUBLE) * 1048576) + 0.5)
+                              AS BIGINT)) AS s
+              FROM (SELECT label, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+              GROUP BY 1, 2),
+            cent AS (SELECT c_label,
+                            list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+                     FROM ql GROUP BY 1),
+            scored AS (
+              SELECT e.vec_id, e.label, c.c_label,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.cv) AS sim
+              FROM embeddings e CROSS JOIN cent c),
+            pick AS (
+              SELECT vec_id, label, c_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, c_label) AS rk
+              FROM scored)
+            SELECT CAST(label AS BIGINT) AS true_label,
+                   CAST(c_label AS BIGINT) AS pred_label,
+                   COUNT(*) AS n
+            FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "span_corruption_stats": """
+            WITH plan AS (
+              SELECT source,
+                     LEAST(GREATEST(CAST(floor(n * 0.15 + 0.5) AS BIGINT),
+                                    1), n - 1) AS noise, n
+              FROM (SELECT source,
+                           CAST(len(regexp_extract_all(text, '\\S+'))
+                                AS BIGINT) AS n
+                    FROM documents)
+              WHERE n >= 2),
+            p2 AS (
+              SELECT source, n, noise,
+                     GREATEST(CAST(floor(noise / 3.0 + 0.5) AS BIGINT), 1)
+                       AS spans
+              FROM plan),
+            p3 AS (
+              SELECT source, spans,
+                     n - noise + spans + 1 AS input_len,
+                     noise + spans + 1 AS target_len
+              FROM p2)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(input_len) AS BIGINT) AS sum_input_tokens,
+                   CAST(SUM(target_len) AS BIGINT) AS sum_target_tokens,
+                   CAST(SUM(spans) AS BIGINT) AS sum_spans,
+                   CAST(SUM((input_len + 511) // 512) AS BIGINT) AS seqs
+            FROM p3 GROUP BY 1 ORDER BY 1
+        """,
+        # re-derives every 3-word window as a STRING (engine uses the 64-bit
+        # rolling hash; collision odds in substrdedup module header)
+        "source_overlap_matrix": """
+            WITH toks AS (
+              SELECT source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            win AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 2),
+                       j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]))
+                       AS w
+              FROM toks)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS n_shared
+            FROM win a JOIN win b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rfm_user_segments": """
+            WITH u AS (
+              SELECT user_id,
+                     MAX(epoch_us(ts)) AS last_ts_us,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CASE WHEN value >= 0
+                              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT)
+                              END) AS BIGINT) AS m_cents
+              FROM events GROUP BY 1),
+            mx AS (SELECT MAX(last_ts_us) AS mts FROM u),
+            s AS (
+              SELECT u.user_id, u.frequency, u.m_cents,
+                     CAST((mx.mts - u.last_ts_us) // 86400000000 AS BIGINT)
+                       AS recency_days,
+                     CAST(NTILE(5) OVER (ORDER BY u.last_ts_us DESC,
+                                         u.user_id) AS BIGINT) AS r_score,
+                     CAST(NTILE(5) OVER (ORDER BY u.frequency DESC,
+                                         u.user_id) AS BIGINT) AS f_score,
+                     CAST(NTILE(5) OVER (ORDER BY u.m_cents DESC,
+                                         u.user_id) AS BIGINT) AS m_score
+              FROM u CROSS JOIN mx)
+            SELECT user_id, recency_days, frequency, m_cents,
+                   r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS rfm
+            FROM s ORDER BY user_id
+        """,
+        "k_anonymity_audit": """
+            WITH cls AS (SELECT lang, source, COUNT(*) AS n
+                         FROM documents GROUP BY 1, 2)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unsafe_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_unsafe_rows,
+                   CAST(MIN(n) AS BIGINT) AS min_class_size
+            FROM cls
+        """,
+        "knn_ndcg_eval": """
+            WITH q AS (
+              SELECT vec_id AS qid, label AS qlab,
+                     CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings ORDER BY vec_id LIMIT 10),
+            scored AS (
+              SELECT q.qid, q.qlab, e.vec_id, e.label,
+                     list_cosine_similarity(q.emb,
+                       CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+            ranked AS (
+              SELECT qid, qlab, label,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rk
+              FROM scored),
+            dcg AS (
+              SELECT qid, SUM(CASE WHEN label = qlab
+                              THEN 1.0 / log2(rk + 1) ELSE 0 END) AS dcg
+              FROM ranked WHERE rk <= 10 GROUP BY 1),
+            cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+            idcg AS (
+              SELECT q.qid, SUM(1.0 / log2(s.i + 1)) AS idcg
+              FROM q JOIN cnt c ON c.label = q.qlab
+              CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i) s
+              WHERE s.i <= LEAST(10, c.n - 1) GROUP BY q.qid)
+            SELECT d.qid AS query_id, round(d.dcg / i.idcg, 6) AS ndcg
+            FROM dcg d JOIN idcg i USING (qid) ORDER BY 1
+        """,
+        "padding_efficiency": """
+            WITH n AS (
+              SELECT LEAST(len(regexp_extract_all(text, '\\S+')), 512) AS n
+              FROM documents),
+            b AS (SELECT n, CAST(ceil(n / 16.0) * 16 AS BIGINT)
+                       AS bucket_len FROM n WHERE n > 0)
+            SELECT bucket_len, COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(bucket_len - n) AS BIGINT) AS sum_padding
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "stratified_split": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY doc_id) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN rk * 10 < n * 8 THEN 'train'
+                        WHEN rk * 10 < n * 9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_quartile_by_lang": """
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM r WHERE rk * 4 < n GROUP BY 1 ORDER BY 1
+        """,
+        "value_band_pairs": """
+            WITH q AS (
+              SELECT event_id,
+                     CASE WHEN value >= 0
+                          THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                          ELSE -CAST(floor(-value * 1000 + 0.5) AS BIGINT)
+                     END AS qv
+              FROM events)
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   a.qv AS q_a, b.qv AS q_b
+            FROM q a JOIN q b
+              ON b.qv BETWEEN a.qv - 1 AND a.qv + 1
+             AND a.event_id < b.event_id
+            ORDER BY 1, 2
+        """,
+        "percent_rank_by_type": """
+            SELECT event_id,
+                   round(PERCENT_RANK() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id), 9) AS pct_rank
+            FROM events ORDER BY event_id
+        """,
+        "q10_returned_revenue": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT)) AS BIGINT)
+                       AS rev_i4
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(rev_i4) AS BIGINT) AS revenue_i4
+            FROM rev
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_i4 DESC, c_custkey LIMIT 20
+        """,
+        "q18_big_orders": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty_i2
+              FROM lineitem GROUP BY 1)
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS totalprice_i2,
+                   qty_i2
+            FROM orders JOIN q ON o_orderkey = l_orderkey
+            WHERE qty_i2 > 25000
+            ORDER BY qty_i2 DESC, o_orderkey LIMIT 100
+        """,
+        "daily_autocorr": """
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            p AS (SELECT n, LAG(n) OVER (ORDER BY day) AS pn FROM d),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                         CAST(SUM(n) AS BIGINT) AS sx,
+                         CAST(SUM(pn) AS BIGINT) AS sy,
+                         CAST(SUM(n * pn) AS BIGINT) AS sxy,
+                         CAST(SUM(n * n) AS BIGINT) AS sxx,
+                         CAST(SUM(pn * pn) AS BIGINT) AS syy
+                  FROM p WHERE pn IS NOT NULL)
+            SELECT ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                                * CAST(k * syy - sy * sy AS DOUBLE)), 9)
+                     AS autocorr_lag1
+            FROM s
+        """,
+        "first_touch_revenue": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            f AS (SELECT user_id, event_type AS first_type FROM r
+                  WHERE rn = 1),
+            p AS (SELECT user_id,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                  FROM events WHERE event_type = 'purchase')
+            SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(v) AS BIGINT) AS revenue_i2
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "pmi_bigrams": """
+            WITH w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                       FROM documents),
+            b AS (SELECT unnest(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+            bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+                   FROM b GROUP BY 1),
+            u AS (SELECT unnest(ws) AS tok FROM w),
+            uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM u GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nb,
+                           (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nu)
+            SELECT bigram, n_ab,
+                   ROUND(ln((CAST(n_ab AS DOUBLE) * nu * nu)
+                            / (CAST(nb AS DOUBLE) * ca.n * cb.n)), 9) AS pmi
+            FROM bc, tot, uc ca, uc cb
+            WHERE ca.tok = split_part(bigram, ' ', 1)
+              AND cb.tok = split_part(bigram, ' ', 2)
+              AND n_ab >= 20
+            ORDER BY pmi DESC, bigram LIMIT 50
+        """,
+        "welch_ttest_value": """
+            WITH q AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS qv
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            s AS (
+              SELECT CAST(COUNT(*) FILTER (event_type = 'purchase')
+                          AS BIGINT) AS n1,
+                     CAST(SUM(qv) FILTER (event_type = 'purchase')
+                          AS DOUBLE) AS s1,
+                     CAST(SUM(qv * qv) FILTER (event_type = 'purchase')
+                          AS DOUBLE) AS ss1,
+                     CAST(COUNT(*) FILTER (event_type = 'view')
+                          AS BIGINT) AS n2,
+                     CAST(SUM(qv) FILTER (event_type = 'view')
+                          AS DOUBLE) AS s2,
+                     CAST(SUM(qv * qv) FILTER (event_type = 'view')
+                          AS DOUBLE) AS ss2
+              FROM q),
+            m AS (
+              SELECT n1, n2,
+                     s1 / n1 / 1000.0 AS m1, s2 / n2 / 1000.0 AS m2,
+                     (ss1 - s1 * s1 / n1) / (n1 - 1) / 1000000.0 AS v1,
+                     (ss2 - s2 * s2 / n2) / (n2 - 1) / 1000000.0 AS v2
+              FROM s),
+            f AS (SELECT n1, n2, m1, m2, v1, v2,
+                         v1 / n1 + v2 / n2 AS se2 FROM m)
+            SELECT n1 AS n_purchase, n2 AS n_view,
+                   ROUND(m1 - m2, 9) AS mean_diff,
+                   ROUND((m1 - m2) / sqrt(se2), 9) AS t_stat,
+                   ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 9) AS df
+            FROM f
+        """,
+        "dup_cluster_sizes": """
+            WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                       FROM documents GROUP BY 1)
+            SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "logprob_deciles_by_source": """
+            WITH toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')) AS token
+                          FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM toks),
+            lp AS (SELECT token,
+                          CAST(-floor(-ln(c * 1.0 / (SELECT n FROM tot))
+                                       * 1000000 + 0.5) AS BIGINT) AS micro
+                   FROM cnt),
+            dlp AS (SELECT t.doc_id, count(*) AS n_tokens,
+                           CAST(sum(lp.micro) AS BIGINT) AS lp_micro
+                    FROM toks t JOIN lp USING (token) GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          CAST(floor(lp_micro * 1000.0 / n_tokens + 0.5)
+                               AS BIGINT) AS score
+                   FROM dlp),
+            nt AS (SELECT doc_id,
+                          CAST(NTILE(10) OVER (ORDER BY score, doc_id)
+                               AS BIGINT) AS decile
+                   FROM sc)
+            SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM nt JOIN documents USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "containment_pairs": """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                          FROM documents),
+            win AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, len(ts) - 2),
+                        j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]))
+                        AS w
+                    FROM toks),
+            wc AS (SELECT w, COUNT(*) AS c FROM win GROUP BY 1),
+            rare AS (SELECT win.doc_id, win.w FROM win JOIN wc USING (w)
+                     WHERE c BETWEEN 2 AND 8),
+            nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM (SELECT win.doc_id, win.w FROM win
+                         JOIN wc USING (w) WHERE c <= 8)
+                   GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS shared
+                      FROM rare a JOIN rare b
+                        ON a.w = b.w AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, shared,
+                   LEAST(na.n, nb.n) AS min_windows
+            FROM pairs
+            JOIN nw na ON id_a = na.doc_id
+            JOIN nw nb ON id_b = nb.doc_id
+            WHERE shared * 4 >= LEAST(na.n, nb.n)
+            ORDER BY 1, 2
+        """,
+        "revenue_share_rank": """
+            WITH a AS (
+              SELECT r_name, n_name,
+                     CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS revenue_i2
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name, revenue_i2,
+                   ROUND(CAST(revenue_i2 AS DOUBLE)
+                         / CAST(SUM(revenue_i2) OVER (PARTITION BY r_name)
+                                AS DOUBLE), 9) AS share,
+                   CAST(RANK() OVER (PARTITION BY r_name
+                        ORDER BY revenue_i2 DESC, n_name) AS BIGINT) AS rnk
+            FROM a ORDER BY r_name, rnk
+        """,
+        "set_jaccard_pairs": """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ts) - 4),
+                       j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]
+                            || ' ' || ts[j + 3] || ' ' || ts[j + 4])) AS w
+                   FROM toks),
+            n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM sh GROUP BY 1),
+            i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS shared
+                  FROM sh a JOIN sh b
+                    ON a.w = b.w AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, shared,
+                   na.n + nb.n - shared AS union_size
+            FROM i
+            JOIN n na ON id_a = na.doc_id
+            JOIN n nb ON id_b = nb.doc_id
+            WHERE 2 * shared >= na.n + nb.n - shared
+            ORDER BY 1, 2
+        """,
+        "bfs_hops_embeddings": """
+            WITH RECURSIVE q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS (SELECT u, v FROM s WHERE sim >= 274877906944),
+            e2 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            bfs AS (
+              SELECT vec_id AS node, 0 AS hop FROM embeddings
+              WHERE vec_id < 5
+              UNION
+              SELECT e2.v, bfs.hop + 1 FROM bfs JOIN e2 ON e2.u = bfs.node
+              WHERE bfs.hop < 4)
+            SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+            FROM bfs GROUP BY 1 ORDER BY 1
+        """,
+        "pareto_front_orders": """
+            WITH p AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                              AS BIGINT) AS tp,
+                              CAST(epoch_us(o_orderdate) // 86400000000
+                              AS BIGINT) AS dt
+                       FROM orders),
+            m AS (SELECT tp, MAX(dt) AS dt FROM p GROUP BY 1),
+            s AS (SELECT tp, dt,
+                         MAX(dt) OVER (ORDER BY tp DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mx
+                  FROM m)
+            SELECT tp AS totalprice_i2, dt AS order_day
+            FROM s WHERE mx IS NULL OR dt > mx ORDER BY 1
+        """,
+        "daily_ohlc": """
+            WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day, ts, event_id, value
+                       FROM events),
+            r AS (SELECT day, value,
+                         ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY ts, event_id) AS rn,
+                         ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY ts DESC, event_id DESC) AS rn2
+                  FROM e)
+            SELECT day,
+                   MAX(CASE WHEN rn = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn2 = 1 THEN value END) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vol_q
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "events_fingerprint": """
+            WITH q AS (SELECT CAST(event_id AS HUGEINT) AS e,
+                              CAST(user_id AS HUGEINT) AS u,
+                              CAST(floor(value * 1000 + 0.5) AS HUGEINT)
+                                AS v
+                       FROM events),
+            s AS (SELECT ((SUM(e * 11400714819323198485
+                              + v * 14029467366897019727
+                              + u * 1609587929392839161)
+                           % 18446744073709551616)
+                          + 18446744073709551616)
+                           % 18446744073709551616 AS d
+                  FROM q)
+            SELECT CAST(d // 4294967296 AS BIGINT) AS digest_hi,
+                   CAST(d % 4294967296 AS BIGINT) AS digest_lo
+            FROM s
+        """,
+        "user_churn_daily": """
+            WITH du AS (SELECT DISTINCT
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                          user_id
+                        FROM events),
+            f AS (SELECT day, user_id, 1 AS fl FROM du
+                  UNION ALL
+                  SELECT day + 1, user_id, 2 FROM du),
+            g AS (SELECT day, user_id, SUM(fl) AS s FROM f GROUP BY 1, 2)
+            SELECT day,
+                   CAST(COUNT(*) FILTER (s = 3) AS BIGINT) AS retained,
+                   CAST(COUNT(*) FILTER (s = 1) AS BIGINT) AS new_users,
+                   CAST(COUNT(*) FILTER (s = 2) AS BIGINT) AS churned
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "pq_codes": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings),
+            cb AS (SELECT vec_id AS cid, i, qv AS cv FROM q
+                   WHERE vec_id < 8),
+            d AS (SELECT q.vec_id, q.i // 16 AS sub, cb.cid,
+                         (q.qv - cb.cv) * (q.qv - cb.cv) AS sq
+                  FROM q JOIN cb ON q.i = cb.i),
+            ds AS (SELECT vec_id, sub, cid, SUM(sq) AS dist
+                   FROM d GROUP BY 1, 2, 3),
+            r AS (SELECT vec_id, sub, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                           ORDER BY dist, cid) AS rn
+                  FROM ds)
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN sub = 0 THEN cid END) AS BIGINT)
+                     AS code0,
+                   CAST(MAX(CASE WHEN sub = 1 THEN cid END) AS BIGINT)
+                     AS code1,
+                   CAST(MAX(CASE WHEN sub = 2 THEN cid END) AS BIGINT)
+                     AS code2,
+                   CAST(MAX(CASE WHEN sub = 3 THEN cid END) AS BIGINT)
+                     AS code3
+            FROM r WHERE rn = 1
+            GROUP BY 1 ORDER BY 1
+        """,
+        "weekday_residuals": """
+            WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                              AS day,
+                              CAST(SUM(CAST(floor(value * 1000 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                AS total_i3
+                       FROM events GROUP BY 1),
+            w AS (SELECT day, day % 7 AS weekday, total_i3,
+                         CAST(SUM(total_i3) OVER (PARTITION BY day % 7)
+                              AS DOUBLE)
+                         / COUNT(*) OVER (PARTITION BY day % 7) AS mean
+                  FROM d)
+            SELECT day, weekday, total_i3,
+                   ROUND((CAST(total_i3 AS DOUBLE) - mean) / mean, 9)
+                     AS resid
+            FROM w ORDER BY day
+        """,
+        "proportional_budget_sample": """
+            WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS tot FROM c),
+            q AS (SELECT source, n,
+                         (137 * n) // tot AS fl, (137 * n) % tot AS rem
+                  FROM c, t),
+            lv AS (SELECT 137 - SUM(fl) AS extra FROM q),
+            r AS (SELECT source, fl,
+                         RANK() OVER (ORDER BY rem DESC, source) AS rk
+                  FROM q),
+            qq AS (SELECT source,
+                          fl + CASE WHEN rk <= (SELECT extra FROM lv)
+                               THEN 1 ELSE 0 END AS quota
+                   FROM r),
+            s AS (SELECT doc_id, source,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY doc_id) AS rn
+                  FROM documents)
+            SELECT s.doc_id, s.source
+            FROM s JOIN qq USING (source)
+            WHERE rn <= quota ORDER BY doc_id
+        """,
+        "mannwhitney_value": """
+            WITH q AS (SELECT event_type,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                                AS qv
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            c AS (SELECT qv,
+                         CAST(COUNT(*) FILTER (event_type = 'purchase')
+                              AS BIGINT) AS n1,
+                         CAST(COUNT(*) FILTER (event_type = 'view')
+                              AS BIGINT) AS n2
+                  FROM q GROUP BY 1),
+            w AS (SELECT qv, n1, n2,
+                         COALESCE(SUM(n2) OVER (ORDER BY qv
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS less2
+                  FROM c),
+            s AS (SELECT SUM(n1) AS tn1, SUM(n2) AS tn2,
+                         SUM(2 * n1 * less2 + n1 * n2) AS u2,
+                         SUM((n1 + n2) * (n1 + n2) * (n1 + n2)
+                             - (n1 + n2)) AS tie
+                  FROM w)
+            SELECT CAST(u2 AS BIGINT) AS u2x,
+                   ROUND((CAST(u2 AS DOUBLE) / 2
+                          - CAST(tn1 * tn2 AS DOUBLE) / 2)
+                         / sqrt(CAST(tn1 * tn2 AS DOUBLE) / 12
+                                * ((tn1 + tn2 + 1)
+                                   - CAST(tie AS DOUBLE)
+                                     / ((tn1 + tn2) * (tn1 + tn2 - 1)))),
+                         9) AS z
+            FROM s
+        """,
+        "third_purchase_ts": """
+            WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+                       FROM events WHERE event_type = 'purchase')
+            SELECT user_id, CAST(ts_us AS BIGINT) AS third_ts_us
+            FROM r WHERE rn = 3 ORDER BY user_id
+        """,
+        "interval_coverage": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 300000000 AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                  FROM iv),
+            i AS (SELECT user_id, s, e,
+                         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
+                           AS brk
+                  FROM m),
+            g AS (SELECT user_id, s, e,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM i),
+            l AS (SELECT user_id, isl, MAX(e) - MIN(s) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "top_dims_per_vector": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         ABS(CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT)) AS aq
+                       FROM embeddings),
+            r AS (SELECT vec_id, i,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY aq DESC, i) AS rn
+                  FROM q)
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN i END) AS BIGINT) AS d0,
+                   CAST(MAX(CASE WHEN rn = 2 THEN i END) AS BIGINT) AS d1,
+                   CAST(MAX(CASE WHEN rn = 3 THEN i END) AS BIGINT) AS d2
+            FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1
+        """,
+        "reciprocal_topk_pairs": """
+            WITH q AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding))) - 1 AS i,
+                         CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                       * 1048576) + 0.5) AS BIGINT) AS qv
+                       FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2),
+            r AS (SELECT u, v,
+                         ROW_NUMBER() OVER (PARTITION BY u
+                           ORDER BY sim DESC, v) AS rn
+                  FROM s),
+            e AS (SELECT u, v FROM r WHERE rn <= 3)
+            SELECT LEAST(u, v) AS id_a, GREATEST(u, v) AS id_b
+            FROM e GROUP BY 1, 2 HAVING COUNT(*) = 2
+            ORDER BY 1, 2
+        """,
+        "lang_majority_mismatch": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            m AS (SELECT source, lang AS maj,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n DESC, lang) AS rn
+                  FROM c)
+            SELECT doc_id, d.source, d.lang
+            FROM documents d
+            JOIN m ON d.source = m.source AND m.rn = 1
+            WHERE d.lang <> m.maj
+            ORDER BY doc_id
+        """,
+        "dup_window_profile": """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                          FROM documents),
+            w4 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                     generate_series(1, len(ts) - 3),
+                     j -> list_aggregate(ts[j:j+3], 'string_agg', ' ')))
+                     AS w FROM toks),
+            w8 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                     generate_series(1, len(ts) - 7),
+                     j -> list_aggregate(ts[j:j+7], 'string_agg', ' ')))
+                     AS w FROM toks),
+            w16 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                      generate_series(1, len(ts) - 15),
+                      j -> list_aggregate(ts[j:j+15], 'string_agg', ' ')))
+                      AS w FROM toks),
+            w32 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                      generate_series(1, len(ts) - 31),
+                      j -> list_aggregate(ts[j:j+31], 'string_agg', ' ')))
+                      AS w FROM toks),
+            c AS (
+              SELECT 4 AS k, w FROM w4 GROUP BY w HAVING COUNT(*) >= 2
+              UNION ALL
+              SELECT 8, w FROM w8 GROUP BY w HAVING COUNT(*) >= 2
+              UNION ALL
+              SELECT 16, w FROM w16 GROUP BY w HAVING COUNT(*) >= 2
+              UNION ALL
+              SELECT 32, w FROM w32 GROUP BY w HAVING COUNT(*) >= 2),
+            agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM c GROUP BY 1)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_dup_windows
+            FROM (VALUES (4), (8), (16), (32)) ks(k)
+            LEFT JOIN agg ON ks.k = agg.k
+            ORDER BY 1
+        """,
+        "bounce_rate_daily": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+                               epoch_us(ts) + 1800000000 AS e_us
+                        FROM events),
+            flagged AS (
+              SELECT user_id, s_us, e_us,
+                     CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                            PARTITION BY user_id ORDER BY s_us, e_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), s_us - 1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM iv),
+            grouped AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, e_us
+                                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged),
+            sess AS (SELECT user_id, island, MIN(s_us) AS s_us,
+                            COUNT(*) AS n FROM grouped GROUP BY 1, 2),
+            d AS (SELECT s_us // 86400000000 AS day,
+                         CASE WHEN n = 1 THEN 1 ELSE 0 END AS b
+                  FROM sess)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(b) AS BIGINT) AS n_bounces,
+                   ROUND(CAST(SUM(b) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 9) AS bounce_rate
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "acf_daily": _acf_oracle(),
+        "lorenz_chars": """
+            WITH t AS (SELECT doc_id, n_chars,
+                              CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                                   AS BIGINT) AS decile
+                       FROM documents),
+            a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS chars
+                  FROM t GROUP BY 1),
+            w AS (SELECT decile, n_docs, chars,
+                         CAST(SUM(chars) OVER () AS BIGINT) AS total,
+                         CAST(SUM(chars) OVER (ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM a)
+            SELECT decile, n_docs, chars,
+                   ROUND(CAST(chars AS DOUBLE) / CAST(total AS DOUBLE), 9)
+                     AS share,
+                   ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9)
+                     AS cum_share
+            FROM w ORDER BY decile
+        """,
+        "markov_entropy_rate": """
+            WITH m AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                       FROM events),
+            c AS (SELECT prev AS f, event_type AS t,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM m WHERE prev IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM c),
+            rt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf
+                   FROM c GROUP BY 1)
+            SELECT (SELECT N FROM tot) AS n_transitions,
+                   ROUND(SUM((CAST(c.n AS DOUBLE) / (SELECT N FROM tot))
+                             * ln(CAST(rt.nf AS DOUBLE)
+                                  / CAST(c.n AS DOUBLE))), 9)
+                     AS entropy_rate
+            FROM c JOIN rt USING (f)
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_i4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_share": """
+            WITH li AS (
+              SELECT (year(l_shipdate) - 1970) * 12
+                     + (month(l_shipdate) - 1) AS m,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                + 0.5) AS BIGINT) AS rev,
+                     p_type LIKE 'PROMO%' AS isp
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT CAST(m AS BIGINT) AS month_idx,
+                   CAST(SUM(CASE WHEN isp THEN rev ELSE 0 END) AS BIGINT)
+                     AS promo_i4,
+                   CAST(SUM(rev) AS BIGINT) AS total_i4,
+                   ROUND(100.0 * CAST(SUM(CASE WHEN isp THEN rev ELSE 0 END)
+                                      AS DOUBLE)
+                         / CAST(SUM(rev) AS DOUBLE), 9) AS promo_pct
+            FROM li GROUP BY 1 ORDER BY 1
+        """,
+        "heaps_growth": """
+            WITH mx AS (SELECT MAX(doc_id) + 1 AS d FROM documents),
+            toks AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                     FROM documents),
+            win AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, len(ts) - 2),
+                        j -> ts[j] || ' ' || ts[j + 1] || ' ' || ts[j + 2]))
+                        AS w
+                    FROM toks),
+            q AS (SELECT w,
+                         MIN((doc_id * 4) // (SELECT d FROM mx)) AS qt
+                  FROM win GROUP BY 1),
+            c AS (SELECT qt, CAST(COUNT(*) AS BIGINT) AS new_windows
+                  FROM q GROUP BY 1)
+            SELECT CAST(ks.qt AS BIGINT) AS quartile,
+                   CAST(COALESCE(c.new_windows, 0) AS BIGINT)
+                     AS new_windows,
+                   CAST(SUM(COALESCE(c.new_windows, 0)) OVER (
+                        ORDER BY ks.qt ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_distinct
+            FROM (VALUES (0), (1), (2), (3)) ks(qt)
+            LEFT JOIN c ON ks.qt = c.qt
+            ORDER BY 1
+        """,
+        "q19_band_revenue": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_i4,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
+                   AND l_quantity BETWEEN 10 AND 30)
+        """,
+        "order_concentration_gini": """
+            WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                       GROUP BY 1),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   round((2.0 * SUM(i * n)) / (COUNT(*) * SUM(n))
+                         - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+            FROM r
+        """,
+    }
+
+

@@ -106,6 +106,17 @@ def main() -> int:
         print(f"{name}: {'PASS' if ok else 'FAIL ' + '; '.join(status)} "
               f"rows={len(mine)} ({ray_sec:.1f}s)")
     print(json.dumps({"n": len(names), "fail": n_fail}))
+    out_path = os.environ.get("SWEEP_OUT")
+    if out_path:
+        payload = {
+            "sf_dir": sf_dir,
+            "n": len(names),
+            "fail": n_fail,
+            "results": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     return 1 if n_fail else 0
 
 
