@@ -314,11 +314,13 @@ def reassemble(
 _EXTRACTOR_CACHE: dict = {}
 
 
-def _cached_extractor(strip_boilerplate: bool) -> FieldExtractor:
-    ex = _EXTRACTOR_CACHE.get(strip_boilerplate)
+def _cached_extractor(strip_boilerplate: bool,
+                      rules_version: Optional[str] = None) -> FieldExtractor:
+    key = (strip_boilerplate, rules_version)
+    ex = _EXTRACTOR_CACHE.get(key)
     if ex is None:
-        ex = _EXTRACTOR_CACHE[strip_boilerplate] = FieldExtractor(
-            strip_boilerplate=strip_boilerplate
+        ex = _EXTRACTOR_CACHE[key] = FieldExtractor(
+            strip_boilerplate=strip_boilerplate, rules_version=rules_version
         )
     return ex
 
@@ -331,6 +333,7 @@ def extract_pipeline(
     strip_boilerplate: bool = True,
     compute: str = "tasks",
     mode: Optional[str] = None,
+    rules_version: Optional[str] = None,
 ) -> ray.data.Dataset:
     """Full pipeline: path or Dataset -> extracted/validated output Dataset.
 
@@ -347,7 +350,7 @@ def extract_pipeline(
 
     if compute == "tasks":
         def extract_batch(batch: pa.Table) -> pa.Table:
-            return _cached_extractor(strip_boilerplate)(batch)
+            return _cached_extractor(strip_boilerplate, rules_version)(batch)
 
         return ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
 
@@ -359,7 +362,8 @@ def extract_pipeline(
         concurrency = (1, max(2, n_cpus))
     return ds.map_batches(
         FieldExtractor,
-        fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate},
+        fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate,
+                               "rules_version": rules_version},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

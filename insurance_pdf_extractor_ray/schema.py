@@ -47,6 +47,9 @@ OUTPUT_SCHEMA = pa.schema(
         ("spans_out", SPANS_TYPE),
         ("n_spans", pa.int32()),
         ("n_chars", pa.int64()),
+        ("title", pa.string()),       # M14: first heading span
+        ("preview", pa.string()),     # M14: <=500-char text preview
+        ("rules_version", pa.string()),  # §2.11: rule-table version that produced the row
     ]
 )
 

@@ -51,9 +51,14 @@ class FieldExtractor:
     # and the first 500 cleaned text chars (no author field in span tables)
     PREVIEW_CHARS = 500
 
-    def __init__(self, label_map: Optional[Dict[str, str]] = None, strip_boilerplate: bool = True):
-        # compiled once per actor (reference holds these as process singletons)
-        self.label_map = dict(LABEL_TO_FIELD if label_map is None else label_map)
+    def __init__(self, label_map: Optional[Dict[str, str]] = None, strip_boilerplate: bool = True,
+                 rules_version: Optional[str] = None):
+        # compiled once per actor (reference holds these as process singletons).
+        # The alias table is version-managed (ruleversions.py, the reference's
+        # prompt_manager.py analog); an explicit label_map wins ('custom').
+        from ..ruleversions import resolve_rules
+
+        self.label_map, self.rules_version = resolve_rules(label_map, rules_version)
         self.line_re = re.compile(r"^\s*([^:]{1,60}):\s*(.*)$")
         # 'ID-Excluded' literal form, then prose form 'XX ... is excluded'
         self.excl_literal_re = re.compile(r"\b([A-Z]{2})-Excluded\b")
@@ -126,6 +131,7 @@ class FieldExtractor:
             "spans_out": spans_out, "n_spans": len(spans_out), "n_chars": n_chars,
             "title": title,
             "preview": "\n".join(preview_parts)[: self.PREVIEW_CHARS],
+            "rules_version": self.rules_version,
         }
 
     # -- vectorized document core --------------------------------------------
@@ -314,6 +320,7 @@ class FieldExtractor:
                 "n_chars": pa.array(n_chars_c, pa.int64()),
                 "title": pa.array(titles, pa.string()),
                 "preview": pa.array(previews, pa.string()),
+                "rules_version": pa.array([self.rules_version] * n, pa.string()),
             }
         )
 

@@ -122,6 +122,9 @@ def run_partitioned(
             "input_files": files,
             "rows": rows,
             "config_hash": chash,
+            # lineage: rule-table version is first-class in the manifest so a
+            # resume under a different version is visibly invalidated (§2.11)
+            "rules_version": config.get("rules_version"),
             "wall_time_sec": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
