@@ -564,22 +564,35 @@ def _q_retention(sf_dir: str):
     )
 
 
-def _q_media_decode(sf_dir: str):
+def _media_refs(sf_dir: str):
     import ray.data
 
     from insurance_pdf_extractor_ray.pipelines.multimodal import (
-        decode_media,
-        fake_assets_for_docs,
-        media_consistency_gate,
         media_refs_from_docs,
     )
 
     docs = ray.data.read_parquet(_corpus_for(sf_dir))
     refs = media_refs_from_docs(docs).take_all()
-    assets = fake_assets_for_docs([(r["doc_id"], r["media_ref"]) for r in refs],
-                                  corrupt_frac=0.1)
+    return sorted((r["doc_id"], r["media_ref"]) for r in refs)
+
+
+def _q_media_decode(sf_dir: str):
+    """REAL media decode: PNG/WAV/AVI payloads (pure-stdlib codecs,
+    functions/codecs.py) with planted kind-mislabels and structural
+    corruptions -> magic-byte gate -> actor-pool decode; features/dims/
+    durations come from the decoded arrays, failures are tag-and-keep."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        decode_media,
+        media_consistency_gate,
+        real_assets_for_docs,
+    )
+
+    assets = real_assets_for_docs(_media_refs(sf_dir),
+                                  mismatch_frac=0.1, corrupt_frac=0.1)
     gated = media_consistency_gate(ray.data.from_arrow(assets))
-    out = decode_media(gated)
+    out = decode_media(gated, use_fake=False)
 
     # Driver-sortable scalar projection: the decode emits a list<float>
     # feature column, which generic result normalizers (sort/hash) can't
@@ -595,64 +608,63 @@ def _q_media_decode(sf_dir: str):
 
 
 def _q_media_decode_check(sf_dir: str):
-    """Deterministic digest of the media_decode output (count / thumbnail
-    area / first-feature sum per kind × consistency cell) so the multimodal
-    plumbing is driver-checkable against a pinned oracle — decode is the
-    documented deterministic stand-in (real codecs aren't in this
-    container), but the Ray-side schema, gate and actor plumbing are real."""
-    out = _q_media_decode(sf_dir)
-    rows = out.take_all()
-    cells: dict = {}
-    for r in rows:
-        key = (r["kind"], bool(r["kind_consistent"]))
-        c = cells.setdefault(key, [0, 0, 0.0])
-        c[0] += 1
-        c[1] += int(r["thumb_w"]) * int(r["thumb_h"])
-        c[2] += float(r["f0"])
-    keys = sorted(cells)
-    return pa.table({
-        "kind": pa.array([k[0] for k in keys], pa.string()),
-        "consistent": pa.array([k[1] for k in keys], pa.bool_()),
-        "n": pa.array([cells[k][0] for k in keys], pa.int64()),
-        "thumb_area": pa.array([cells[k][1] for k in keys], pa.int64()),
-        "f0_sum": pa.array([_round_away(cells[k][2], 6) for k in keys],
-                           pa.float64()),
-    })
+    """Hard gate for the real-codec decode path: per-asset digests
+    (sniffed kind, gate verdict, decoded dims/duration, thumbnail dims,
+    quantized features) diffed against a first-principles golden computed
+    from the SOURCE arrays before encoding — an empty result proves the
+    PNG/WAV/AVI encode->decode round trip is lossless for every asset AND
+    that every planted mislabel is flagged and every planted corruption is
+    caught (decode_ok=False)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        decode_digests,
+        decode_media,
+        media_consistency_gate,
+        media_decode_golden,
+        real_assets_for_docs,
+    )
+
+    refs = _media_refs(sf_dir)
+    assets = real_assets_for_docs(refs, mismatch_frac=0.1, corrupt_frac=0.1)
+    got = decode_digests(decode_media(
+        media_consistency_gate(ray.data.from_arrow(assets)), use_fake=False))
+    want = media_decode_golden(refs, mismatch_frac=0.1, corrupt_frac=0.1)
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
+                                      key="media_ref"))
 
 
 def _q_frame_sample_check(sf_dir: str):
-    """Deterministic digest of the video frame-sample stage (1 frame per
-    60 s, max 5 per clip) grouped by frame_idx — the frame features are the
-    documented deterministic stand-in, the explode layout / actor plumbing
-    is real (pipelines/multimodal.py:FrameSampleStage)."""
+    """Hard gate for the real video frame sampler: per-clip ordered
+    (frame_idx, ts, source-frame, quantized features) digests — the AVI
+    container parsed for real, each sampled timestamp seeked via the stream
+    clock, the DIB frame decoded — diffed against a golden computed from
+    the source frame arrays.  Empty result = bit-exact sampling."""
     import ray.data
 
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
     from insurance_pdf_extractor_ray.pipelines.multimodal import (
-        fake_assets_for_docs,
+        frame_digests,
         frame_sample,
-        media_refs_from_docs,
+        frame_sample_golden,
+        real_assets_for_docs,
     )
 
-    docs = ray.data.read_parquet(_corpus_for(sf_dir))
-    refs = media_refs_from_docs(docs).take_all()
-    assets = fake_assets_for_docs(
-        [(r["doc_id"], r["media_ref"]) for r in refs])
-    out = frame_sample(ray.data.from_arrow(assets),
-                       every_ms=60_000, max_frames=5)
-    cells: dict = {}
-    for r in out.take_all():
-        c = cells.setdefault(int(r["frame_idx"]), [0, 0, 0.0])
-        c[0] += 1
-        c[1] += int(r["ts_ms"])
-        c[2] += float(r["features"][0])
-    keys = sorted(cells)
-    return pa.table({
-        "frame_idx": pa.array(keys, pa.int32()),
-        "n": pa.array([cells[k][0] for k in keys], pa.int64()),
-        "ts_sum": pa.array([cells[k][1] for k in keys], pa.int64()),
-        "f0_sum": pa.array([_round_away(cells[k][2], 6) for k in keys],
-                           pa.float64()),
-    })
+    refs = _media_refs(sf_dir)
+    assets = real_assets_for_docs(refs)
+    got = frame_digests(frame_sample(ray.data.from_arrow(assets),
+                                     use_fake=False, every_ms=500,
+                                     max_frames=6))
+    want = frame_sample_golden(refs, every_ms=500, max_frames=6)
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
+                                      key="media_ref"))
 
 
 def _q_grouped_topk(sf_dir: str):

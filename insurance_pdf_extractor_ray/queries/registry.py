@@ -1209,36 +1209,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c ON c.date = d.date AND c.metric = t.metric
             ORDER BY d.date, t.metric
         """,
-        # media_decode's digest pinned at sf0.01 (deterministic synthetic
-        # decode; proven identical across runs and block layouts) — makes
-        # the multimodal plumbing driver-checkable
-        # frame_sample_check pinned at sf0.01: the asset table is a pure
-        # deterministic function of the corpus media refs (seed 42), and the
-        # per-frame digest is layout/CPU-count-stable (proven in
-        # tests/test_multimodal.py::TestFrameSample)
-        "frame_sample_check": """
-            SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
-                   CAST(n AS BIGINT) AS n, CAST(ts_sum AS BIGINT) AS ts_sum,
-                   f0_sum
-            FROM (VALUES
-              (0, 26, 0, 13.606888),
-              (1, 22, 1320000, 9.787698),
-              (2, 18, 2160000, 10.392069),
-              (3, 14, 2520000, 6.815966),
-              (4, 12, 2880000, 7.304632)
-            ) AS t(frame_idx, n, ts_sum, f0_sum)
-        """,
-        "media_decode_check": """
-            SELECT kind, consistent, CAST(n AS BIGINT) AS n,
-                   CAST(thumb_area AS BIGINT) AS thumb_area, f0_sum
-            FROM (VALUES
-              ('audio', false, 5, 0, 2.830273),
-              ('audio', true, 27, 0, 10.902026),
-              ('image', false, 1, 256, 0.936732),
-              ('image', true, 23, 40315, 11.746857),
-              ('video', true, 26, 0, 12.795594)
-            ) AS t(kind, consistent, n, thumb_area, f0_sum)
-        """,
+        # real-codec media gates: like the flagship *_check queries, these
+        # return ONLY mismatching per-asset digests vs a first-principles
+        # golden (features computed from the source arrays before encoding),
+        # so the oracle is the empty diff — a hard lossless-round-trip proof
+        # at any scale factor, not a pinned constant.
+        "frame_sample_check": _EMPTY_DIFF_SQL,
+        "media_decode_check": _EMPTY_DIFF_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -40,10 +40,13 @@ def test_decode_media_fake(ray_session):
     assert sorted(out, key=key) == sorted(out2, key=key)
 
 
-def test_decode_media_real_kernel_is_stubbed():
+def test_decode_media_real_kernel_on_fake_payload_tags_not_ok():
+    # a legacy fake payload (magic + random bytes) is not a decodable codec
+    # stream: real mode tags it decode_ok=False instead of raising
     stage = MediaDecodeStage(use_fake=False)
-    with pytest.raises(NotImplementedError):
-        stage._decode_features(b"payload", "image")
+    ok, kind, w, h, dur, feats, tw, th = stage._decode_real(
+        b"\x89PNG\r\n\x1a\n" + b"garbage" * 10)
+    assert not ok and kind == "image" and list(feats) == [0.0] * 8
 
 
 class TestConsistencyGate:
@@ -153,13 +156,97 @@ class TestFrameSample:
                      tuple(r["features"])) for r in again))
         assert a == b
 
-    def test_real_decode_raises(self, ray_session):
-        import pytest as _pytest
+    def test_real_mode_on_fake_assets_emits_nothing(self, ray_session):
+        # legacy fake payloads aren't real containers: the real sampler
+        # skips every clip (mp4-magic payloads aren't AVI) without raising
         import ray.data
 
         from insurance_pdf_extractor_ray.pipelines.multimodal import (
             frame_sample,
         )
-        ds = frame_sample(ray.data.from_arrow(self._assets()), use_fake=False)
-        with _pytest.raises(Exception):
-            ds.take_all()
+        out = frame_sample(ray.data.from_arrow(self._assets()),
+                           use_fake=False).take_all()
+        assert out == []
+
+
+class TestRealCodecs:
+    """Real-codec path: PNG/WAV/AVI assets, decode + frame-sample verified
+    against first-principles goldens computed from the SOURCE arrays."""
+
+    REFS = [(f"doc-{i}", f"media://doc-{i}/0") for i in range(40)]
+
+    def test_decode_matches_golden(self, ray_session):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.goldencheck import golden_diff
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            decode_digests,
+            decode_media,
+            media_consistency_gate,
+            media_decode_golden,
+            real_assets_for_docs,
+        )
+
+        assets = real_assets_for_docs(self.REFS, mismatch_frac=0.15,
+                                      corrupt_frac=0.15)
+        got = decode_digests(decode_media(
+            media_consistency_gate(ray.data.from_arrow(assets)),
+            use_fake=False))
+        want = media_decode_golden(self.REFS, mismatch_frac=0.15,
+                                   corrupt_frac=0.15)
+        diff = golden_diff(got, ray.data.from_arrow(want),
+                           key="media_ref").take_all()
+        assert diff == []
+
+    def test_planted_classes_all_present(self, ray_session):
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            media_decode_golden,
+        )
+        digs = media_decode_golden(self.REFS, mismatch_frac=0.15,
+                                   corrupt_frac=0.15).column("decode_digest").to_pylist()
+        assert any(d == "!corrupt" for d in digs)
+        assert any("|c0|" in d for d in digs)       # mislabeled kinds flagged
+        assert any("|c1|" in d for d in digs)
+        for kind in ("image", "audio", "video"):
+            assert any(d.startswith(kind + "|") for d in digs)
+
+    def test_frame_sample_matches_golden(self, ray_session):
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.goldencheck import golden_diff
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            frame_digests,
+            frame_sample,
+            frame_sample_golden,
+            real_assets_for_docs,
+        )
+
+        assets = real_assets_for_docs(self.REFS)
+        got = frame_digests(frame_sample(ray.data.from_arrow(assets),
+                                         use_fake=False, every_ms=500,
+                                         max_frames=6))
+        want = frame_sample_golden(self.REFS, every_ms=500, max_frames=6)
+        assert want.num_rows > 0
+        diff = golden_diff(got, ray.data.from_arrow(want),
+                           key="media_ref").take_all()
+        assert diff == []
+
+    def test_corrupt_payloads_fail_structurally(self):
+        # the planted corruption must break DECODE, never silently alter
+        # data (RIFF formats have no checksum — see _corrupt)
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            MediaDecodeStage,
+            _asset_spec,
+            _corrupt,
+            _spec_payload,
+        )
+        stage = MediaDecodeStage(use_fake=False)
+        seen = set()
+        for i in range(30):
+            ref = f"media://c-{i}/0"
+            spec = _asset_spec(ref, 42)
+            payload = _corrupt(_spec_payload(spec), ref, 42, spec["kind"])
+            ok = stage._decode_real(payload)[0]
+            assert not ok, (ref, spec["kind"])
+            seen.add(spec["kind"])
+        assert seen == {"image", "audio", "video"}
