@@ -1,0 +1,95 @@
+"""Real-PDF ingestion: binary PDF documents -> the span model -> extraction.
+
+The reference ingests actual PDF bytes (one per request) and parses them
+with pypdf before prompting the LLM
+(/root/reference/app/services/pdf_processor.py:364-377, pages at :458-483);
+its fixtures are reportlab-generated one-line-per-field PDFs
+(/root/reference/tests/utils/mock_generators.py:11-48).  This pipeline is
+the distributed analog: a table of ``(doc_id, pdf: binary)`` rows is parsed
+by an actor-pool stage (``functions/pdfcodec.py`` — a real xref-driven
+object-graph parser, FlateDecode streams, text + image XObjects) into the
+canonical ``(doc_id, spans)`` input the extraction pipeline consumes.
+
+Scale shape: parsing is per-document CPU work with zero shuffle; payloads
+are binary, so batches stay small (same memory contract as multimodal
+decode).  The PDF writer side exists to synthesize real fixtures at any
+scale — generation is embarrassingly parallel per doc index.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.pdfcodec import build_pdf, parse_pdf
+from ..schema import SPANS_TYPE
+
+
+def pdf_bytes_for_doc(index: int, seed: int = 42) -> Tuple[str, bytes]:
+    """One deterministic real-PDF fixture: the synthetic doc spec rendered
+    through the real writer (doc order restored first — PDFs are physically
+    ordered even when the span table is chunk-shuffled)."""
+    from ..sources.synth import build_doc
+
+    spec = build_doc(index, seed)
+    spans = sorted((s for chunk in spec.row_chunks for s in chunk),
+                   key=lambda s: s[3])
+    return spec.doc_id, build_pdf([(k, t, m) for (k, t, m, _o) in spans])
+
+
+def pdfs_for_docs(indices, seed: int = 42) -> pa.Table:
+    ids, blobs = [], []
+    for i in indices:
+        doc_id, blob = pdf_bytes_for_doc(int(i), seed)
+        ids.append(doc_id)
+        blobs.append(blob)
+    return pa.table({"doc_id": pa.array(ids, pa.string()),
+                     "pdf": pa.array(blobs, pa.binary())})
+
+
+class PdfParseStage:
+    """Actor-pool parse stage: (doc_id, pdf) -> (doc_id, spans).
+
+    Parse state (compiled token regexes) is module-level-compiled once per
+    process; the stage itself is stateless per batch.  Unparseable payloads
+    are routed to an ``error`` column (tag-and-keep, like F1's validation
+    side channel) with an empty span list."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = batch.column("pdf").to_pylist()
+        span_lists: List[list] = []
+        errors: List[str] = []
+        for blob in blobs:
+            try:
+                parsed = parse_pdf(blob)
+                span_lists.append(
+                    [{"kind": k, "text": t, "media_ref": m, "offset": i}
+                     for i, (k, t, m) in enumerate(parsed)])
+                errors.append("")
+            except Exception as e:  # noqa: BLE001 - tag-and-keep (crawl reality)
+                span_lists.append([])
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "spans": pa.array(span_lists, SPANS_TYPE),
+                         "error": pa.array(errors, pa.string())})
+
+
+def pdf_to_docs(ds: ray.data.Dataset, batch_size: int = 64,
+                concurrency=(1, 8), drop_errors: bool = False) -> ray.data.Dataset:
+    """(doc_id, pdf) Dataset -> (doc_id, spans[, error]) span-model Dataset."""
+    out = ds.map_batches(PdfParseStage, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=concurrency)
+    if drop_errors:
+        out = out.filter(expr="error == ''")
+    return out.drop_columns(["error"]) if drop_errors else out
+
+
+def pdf_extract_pipeline(ds: ray.data.Dataset, **extract_kwargs) -> ray.data.Dataset:
+    """Full binary path: PDFs -> span model -> extraction output."""
+    from .extraction import extract_pipeline
+
+    docs = pdf_to_docs(ds, drop_errors=True)
+    return extract_pipeline(docs, **extract_kwargs)

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
+__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_extract_rules_v2_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
 
 def _q_extract_fields(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.extraction import (
@@ -140,6 +140,77 @@ def _q_layout_extract_check(sf_dir: str):
     golden_tbl = expected_tables(idx)[0].select(["doc_id"] + FIELD_ORDER + ["status"])
     return normalize_diff(golden_diff(engine, ray.data.from_arrow(golden_tbl),
                                       key="doc_id"))
+
+
+def _q_pdf_ingest_check(sf_dir: str):
+    """Hard gate for the real binary-PDF ingestion path: deterministic real
+    PDF fixtures (multi-page, FlateDecode streams, image XObjects —
+    functions/pdfcodec.py) -> xref-driven parse -> span model ->
+    extract_pipeline, fields diffed against the same first-principles
+    ``expected_fields`` golden as the span-native flagship.  Empty result =
+    the binary path reproduces all 18 fields + status for every doc.
+    Reference analog: pypdf ingestion at app/services/pdf_processor.py:364-377."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import flatten_fields
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.pdfingest import (
+        pdf_extract_pipeline,
+        pdfs_for_docs,
+    )
+    from insurance_pdf_extractor_ray.sources.synth import expected_tables
+
+    n = min(_docs_rows(sf_dir), 400)
+    idx = list(range(n))
+    pdfs = ray.data.from_arrow(pdfs_for_docs(idx))
+    engine = flatten_fields(pdf_extract_pipeline(pdfs))
+    golden = expected_tables(idx)[0].select(["doc_id"] + FIELD_ORDER + ["status"])
+    return normalize_diff(golden_diff(engine, ray.data.from_arrow(golden),
+                                      key="doc_id"))
+
+
+def _q_extract_rules_v2_check(sf_dir: str):
+    """Hard gate for versioned rule tables (§2.11): the same corpus extracted
+    under rules v2 (which drops the ambiguous bare 'address' alias) diffed
+    against a version-transformed golden — expected_fields with
+    named_insured_address := EMPTY for non-failed docs.  Empty result =
+    the engine's v2 semantics exactly match the declared rule change, and
+    every other field is identical to v1.  Reference analog: prompt version
+    selection, app/services/prompt_manager.py:21-47."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+
+    root = _corpus_root(sf_dir)
+    engine = flatten_fields(
+        extract_pipeline(os.path.join(root, "documents"), rules_version="v2"))
+    golden = ray.data.read_parquet(os.path.join(root, "expected_fields"),
+                                   columns=["doc_id"] + FIELD_ORDER + ["status"])
+
+    def to_v2(batch: pa.Table) -> pa.Table:
+        # v2 golden transform: bare 'Address:' no longer maps -> EMPTY for
+        # every doc that isn't a validation failure (EMPTY is valid-absent
+        # in the reference, extraction.py:60-72, so status is unchanged)
+        addr = batch.column("named_insured_address").to_pylist()
+        new = ["EMPTY VALUE" if a != "VALIDATION_FAILED" else a for a in addr]
+        i = batch.column_names.index("named_insured_address")
+        return batch.set_column(i, "named_insured_address",
+                                pa.array(new, pa.string()))
+
+    golden_v2 = golden.map_batches(to_v2, batch_format="pyarrow")
+    return normalize_diff(golden_diff(engine, golden_v2, key="doc_id"))
 
 
 def _q_exact_dedup(sf_dir: str):

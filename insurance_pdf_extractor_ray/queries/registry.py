@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fields_check": _q_extract_fields_check,
         "extract_spans_check": _q_extract_spans_check,
         "layout_extract_check": _q_layout_extract_check,
+        "pdf_ingest_check": _q_pdf_ingest_check,
+        "extract_rules_v2_check": _q_extract_rules_v2_check,
         "exact_dedup": _q_exact_dedup,
         "global_stats": _q_global_stats,
         "stats_by_type": _q_stats_by_type,
@@ -62,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "repetition_stats": _q_repetition_stats,
         "media_decode": _q_media_decode,
+        "media_decode_check": _q_media_decode_check,
+        "frame_sample_check": _q_frame_sample_check,
         "retention_filter": _q_retention,
         "json_props_stats": _q_json_props_stats,
         "html_main_content": _q_html_main_content,
@@ -81,10 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
-        "pivot_event_daily": _q_pivot_event_daily,
-        "funnel_view_click_purchase": _q_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "vocab_top100": _q_vocab_top100,
         "dup_span_clean": _q_dup_span_clean,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "boilerplate_stats": _q_boilerplate_stats,
@@ -120,8 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_users": _q_union_distinct,
         "mode_lang_per_source": _q_mode_lang,
         "unpivot_daily_counts": _q_unpivot,
-        "media_decode_check": _q_media_decode_check,
-        "frame_sample_check": _q_frame_sample_check,
+        "pivot_event_daily": _q_pivot_event_daily,
+        "funnel_view_click_purchase": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "vocab_top100": _q_vocab_top100,
         "corr_by_flag": _q_corr_by_flag,
         "median_by_type": _q_median_by_type,
         "string_agg_purchases": _q_string_agg_purchases,
@@ -1216,6 +1218,10 @@ def oracle_sql() -> dict[str, str]:
         # at any scale factor, not a pinned constant.
         "frame_sample_check": _EMPTY_DIFF_SQL,
         "media_decode_check": _EMPTY_DIFF_SQL,
+        # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
+        # the flagship *_check family (golden equality proven distributed)
+        "pdf_ingest_check": _EMPTY_DIFF_SQL,
+        "extract_rules_v2_check": _EMPTY_DIFF_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

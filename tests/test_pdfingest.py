@@ -1,0 +1,118 @@
+"""Real-PDF ingestion: writer/parser round trip, malformed-input tagging,
+and the golden e2e — generated PDF -> parse -> extract_pipeline -> 18
+fields equal the first-principles expected record (reference analog:
+pypdf parse at app/services/pdf_processor.py:364-377 over reportlab
+fixtures, tests/utils/mock_generators.py:11-48)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.functions.pdfcodec import (
+    PdfDocument,
+    build_pdf,
+    parse_pdf,
+)
+from insurance_pdf_extractor_ray.pipelines.pdfingest import (
+    pdf_extract_pipeline,
+    pdf_to_docs,
+    pdfs_for_docs,
+)
+from insurance_pdf_extractor_ray.sources.synth import build_doc, expected_tables
+
+
+def _doc_spans(idx):
+    spec = build_doc(idx)
+    spans = sorted((s for chunk in spec.row_chunks for s in chunk),
+                   key=lambda s: s[3])
+    return spec, [(k, t, m) for (k, t, m, _o) in spans]
+
+
+def _skew_indices(n):
+    out = []
+    i = 0
+    while len(out) < n:
+        did = f"doc-{i:09d}"
+        if int.from_bytes(hashlib.blake2b(did.encode(), digest_size=2)
+                          .digest(), "big") % 1000 == 7:
+            out.append(i)
+        i += 1
+    return out
+
+
+class TestRoundTrip:
+    def test_all_families(self):
+        # one full family cycle + multi-page skew docs; 'table' spans
+        # legitimately collapse to 'text' (a real PDF carries no table kind)
+        norm = lambda lst: [("text" if k == "table" else k, t, m)
+                            for (k, t, m) in lst]
+        for idx in list(range(24)) + _skew_indices(3):
+            _spec, src = _doc_spans(idx)
+            assert norm(parse_pdf(build_pdf(src))) == norm(src), idx
+
+    def test_multipage_structure(self):
+        idx = _skew_indices(1)[0]  # ~200 spans -> several pages
+        _spec, src = _doc_spans(idx)
+        doc = PdfDocument(build_pdf(src))
+        assert len(doc.page_numbers()) >= 4
+
+    def test_media_refs_survive(self):
+        _spec, src = _doc_spans(9)  # media_interleaved family
+        out = parse_pdf(build_pdf(src))
+        want = [m for (k, _t, m) in src if k == "media"]
+        got = [m for (k, _t, m) in out if k == "media"]
+        assert want and got == want
+
+    def test_image_xobject_decodes(self):
+        _spec, src = _doc_spans(9)
+        doc = PdfDocument(build_pdf(src))
+        pnums = doc.page_numbers()
+        xo = {}
+        for p in pnums:
+            xo.update(doc.page_xobjects(p))
+        assert xo
+        img = doc.xobject_image(next(iter(xo.values())))
+        assert img.shape == (6, 8, 3) and img.dtype.name == "uint8"
+
+    def test_heading_and_escapes(self):
+        spans = [("heading", "TITLE (DRAFT) 50\\50", ""),
+                 ("text", "Line\twith\ttabs", "")]
+        assert parse_pdf(build_pdf(spans)) == spans
+
+    def test_malformed_raises(self):
+        with pytest.raises(ValueError):
+            parse_pdf(b"not a pdf at all")
+        good = build_pdf([("text", "hello", "")])
+        with pytest.raises(ValueError):
+            parse_pdf(good[: len(good) // 2])
+
+
+class TestPipeline:
+    def test_parse_stage_tags_errors(self, ray_session):
+        tbl = pdfs_for_docs([0, 1])
+        broken = pa.table({"doc_id": pa.array(["doc-broken"], pa.string()),
+                           "pdf": pa.array([b"%PDF-1.4 garbage"], pa.binary())})
+        ds = ray.data.from_arrow(pa.concat_tables([tbl, broken]))
+        rows = {r["doc_id"]: r for r in pdf_to_docs(ds).take_all()}
+        assert rows["doc-broken"]["error"] != "" and rows["doc-broken"]["spans"] == []
+        assert rows["doc-000000000"]["error"] == ""
+        assert len(rows["doc-000000000"]["spans"]) > 5
+
+    def test_golden_e2e_fields(self, ray_session):
+        """The done-criterion: generated PDF -> extract_pipeline -> all 18
+        fields + status equal the expected record, for two full family
+        cycles."""
+        from insurance_pdf_extractor_ray.config import FIELD_ORDER
+        from insurance_pdf_extractor_ray.pipelines.extraction import flatten_fields
+        from insurance_pdf_extractor_ray.pipelines.goldencheck import golden_diff
+
+        idx = list(range(24))
+        pdfs = ray.data.from_arrow(pdfs_for_docs(idx))
+        engine = flatten_fields(pdf_extract_pipeline(pdfs))
+        golden = expected_tables(idx)[0].select(
+            ["doc_id"] + FIELD_ORDER + ["status"])
+        diff = golden_diff(engine, ray.data.from_arrow(golden),
+                           key="doc_id").take_all()
+        assert diff == []
