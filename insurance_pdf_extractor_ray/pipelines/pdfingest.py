@@ -39,14 +39,77 @@ def pdf_bytes_for_doc(index: int, seed: int = 42) -> Tuple[str, bytes]:
     return spec.doc_id, build_pdf([(k, t, m) for (k, t, m, _o) in spans])
 
 
+def filename_for_doc(index: int) -> str:
+    """Deterministic source filename for a doc, with planted violations:
+    a wrong extension every 17th doc (F2), characters needing sanitization
+    every 23rd (M15), and case/space variants every 29th."""
+    from ..sources.synth import doc_id_for
+
+    base = doc_id_for(index)
+    if index % 17 == 3:
+        return f"{base}_quote.docx"
+    if index % 23 == 5:
+        return f"{base}<v:2>.pdf"
+    if index % 29 == 11:
+        return f"{base} final.PDF"
+    return f"{base}_quote.pdf"
+
+
 def pdfs_for_docs(indices, seed: int = 42) -> pa.Table:
-    ids, blobs = [], []
+    ids, names, blobs = [], [], []
     for i in indices:
         doc_id, blob = pdf_bytes_for_doc(int(i), seed)
         ids.append(doc_id)
+        names.append(filename_for_doc(int(i)))
         blobs.append(blob)
     return pa.table({"doc_id": pa.array(ids, pa.string()),
+                     "filename": pa.array(names, pa.string()),
                      "pdf": pa.array(blobs, pa.binary())})
+
+
+PDF_MAGIC = b"%PDF-"
+
+
+def file_gates(ds: ray.data.Dataset, cap_bytes: int = 10 * 2**20,
+               drop_failed: bool = False) -> ray.data.Dataset:
+    """Pre-parse file gates over a (doc_id, filename, pdf) table — the
+    reference's request-admission checks, vectorized and tag-and-keep:
+
+    * ``ext_ok``   — F2 '.pdf' extension gate (case-insensitive),
+      /root/reference/app/api/routes/extraction.py:96-97
+    * ``magic_ok`` — F3 '%PDF-' magic-bytes sniff,
+      /root/reference/app/utils/file_helpers.py:15-50
+    * ``size_ok``  — F4 byte-size cap (10 MB default),
+      /root/reference/app/utils/file_helpers.py:53-78, config.py:39
+    * ``safe_name``— M15 sanitized filename,
+      /root/reference/app/utils/validators.py:259-281
+
+    ``drop_failed=True`` keeps only rows passing all three predicates (the
+    reference rejects the request; at scale we quarantine)."""
+    import pyarrow.compute as pc
+
+    from ..functions.normalize import sanitize_filename
+
+    def gate(batch: pa.Table) -> pa.Table:
+        names = batch.column("filename")
+        ext_ok = pc.ends_with(pc.utf8_lower(names), pattern=".pdf")
+        blobs = batch.column("pdf").to_pylist()
+        magic_ok = pa.array([(b or b"")[:5] == PDF_MAGIC for b in blobs],
+                            pa.bool_())
+        size_ok = pc.less_equal(pc.binary_length(batch.column("pdf")),
+                                pa.scalar(cap_bytes))
+        safe = pa.array([sanitize_filename(n) for n in names.to_pylist()],
+                        pa.string())
+        out = (batch.append_column("ext_ok", ext_ok)
+                    .append_column("magic_ok", magic_ok)
+                    .append_column("size_ok", size_ok.cast(pa.bool_()))
+                    .append_column("safe_name", safe))
+        if drop_failed:
+            keep = pc.and_(pc.and_(ext_ok, magic_ok), size_ok)
+            out = out.filter(keep)
+        return out
+
+    return ds.map_batches(gate, batch_format="pyarrow")
 
 
 class PdfParseStage:

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_extract_rules_v2_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
+__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_file_gate_check', '_q_extract_rules_v2_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
 
 def _q_extract_fields(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.extraction import (
@@ -170,6 +170,53 @@ def _q_pdf_ingest_check(sf_dir: str):
     engine = flatten_fields(pdf_extract_pipeline(pdfs))
     golden = expected_tables(idx)[0].select(["doc_id"] + FIELD_ORDER + ["status"])
     return normalize_diff(golden_diff(engine, ray.data.from_arrow(golden),
+                                      key="doc_id"))
+
+
+def _q_file_gate_check(sf_dir: str):
+    """Hard gate for the pre-parse file-admission predicates (F2 extension /
+    F3 magic / F4 size / M15 sanitize): real PDF fixtures with planted wrong
+    extensions, header corruptions and a size cap that multi-page skew docs
+    exceed, run through the distributed ``file_gates`` stage and diffed
+    against an independent scalar recomputation of each verdict.  Empty
+    result = the vectorized gates agree with first principles on every doc."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.functions.normalize import sanitize_filename
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.pdfingest import (
+        PDF_MAGIC,
+        file_gates,
+        pdfs_for_docs,
+    )
+
+    n = min(_docs_rows(sf_dir), 600)
+    tbl = pdfs_for_docs(range(n))
+    # plant F3 violations: flip the header of every 19th doc
+    blobs = tbl.column("pdf").to_pylist()
+    blobs = [b"%BAD-" + b[5:] if i % 19 == 7 else b
+             for i, b in enumerate(blobs)]
+    tbl = tbl.set_column(2, "pdf", pa.array(blobs, pa.binary()))
+    cap = 6000  # bytes: single-page fixtures fit, skew multi-page docs don't
+
+    gated = file_gates(ray.data.from_arrow(tbl), cap_bytes=cap)
+    got = gated.select_columns(["doc_id", "ext_ok", "magic_ok", "size_ok",
+                                "safe_name"])
+    want = pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "ext_ok": pa.array([nm.lower().endswith(".pdf")
+                            for nm in tbl.column("filename").to_pylist()],
+                           pa.bool_()),
+        "magic_ok": pa.array([b[:5] == PDF_MAGIC for b in blobs], pa.bool_()),
+        "size_ok": pa.array([len(b) <= cap for b in blobs], pa.bool_()),
+        "safe_name": pa.array([sanitize_filename(nm)
+                               for nm in tbl.column("filename").to_pylist()],
+                              pa.string()),
+    })
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
                                       key="doc_id"))
 
 

@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_check": _q_extract_spans_check,
         "layout_extract_check": _q_layout_extract_check,
         "pdf_ingest_check": _q_pdf_ingest_check,
+        "file_gate_check": _q_file_gate_check,
         "extract_rules_v2_check": _q_extract_rules_v2_check,
         "exact_dedup": _q_exact_dedup,
         "global_stats": _q_global_stats,
@@ -80,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_term_per_doc": _q_top_term,
         "orders_lineitem_join": _q_orders_lineitem_join,
         "hourly_distinct_users": _q_hourly_distinct_users,
-        "events_in_sessions": _q_events_in_sessions,
         "stratified_sample": _q_stratified_sample,
         "profile_documents": _q_profile_documents,
         "pack_sequences": _q_pack_sequences,
@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_users": _q_union_distinct,
         "mode_lang_per_source": _q_mode_lang,
         "unpivot_daily_counts": _q_unpivot,
+        "events_in_sessions": _q_events_in_sessions,
         "pivot_event_daily": _q_pivot_event_daily,
         "funnel_view_click_purchase": _q_funnel,
         "cohort_retention": _q_cohort_retention,
@@ -1221,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
         # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,
+        "file_gate_check": _EMPTY_DIFF_SQL,
         "extract_rules_v2_check": _EMPTY_DIFF_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

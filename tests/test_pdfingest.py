@@ -93,12 +93,39 @@ class TestPipeline:
     def test_parse_stage_tags_errors(self, ray_session):
         tbl = pdfs_for_docs([0, 1])
         broken = pa.table({"doc_id": pa.array(["doc-broken"], pa.string()),
+                           "filename": pa.array(["doc-broken.pdf"], pa.string()),
                            "pdf": pa.array([b"%PDF-1.4 garbage"], pa.binary())})
         ds = ray.data.from_arrow(pa.concat_tables([tbl, broken]))
         rows = {r["doc_id"]: r for r in pdf_to_docs(ds).take_all()}
         assert rows["doc-broken"]["error"] != "" and rows["doc-broken"]["spans"] == []
         assert rows["doc-000000000"]["error"] == ""
         assert len(rows["doc-000000000"]["spans"]) > 5
+
+    def test_file_gates(self, ray_session):
+        """F2 extension / F3 magic / F4 size / M15 sanitize over the PDF
+        table (reference: extraction.py:96-97, file_helpers.py:15-78,
+        validators.py:259-281)."""
+        from insurance_pdf_extractor_ray.pipelines.pdfingest import file_gates
+
+        idx = list(range(60))
+        tbl = pdfs_for_docs(idx)
+        blobs = tbl.column("pdf").to_pylist()
+        blobs[10] = b"%BAD-" + blobs[10][5:]  # F3 violation
+        tbl = tbl.set_column(2, "pdf", pa.array(blobs, pa.binary()))
+        rows = {r["doc_id"]: r
+                for r in file_gates(ray.data.from_arrow(tbl)).take_all()}
+        assert len(rows) == 60
+        assert not rows["doc-000000003"]["ext_ok"]          # .docx (i%17==3)
+        assert rows["doc-000000011"]["ext_ok"]              # ' final.PDF' passes F2
+        assert not rows["doc-000000010"]["magic_ok"]
+        assert rows["doc-000000005"]["safe_name"].endswith(".pdf")
+        assert "<" not in rows["doc-000000005"]["safe_name"]
+        assert all(r["size_ok"] for r in rows.values())     # default 10MB cap
+        # drop mode quarantines exactly the violators
+        kept = file_gates(ray.data.from_arrow(tbl), drop_failed=True).count()
+        n_bad = sum(1 for r in rows.values()
+                    if not (r["ext_ok"] and r["magic_ok"] and r["size_ok"]))
+        assert kept == 60 - n_bad and n_bad >= 4
 
     def test_golden_e2e_fields(self, ray_session):
         """The done-criterion: generated PDF -> extract_pipeline -> all 18
