@@ -98,6 +98,73 @@ def test_new_fragment_invalidates_affected_partitions(sharded_input, tmp_path):
     assert res["rows"] == 350
 
 
+def test_flagship_sigkill_resume_bucketed(tmp_path):
+    """REAL mid-run kill: the flagship runs over a bucketed layout in a child
+    process that is SIGKILLed after some manifests commit; a fresh resume
+    must skip exactly the committed buckets and produce every doc exactly
+    once.  (The sf0.1-scale version of this drill is tools/resume_drill.py,
+    artifact BENCH/RESUME_r3.json.)"""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from insurance_pdf_extractor_ray.sources.io import write_bucketed
+
+    layout = str(tmp_path / "bucketed")
+    out = str(tmp_path / "out")
+    write_bucketed(ray.data.from_arrow(synth.docs_table(range(1200))),
+                   layout, key="doc_id", num_buckets=6)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child_code = f"""
+import sys; sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+from insurance_pdf_extractor_ray.pipelines.extraction import extract_pipeline, flatten_fields
+from insurance_pdf_extractor_ray.sources.io import bucket_partitions
+from insurance_pdf_extractor_ray.state import checkpoint
+res = checkpoint.run_partitioned(
+    "", {out!r}, lambda ds: flatten_fields(extract_pipeline(ds)),
+    config={{"v": 1}}, partitions=bucket_partitions({layout!r}))
+print("CHILD_DONE", res)
+ray.shutdown()
+"""
+
+    def launch():
+        return subprocess.Popen([sys.executable, "-c", child_code],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT,
+                                preexec_fn=os.setsid)
+
+    man_glob = os.path.join(out, "_manifest", "part-*.json")
+    child = launch()
+    killed = False
+    deadline = time.time() + 180
+    while child.poll() is None and time.time() < deadline:
+        if len(glob.glob(man_glob)) >= 2:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.1)
+    child.wait()
+    assert killed, "child finished before kill threshold; enlarge corpus"
+    n_committed = len(glob.glob(man_glob))
+    assert n_committed < 6
+
+    child2 = launch()
+    out_text = child2.communicate()[0].decode()
+    assert child2.returncode == 0 and "CHILD_DONE" in out_text, out_text[-2000:]
+    assert f"'partitions_skipped': {n_committed}" in out_text
+
+    ids = ray.data.read_parquet(
+        glob.glob(os.path.join(out, "part-*", "*.parquet")),
+        columns=["doc_id"]).take_all()
+    id_list = [r["doc_id"] for r in ids]
+    assert len(id_list) == 1200 and len(set(id_list)) == 1200
+    assert len(glob.glob(man_glob)) == 6
+
+
 def test_bucketed_layout_end_to_end(tmp_path):
     """write_bucketed -> run_partitioned(bucket_partitions): per-bucket
     reassembly with NO corpus-wide shuffle produces golden-exact output even
