@@ -366,6 +366,25 @@ def resize_nearest(arr: np.ndarray, target: int) -> np.ndarray:
 FEATURE_DIM = 8
 
 
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash of a decoded image — the classic perceptual
+    near-dup fingerprint: grayscale, nearest-sample to 9x8, one bit per
+    horizontal gradient sign.  Invariant to integer nearest-neighbor
+    upscaling (floor(floor(k*cH/N)/c) == floor(k*H/N)) and to any lossless
+    re-encode; Hamming distance measures perceptual drift."""
+    g = arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+    h, w = g.shape
+    ys = (np.arange(8) * (h / 8)).astype(np.int64)
+    xs = (np.arange(9) * (w / 9)).astype(np.int64)
+    s = g[ys][:, xs]
+    bits = (s[:, 1:] > s[:, :-1]).reshape(-1)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def hamming64(a, b) -> int:
+    return int(bin(int(a) ^ int(b)).count("1"))
+
+
 def image_features(arr: np.ndarray) -> np.ndarray:
     """8 floats from a decoded (H,W,C) uint8 image."""
     h, w = arr.shape[:2]

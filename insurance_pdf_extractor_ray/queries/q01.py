@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_file_gate_check', '_q_extract_rules_v2_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
+__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_file_gate_check', '_q_image_dedup_check', '_q_extract_rules_v2_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
 
 def _q_extract_fields(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.extraction import (
@@ -218,6 +218,33 @@ def _q_file_gate_check(sf_dir: str):
     })
     return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
                                       key="doc_id"))
+
+
+def _q_image_dedup_check(sf_dir: str):
+    """Hard gate for perceptual image near-dup over real codecs: every image
+    asset gets a planted near-duplicate twin (the same picture, integer-
+    upscaled and re-encoded); the engine decodes the real PNGs, dHash-
+    fingerprints them and groups by banded Hamming LSH
+    (pipelines/imagededup.py).  Diffed against the planted group structure —
+    empty result = every twin found, no false merges across distinct images."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.imagededup import (
+        assets_with_image_dups,
+        near_dup_image_groups,
+    )
+
+    refs = _media_refs(sf_dir)
+    assets, golden = assets_with_image_dups(refs)
+    got = near_dup_image_groups(ray.data.from_arrow(assets),
+                                max_hamming=3, bands=4)
+    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+                                      ray.data.from_arrow(golden),
+                                      key="media_ref"))
 
 
 def _q_extract_rules_v2_check(sf_dir: str):

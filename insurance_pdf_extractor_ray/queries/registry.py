@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_decode_check": _q_media_decode_check,
         "frame_sample_check": _q_frame_sample_check,
+        "image_dedup_check": _q_image_dedup_check,
         "retention_filter": _q_retention,
         "json_props_stats": _q_json_props_stats,
         "html_main_content": _q_html_main_content,
@@ -81,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_term_per_doc": _q_top_term,
         "orders_lineitem_join": _q_orders_lineitem_join,
         "hourly_distinct_users": _q_hourly_distinct_users,
-        "stratified_sample": _q_stratified_sample,
         "profile_documents": _q_profile_documents,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_lang_per_source": _q_mode_lang,
         "unpivot_daily_counts": _q_unpivot,
         "events_in_sessions": _q_events_in_sessions,
+        "stratified_sample": _q_stratified_sample,
         "pivot_event_daily": _q_pivot_event_daily,
         "funnel_view_click_purchase": _q_funnel,
         "cohort_retention": _q_cohort_retention,
@@ -1223,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,
         "file_gate_check": _EMPTY_DIFF_SQL,
+        "image_dedup_check": _EMPTY_DIFF_SQL,
         "extract_rules_v2_check": _EMPTY_DIFF_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

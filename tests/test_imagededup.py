@@ -1,0 +1,85 @@
+"""Perceptual image near-dup (dHash + banded Hamming LSH) over real PNGs."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.functions.codecs import (
+    decode_png,
+    dhash64,
+    encode_png,
+    hamming64,
+)
+from insurance_pdf_extractor_ray.pipelines.imagededup import (
+    assets_with_image_dups,
+    image_dhashes,
+    near_dup_image_groups,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+REFS = [(f"doc-{i}", f"media://doc-{i}/0") for i in range(48)]
+
+
+class TestDHash:
+    def test_upscale_invariance(self):
+        rng = np.random.RandomState(5)
+        for _ in range(10):
+            arr = rng.randint(0, 256, size=(rng.randint(8, 40),
+                                            rng.randint(8, 40), 3),
+                              dtype=np.uint8)
+            for s in (2, 3):
+                up = np.repeat(np.repeat(arr, s, axis=0), s, axis=1)
+                assert dhash64(arr) == dhash64(up), (arr.shape, s)
+
+    def test_lossless_reencode_invariance(self):
+        rng = np.random.RandomState(6)
+        arr = rng.randint(0, 256, size=(20, 30, 3), dtype=np.uint8)
+        assert dhash64(decode_png(encode_png(arr))) == dhash64(arr)
+
+    def test_distinct_images_far(self):
+        rng = np.random.RandomState(7)
+        hs = [dhash64(rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8))
+              for _ in range(40)]
+        dists = [hamming64(hs[i], hs[j])
+                 for i in range(40) for j in range(i + 1, 40)]
+        assert min(dists) > 10  # random images are nowhere near the threshold
+
+    def test_small_perturbation_nearby(self):
+        # brightening one region flips few gradient signs -> small distance
+        rng = np.random.RandomState(8)
+        y, x = np.mgrid[0:32, 0:32]
+        base = ((x * 7 + y * 3) % 256).astype(np.uint8)[:, :, None].repeat(3, 2)
+        pert = base.copy()
+        pert[:4, :4] = np.minimum(255, pert[:4, :4].astype(int) + 30).astype(np.uint8)
+        assert 0 < hamming64(dhash64(base), dhash64(pert)) <= 6
+
+
+class TestNearDupGroups:
+    def test_groups_match_planted_golden(self):
+        assets, golden = assets_with_image_dups(REFS)
+        got = near_dup_image_groups(ray.data.from_arrow(assets),
+                                    max_hamming=3, bands=4)
+        assert got.to_pylist() == golden.to_pylist()
+        groups = golden.column("group").to_pylist()
+        assert len(set(groups)) < len(groups)  # real dup pairs exist
+
+    def test_layout_independence(self):
+        assets, golden = assets_with_image_dups(REFS)
+        got = near_dup_image_groups(
+            ray.data.from_arrow(assets).repartition(7),
+            max_hamming=3, bands=4)
+        assert got.to_pylist() == golden.to_pylist()
+
+    def test_bands_guard(self):
+        assets, _ = assets_with_image_dups(REFS[:4])
+        with pytest.raises(ValueError, match="max_hamming < bands"):
+            near_dup_image_groups(ray.data.from_arrow(assets),
+                                  max_hamming=4, bands=4)
+
+    def test_hashes_only_for_decodable_images(self):
+        assets, _ = assets_with_image_dups(REFS)
+        hs = image_dhashes(ray.data.from_arrow(assets)).take_all()
+        kinds = dict(zip(assets.column("media_ref").to_pylist(),
+                         assets.column("kind").to_pylist()))
+        assert hs and all(kinds[r["media_ref"]] == "image" for r in hs)
