@@ -669,6 +669,67 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
         events, columns=["user_id", "ts", "value"])).count() > 0
     queries["rfm_segments"] = round(time.time() - t0, 3)
 
+    # --- round-3 stages: real codecs, binary-PDF ingestion, image near-dup
+    from insurance_pdf_extractor_ray.pipelines.imagededup import (
+        near_dup_image_groups,
+    )
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        decode_media,
+        frame_sample,
+        media_consistency_gate,
+        real_assets_for_docs,
+    )
+    from insurance_pdf_extractor_ray.pipelines.pdfingest import (
+        file_gates,
+        pdf_to_docs,
+        pdfs_for_docs,
+    )
+
+    # fixtures are generated DISTRIBUTED (encode is per-asset CPU work) and
+    # materialized outside the timers so the stages measure decode, not gen
+    n_assets_docs = 4000
+
+    def _gen_assets(batch) -> pa.Table:
+        refs = [(f"doc-{int(i):09d}", f"media://doc-{int(i):09d}/{j}")
+                for i in batch["id"] for j in (0, 1)]
+        return real_assets_for_docs(refs, mismatch_frac=0.05,
+                                    corrupt_frac=0.05)
+
+    assets = ray.data.range(n_assets_docs, override_num_blocks=num_cpus) \
+        .map_batches(_gen_assets, batch_format="numpy", batch_size=256) \
+        .materialize()
+
+    t0 = time.time()
+    assert decode_media(media_consistency_gate(assets), use_fake=False,
+                        concurrency=(1, num_cpus)).count() == n_assets_docs * 2
+    queries["media_decode_real"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assert frame_sample(assets, use_fake=False, every_ms=500, max_frames=6,
+                        concurrency=(1, num_cpus)).count() > 0
+    queries["frame_sample_real"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assert near_dup_image_groups(assets, max_hamming=3, bands=4).num_rows > 0
+    queries["image_dedup"] = round(time.time() - t0, 3)
+
+    n_pdf_docs = 5000
+
+    def _gen_pdfs(batch) -> pa.Table:
+        return pdfs_for_docs([int(i) for i in batch["id"]])
+
+    pdf_tbl = ray.data.range(n_pdf_docs, override_num_blocks=num_cpus) \
+        .map_batches(_gen_pdfs, batch_format="numpy", batch_size=256) \
+        .materialize()
+
+    t0 = time.time()
+    parsed = pdf_to_docs(file_gates(pdf_tbl, drop_failed=True)
+                         .drop_columns(["ext_ok", "magic_ok", "size_ok",
+                                        "safe_name"]), drop_errors=True)
+    n_pdf_out = extract_pipeline(parsed, assume_colocated=True).count()
+    assert n_pdf_out > 0.9 * n_pdf_docs * (1 - 1 / 17)
+    queries["pdf_ingest_extract"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

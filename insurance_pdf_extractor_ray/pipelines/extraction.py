@@ -28,6 +28,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple, Union
 
 import numpy as np
@@ -155,9 +156,20 @@ MAX_SPLIT_BROADCAST = 2_000_000
 
 
 #: below this row count the split-doc detector collects per-batch hash blobs
-#: to the driver (8 bytes/row — 400 MB at the limit, one cheap pass, no
-#: shuffle); above it, the distributed groupby-count path runs instead
+#: to the driver (8 bytes/row — 400 MB at the hard cap, one cheap pass, no
+#: shuffle); above it, the distributed groupby-count path runs instead.
+#: The cap also shrinks with actually-available driver memory (<= ~10% of
+#: free RAM at 8 B/row) so a shared or small driver switches to the
+#: distributed path earlier instead of OOMing.
 MAX_DRIVER_DETECT_ROWS = 50_000_000
+
+
+def _driver_detect_cap() -> int:
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return MAX_DRIVER_DETECT_ROWS
+    return int(min(MAX_DRIVER_DETECT_ROWS, max(1_000_000, avail // 80)))
 
 
 def _split_doc_hashes(raw: ray.data.Dataset) -> np.ndarray:
@@ -187,7 +199,7 @@ def _split_doc_hashes(raw: ray.data.Dataset) -> np.ndarray:
     # (measured 1.6 s vs 0.03 s at 50k docs — the whole detector budget)
     pruned = (raw if raw.schema().names == ["doc_id"]
               else raw.select_columns(["doc_id"]))
-    if pruned.count() <= MAX_DRIVER_DETECT_ROWS:
+    if pruned.count() <= _driver_detect_cap():
         def blob(batch: pa.Table) -> pa.Table:
             h = stable_hash64_column(batch.column("doc_id")).view(np.int64)
             return pa.table({"blob": pa.array([h.tobytes()], pa.binary())})
