@@ -116,8 +116,6 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     auto_trials = []
     for _ in range(2):
         t0 = time.time()
-        # pass the PATH so auto's detector re-reads only the doc_id column
-        # (id_only_source) instead of decoding the heavy spans column twice
         extract_pipeline(corpus, mode="auto").count()
         auto_trials.append(time.time() - t0)
     queries["extract_auto"] = round(min(auto_trials), 3)

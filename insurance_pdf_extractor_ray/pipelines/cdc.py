@@ -17,6 +17,7 @@ shuffles are keyed on the same column so a bucketed-by-key base layout
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -82,28 +83,139 @@ def apply_changes(
                        on=(key_col,), right_on=("__k",))
 
     def resolve(t: pa.Table) -> pa.Table:
-        op = t.column("__op")
-        # delete: latest op says so; null op (no change) keeps the row
-        t = t.filter(pc.fill_null(pc.invert(pc.equal(op, delete_op)), True))
-        has_chg = pc.is_valid(t.column("__op"))
-        cols = {}
-        for c in base_names:
-            if c == key_col:
-                # Ray's full_outer join may coalesce the right key into the
-                # left key column (no "__k" in the output) — handle both
-                if "__k" in t.column_names:
-                    cols[c] = pc.coalesce(
-                        t.column(c), t.column("__k").cast(base_types[c]))
-                else:
-                    cols[c] = t.column(c)
-            elif c in inv_payload:
-                newv = t.column(f"__p_{inv_payload[c]}").cast(base_types[c])
-                cols[c] = pc.if_else(has_chg, newv, t.column(c))
-            else:
-                cols[c] = t.column(c)  # inserts get nulls here
-        return pa.table(cols)
+        return _resolve_changes(t, base_names, base_types, key_col,
+                                inv_payload, delete_op)
 
     return joined.map_batches(resolve, batch_format="pyarrow")
+
+
+def _resolve_changes(t: pa.Table, base_names: Sequence[str],
+                     base_types: Dict[str, pa.DataType], key_col: str,
+                     inv_payload: Dict[str, str], delete_op: str) -> pa.Table:
+    """Vectorized delete/upsert/passthrough resolution over the full-outer
+    join of base rows with the latest change per key (__k/__op/__p_* side)."""
+    op = t.column("__op")
+    # delete: latest op says so; null op (no change) keeps the row
+    t = t.filter(pc.fill_null(pc.invert(pc.equal(op, delete_op)), True))
+    has_chg = pc.is_valid(t.column("__op"))
+    cols = {}
+    for c in base_names:
+        if c == key_col:
+            # the full-outer join may coalesce the right key into the
+            # left key column (no "__k" in the output) — handle both
+            if "__k" in t.column_names:
+                cols[c] = pc.coalesce(
+                    t.column(c), t.column("__k").cast(base_types[c]))
+            else:
+                cols[c] = t.column(c)
+        elif c in inv_payload:
+            newv = t.column(f"__p_{inv_payload[c]}").cast(base_types[c])
+            cols[c] = pc.if_else(has_chg, newv, t.column(c))
+        else:
+            cols[c] = t.column(c)  # inserts get nulls here
+    return pa.table(cols)
+
+
+def _latest_local(t: pa.Table, key: str, order_by: Sequence[str]) -> pa.Table:
+    """Latest row per key within one in-memory table: one sort_indices
+    (key asc, order_by desc — pass a unique column last for a total order)
+    + a vectorized first-occurrence mask.  No hashing, no Python per row."""
+    sort_keys = [(key, "ascending")] + [(c, "descending") for c in order_by]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    n = t.num_rows
+    if n <= 1:
+        return t
+    k = t.column(key).combine_chunks()
+    cur, prev = k.slice(1, n - 1), k.slice(0, n - 1)
+    same = pc.fill_null(pc.equal(cur, prev), False).to_numpy(
+        zero_copy_only=False)
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = ~same
+    return t.filter(pa.array(keep))
+
+
+def apply_changes_bucketed(
+    base_path: str,
+    changes: ray.data.Dataset,
+    change_key_col: str,
+    order_by: Sequence[str],
+    op_col: str,
+    payload_map: Dict[str, str],
+    delete_op: str = "delete",
+    chg_path: Optional[str] = None,
+) -> ray.data.Dataset:
+    """``apply_changes`` over a hash-bucketed base layout (bucketed.py) with
+    ZERO base exchange — the 100-TB MERGE INTO shape.
+
+    The base (the big side) never moves: the change log makes ONE map pass
+    into a matching ``_bucket=i/`` layout (same durable key hash, same
+    bucket count — no shuffle, each task appends to the dirs it touches),
+    then one task per bucket compacts its changes to the latest row per key
+    locally and resolves them against the co-located base bucket with a
+    local Arrow hash join.  Buckets with no changes pass the base through
+    untouched.  Output semantics are identical to ``apply_changes`` (same
+    resolve kernel); to persist the next state re-tag with
+    ``write_bucketed(out, next_path, key, n_buckets)`` — a map pass, still
+    no shuffle, since the durable hash is deterministic.
+    """
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .bucketed import _bucket_of, _read_bucket, layout_of
+
+    lay = layout_of(base_path)
+    key_col, n_buckets = lay["key"], lay["n_buckets"]
+    chg_cols = list(dict.fromkeys(
+        [change_key_col, op_col] + list(payload_map) + list(order_by)))
+
+    chg_path = chg_path or tempfile.mkdtemp(prefix="ipe_cdc_chg_")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.select(chg_cols)
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch.column(change_key_col),
+                                           n_buckets), pa.int64()))
+
+    changes.map_batches(tag, batch_format="pyarrow").write_parquet(
+        chg_path, partition_cols=["_bucket"])
+
+    sample = sorted(_glob.glob(
+        os.path.join(base_path, "_bucket=*", "*.parquet")))
+    if not sample:
+        raise ValueError(f"no bucket files under {base_path}")
+    base_schema = pq.read_schema(sample[0])
+    base_names = list(base_schema.names)
+    base_types = dict(zip(base_schema.names, base_schema.types))
+    inv_payload = {b: c for c, b in payload_map.items()}
+    latest_cols = [change_key_col, op_col] + list(payload_map)
+    latest_names = ["__k", "__op"] + [f"__p_{c}" for c in payload_map]
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        out: List[pa.Table] = []
+        for b in batch.column("bucket").to_pylist():
+            ta = _read_bucket(base_path, b, None)
+            tc = _read_bucket(chg_path, b, None)
+            if tc is None or tc.num_rows == 0:
+                if ta is not None:
+                    out.append(ta)
+                continue
+            latest = _latest_local(tc, change_key_col, list(order_by))
+            latest = latest.select(latest_cols).rename_columns(latest_names)
+            if ta is None:
+                ta = base_schema.empty_table()
+            j = ta.join(latest, keys=[key_col], right_keys=["__k"],
+                        join_type="full outer")
+            out.append(_resolve_changes(j, base_names, base_types, key_col,
+                                        inv_payload, delete_op))
+        if not out:
+            return base_schema.empty_table()
+        return pa.concat_tables(out, promote_options="default")
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n_buckets)])
+    return buckets.map_batches(merge_one, batch_size=1,
+                               batch_format="pyarrow")
 
 
 def scd2_intervals(

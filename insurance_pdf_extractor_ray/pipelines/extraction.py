@@ -185,10 +185,12 @@ def _split_doc_hashes(raw: ray.data.Dataset) -> np.ndarray:
     driver — never a corpus-scale collection (~8 TB at the 10^12-doc north
     star if collected naively).
 
-    The decision is purely content-based (how many ROWS a doc has), never
-    batching-based — batch/block boundaries are NOT stable across separate
-    executions of a re-executed lineage, so "seen in two batches" would
-    misclassify docs and duplicate them downstream (caught at 24k docs).
+    The decision is purely content-based (how many ROWS a doc has in the
+    input as given), never batching-based — "seen in two batches" would
+    misclassify docs on a re-executed lineage whose batch boundaries moved
+    (caught at 24k docs).  Callers that need the multiplicities to be
+    execution-stable (reassemble's auto mode filters the SAME dataset by
+    the result) must pass a MATERIALIZED dataset, which freezes them.
     """
     from ray.data.aggregate import Sum
 
@@ -196,10 +198,15 @@ def _split_doc_hashes(raw: ray.data.Dataset) -> np.ndarray:
 
     # don't re-project an already-doc_id-only source: a select_columns node
     # on top of a pruned read blocks Ray's metadata-only count() shortcut
-    # (measured 1.6 s vs 0.03 s at 50k docs — the whole detector budget)
+    # (measured 1.6 s vs 0.03 s at 50k docs — the whole detector budget);
+    # a materialized input counts from its own metadata either way
+    from ray.data.dataset import MaterializedDataset
+
     pruned = (raw if raw.schema().names == ["doc_id"]
               else raw.select_columns(["doc_id"]))
-    if pruned.count() <= _driver_detect_cap():
+    n_rows = (raw.count() if isinstance(raw, MaterializedDataset)
+              else pruned.count())
+    if n_rows <= _driver_detect_cap():
         def blob(batch: pa.Table) -> pa.Table:
             h = stable_hash64_column(batch.column("doc_id")).view(np.int64)
             return pa.table({"blob": pa.array([h.tobytes()], pa.binary())})
@@ -242,7 +249,6 @@ def reassemble(
     assume_colocated: bool = False,
     num_partitions: Optional[int] = None,
     mode: Optional[str] = None,
-    id_only_source: Optional[str] = None,
 ) -> ray.data.Dataset:
     """Rebuild one offset-ordered row per doc_id (the reassembly exchange).
 
@@ -254,12 +260,13 @@ def reassemble(
         per-doc Python calls).
       * ``"colocated"``: all rows of a doc share a block (bucketed write
         layout) — skip the shuffle, merge within blocks.
-      * ``"auto"``: detect split docs with a distributed multiplicity count
-        (tiny groupby on 8-byte hashes — nothing corpus-scale on the
-        driver); shuffle ONLY the split docs' rows (usually a tiny fraction)
-        and stream everything else — adaptive shuffle avoidance.  If the
-        split set itself is huge (> MAX_SPLIT_BROADCAST) the input is
-        heavily fragmented and auto degrades gracefully to the full shuffle.
+      * ``"auto"``: materialize the precombined frontier, detect the docs
+        that STILL have >1 row there (their spans crossed a batch boundary
+        — multiplicities are frozen by the materialize, so this is exact),
+        shuffle ONLY those rows (usually a tiny fraction) and stream
+        everything else — adaptive shuffle avoidance.  If the split set
+        itself is huge (> MAX_SPLIT_BROADCAST) the input is heavily
+        fragmented and auto degrades gracefully to the full shuffle.
     """
     mode = mode or ("colocated" if assume_colocated else "shuffle")
     pre = ds.map_batches(precombine, batch_format="pyarrow")
@@ -277,29 +284,23 @@ def reassemble(
 
     from ..functions.hashing import stable_hash64_column
 
-    # detector runs on the RAW rows (content-based membership; see
-    # _split_doc_hashes for why batching-based detection is wrong).
-    # ``id_only_source``: a storage path to re-read with ONLY the doc_id
-    # column — without it the detector pass decodes the heavy spans column
-    # just to throw it away (measured 1.5x auto-mode slowdown at 50k docs)
-    detector_input = (
-        read_table(id_only_source, columns=["doc_id"])
-        if id_only_source is not None else ds
-    )
-    split = _split_doc_hashes(detector_input)
-    if len(split) == 0:
-        return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
-    if len(split) > MAX_SPLIT_BROADCAST:
-        return _shuffle_merge(pre, num_partitions)
-    ref = _ray.put(split)  # sorted uint64 array, broadcast once
-
     # the whole/frag branches below are a Dataset diamond — without this,
     # each branch re-reads and re-precombines the WHOLE corpus (measured 2x
     # auto-mode wall time at 50k docs).  Materializing the precombined
     # frontier costs one object-store-resident (spillable) copy; that is
     # the price of shuffle avoidance, still far below the full exchange it
-    # replaces.
+    # replaces.  It also FREEZES per-doc multiplicities, so the detector
+    # can run on the frontier itself (docs with one row here are complete
+    # whatever the raw layout was) instead of a separate raw-source pass —
+    # one fewer execution, and strictly more precise: a doc whose raw rows
+    # all landed in one precombine batch is already merged and streams.
     pre = pre.materialize()
+    split = _split_doc_hashes(pre)
+    if len(split) == 0:
+        return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
+    if len(split) > MAX_SPLIT_BROADCAST:
+        return _shuffle_merge(pre, num_partitions)
+    ref = _ray.put(split)  # sorted hash array, broadcast once
 
     def make_filter(keep_split: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -357,8 +358,7 @@ def extract_pipeline(
     32 CPUs: tasks 54.8k docs/s vs actors ~34k.
     """
     ds = read_table(source, columns=["doc_id", "spans"]) if isinstance(source, str) else source
-    ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode,
-                    id_only_source=source if isinstance(source, str) else None)
+    ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode)
 
     if compute == "tasks":
         def extract_batch(batch: pa.Table) -> pa.Table:

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_fixed_k_sample', '_q_bucketed_join', '_q_quantiles_exact', '_q_skew_join', '_q_percent_rank', '_q_cume_dist', '_q_scd2_user_states', '_q_pushdown_read_orders', '_q_weekly_top_event', '_q_quantize_embeddings', '_q_range_layout_orders', '_q_rolling_dau', '_q_events_with_state', '_q_cumsum_by_user', '_q_bloom_semijoin', '_q_daily_gapfill', '_q_full_outer_balances', '_q_hash_split_stats', '_q_anti_join_shuffle', '_q_range_rolling_user', '_q_zorder_orders', '_q_merged_user_sessions', '_q_union_by_name', '_q_lead_next_value', '_q_gsets_source_lang', '_q_shuffled_docs_head', '_q_kmeans_embeddings', '_q_q5_region_revenue', '_q_q3_unshipped_topk', '_q_count_min_users', '_q_bigram_logprob', '_q_readability', '_q_char_entropy', '_q_user_event_entropy', '_q_interarrival', '_q_embedding_covariance', '_q_lang_drift', '_q_similarity_triangles', '_q_bpe_merges']
+__all__ = ['_q_fixed_k_sample', '_q_bucketed_join', '_q_apply_changes_bucketed', '_q_quantiles_exact', '_q_skew_join', '_q_percent_rank', '_q_cume_dist', '_q_scd2_user_states', '_q_pushdown_read_orders', '_q_weekly_top_event', '_q_quantize_embeddings', '_q_range_layout_orders', '_q_rolling_dau', '_q_events_with_state', '_q_cumsum_by_user', '_q_bloom_semijoin', '_q_daily_gapfill', '_q_full_outer_balances', '_q_hash_split_stats', '_q_anti_join_shuffle', '_q_range_rolling_user', '_q_zorder_orders', '_q_merged_user_sessions', '_q_union_by_name', '_q_lead_next_value', '_q_gsets_source_lang', '_q_shuffled_docs_head', '_q_kmeans_embeddings', '_q_q5_region_revenue', '_q_q3_unshipped_topk', '_q_count_min_users', '_q_bigram_logprob', '_q_readability', '_q_char_entropy', '_q_user_event_entropy', '_q_interarrival', '_q_embedding_covariance', '_q_lang_drift', '_q_similarity_triangles', '_q_bpe_merges']
 
 def _q_fixed_k_sample(sf_dir: str):
     """Deterministic fixed-k-per-stratum reservoir (Knuth-hash ranking,
@@ -49,6 +49,33 @@ def _q_bucketed_join(sf_dir: str):
     out = bucketed_join(os.path.join(root, "orders"), os.path.join(root, "cust"))
     return pa.Table.from_pylist(
         out.take_all()).select(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
+def _q_apply_changes_bucketed(sf_dir: str):
+    """CDC MERGE INTO over a hash-bucketed base with ZERO base exchange:
+    the change log makes one map pass into the base's bucket layout, then
+    one task per bucket compacts + resolves locally — the base never
+    shuffles (pipelines/cdc.py:apply_changes_bucketed).  Same semantics and
+    oracle as apply_changes_balances."""
+    import tempfile
+
+    from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+    from insurance_pdf_extractor_ray.pipelines.cdc import apply_changes_bucketed
+
+    root = tempfile.mkdtemp(prefix="ipe_cdc_bucketed_")
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    write_bucketed(base, os.path.join(root, "base"), "c_custkey", 16)
+    changes = _events(sf_dir,
+                      ["user_id", "ts", "event_id", "event_type", "value"])
+    out = apply_changes_bucketed(
+        os.path.join(root, "base"), changes, "user_id",
+        order_by=["ts", "event_id"], op_col="event_type",
+        payload_map={"value": "c_acctbal"}, delete_op="error")
+    rows = sorted(out.take_all(), key=lambda r: r["c_custkey"])
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64()),
+        "c_acctbal": pa.array([r["c_acctbal"] for r in rows], pa.float64()),
+    })
 
 
 def _q_quantiles_exact(sf_dir: str):

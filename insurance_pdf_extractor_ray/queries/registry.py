@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_value_sum": _q_salted_sum,
         "fixed_k_sample": _q_fixed_k_sample,
         "bucketed_join_orders": _q_bucketed_join,
+        "apply_changes_bucketed": _q_apply_changes_bucketed,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -1407,6 +1408,21 @@ def oracle_sql() -> dict[str, str]:
               ON w.event_type = 'error'
              AND e.ts >= w.ts AND e.ts <= w.ts + INTERVAL 600 SECOND
             ORDER BY 1, 2
+        """,
+        "apply_changes_bucketed": """
+            WITH latest AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1)
+            SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+                   CASE WHEN l.user_id IS NOT NULL THEN l.value
+                        ELSE c.c_acctbal END AS c_acctbal
+            FROM customer c FULL OUTER JOIN latest l
+              ON c.c_custkey = l.user_id
+            WHERE l.event_type IS DISTINCT FROM 'error'
+            ORDER BY 1
         """,
         "apply_changes_balances": """
             WITH latest AS (

@@ -61,6 +61,86 @@ def test_matches_duckdb_merge_sql():
     assert _apply() == want
 
 
+# --- bucketed apply (zero base exchange) ------------------------------------
+
+
+class TestApplyChangesBucketed:
+    def _bucketed_apply(self, tmp_path, n_buckets=5):
+        from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+        from insurance_pdf_extractor_ray.pipelines.cdc import (
+            apply_changes_bucketed,
+        )
+
+        base_path = str(tmp_path / "base")
+        write_bucketed(ray.data.from_arrow(BASE).repartition(2),
+                       base_path, "k", n_buckets)
+        out = apply_changes_bucketed(
+            base_path, ray.data.from_arrow(CHG).repartition(3), "k",
+            order_by=["ts"], op_col="op", payload_map={"v": "bal"},
+            delete_op="delete", chg_path=str(tmp_path / "chg"))
+        return sorted(((r["k"], r["bal"], r["name"])
+                       for r in out.take_all()))
+
+    def test_matches_shuffle_path(self, tmp_path, ray_session):
+        # identical semantics to apply_changes, incl. empty buckets
+        # (5 buckets over 4 base keys guarantees at least one empty one)
+        assert self._bucketed_apply(tmp_path) == _apply()
+
+    def test_no_change_buckets_pass_through(self, tmp_path, ray_session):
+        from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+        from insurance_pdf_extractor_ray.pipelines.cdc import (
+            apply_changes_bucketed,
+        )
+
+        base_path = str(tmp_path / "b2")
+        write_bucketed(ray.data.from_arrow(BASE), base_path, "k", 3)
+        # a change log touching NO base bucket's keys: pure inserts
+        chg = pa.table({
+            "k": pa.array([100], pa.int64()),
+            "ts": pa.array([1], pa.int64()),
+            "op": pa.array(["upsert"], pa.string()),
+            "v": pa.array([7.0], pa.float64()),
+        })
+        out = apply_changes_bucketed(
+            base_path, ray.data.from_arrow(chg), "k", order_by=["ts"],
+            op_col="op", payload_map={"v": "bal"}, delete_op="delete",
+            chg_path=str(tmp_path / "c2"))
+        got = sorted((r["k"], r["bal"]) for r in out.take_all())
+        assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0),
+                       (100, 7.0)]
+
+    def test_string_keys(self, tmp_path, ray_session):
+        from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+        from insurance_pdf_extractor_ray.pipelines.cdc import (
+            apply_changes, apply_changes_bucketed,
+        )
+
+        base = pa.table({
+            "k": pa.array(["x", "y", "z"], pa.string()),
+            "bal": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        })
+        chg = pa.table({
+            "k": pa.array(["y", "w", "z", "z"], pa.string()),
+            "ts": pa.array([1, 1, 1, 2], pa.int64()),
+            "op": pa.array(["upsert", "upsert", "upsert", "delete"],
+                           pa.string()),
+            "v": pa.array([22.0, 44.0, 33.0, 0.0], pa.float64()),
+        })
+        base_path = str(tmp_path / "b3")
+        write_bucketed(ray.data.from_arrow(base), base_path, "k", 4)
+        out = apply_changes_bucketed(
+            base_path, ray.data.from_arrow(chg), "k", order_by=["ts"],
+            op_col="op", payload_map={"v": "bal"}, delete_op="delete",
+            chg_path=str(tmp_path / "c3"))
+        got = sorted((r["k"], r["bal"]) for r in out.take_all())
+        want_ds = apply_changes(
+            ray.data.from_arrow(base), ray.data.from_arrow(chg), "k", "k",
+            order_by=["ts"], op_col="op", payload_map={"v": "bal"},
+            delete_op="delete")
+        want = sorted((r["k"], r["bal"]) for r in want_ds.take_all())
+        assert got == want == [("w", 44.0), ("x", 1.0), ("y", 22.0)]
+
+
 # --- SCD type-2 intervals ---------------------------------------------------
 
 from insurance_pdf_extractor_ray.pipelines.cdc import scd2_intervals  # noqa: E402
