@@ -68,6 +68,9 @@ def write_bucketed(
 
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
         path, partition_cols=["_bucket"])
+    # an empty dataset writes no fragments (not even the directory): the
+    # layout manifest must still exist so joins against it resolve to empty
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_layout.json"), "w") as f:
         json.dump({"key": key, "n_buckets": n_buckets}, f)
     return path

@@ -1,0 +1,232 @@
+"""Incremental MinHash/LSH near-dup dedup against an at-rest BUCKETED index.
+
+``dedup.minhash_dedup`` answers the within-corpus question; a continuous
+crawl needs the cross-increment one — "is this new doc a near-dup of
+anything kept in any PREVIOUS batch?" — without re-shingling or re-shuffling
+the accumulated corpus.  Reference analog: re-uploading the same quote PDF
+should not create a second record (storage.py upsert-on-conflict), fuzzily.
+
+At-rest state under ``index_dir`` (two ``bucketed.py`` layouts):
+
+  * ``bands/``  — (band_key uint64, id) hash-bucketed ON band_key:
+    16 + |id| bytes per (doc, band).
+  * ``sigs/``   — (id, sig binary) one row per kept doc, hash-bucketed ON
+    id: num_perm * 8 bytes per doc.  Signatures are stored ONCE, not per
+    band row — at 10^10 docs the bands table is ~2 TB and sigs ~10 TB,
+    versus ~160 TB if signatures rode every band row.
+
+Probe scale shape (the point of this module): an increment incurs ZERO
+all-to-all exchange —
+
+  1. one actor-pool map pass shingles/signs the increment (MinHashStage,
+     SAME seed as the index so signatures are comparable);
+  2. the increment's band rows are written into a matching bucket layout
+     (a map pass — each task appends to the dirs it touches);
+  3. candidates come from ``bucketed_join`` on band_key: one LOCAL Arrow
+     join task per co-located bucket pair, index never moves;
+  4. candidates are written bucketed on the OLD id (candidate-bounded temp)
+     and verified against ``sigs/`` the same way — and because the join
+     skips sig buckets whose candidate bucket is empty, a candidate-sparse
+     increment reads only the signature buckets it actually touches;
+  5. in-batch near-dups fall out of the increment's own band layout:
+     per-bucket local grouping by band_key through the same
+     ``_bucket_dups`` kernel as the batch path — no groupby shuffle.
+
+Commit protocol mirrors ``exact_dedup_incremental``: the function returns
+``(kept, sig_rows_kept)`` and the caller appends with
+``minhash_index_append`` AFTER durably sinking ``kept`` (data first, index
+last — a crashed increment re-runs without poisoning the index).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .bucketed import _read_bucket, bucketed_join, layout_of, write_bucketed
+from .dedup import (
+    MAX_BROADCAST_ROWS,
+    MinHashStage,
+    _bucket_dups,
+    filter_by_ids,
+)
+
+_BANDS, _SIGS = "bands", "sigs"
+
+
+def _sig_rows(ds: ray.data.Dataset, col: str, id_col: str, num_perm: int,
+              num_bands: int, ngram: int, seed: int,
+              concurrency) -> ray.data.Dataset:
+    """(band_key, id, sig) rows — one per (doc, band)."""
+    return ds.select_columns([id_col, col]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
+                                   num_bands=num_bands, ngram=ngram,
+                                   seed=seed),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
+def _local_band_dups(bands_path: str, id_col: str, id_type: pa.DataType,
+                     threshold: float, max_bucket: int) -> ray.data.Dataset:
+    """Within-increment near-dup ids from the increment's own band layout:
+    one task per bucket, local sort + run-split by band_key, the batch
+    path's ``_bucket_dups`` kernel per band — no shuffle."""
+    n = layout_of(bands_path)["n_buckets"]
+    empty = pa.table({id_col: pa.array([], id_type)})
+
+    def one(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            t = _read_bucket(bands_path, b, None)
+            if t is None or t.num_rows < 2:
+                continue
+            t = t.sort_by("band_key").combine_chunks()
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(np.diff(keys)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(keys)]))
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                d = _bucket_dups(t.slice(s, e - s), id_col, threshold,
+                                 max_bucket)
+                if d.num_rows:
+                    out.append(d)
+        if not out:
+            return empty
+        return pa.concat_tables(out)
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    return buckets.map_batches(one, batch_size=1, batch_format="pyarrow")
+
+
+def minhash_dedup_incremental(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+    n_buckets: int = 32,
+    max_bucket: int = 2048,
+    concurrency=(1, 8),
+    tmp_dir: Optional[str] = None,
+    max_broadcast: int = MAX_BROADCAST_ROWS,
+) -> Tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Near-dup-dedup one ingest increment against the at-rest index.
+
+    Returns ``(kept, sig_rows_kept)``: rows of ``new_ds`` that are neither
+    near-dups of any indexed doc nor of an earlier (min-id) doc in the same
+    increment, and their (band_key, id, sig) rows to commit with
+    :func:`minhash_index_append` once ``kept`` is durably sunk.
+
+    ``n_buckets`` only matters for the FIRST increment (it fixes the index
+    layout); afterwards the index's own layout wins.  ``seed``/``num_perm``/
+    ``num_bands``/``ngram`` must match across increments — signatures are
+    only comparable under identical permutations.
+    """
+    tmp = tmp_dir or tempfile.mkdtemp(prefix="ipe_mhinc_")
+    bands_idx = os.path.join(index_dir, _BANDS)
+    sigs_idx = os.path.join(index_dir, _SIGS)
+    have_index = os.path.exists(os.path.join(bands_idx, "_layout.json"))
+    if have_index:
+        n_buckets = layout_of(bands_idx)["n_buckets"]
+
+    id_type = dict(zip(new_ds.schema().names, new_ds.schema().types))[id_col]
+
+    # 1-2. sign the increment, at-rest bucketed on band_key (this IS the
+    # materialization — every later consumer reads the layout, not lineage)
+    bands_new = os.path.join(tmp, "bands_new")
+    write_bucketed(
+        _sig_rows(new_ds, col, id_col, num_perm, num_bands, ngram, seed,
+                  concurrency),
+        bands_new, "band_key", n_buckets)
+
+    # 5. within-increment dups (same kernel/semantics as the batch path)
+    dups = _local_band_dups(bands_new, id_col, id_type, threshold, max_bucket)
+
+    if have_index:
+        # 3. co-located candidate join: (band_key, id, sig) x (band_key, old)
+        cand = bucketed_join(
+            bands_new, bands_idx, join_type="inner",
+            columns_b=["band_key", id_col])
+
+        old_col = id_col + "_r"  # bucketed_join's clash rename of the right id
+
+        def carry(t: pa.Table) -> pa.Table:
+            if old_col not in t.column_names:  # zero-candidate empty block
+                return pa.table({"__new": pa.array([], id_type),
+                                 "sig": pa.array([], pa.binary()),
+                                 "__old": pa.array([], id_type)})
+            return pa.table({"__new": t.column(id_col),
+                             "sig": t.column("sig"),
+                             "__old": t.column(old_col)})
+
+        cand_path = os.path.join(tmp, "cand")
+        write_bucketed(cand.map_batches(carry, batch_format="pyarrow"),
+                       cand_path, "__old", n_buckets)
+
+        # 4. verify against sigs/ — candidate-empty buckets skip the read
+        ver = bucketed_join(cand_path, sigs_idx, join_type="inner")
+
+        def est(t: pa.Table) -> pa.Table:
+            if "sig" not in t.column_names or t.num_rows == 0:
+                return pa.table({id_col: pa.array([], id_type)})
+            A = np.stack([np.frombuffer(b, np.uint64)
+                          for b in t.column("sig").to_pylist()])
+            B = np.stack([np.frombuffer(b, np.uint64)
+                          for b in t.column("sig_r").to_pylist()])
+            keep = (A == B).mean(axis=1) >= threshold
+            return pa.table({id_col: t.column("__new").filter(pa.array(keep))})
+
+        dups = dups.union(ver.map_batches(est, batch_format="pyarrow"))
+
+    kept = filter_by_ids(new_ds, id_col, dups, keep_matching=False,
+                         max_broadcast=max_broadcast)
+    # re-read the increment's own layout by explicit file list (a dir read
+    # trips over _layout.json); the hive path still infers _bucket — drop it
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(bands_new, "_bucket=*",
+                                           "*.parquet")))
+    if not files:
+        empty = ray.data.from_arrow(pa.table({
+            "band_key": pa.array([], pa.uint64()),
+            id_col: pa.array([], id_type),
+            "sig": pa.array([], pa.binary())}))
+        return kept, empty
+    rows = ray.data.read_parquet(files)
+    if "_bucket" in rows.schema().names:
+        rows = rows.drop_columns(["_bucket"])
+    sig_rows_kept = filter_by_ids(rows, id_col, dups, keep_matching=False,
+                                  max_broadcast=max_broadcast)
+    return kept, sig_rows_kept
+
+
+def minhash_index_append(index_dir: str, sig_rows_kept: ray.data.Dataset,
+                         id_col: str, n_buckets: int = 32) -> None:
+    """Commit one increment: append its band rows and per-doc signatures
+    into the index layouts (map passes; ``write_bucketed`` appends fragments
+    into existing ``_bucket=i/`` dirs).  Call AFTER ``kept`` is durably
+    written — data first, index last."""
+    bands_idx = os.path.join(index_dir, _BANDS)
+    sigs_idx = os.path.join(index_dir, _SIGS)
+    if os.path.exists(os.path.join(bands_idx, "_layout.json")):
+        n_buckets = layout_of(bands_idx)["n_buckets"]
+    write_bucketed(sig_rows_kept.select_columns(["band_key", id_col]),
+                   bands_idx, "band_key", n_buckets)
+    # one signature row per doc: band rows carry the same sig num_bands
+    # times; an increment-bounded keyed groupby compacts them
+    sigs = sig_rows_kept.groupby(id_col).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow",
+    ).select_columns([id_col, "sig"])
+    write_bucketed(sigs, sigs_idx, id_col, n_buckets)

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_fixed_k_sample', '_q_bucketed_join', '_q_apply_changes_bucketed', '_q_quantiles_exact', '_q_skew_join', '_q_percent_rank', '_q_cume_dist', '_q_scd2_user_states', '_q_pushdown_read_orders', '_q_weekly_top_event', '_q_quantize_embeddings', '_q_range_layout_orders', '_q_rolling_dau', '_q_events_with_state', '_q_cumsum_by_user', '_q_bloom_semijoin', '_q_daily_gapfill', '_q_full_outer_balances', '_q_hash_split_stats', '_q_anti_join_shuffle', '_q_range_rolling_user', '_q_zorder_orders', '_q_merged_user_sessions', '_q_union_by_name', '_q_lead_next_value', '_q_gsets_source_lang', '_q_shuffled_docs_head', '_q_kmeans_embeddings', '_q_q5_region_revenue', '_q_q3_unshipped_topk', '_q_count_min_users', '_q_bigram_logprob', '_q_readability', '_q_char_entropy', '_q_user_event_entropy', '_q_interarrival', '_q_embedding_covariance', '_q_lang_drift', '_q_similarity_triangles', '_q_bpe_merges']
+__all__ = ['_q_fixed_k_sample', '_q_bucketed_join', '_q_apply_changes_bucketed', '_q_minhash_incremental', '_q_quantiles_exact', '_q_skew_join', '_q_percent_rank', '_q_cume_dist', '_q_scd2_user_states', '_q_pushdown_read_orders', '_q_weekly_top_event', '_q_quantize_embeddings', '_q_range_layout_orders', '_q_rolling_dau', '_q_events_with_state', '_q_cumsum_by_user', '_q_bloom_semijoin', '_q_daily_gapfill', '_q_full_outer_balances', '_q_hash_split_stats', '_q_anti_join_shuffle', '_q_range_rolling_user', '_q_zorder_orders', '_q_merged_user_sessions', '_q_union_by_name', '_q_lead_next_value', '_q_gsets_source_lang', '_q_shuffled_docs_head', '_q_kmeans_embeddings', '_q_q5_region_revenue', '_q_q3_unshipped_topk', '_q_count_min_users', '_q_bigram_logprob', '_q_readability', '_q_char_entropy', '_q_user_event_entropy', '_q_interarrival', '_q_embedding_covariance', '_q_lang_drift', '_q_similarity_triangles', '_q_bpe_merges']
 
 def _q_fixed_k_sample(sf_dir: str):
     """Deterministic fixed-k-per-stratum reservoir (Knuth-hash ranking,
@@ -76,6 +76,45 @@ def _q_apply_changes_bucketed(sf_dir: str):
         "c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64()),
         "c_acctbal": pa.array([r["c_acctbal"] for r in rows], pa.float64()),
     })
+
+
+def _q_minhash_incremental(sf_dir: str):
+    """Incremental MinHash near-dup dedup against the at-rest bucketed LSH
+    index (pipelines/minhashindex.py): documents ingested in two id-ordered
+    increments, the first committed to the index before the second probes
+    it with zero-exchange bucketed joins.  Returns the DROPPED ids.
+    Oracle: pinned id list at sf0.01 (cross-validated against the batch
+    minhash_dedup flag set; per-id near-dup semantics proven in
+    tests/test_minhashindex.py)."""
+    import tempfile
+
+    from insurance_pdf_extractor_ray.pipelines.minhashindex import (
+        minhash_dedup_incremental, minhash_index_append)
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    half = _docs_rows(sf_dir) // 2
+
+    def part(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(pc.and_(pc.greater_equal(ids, lo),
+                                    pc.less(ids, hi)))
+        return f
+
+    index_dir = tempfile.mkdtemp(prefix="ipe_mhidx_")
+    kept_ids = []
+    for lo, hi, tag in ((0, half, "a"), (half, 1 << 62, "b")):
+        inc = docs.map_batches(part(lo, hi), batch_format="pyarrow")
+        kept, sig_rows = minhash_dedup_incremental(
+            inc, index_dir, "text", "doc_id", threshold=0.8,
+            tmp_dir=tempfile.mkdtemp(prefix=f"ipe_mhinc_{tag}_"))
+        kept_ids.extend(r["doc_id"] for r in
+                        kept.select_columns(["doc_id"]).take_all())
+        minhash_index_append(index_dir, sig_rows, "doc_id")
+    all_ids = [r["doc_id"] for r in
+               docs.select_columns(["doc_id"]).take_all()]
+    dropped = sorted(set(all_ids) - set(kept_ids))
+    return pa.table({"doc_id": pa.array(dropped, pa.int64())})
 
 
 def _q_quantiles_exact(sf_dir: str):

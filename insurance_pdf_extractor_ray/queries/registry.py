@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fixed_k_sample": _q_fixed_k_sample,
         "bucketed_join_orders": _q_bucketed_join,
         "apply_changes_bucketed": _q_apply_changes_bucketed,
+        "minhash_incremental": _q_minhash_incremental,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -290,6 +291,14 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_check": _EMPTY_DIFF_SQL,
         "layout_extract_check": _EMPTY_DIFF_SQL,
         "minhash_dedup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+              (134),(178),(185),(245),(267),(290),(293),(301),(323),(332),
+              (374),(377),(383),(387),(389),(413),(420),(446),(447),(450),
+              (455),(457),(462),(486)) AS t(doc_id)
+        """,
+        "minhash_incremental": """
+            -- pinned at sf0.01; cross-validated EQUAL to the batch
+            -- minhash_dedup flag set (two-increment ingest vs one batch)
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
               (134),(178),(185),(245),(267),(290),(293),(301),(323),(332),
               (374),(377),(383),(387),(389),(413),(420),(446),(447),(450),

@@ -1,0 +1,125 @@
+"""Incremental MinHash dedup against the at-rest bucketed LSH index."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.minhashindex import (
+    minhash_dedup_incremental,
+    minhash_index_append,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima").split()
+
+
+def _base_text(rng):
+    return " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(60))
+
+
+def _perturb(text, at):
+    toks = text.split()
+    toks[at] = "zulu"
+    return " ".join(toks)
+
+
+def _tbl(ids, texts):
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _run_increment(tbl, index_dir, tmp_path, tag):
+    kept, sig_rows = minhash_dedup_incremental(
+        ray.data.from_arrow(tbl).repartition(2), str(index_dir),
+        "text", "doc_id", threshold=0.7,
+        n_buckets=8, tmp_dir=str(tmp_path / f"tmp_{tag}"))
+    kept_ids = sorted(r["doc_id"] for r in kept.take_all())
+    return kept_ids, sig_rows
+
+
+def test_cross_increment_and_in_batch(tmp_path):
+    rng = np.random.RandomState(11)
+    bases = [_base_text(rng) for _ in range(4)]
+    index_dir = tmp_path / "idx"
+
+    # increment 1: four distinct docs — all kept, index created
+    k1, s1 = _run_increment(_tbl([0, 1, 2, 3], bases), index_dir,
+                            tmp_path, "a")
+    assert k1 == [0, 1, 2, 3]
+    minhash_index_append(str(index_dir), s1, "doc_id", n_buckets=8)
+
+    # increment 2: near-dup of doc 0 (drop), fresh doc (keep), and an
+    # in-batch near-dup pair (keep min id only)
+    rng2 = np.random.RandomState(12)
+    fresh = _base_text(rng2)
+    inc2 = _tbl([10, 11, 12, 13],
+                [_perturb(bases[0], 5), fresh, fresh + " omega",
+                 _perturb(bases[2], 30)])
+    k2, s2 = _run_increment(inc2, index_dir, tmp_path, "b")
+    assert 10 not in k2          # near-dup of indexed doc 0
+    assert 13 not in k2          # near-dup of indexed doc 2
+    assert 11 in k2              # fresh doc kept
+    # 12 is a near-dup of 11 (same increment): exactly one of them kept,
+    # and keep-first means the min id wins
+    assert 12 not in k2
+    minhash_index_append(str(index_dir), s2, "doc_id", n_buckets=8)
+
+    # increment 3: near-dup of the INCREMENT-2 kept doc is now caught too
+    k3, _ = _run_increment(_tbl([20, 21], [_perturb(fresh, 10),
+                                           _base_text(np.random.RandomState(99))]),
+                           index_dir, tmp_path, "c")
+    assert k3 == [21]
+
+
+def test_first_increment_no_index_is_pure_in_batch(tmp_path):
+    rng = np.random.RandomState(5)
+    base = _base_text(rng)
+    tbl = _tbl([0, 1, 2], [base, _perturb(base, 3), _base_text(rng)])
+    kept, _ = _run_increment(tbl, tmp_path / "idx0", tmp_path, "solo")
+    assert kept == [0, 2]
+
+
+def test_zero_candidate_probe_keeps_everything(tmp_path):
+    rng = np.random.RandomState(21)
+    index_dir = tmp_path / "idx1"
+    k1, s1 = _run_increment(_tbl([0], [_base_text(rng)]), index_dir,
+                            tmp_path, "x")
+    minhash_index_append(str(index_dir), s1, "doc_id", n_buckets=8)
+    # an increment with nothing remotely similar: all kept
+    other = " ".join(f"w{i}" for i in range(80))
+    k2, _ = _run_increment(_tbl([5, 6], [other, other.upper()]), index_dir,
+                           tmp_path, "y")
+    assert 5 in k2
+
+
+def test_matches_batch_path_on_disjoint_dup_groups(tmp_path):
+    """On a corpus with no cross-group chains, two increments == one batch
+    run of minhash_dedup (keep-first by id, increments ordered by id)."""
+    from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dedup
+
+    rng = np.random.RandomState(7)
+    ids, texts = [], []
+    k = 0
+    for b in range(6):
+        base = _base_text(rng)
+        for copy in range(3):
+            texts.append(_perturb(base, copy * 5) if copy else base)
+            ids.append(k)
+            k += 1
+    tbl = _tbl(ids, texts)
+
+    batch_kept = sorted(
+        r["doc_id"] for r in minhash_dedup(
+            ray.data.from_arrow(tbl), "text", "doc_id",
+            threshold=0.7).take_all())
+
+    index_dir = tmp_path / "idx2"
+    half = tbl.slice(0, 9)
+    rest = tbl.slice(9)
+    k1, s1 = _run_increment(half, index_dir, tmp_path, "h1")
+    minhash_index_append(str(index_dir), s1, "doc_id", n_buckets=8)
+    k2, _ = _run_increment(rest, index_dir, tmp_path, "h2")
+    assert sorted(k1 + k2) == batch_kept
