@@ -85,14 +85,15 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
 
     # headline: flagship extraction (read -> reassembly shuffle -> extract
     # tasks); block count sized to the CPU budget for smooth wave packing.
-    # Best-of-2: this sandbox VM shows vCPU steal with ±20% run-to-run
-    # variance, so a single trial measures the hypervisor as much as the
-    # pipeline (both trials are reported).
+    # Best-of-3: this sandbox VM shows vCPU steal with ±20% run-to-run
+    # variance in minutes-long windows (a whole best-of-2 run can land
+    # inside one), so a single trial measures the hypervisor as much as
+    # the pipeline (all trials are reported).
     # 2 trials ALSO on the scaling legs: measured back-to-back identical
     # 16-CPU runs at 210 s and 74 s on this VM — single-trial scaling
     # numbers measure the hypervisor's steal schedule, not the pipeline
     trials = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         src = ray.data.read_parquet(corpus, override_num_blocks=4 * num_cpus)
         n_out = extract_pipeline(src).count()
@@ -112,9 +113,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
 
     # adaptive shuffle avoidance (mode='auto'): detects split docs and
     # shuffles only those — reported alongside the general shuffle path.
-    # Best-of-2 like the headline: same vCPU-steal variance applies.
+    # Best-of-3 like the headline: same vCPU-steal variance applies.
     auto_trials = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         extract_pipeline(corpus, mode="auto").count()
         auto_trials.append(time.time() - t0)

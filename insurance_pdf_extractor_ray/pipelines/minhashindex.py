@@ -133,6 +133,11 @@ def minhash_dedup_incremental(
     layout); afterwards the index's own layout wins.  ``seed``/``num_perm``/
     ``num_bands``/``ngram`` must match across increments — signatures are
     only comparable under identical permutations.
+
+    If ``write_stop_bands`` froze degenerate bands, their rows drop before
+    the increment's layout is written; a doc whose EVERY band is frozen
+    (pure boilerplate) is kept and left unindexed — by construction it has
+    no discriminative band to be found under later.
     """
     tmp = tmp_dir or tempfile.mkdtemp(prefix="ipe_mhinc_")
     bands_idx = os.path.join(index_dir, _BANDS)
@@ -144,12 +149,25 @@ def minhash_dedup_incremental(
     id_type = dict(zip(new_ds.schema().names, new_ds.schema().types))[id_col]
 
     # 1-2. sign the increment, at-rest bucketed on band_key (this IS the
-    # materialization — every later consumer reads the layout, not lineage)
+    # materialization — every later consumer reads the layout, not lineage).
+    # Frozen stop bands (write_stop_bands) drop here, BEFORE the layout:
+    # neither the in-batch kernel nor the candidate join ever sees them.
+    sig_rows = _sig_rows(new_ds, col, id_col, num_perm, num_bands, ngram,
+                         seed, concurrency)
+    stop = _stop_band_keys(index_dir)
+    if stop is not None:
+        import ray as _ray
+
+        stop_ref = _ray.put(stop)
+
+        def drop_stop(t: pa.Table) -> pa.Table:
+            s = _ray.get(stop_ref)
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(keys, s)))
+
+        sig_rows = sig_rows.map_batches(drop_stop, batch_format="pyarrow")
     bands_new = os.path.join(tmp, "bands_new")
-    write_bucketed(
-        _sig_rows(new_ds, col, id_col, num_perm, num_bands, ngram, seed,
-                  concurrency),
-        bands_new, "band_key", n_buckets)
+    write_bucketed(sig_rows, bands_new, "band_key", n_buckets)
 
     # 5. within-increment dups (same kernel/semantics as the batch path)
     dups = _local_band_dups(bands_new, id_col, id_type, threshold, max_bucket)
@@ -230,3 +248,130 @@ def minhash_index_append(index_dir: str, sig_rows_kept: ray.data.Dataset,
         lambda g: g.slice(0, 1), batch_format="pyarrow",
     ).select_columns([id_col, "sig"])
     write_bucketed(sigs, sigs_idx, id_col, n_buckets)
+
+
+def compact_bucketed(path: str) -> int:
+    """Rewrite each ``_bucket=i/`` dir of a bucketed layout as ONE parquet
+    fragment — repeated incremental appends leave many small files, and
+    probe cost is per-fragment I/O.  Embarrassingly parallel (one task per
+    bucket), resumable (a bucket is either compacted or untouched — the
+    new fragment is written before the old ones are removed), no shuffle.
+    Returns the number of buckets rewritten."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = layout_of(path)["n_buckets"]
+
+    def one(batch: pa.Table) -> pa.Table:
+        done = 0
+        for b in batch.column("bucket").to_pylist():
+            d = os.path.join(path, f"_bucket={b}")
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            if len(files) < 2:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            out = os.path.join(d, "compacted.parquet")
+            pq.write_table(t, out + ".tmp")
+            os.replace(out + ".tmp", out)  # new fragment durable first
+            for f in files:
+                if f != out:
+                    os.remove(f)
+            done += 1
+        return pa.table({"n": pa.array([done], pa.int64())})
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    parts = buckets.map_batches(one, batch_size=1,
+                                batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in parts))
+
+
+def band_stats(index_dir: str, top: int = 50) -> pa.Table:
+    """Occupancy audit of the bands layout: the ``top`` most-populated
+    band keys with their row counts — per-bucket local counting, tiny
+    driver-side merge (top x buckets rows).  Degenerate bands (boilerplate
+    shingles every doc shares) are THE skew hazard of LSH at crawl scale:
+    their buckets grow O(corpus) and every probe pays candidates against
+    them."""
+    bands = os.path.join(index_dir, _BANDS)
+    n = layout_of(bands)["n_buckets"]
+
+    def one(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            t = _read_bucket(bands, b, ["band_key"])
+            if t is None or t.num_rows == 0:
+                continue
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            uniq, counts = np.unique(keys, return_counts=True)
+            k = min(top, len(uniq))
+            sel = np.argpartition(counts, -k)[-k:]
+            out.append(pa.table({"band_key": pa.array(uniq[sel], pa.uint64()),
+                                 "n": pa.array(counts[sel], pa.int64())}))
+        if not out:
+            return pa.table({"band_key": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(out)
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    # a band key lives in exactly ONE bucket (the layout hashes it there),
+    # so per-bucket counts are already global — no re-aggregation needed
+    rows = buckets.map_batches(one, batch_size=1,
+                               batch_format="pyarrow").take_all()
+    # explicit uint64 arrays: from_pylist would infer int64 and overflow on
+    # band keys above int64.max
+    t = pa.table({
+        "band_key": pa.array([r["band_key"] for r in rows], pa.uint64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+    return t.sort_by([("n", "descending"), ("band_key", "ascending")]).slice(0, top)
+
+
+def write_stop_bands(index_dir: str, max_band_rows: int) -> int:
+    """Freeze degenerate bands: record every band key whose index bucket
+    exceeds ``max_band_rows`` in ``stop_bands.json``.  Future probes and
+    appends drop those band rows up front (recall for pathological
+    boilerplate bands is already served by the OTHER num_bands-1 bands),
+    bounding candidate fan-out the same way ``max_bucket`` bounds the
+    batch path's in-bucket work.  Returns how many bands were frozen.
+
+    The over-threshold filter runs INSIDE each bucket task — only
+    degenerate keys (by definition few) ever reach the driver."""
+    import json as _json
+
+    bands = os.path.join(index_dir, _BANDS)
+    n = layout_of(bands)["n_buckets"]
+
+    def one(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            t = _read_bucket(bands, b, ["band_key"])
+            if t is None or t.num_rows <= max_band_rows:
+                continue
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            uniq, counts = np.unique(keys, return_counts=True)
+            hot = uniq[counts > max_band_rows]
+            if len(hot):
+                out.append(pa.table({"band_key": pa.array(hot, pa.uint64())}))
+        if not out:
+            return pa.table({"band_key": pa.array([], pa.uint64())})
+        return pa.concat_tables(out)
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    rows = buckets.map_batches(one, batch_size=1,
+                               batch_format="pyarrow").take_all()
+    keys = sorted(int(r["band_key"]) for r in rows)
+    with open(os.path.join(index_dir, "stop_bands.json"), "w") as f:
+        _json.dump({"max_band_rows": max_band_rows, "band_keys": keys}, f)
+    return len(keys)
+
+
+def _stop_band_keys(index_dir: str) -> Optional[np.ndarray]:
+    p = os.path.join(index_dir, "stop_bands.json")
+    if not os.path.exists(p):
+        return None
+    import json as _json
+
+    with open(p) as f:
+        keys = _json.load(f)["band_keys"]
+    return np.sort(np.array(keys, dtype=np.uint64)) if keys else None

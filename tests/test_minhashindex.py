@@ -123,3 +123,47 @@ def test_matches_batch_path_on_disjoint_dup_groups(tmp_path):
     minhash_index_append(str(index_dir), s1, "doc_id", n_buckets=8)
     k2, _ = _run_increment(rest, index_dir, tmp_path, "h2")
     assert sorted(k1 + k2) == batch_kept
+
+
+def test_compact_and_stop_bands(tmp_path):
+    from insurance_pdf_extractor_ray.pipelines.minhashindex import (
+        band_stats,
+        compact_bucketed,
+        write_stop_bands,
+    )
+
+    rng = np.random.RandomState(31)
+    index_dir = tmp_path / "idx3"
+    # three appends -> multiple fragments per bucket
+    boiler = " ".join(WORDS) * 5  # identical text in every increment
+    for i in range(3):
+        tbl = _tbl([100 * i, 100 * i + 1],
+                   [_base_text(rng), boiler])
+        kept, sigs = minhash_dedup_incremental(
+            ray.data.from_arrow(tbl), str(index_dir), "text", "doc_id",
+            threshold=1.01,  # est <= 1.0: nothing drops, boilerplate piles up
+            n_buckets=4, tmp_dir=str(tmp_path / f"t{i}"))
+        minhash_index_append(str(index_dir), sigs, "doc_id", n_buckets=4)
+
+    stats = band_stats(str(index_dir), top=5)
+    assert stats.num_rows > 0
+    assert stats.column("n").to_pylist() == sorted(
+        stats.column("n").to_pylist(), reverse=True)
+
+    n_compacted = compact_bucketed(str(index_dir / "bands"))
+    assert n_compacted > 0
+    import glob as g
+    for d in g.glob(str(index_dir / "bands" / "_bucket=*")):
+        assert len(g.glob(d + "/*.parquet")) == 1
+
+    # identical boilerplate in 3 increments -> its bands hold >2 rows each
+    n_stopped = write_stop_bands(str(index_dir), max_band_rows=2)
+    assert n_stopped > 0
+    # a 4th increment of pure boilerplate: every band frozen -> kept,
+    # unindexed, and crucially no candidate explosion
+    kept, sigs = minhash_dedup_incremental(
+        ray.data.from_arrow(_tbl([900], [boiler])), str(index_dir),
+        "text", "doc_id", threshold=0.5, n_buckets=4,
+        tmp_dir=str(tmp_path / "t9"))
+    assert [r["doc_id"] for r in kept.take_all()] == [900]
+    assert sigs.count() == 0  # all its band rows were stop-filtered
