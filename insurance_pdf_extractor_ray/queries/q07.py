@@ -1,0 +1,295 @@
+"""Query bodies: round-3 TPC-H analog additions (Q4/Q16/Q17/Q22 shapes
+adapted to the synthetic schema — no l_commitdate/partsupp/phone columns,
+so each keeps the decision shape of its original with the columns that
+exist)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._shared import *  # noqa: F401,F403
+
+__all__ = ['_q_q4_late_orders', '_q_q16_brand_size_suppliers',
+           '_q_q17_small_qty_revenue', '_q_q22_idle_rich']
+
+
+def _q_q4_late_orders(sf_dir: str):
+    """TPC-H Q4 analog: per-priority count of 1996-Q1 orders with at least
+    one lineitem shipped >60 days after the order date.  The EXISTS
+    collapses below the join: per-orderkey MAX(l_shipdate) is a pre-reduce
+    (EXISTS(ship > od+60) == max_ship > od+60), then ONE hash join against
+    the quarter-filtered orders and a priority-sized count combine."""
+    from ray.data.aggregate import Max, Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    def ship_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "ship_us": b.column("l_shipdate").cast(pa.int64()),
+        })
+
+    max_ship = drop_empty_blocks(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(ship_us, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Max("ship_us", alias_name="max_ship")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("max_ship", pa.int64())]))
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1996-04-01").value // 1000)
+
+    def quarter(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = t.filter(keep)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "od_us": t.column("o_orderdate").cast(pa.int64()),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    orders = drop_empty_blocks(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(quarter, batch_format="pyarrow"),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("od_us", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+    j = shuffle_join(orders, max_ship, on="o_orderkey", right_on="l_orderkey",
+                     num_partitions=_join_partitions())
+    sixty_days_us = 60 * 86_400_000_000
+
+    def late(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("max_ship"),
+                          pc.add(t.column("od_us"), sixty_days_us))
+        t = t.filter(keep)
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    out = (j.map_batches(late, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("_one", alias_name="n_late")))
+    rows = sorted(out.take_all(), key=lambda r: r["o_orderpriority"])
+    return pa.table({
+        "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows],
+                                    pa.string()),
+        "n_late": pa.array([r["n_late"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q16_brand_size_suppliers(sf_dir: str):
+    """TPC-H Q16 analog (no partsupp: supplier-part pairs come from
+    lineitem): distinct suppliers per (brand, size bucket), one brand
+    excluded.  Part attributes broadcast as searchsorted-aligned arrays
+    (q19's shape); per-batch LOCAL (brand,bucket,supp) dedup bounds the
+    distinct shuffle at brands x buckets x suppliers per block."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_brand", "p_size"]).take_all()
+    pk = np.array([r["p_partkey"] for r in parts], np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands = np.array([r["p_brand"] for r in parts])[order]
+    ubrands, brand_code = np.unique(brands, return_inverse=True)
+    size = np.array([r["p_size"] for r in parts], np.int64)[order]
+    ref = _ray.put((pk, ubrands, brand_code.astype(np.int64), size))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        kpk, kub, kcode, ksize = _ray.get(ref)
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        supp = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kpk, part)
+        ok = (pos < len(kpk)) & (kpk[np.minimum(pos, len(kpk) - 1)] == part)
+        pos, supp = pos[ok], supp[ok]
+        code, bucket = kcode[pos], ksize[pos] % 5
+        keep = kub[code] != "Brand#45"
+        code, bucket, supp = code[keep], bucket[keep], supp[keep]
+        # local distinct (brand, bucket, supp) via one structured unique
+        rec = np.empty(len(code), dtype=[("b", np.int64), ("k", np.int64),
+                                         ("s", np.int64)])
+        rec["b"], rec["k"], rec["s"] = code, bucket, supp
+        u = np.unique(rec)
+        return pa.table({
+            "p_brand": pa.array(kub[u["b"]], pa.string()),
+            "size_bucket": pa.array(u["k"], pa.int64()),
+            "l_suppkey": pa.array(u["s"], pa.int64()),
+        })
+
+    distinct = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby(["p_brand", "size_bucket", "l_suppkey"])
+                .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column("_one",
+                               pa.array(np.ones(t.num_rows, np.int64)))
+
+    out = (distinct.map_batches(one, batch_format="pyarrow")
+           .groupby(["p_brand", "size_bucket"])
+           .aggregate(Sum("_one", alias_name="supplier_cnt")))
+    rows = sorted(out.take_all(),
+                  key=lambda r: (-r["supplier_cnt"], r["p_brand"],
+                                 r["size_bucket"]))
+    return pa.table({
+        "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+        "size_bucket": pa.array([r["size_bucket"] for r in rows], pa.int64()),
+        "supplier_cnt": pa.array([r["supplier_cnt"] for r in rows],
+                                 pa.int64()),
+    })
+
+
+def _q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 analog: revenue from small-quantity lineitems of one
+    brand's parts, "small" = quantity below 0.2x that part's average.  The
+    threshold compare is INTEGER-exact on both sides (5*qty_i2*cnt <
+    sum_qty_i2 — no float average crosses the wire).  Brand partkeys prune
+    the per-part aggregate BEFORE its shuffle; the per-part (sum,cnt) map
+    is brand-sized and broadcast for the second, zero-shuffle scoring
+    pass."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+
+    brand_keys = np.array(sorted(
+        r["p_partkey"] for r in _read(sf_dir, "part",
+                                      ["p_partkey", "p_brand"]).take_all()
+        if r["p_brand"] == "Brand#23"), np.int64)
+    bref = _ray.put(brand_keys)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        keys = _ray.get(bref)
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(part, keys)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        qi = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_partkey": pa.array(part[keep], pa.int64()),
+            "sq": pa.array(qi, pa.int64()),
+            "c": pa.array(np.ones(keep.sum(), np.int64)),
+        })
+
+    per_part = drop_empty_blocks(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("c", alias_name="c")),
+        empty_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("sq", pa.int64()), ("c", pa.int64())]))
+    rows = per_part.take_all()  # brand-sized: ~1/|brands| of parts
+    ppk = np.array([r["l_partkey"] for r in rows], np.int64)
+    order = np.argsort(ppk)
+    ppk = ppk[order]
+    psq = np.array([r["sq"] for r in rows], np.int64)[order]
+    pc_ = np.array([r["c"] for r in rows], np.int64)[order]
+    tref = _ray.put((ppk, psq, pc_))
+
+    def score(b: pa.Table) -> pa.Table:
+        kpk, ksq, kc = _ray.get(tref)
+        if len(kpk) == 0:
+            return pa.table({"_s": pa.array([0], pa.int64())})
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kpk, part)
+        ok = (pos < len(kpk)) & (kpk[np.minimum(pos, len(kpk) - 1)] == part)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        qi = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        pos = np.minimum(pos, len(kpk) - 1)
+        small = ok & (5 * qi * kc[pos] < ksq[pos])
+        rev = np.floor(ep[small] * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"_s": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
+           .map_batches(score, batch_format="pyarrow")
+           .aggregate(Sum("_s", alias_name="revenue_i4")))
+    return pa.table({"revenue_i4": pa.array([agg["revenue_i4"] or 0],
+                                            pa.int64())})
+
+
+def _q_q22_idle_rich(sf_dir: str):
+    """TPC-H Q22 analog: per-nation count and balance of above-average
+    customers with no RECENT order (none since 2001-01-01 — every customer
+    in the synthetic data has SOME order, so the lapse window is what makes
+    the anti-join bite).  The scalar subquery threshold compares
+    INTEGER-exactly (bal_i2 * n_pos > sum_i2); the NOT EXISTS is one
+    left_anti hash join against the window's distinct custkeys."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+
+    def bal_i2(b: pa.Table) -> pa.Table:
+        v = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_nationkey": b.column("c_nationkey"),
+            "bal_i2": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64),
+                               pa.int64()),
+        })
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(bal_i2, batch_format="pyarrow").materialize()
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        v = b.column("bal_i2").to_numpy(zero_copy_only=False)
+        p = v[v > 0]
+        return pa.table({"s": pa.array([int(p.sum())], pa.int64()),
+                         "n": pa.array([len(p)], pa.int64())})
+
+    g = cust.map_batches(pos_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    sum_i2, n_pos = int(g["s"]), int(g["n"])
+
+    cutoff = int(pd.Timestamp("2001-01-01").value // 1000)
+
+    def recent(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64())
+        return t.filter(pc.greater_equal(d, cutoff)) \
+                .select(["o_custkey"])
+
+    ordered = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(recent, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"),
+        empty_schema=pa.schema([("o_custkey", pa.int64())]))
+    idle = cust.join(ordered, join_type="left_anti",
+                     num_partitions=_join_partitions(),
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+    def rich(t: pa.Table) -> pa.Table:
+        if "bal_i2" not in t.column_names:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "bal_i2": pa.array([], pa.int64()),
+                             "_one": pa.array([], pa.int64())})
+        v = t.column("bal_i2").to_numpy(zero_copy_only=False)
+        keep = v * n_pos > sum_i2
+        t = t.filter(pa.array(keep))
+        return pa.table({"c_nationkey": t.column("c_nationkey"),
+                         "bal_i2": t.column("bal_i2"),
+                         "_one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    out = (idle.map_batches(rich, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("_one", alias_name="n_cust"),
+                      Sum("bal_i2", alias_name="bal_i2")))
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation",
+                             ["n_nationkey", "n_name"]).take_all()}
+    # the oracle orders by name: "NATION_10" < "NATION_2" lexicographically
+    rows = sorted(out.take_all(), key=lambda r: nation[r["c_nationkey"]])
+    return pa.table({
+        "n_name": pa.array([nation[r["c_nationkey"]] for r in rows],
+                           pa.string()),
+        "n_cust": pa.array([r["n_cust"] for r in rows], pa.int64()),
+        "bal_i2": pa.array([r["bal_i2"] for r in rows], pa.int64()),
+    })

@@ -32,6 +32,7 @@ from .q03 import *  # noqa: F401,F403
 from .q04 import *  # noqa: F401,F403
 from .q05 import *  # noqa: F401,F403
 from .q06 import *  # noqa: F401,F403
+from .q07 import *  # noqa: F401,F403
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
@@ -160,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": _q_bucketed_join,
         "apply_changes_bucketed": _q_apply_changes_bucketed,
         "minhash_incremental": _q_minhash_incremental,
+        "q4_late_orders": _q_q4_late_orders,
+        "q16_brand_size_suppliers": _q_q16_brand_size_suppliers,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q22_idle_rich": _q_q22_idle_rich,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -295,6 +300,64 @@ def oracle_sql() -> dict[str, str]:
               (134),(178),(185),(245),(267),(290),(293),(301),(323),(332),
               (374),(377),(383),(387),(389),(413),(420),(446),(447),(450),
               (455),(457),(462),(486)) AS t(doc_id)
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >
+                                o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q16_brand_size_suppliers": """
+            SELECT p.p_brand AS p_brand,
+                   CAST(p.p_size % 5 AS BIGINT) AS size_bucket,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#45'
+            GROUP BY 1, 2
+            ORDER BY 3 DESC, 1, 2
+        """,
+        "q17_small_qty_revenue": """
+            WITH pq AS (
+              SELECT l_partkey,
+                     SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1),
+            b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+                       l.l_extendedprice * 10000 + 0.5) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_i4
+            FROM lineitem l
+            JOIN b  ON b.p_partkey  = l.l_partkey
+            JOIN pq ON pq.l_partkey = l.l_partkey
+            WHERE 5 * CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) * pq.c
+                  < pq.sq
+        """,
+        "q22_idle_rich": """
+            WITH pos AS (
+              SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM customer
+              WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > 0)
+            SELECT n.n_name AS n_name,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS bal_i2
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey, pos
+            WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n
+                  > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2001-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "minhash_incremental": """
             -- pinned at sf0.01; cross-validated EQUAL to the batch
