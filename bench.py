@@ -729,6 +729,83 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     assert n_pdf_out > 0.9 * n_pdf_docs * (1 - 1 / 17)
     queries["pdf_ingest_extract"] = round(time.time() - t0, 3)
 
+    # --- incremental dedup against at-rest bucketed indexes: two-increment
+    # ingest of the documents / embeddings tables (index build + probe)
+    import shutil
+    import tempfile
+
+    from insurance_pdf_extractor_ray.pipelines.embindex import (
+        embedding_dedup_incremental,
+        embedding_index_append,
+    )
+    from insurance_pdf_extractor_ray.pipelines.minhashindex import (
+        minhash_dedup_incremental,
+        minhash_index_append,
+    )
+
+    def _halves(ds, id_col):
+        n = ds.count()
+        half = n // 2
+
+        def part(lo, hi):
+            def f(t: pa.Table) -> pa.Table:
+                ids = t.column(id_col)
+                import pyarrow.compute as pc
+                return t.filter(pc.and_(pc.greater_equal(ids, lo),
+                                        pc.less(ids, hi)))
+            return f
+
+        return (ds.map_batches(part(0, half), batch_format="pyarrow"),
+                ds.map_batches(part(half, 1 << 62), batch_format="pyarrow"))
+
+    docs_ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    inc_a, inc_b = _halves(docs_ds, "doc_id")
+    idx = tempfile.mkdtemp(prefix="ipe_bench_mhidx_")
+    t0 = time.time()
+    kept, sigs = minhash_dedup_incremental(inc_a, idx, "text", "doc_id",
+                                           threshold=0.8)
+    assert kept.count() > 0
+    minhash_index_append(idx, sigs, "doc_id")
+    kept2, _ = minhash_dedup_incremental(inc_b, idx, "text", "doc_id",
+                                         threshold=0.8)
+    assert kept2.count() > 0
+    queries["minhash_incremental"] = round(time.time() - t0, 3)
+    shutil.rmtree(idx, ignore_errors=True)
+
+    emb_ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"])
+    inc_a, inc_b = _halves(emb_ds, "vec_id")
+    idx = tempfile.mkdtemp(prefix="ipe_bench_embidx_")
+    t0 = time.time()
+    kept, rows = embedding_dedup_incremental(inc_a, idx, "embedding",
+                                             "vec_id", threshold=0.45)
+    assert kept.count() > 0
+    embedding_index_append(idx, rows)
+    kept2, _ = embedding_dedup_incremental(inc_b, idx, "embedding",
+                                           "vec_id", threshold=0.45)
+    assert kept2.count() > 0
+    queries["embedding_incremental"] = round(time.time() - t0, 3)
+    shutil.rmtree(idx, ignore_errors=True)
+
+    from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+    from insurance_pdf_extractor_ray.pipelines.cdc import apply_changes_bucketed
+
+    base = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_acctbal"])
+    chg = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["user_id", "ts", "event_id",
+                                         "event_type", "value"])
+    root = tempfile.mkdtemp(prefix="ipe_bench_cdcb_")
+    write_bucketed(base, os.path.join(root, "base"), "c_custkey", num_cpus)
+    t0 = time.time()
+    n_state = apply_changes_bucketed(
+        os.path.join(root, "base"), chg, "user_id",
+        order_by=["ts", "event_id"], op_col="event_type",
+        payload_map={"value": "c_acctbal"}, delete_op="error").count()
+    assert n_state > 0
+    queries["apply_changes_bucketed"] = round(time.time() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),

@@ -13,7 +13,63 @@ import pyarrow.compute as pc
 from ._shared import *  # noqa: F401,F403
 
 __all__ = ['_q_q4_late_orders', '_q_q16_brand_size_suppliers',
-           '_q_q17_small_qty_revenue', '_q_q22_idle_rich']
+           '_q_q17_small_qty_revenue', '_q_q22_idle_rich',
+           '_q_embedding_incremental']
+
+
+def _q_embedding_incremental(sf_dir: str):
+    """Incremental embedding near-dup dedup against the at-rest sign-bucket
+    index (pipelines/embindex.py): increment 1 = the embeddings table,
+    committed; increment 2 = planted SCALED copies (x2.0 — unit-identical,
+    so the sign bucket matches deterministically and cosine is exactly 1)
+    of the vec_id%7==0 rows under shifted ids, plus NEGATED copies of the
+    vec_id%11==0 rows (cosine -1: must survive).  Returns the DROPPED ids.
+    Oracle is REAL SQL: the planted copy ids — sound because the table's
+    max natural off-diagonal cosine is 0.51 << the 0.95 threshold, so
+    nothing else can cross it."""
+    import os as _os
+    import tempfile
+
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.embindex import (
+        embedding_dedup_incremental, embedding_index_append)
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="ipe_embidx_")
+    kept, rows = embedding_dedup_incremental(
+        ds, index_dir, "embedding", "vec_id", threshold=0.95, n_planes=12,
+        tmp_dir=tempfile.mkdtemp(prefix="ipe_embinc_a_"))
+    assert kept.count() == ds.count()  # no natural pair reaches 0.95
+    embedding_index_append(index_dir, rows)
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = t.column("embedding")
+        cols_id, cols_emb = [], []
+        for i in range(t.num_rows):
+            v = np.asarray(emb[i].as_py(), np.float32)
+            if ids[i] % 7 == 0:
+                cols_id.append(int(ids[i]) + 1_000_000)
+                cols_emb.append((v * np.float32(2.0)).tolist())
+            if ids[i] % 11 == 0:
+                cols_id.append(int(ids[i]) + 2_000_000)
+                cols_emb.append((-v).tolist())
+        return pa.table({"vec_id": pa.array(cols_id, pa.int64()),
+                         "embedding": pa.array(cols_emb,
+                                               pa.list_(pa.float32()))})
+
+    inc2 = ds.map_batches(plant, batch_format="pyarrow")
+    kept2, _ = embedding_dedup_incremental(
+        inc2, index_dir, "embedding", "vec_id", threshold=0.95, n_planes=12,
+        tmp_dir=tempfile.mkdtemp(prefix="ipe_embinc_b_"))
+    kept2_ids = set(r["vec_id"] for r in
+                    kept2.select_columns(["vec_id"]).take_all())
+    all2 = [r["vec_id"] for r in
+            inc2.select_columns(["vec_id"]).take_all()]
+    dropped = sorted(set(all2) - kept2_ids)
+    return pa.table({"vec_id": pa.array(dropped, pa.int64())})
 
 
 def _q_q4_late_orders(sf_dir: str):

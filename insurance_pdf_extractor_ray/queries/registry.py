@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_brand_size_suppliers": _q_q16_brand_size_suppliers,
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q22_idle_rich": _q_q22_idle_rich,
+        "embedding_incremental": _q_embedding_incremental,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -358,6 +359,13 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_incremental": """
+            -- the planted scaled copies are the only rows that can cross
+            -- the 0.95 cosine threshold (max natural pair is 0.51); the
+            -- negated %11 plants (cosine -1) must survive
+            SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id
+            FROM embeddings WHERE vec_id % 7 = 0 ORDER BY 1
         """,
         "minhash_incremental": """
             -- pinned at sf0.01; cross-validated EQUAL to the batch
