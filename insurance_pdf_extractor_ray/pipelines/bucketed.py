@@ -132,3 +132,52 @@ def bucketed_join(
 
     buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
     return buckets.map_batches(join_one, batch_size=1, batch_format="pyarrow")
+
+
+def point_lookup(
+    path: str,
+    values,
+    columns: Optional[List[str]] = None,
+) -> pa.Table:
+    """Serve point queries from a bucketed layout WITHOUT a cluster scan:
+    each requested key value hashes straight to its bucket dir, so the read
+    touches at most ``len(values)`` buckets (deduplicated) regardless of
+    layout size — the same pruning a storage index gives a serving tier.
+    Runs on the caller (driver or task): lookups are metadata-light and
+    latency-bound, not throughput work for the cluster.
+
+    ``values``: one key value or a list of them, matching the layout key's
+    type.  Returns the concatenated matching rows (possibly empty) with
+    ``columns`` pruned like a scan."""
+    lay = layout_of(path)
+    key, n = lay["key"], lay["n_buckets"]
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    if not values:
+        raise ValueError("point_lookup needs at least one value")
+    arr = pa.chunked_array([pa.array(values)])
+    buckets = sorted(set(_bucket_of(arr, n).tolist()))
+    cols = None if columns is None else sorted(set(columns) | {key})
+    out = []
+    for b in buckets:
+        t = _read_bucket(path, b, cols)
+        if t is None:
+            continue
+        mask = pa.compute.is_in(t.column(key),
+                                value_set=pa.array(values,
+                                                   t.column(key).type))
+        t = t.filter(mask)
+        if columns is not None:
+            t = t.select(columns)
+        out.append(t)  # keep zero-row tables too: they carry the schema
+    if not out:
+        # no touched bucket exists on disk: derive the schema from any file
+        files = sorted(glob.glob(os.path.join(path, "_bucket=*",
+                                              "*.parquet")))
+        if files:
+            schema = pq.read_schema(files[0])
+            cols_out = columns or [c for c in schema.names]
+            return pa.table({c: pa.array([], schema.field(c).type)
+                             for c in cols_out})
+        return pa.table({key: pa.array([], arr.type)})
+    return pa.concat_tables(out, promote_options="default")

@@ -41,14 +41,24 @@ from .dedup import MAX_BROADCAST_ROWS, SignBucketStage, filter_by_ids
 _EMBS = "embs"
 
 
+#: per-worker-process stage cache (see minhashindex._STAGE_CACHE): cached
+#: tasks fuse with the read and skip actor-pool spin-up on every execution
+_STAGE_CACHE: dict = {}
+
+
 def _sign_rows(ds: ray.data.Dataset, emb_col: str, id_col: str,
-               n_planes: int, seed: int, concurrency) -> ray.data.Dataset:
+               n_planes: int, seed: int, concurrency=None) -> ray.data.Dataset:
+    key = (emb_col, id_col, n_planes, seed)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = SignBucketStage(
+                emb_col=emb_col, id_col=id_col, n_planes=n_planes, seed=seed)
+        return st(batch)
+
     signed = ds.select_columns([id_col, emb_col]).map_batches(
-        SignBucketStage,
-        fn_constructor_kwargs=dict(emb_col=emb_col, id_col=id_col,
-                                   n_planes=n_planes, seed=seed),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+        sign, batch_format="pyarrow")
 
     # unit vectors ride the layout as fixed-width float32 BYTES: Acero hash
     # joins (the probe) reject list-typed non-key columns but carry binary

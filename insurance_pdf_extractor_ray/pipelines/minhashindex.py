@@ -59,17 +59,31 @@ from .dedup import (
 _BANDS, _SIGS = "bands", "sigs"
 
 
+#: per-worker-process stage cache: incremental ingest consumes the signing
+#: lineage several times (bands write, kept-sig recompute, index append) —
+#: an actor pool would pay its spin-up on EVERY execution (~2-3 s each,
+#: measured), while cached tasks fuse with the upstream read and reuse the
+#: compiled permutation state, the same trick as extraction's
+#: _cached_extractor
+_STAGE_CACHE: dict = {}
+
+
 def _sig_rows(ds: ray.data.Dataset, col: str, id_col: str, num_perm: int,
               num_bands: int, ngram: int, seed: int,
-              concurrency) -> ray.data.Dataset:
+              concurrency=None) -> ray.data.Dataset:
     """(band_key, id, sig) rows — one per (doc, band)."""
+    key = (col, id_col, num_perm, num_bands, ngram, seed)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = MinHashStage(
+                col=col, id_col=id_col, num_perm=num_perm,
+                num_bands=num_bands, ngram=ngram, seed=seed)
+        return st(batch)
+
     return ds.select_columns([id_col, col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   num_bands=num_bands, ngram=ngram,
-                                   seed=seed),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+        sign, batch_format="pyarrow")
 
 
 def _local_band_dups(bands_path: str, id_col: str, id_type: pa.DataType,
@@ -210,23 +224,21 @@ def minhash_dedup_incremental(
 
     kept = filter_by_ids(new_ds, id_col, dups, keep_matching=False,
                          max_broadcast=max_broadcast)
-    # re-read the increment's own layout by explicit file list (a dir read
-    # trips over _layout.json); the hive path still infers _bucket — drop it
-    import glob as _glob
-
-    files = sorted(_glob.glob(os.path.join(bands_new, "_bucket=*",
-                                           "*.parquet")))
-    if not files:
-        empty = ray.data.from_arrow(pa.table({
-            "band_key": pa.array([], pa.uint64()),
-            id_col: pa.array([], id_type),
-            "sig": pa.array([], pa.binary())}))
-        return kept, empty
-    rows = ray.data.read_parquet(files)
-    if "_bucket" in rows.schema().names:
-        rows = rows.drop_columns(["_bucket"])
-    sig_rows_kept = filter_by_ids(rows, id_col, dups, keep_matching=False,
-                                  max_broadcast=max_broadcast)
+    # the returned sig rows come from the LINEAGE (one recompute pass over
+    # the kept docs), not the bands_new layout: stage output keeps a doc's
+    # band rows contiguous within a batch, which lets the append compact
+    # per-doc signatures with a LOCAL first-occurrence mask instead of a
+    # corpus-keyed groupby.  (Re-reading the band-bucketed layout instead
+    # would scatter a doc's rows across band buckets and force the shuffle
+    # back.)  The recompute is embarrassingly parallel map work — at scale
+    # that is cheaper than any exchange.
+    sig_rows_kept = filter_by_ids(
+        _sig_rows(new_ds, col, id_col, num_perm, num_bands, ngram, seed,
+                  concurrency),
+        id_col, dups, keep_matching=False, max_broadcast=max_broadcast)
+    if stop is not None:
+        sig_rows_kept = sig_rows_kept.map_batches(drop_stop,
+                                                  batch_format="pyarrow")
     return kept, sig_rows_kept
 
 
@@ -240,13 +252,27 @@ def minhash_index_append(index_dir: str, sig_rows_kept: ray.data.Dataset,
     sigs_idx = os.path.join(index_dir, _SIGS)
     if os.path.exists(os.path.join(bands_idx, "_layout.json")):
         n_buckets = layout_of(bands_idx)["n_buckets"]
+    # two layouts consume the same rows: pin once (increment-bounded)
+    sig_rows_kept = sig_rows_kept.materialize()
     write_bucketed(sig_rows_kept.select_columns(["band_key", id_col]),
                    bands_idx, "band_key", n_buckets)
-    # one signature row per doc: band rows carry the same sig num_bands
-    # times; an increment-bounded keyed groupby compacts them
-    sigs = sig_rows_kept.groupby(id_col).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow",
-    ).select_columns([id_col, "sig"])
+
+    # one signature row per doc WITHOUT a keyed groupby: a doc's band rows
+    # are contiguous within stage-output batches (minhash_dedup_incremental
+    # returns lineage rows), so a per-batch first-occurrence mask compacts
+    # them locally.  A doc whose rows straddle a batch boundary (or a
+    # join-path id filter that reordered rows) leaves the occasional extra
+    # sig row — probes are unaffected (duplicate candidates collapse at the
+    # final distinct), it only costs a few bytes of index.
+    def local_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, "sig"])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        return t.filter(pa.array(keep)).select([id_col, "sig"])
+
+    sigs = sig_rows_kept.map_batches(local_distinct, batch_format="pyarrow")
     write_bucketed(sigs, sigs_idx, id_col, n_buckets)
 
 

@@ -81,3 +81,52 @@ def test_bucketed_join_string_key_and_mismatch(tmp_path):
     write_bucketed(ray.data.from_arrow(t), str(tmp_path / "c"), "name", 8)
     with pytest.raises(ValueError, match="bucket count mismatch"):
         bucketed_join(str(tmp_path / "a"), str(tmp_path / "c"))
+
+
+class TestPointLookup:
+    def _layout(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.bucketed import (
+            write_bucketed,
+        )
+
+        t = pa.table({"k": pa.array(range(100), pa.int64()),
+                      "v": pa.array([f"v{i}" for i in range(100)])})
+        p = str(tmp_path / "pl")
+        write_bucketed(ray.data.from_arrow(t), p, "k", 8)
+        return p
+
+    def test_single_and_multi_value(self, tmp_path, ray_session):
+        import pyarrow as pa
+
+        from insurance_pdf_extractor_ray.pipelines.bucketed import (
+            point_lookup,
+        )
+
+        p = self._layout(tmp_path, ray_session)
+        one = point_lookup(p, 42)
+        assert one.num_rows == 1 and one.column("v")[0].as_py() == "v42"
+        multi = point_lookup(p, [3, 42, 99], columns=["v"])
+        assert sorted(multi.column("v").to_pylist()) == ["v3", "v42", "v99"]
+        assert multi.column_names == ["v"]
+        missing = point_lookup(p, [12345])
+        assert missing.num_rows == 0
+        assert set(missing.column_names) == {"k", "v"}
+        _ = pa  # fixture import symmetry
+
+    def test_prunes_to_touched_buckets(self, tmp_path, ray_session, monkeypatch):
+        from insurance_pdf_extractor_ray.pipelines import bucketed
+
+        p = self._layout(tmp_path, ray_session)
+        reads = []
+        orig = bucketed._read_bucket
+
+        def spy(path, b, columns):
+            reads.append(b)
+            return orig(path, b, columns)
+
+        monkeypatch.setattr(bucketed, "_read_bucket", spy)
+        bucketed.point_lookup(p, [7])
+        assert len(set(reads)) == 1  # exactly one bucket touched
