@@ -95,7 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     trials = []
     for _ in range(3):
         t0 = time.time()
-        src = ray.data.read_parquet(corpus, override_num_blocks=4 * num_cpus)
+        src = ray.data.read_parquet(corpus, override_num_blocks=2 * num_cpus)
         n_out = extract_pipeline(src).count()
         trials.append(time.time() - t0)
         assert n_out == n_docs, (n_out, n_docs)
@@ -117,7 +117,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     auto_trials = []
     for _ in range(3):
         t0 = time.time()
-        extract_pipeline(corpus, mode="auto").count()
+        # same read shape as the shuffle trials (block count sized to the
+        # CPU budget) so the two modes compare apples-to-apples
+        src = ray.data.read_parquet(corpus, override_num_blocks=2 * num_cpus)
+        extract_pipeline(src, mode="auto").count()
         auto_trials.append(time.time() - t0)
     queries["extract_auto"] = round(min(auto_trials), 3)
     queries["extract_auto_trials"] = [round(t, 3) for t in auto_trials]
