@@ -92,10 +92,15 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     # 2 trials ALSO on the scaling legs: measured back-to-back identical
     # 16-CPU runs at 210 s and 74 s on this VM — single-trial scaling
     # numbers measure the hypervisor's steal schedule, not the pipeline
+    # block count: 4x CPUs gives wave slack on big corpora (2M docs at 16
+    # CPUs: 47.6k docs/s at 64 blocks vs 33.9k at 32 — measured), but at the
+    # 50k-doc headline 128 blocks is pure per-block overhead (extract 3.8 s
+    # -> 2.7 s at 64).  Floor blocks at ~5k docs each, between 2x and 4x.
+    n_blocks = min(4 * num_cpus, max(2 * num_cpus, n_docs // 5000))
     trials = []
     for _ in range(3):
         t0 = time.time()
-        src = ray.data.read_parquet(corpus, override_num_blocks=2 * num_cpus)
+        src = ray.data.read_parquet(corpus, override_num_blocks=n_blocks)
         n_out = extract_pipeline(src).count()
         trials.append(time.time() - t0)
         assert n_out == n_docs, (n_out, n_docs)
@@ -117,9 +122,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     auto_trials = []
     for _ in range(3):
         t0 = time.time()
-        # same read shape as the shuffle trials (block count sized to the
-        # CPU budget) so the two modes compare apples-to-apples
-        src = ray.data.read_parquet(corpus, override_num_blocks=2 * num_cpus)
+        # same read shape as the shuffle trials so the two modes compare
+        # apples-to-apples
+        src = ray.data.read_parquet(corpus, override_num_blocks=n_blocks)
         extract_pipeline(src, mode="auto").count()
         auto_trials.append(time.time() - t0)
     queries["extract_auto"] = round(min(auto_trials), 3)

@@ -14,7 +14,8 @@ from ._shared import *  # noqa: F401,F403
 
 __all__ = ['_q_q4_late_orders', '_q_q16_brand_size_suppliers',
            '_q_q17_small_qty_revenue', '_q_q22_idle_rich',
-           '_q_embedding_incremental']
+           '_q_embedding_incremental', '_q_q12_priority_by_flag',
+           '_q_q15_top_supplier', '_q_q20_bulky_suppliers']
 
 
 def _q_embedding_incremental(sf_dir: str):
@@ -348,4 +349,149 @@ def _q_q22_idle_rich(sf_dir: str):
                            pa.string()),
         "n_cust": pa.array([r["n_cust"] for r in rows], pa.int64()),
         "bal_i2": pa.array([r["bal_i2"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q12_priority_by_flag(sf_dir: str):
+    """TPC-H Q12 analog (returnflag stands in for shipmode): per returnflag,
+    high- vs low-priority line counts among 1996 shipments.  Lines
+    pre-reduce per (orderkey, flag) BEFORE the join (aggregate-below-join),
+    then ONE hash join against the pruned orders and a flag-sized
+    conditional combine."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1997-01-01").value // 1000)
+
+    def year_lines(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_returnflag": b.column("l_returnflag"),
+            "_n": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+
+    lines = drop_empty_blocks(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_shipdate"])
+        .map_batches(year_lines, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_returnflag"])
+        .aggregate(Sum("_n", alias_name="_n")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_returnflag", pa.string()),
+                                ("_n", pa.int64())]))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = shuffle_join(lines, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+
+    def split(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        n = t.column("_n").to_numpy(zero_copy_only=False)
+        high = np.isin(pr, ("1-URGENT", "2-HIGH"))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "_h": pa.array(np.where(high, n, 0), pa.int64()),
+            "_l": pa.array(np.where(high, 0, n), pa.int64()),
+        })
+
+    out = (j.map_batches(split, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("_h", alias_name="high_line_count"),
+                       Sum("_l", alias_name="low_line_count")))
+    rows = sorted(out.take_all(), key=lambda r: r["l_returnflag"])
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 pa.string()),
+        "high_line_count": pa.array([r["high_line_count"] for r in rows],
+                                    pa.int64()),
+        "low_line_count": pa.array([r["low_line_count"] for r in rows],
+                                   pa.int64()),
+    })
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog: the top-revenue supplier of 1996H1 (ties would all
+    surface; the data has a unique max at both test scales).  Per-supplier
+    revenue is an integer partial-combine; the max and name resolve on the
+    supplier-sized result."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1996-07-01").value // 1000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return _rev_i4(b, "l_suppkey")
+
+    rev = drop_empty_blocks(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey").aggregate(Sum("rev_i4", alias_name="revenue_i4")),
+        empty_schema=pa.schema([("l_suppkey", pa.int64()),
+                                ("revenue_i4", pa.int64())]))
+    rows = rev.take_all()  # supplier-sized
+    best = max(r["revenue_i4"] for r in rows)
+    top = sorted(r["l_suppkey"] for r in rows if r["revenue_i4"] == best)
+    names = {r["s_suppkey"]: r["s_name"]
+             for r in _read(sf_dir, "supplier",
+                            ["s_suppkey", "s_name"]).take_all()}
+    return pa.table({
+        "s_suppkey": pa.array(top, pa.int64()),
+        "s_name": pa.array([names[k] for k in top], pa.string()),
+        "revenue_i4": pa.array([best] * len(top), pa.int64()),
+    })
+
+
+def _q_q20_bulky_suppliers(sf_dir: str):
+    """TPC-H Q20 analog (no partsupp: availability comes from shipped
+    quantity): suppliers who moved > 1500.00 total quantity of 'small%'
+    parts.  Part keys broadcast once (np.isin prunes BEFORE the per-supplier
+    combine); the threshold gate and name lookup run on the supplier-sized
+    result."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+
+    keys = np.array(sorted(
+        r["p_partkey"] for r in _read(sf_dir, "part",
+                                      ["p_partkey", "p_name"]).take_all()
+        if r["p_name"].startswith("small")), np.int64)
+    ref = _ray.put(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = _ray.get(ref)
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(part, pk)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey").filter(pa.array(keep)),
+            "q_i2": pa.array(np.floor(q * 100.0 + 0.5).astype(np.int64),
+                             pa.int64()),
+        })
+
+    agg = drop_empty_blocks(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey").aggregate(Sum("q_i2", alias_name="q_i2")),
+        empty_schema=pa.schema([("l_suppkey", pa.int64()),
+                                ("q_i2", pa.int64())]))
+    rows = sorted((r["l_suppkey"] for r in agg.take_all()
+                   if r["q_i2"] > 150_000))
+    names = {r["s_suppkey"]: r["s_name"]
+             for r in _read(sf_dir, "supplier",
+                            ["s_suppkey", "s_name"]).take_all()}
+    return pa.table({
+        "s_suppkey": pa.array(rows, pa.int64()),
+        "s_name": pa.array([names[k] for k in rows], pa.string()),
     })

@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q22_idle_rich": _q_q22_idle_rich,
         "embedding_incremental": _q_embedding_incremental,
+        "q12_priority_by_flag": _q_q12_priority_by_flag,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q20_bulky_suppliers": _q_q20_bulky_suppliers,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -359,6 +362,49 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        "q12_priority_by_flag": """
+            SELECT l.l_returnflag AS l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                    * 10000 + 0.5) AS BIGINT)) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-07-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+                   CAST(rev.r AS BIGINT) AS revenue_i4
+            FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+            WHERE rev.r = (SELECT MAX(r) FROM rev)
+            ORDER BY 1
+        """,
+        "q20_bulky_suppliers": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%'),
+            agg AS (
+              SELECT l_suppkey,
+                     SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+              FROM lineitem l JOIN pk ON pk.p_partkey = l.l_partkey
+              GROUP BY 1)
+            SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+            FROM supplier s JOIN agg ON agg.l_suppkey = s.s_suppkey
+            WHERE agg.q > 150000
+            ORDER BY 1
         """,
         "embedding_incremental": """
             -- the planted scaled copies are the only rows that can cross
