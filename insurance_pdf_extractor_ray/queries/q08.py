@@ -1,0 +1,462 @@
+"""Query bodies: round-3 TPC-H analog completions (Q2/Q7/Q8/Q11/Q21
+shapes adapted to the synthetic schema — no partsupp/l_commitdate, so
+supply cost, availability and "waiting" all derive from lineitem while
+keeping each original's decision shape: correlated-min join (Q2),
+cross-nation volume join (Q7), market-share ratio (Q8), value-fraction
+HAVING (Q11), and the exists/not-exists sole-latest-shipper cascade
+(Q21))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._shared import *  # noqa: F401,F403
+
+__all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
+           '_q_q8_market_share', '_q_q11_important_parts',
+           '_q_q21_waiting_suppliers']
+
+
+def _i2(col: pa.ChunkedArray) -> np.ndarray:
+    """floor(x*100+0.5) as int64 — DuckDB-exact cents."""
+    v = col.to_numpy(zero_copy_only=False)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 analog (no partsupp: supply cost = the cheapest observed
+    lineitem price per supplier-part pair): for every SMALL part with
+    p_size%5==0, the supplier(s) achieving the minimum cost, with name and
+    nation.  The correlated MIN collapses to two keyed aggregates: a
+    (partkey, suppkey) min over the part-pruned lineitem stream, then a
+    per-part min broadcast back onto the pair table (part-subset-sized, so
+    the broadcast is dimension-safe at any corpus scale).  Supplier and
+    nation resolve from driver dicts (true dimensions)."""
+    from ray.data.aggregate import Min
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        broadcast_join, broadcast_semi_join)
+
+    part_rows = _read(sf_dir, "part",
+                      ["p_partkey", "p_type", "p_size"]).take_all()
+    pids = np.array(sorted(r["p_partkey"] for r in part_rows
+                           if r["p_type"] == "SMALL" and r["p_size"] % 5 == 0),
+                    np.int64)
+
+    def cost(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "cost_i2": pa.array(_i2(b.column("l_extendedprice")), pa.int64()),
+        })
+
+    pairs = drop_empty_blocks(
+        broadcast_semi_join(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"]),
+            "l_partkey", pids)
+        .map_batches(cost, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("cost_i2", alias_name="cost_i2")),
+        empty_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("l_suppkey", pa.int64()),
+                                ("cost_i2", pa.int64())]))
+    mins = drop_empty_blocks(
+        pairs.groupby("l_partkey").aggregate(Min("cost_i2", alias_name="m")),
+        empty_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("m", pa.int64())]))
+    best = broadcast_join(pairs, mins, on="l_partkey", add_cols=["m"],
+                          how="inner") \
+        .filter(expr="cost_i2 == m")
+
+    sup = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+           for r in _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_nationkey"]).take_all()}
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation",
+                          ["n_nationkey", "n_name"]).take_all()}
+    rows = sorted(best.take_all(),
+                  key=lambda r: (r["l_partkey"], r["l_suppkey"]))
+    return pa.table({
+        "p_partkey": pa.array([r["l_partkey"] for r in rows], pa.int64()),
+        "s_suppkey": pa.array([r["l_suppkey"] for r in rows], pa.int64()),
+        "s_name": pa.array([sup[r["l_suppkey"]][0] for r in rows],
+                           pa.string()),
+        "n_name": pa.array([nat[sup[r["l_suppkey"]][1]] for r in rows],
+                           pa.string()),
+        "cost_i2": pa.array([r["cost_i2"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 analog: shipping volume between NATION_12 and NATION_18
+    (both directions) by ship-year, 1996-1997.  Both dimension chains
+    (supplier->nation, customer->nation) broadcast as searchsorted-aligned
+    arrays that PRUNE each fact stream to the two nations BEFORE the one
+    big-big orderkey join; the final groupby is nation-pair x year sized."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation",
+                          ["n_nationkey", "n_name"]).take_all()}
+    want = {k for k, v in nat.items() if v in ("NATION_12", "NATION_18")}
+
+    sup = sorted((r["s_suppkey"], nat[r["s_nationkey"]])
+                 for r in _read(sf_dir, "supplier",
+                                ["s_suppkey", "s_nationkey"]).take_all()
+                 if r["s_nationkey"] in want)
+    sup_keys = _ray.put(np.array([k for k, _ in sup], np.int64))
+    sup_nat = _ray.put(np.array([v for _, v in sup], object))
+    cus = sorted((r["c_custkey"], nat[r["c_nationkey"]])
+                 for r in _read(sf_dir, "customer",
+                                ["c_custkey", "c_nationkey"]).take_all()
+                 if r["c_nationkey"] in want)
+    cus_keys = _ray.put(np.array([k for k, _ in cus], np.int64))
+    cus_nat = _ray.put(np.array([v for _, v in cus], object))
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    class LiSide:
+        def __init__(self, keys_ref, nat_ref):
+            self.keys = _ray.get(keys_ref)
+            self.nat = _ray.get(nat_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b.column("l_shipdate").cast(pa.int64())
+            b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            if len(self.keys) == 0:
+                b = b.slice(0, 0)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, sk)
+            pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit = (self.keys[pos_c] == sk) if len(sk) \
+                else np.zeros(0, bool)
+            b = b.filter(pa.array(hit))
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5) \
+                .astype(np.int64)
+            yr = pc.year(b.column("l_shipdate")).cast(pa.int64())
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            snat = self.nat[np.searchsorted(self.keys, sk)] \
+                if len(sk) else np.array([], object)
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "supp_nation": pa.array(snat, pa.string()),
+                "l_year": yr,
+                "rev_i4": pa.array(rev, pa.int64()),
+            })
+
+    class OrdSide:
+        def __init__(self, keys_ref, nat_ref):
+            self.keys = _ray.get(keys_ref)
+            self.nat = _ray.get(nat_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(self.keys) == 0:
+                b = b.slice(0, 0)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos_c = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit = (self.keys[pos_c] == ck) if len(ck) \
+                else np.zeros(0, bool)
+            b = b.filter(pa.array(hit))
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            cnat = self.nat[np.searchsorted(self.keys, ck)] \
+                if len(ck) else np.array([], object)
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "cust_nation": pa.array(cnat, pa.string()),
+            })
+
+    li = drop_empty_blocks(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"])
+        .map_batches(LiSide, fn_constructor_kwargs=dict(
+            keys_ref=sup_keys, nat_ref=sup_nat),
+            batch_format="pyarrow", concurrency=(1, 8)),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("supp_nation", pa.string()),
+                                ("l_year", pa.int64()),
+                                ("rev_i4", pa.int64())]))
+    orders = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(OrdSide, fn_constructor_kwargs=dict(
+            keys_ref=cus_keys, nat_ref=cus_nat),
+            batch_format="pyarrow", concurrency=(1, 8)),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("cust_nation", pa.string())]))
+
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    agg = j.filter(expr="supp_nation != cust_nation") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("rev_i4", alias_name="revenue_i4"))
+    rows = sorted(agg.take_all(),
+                  key=lambda r: (r["supp_nation"], r["cust_nation"],
+                                 r["l_year"]))
+    return pa.table({
+        "supp_nation": pa.array([r["supp_nation"] for r in rows],
+                                pa.string()),
+        "cust_nation": pa.array([r["cust_nation"] for r in rows],
+                                pa.string()),
+        "l_year": pa.array([r["l_year"] for r in rows], pa.int64()),
+        "revenue_i4": pa.array([r["revenue_i4"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 analog: NATION_12's share of ECONOMY-part volume sold to
+    ASIA-region customers, per order-year 1996-1997.  Returned as exact
+    integer numerator/denominator (num_i4/den_i4) instead of a float ratio
+    — reduction-order-proof and hashable.  Part keys and ASIA custkeys
+    broadcast-prune both fact streams before the single orderkey join;
+    the supplier->nation flag folds into the lineitem map."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    pids = np.array(sorted(
+        r["p_partkey"] for r in _read(sf_dir, "part",
+                                      ["p_partkey", "p_type"]).take_all()
+        if r["p_type"] == "ECONOMY"), np.int64)
+    nat = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+           for r in _read(sf_dir, "nation",
+                          ["n_nationkey", "n_name", "n_regionkey"])
+           .take_all()}
+    sup = sorted((r["s_suppkey"], 1 if nat[r["s_nationkey"]][0]
+                  == "NATION_12" else 0)
+                 for r in _read(sf_dir, "supplier",
+                                ["s_suppkey", "s_nationkey"]).take_all())
+    asia = {k for k, (_, rk) in nat.items() if rk == 2}
+    cust = np.array(sorted(
+        r["c_custkey"] for r in _read(sf_dir, "customer",
+                                      ["c_custkey", "c_nationkey"])
+        .take_all() if r["c_nationkey"] in asia), np.int64)
+
+    pids_ref = _ray.put(pids)
+    sup_keys = _ray.put(np.array([k for k, _ in sup], np.int64))
+    sup_flag = _ray.put(np.array([f for _, f in sup], np.int64))
+    cust_ref = _ray.put(cust)
+
+    lo = int(pd.Timestamp("1996-01-01").value // 1000)
+    hi = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    class LiSide:
+        def __init__(self, pids_ref, sup_keys, sup_flag):
+            self.pids = _ray.get(pids_ref)
+            self.skeys = _ray.get(sup_keys)
+            self.sflag = _ray.get(sup_flag)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(self.pids) == 0:
+                b = b.slice(0, 0)
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.pids, pk),
+                             max(len(self.pids) - 1, 0))
+            b = b.filter(pa.array((self.pids[pos] == pk) if len(pk)
+                                  else np.zeros(0, bool)))
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5) \
+                .astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            flag = self.sflag[np.searchsorted(self.skeys, sk)] \
+                if len(sk) else np.array([], np.int64)
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "num_i4": pa.array(rev * flag, pa.int64()),
+                "den_i4": pa.array(rev, pa.int64()),
+            })
+
+    class OrdSide:
+        def __init__(self, cust_ref):
+            self.cust = _ray.get(cust_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate").cast(pa.int64())
+            b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            if len(self.cust) == 0:
+                b = b.slice(0, 0)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.cust, ck),
+                             max(len(self.cust) - 1, 0))
+            b = b.filter(pa.array((self.cust[pos] == ck) if len(ck)
+                                  else np.zeros(0, bool)))
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+            })
+
+    li = drop_empty_blocks(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"])
+        .map_batches(LiSide, fn_constructor_kwargs=dict(
+            pids_ref=pids_ref, sup_keys=sup_keys, sup_flag=sup_flag),
+            batch_format="pyarrow", concurrency=(1, 8)),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("num_i4", pa.int64()),
+                                ("den_i4", pa.int64())]))
+    orders = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(OrdSide, fn_constructor_kwargs=dict(cust_ref=cust_ref),
+                     batch_format="pyarrow", concurrency=(1, 8)),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    agg = j.groupby("o_year").aggregate(
+        Sum("num_i4", alias_name="num_i4"),
+        Sum("den_i4", alias_name="den_i4"))
+    rows = sorted(agg.take_all(), key=lambda r: r["o_year"])
+    return pa.table({
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "num_i4": pa.array([r["num_i4"] for r in rows], pa.int64()),
+        "den_i4": pa.array([r["den_i4"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 analog (no partsupp: "stock value" = shipped
+    extendedprice): parts whose NATION_18-supplied value exceeds 0.1% of
+    that nation's total.  One broadcast prune + one keyed sum; the global
+    total is a scalar tree-reduce over the already-materialized per-part
+    aggregate (no second execution), and the HAVING is exact integer
+    arithmetic (value*1000 > total)."""
+    from ray.data.aggregate import Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        broadcast_semi_join)
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation",
+                          ["n_nationkey", "n_name"]).take_all()}
+    sids = np.array(sorted(
+        r["s_suppkey"] for r in _read(sf_dir, "supplier",
+                                      ["s_suppkey", "s_nationkey"])
+        .take_all() if nat[r["s_nationkey"]] == "NATION_18"), np.int64)
+
+    def val(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "val_i2": pa.array(_i2(b.column("l_extendedprice")), pa.int64()),
+        })
+
+    v = drop_empty_blocks(
+        broadcast_semi_join(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"]),
+            "l_suppkey", sids)
+        .map_batches(val, batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Sum("val_i2",
+                                            alias_name="value_i2")),
+        empty_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("value_i2", pa.int64())]))
+    total = v.sum("value_i2") or 0
+    rows = sorted(
+        (r for r in v.take_all() if r["value_i2"] * 1000 > total),
+        key=lambda r: (-r["value_i2"], r["l_partkey"]))
+    return pa.table({
+        "p_partkey": pa.array([r["l_partkey"] for r in rows], pa.int64()),
+        "value_i2": pa.array([r["value_i2"] for r in rows], pa.int64()),
+    })
+
+
+def _q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 analog (no l_commitdate: "kept waiting" = sole latest
+    shipper): per supplier, the number of finished ('F') multi-supplier
+    orders where that supplier's last shipment is the strict unique
+    maximum ship date.  The exists/not-exists pair collapses to keyed
+    aggregates: (orderkey,suppkey) max-ship pairs, a per-order (max,
+    supplier-count) reduce joined back, then a per-order unique-argmax
+    check via (count-at-max == 1, min suppkey) — every stage is a
+    vectorized aggregate or hash join, no per-group Python."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+    def ship(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "ship_us": b.column("l_shipdate").cast(pa.int64()),
+        })
+
+    pairs = drop_empty_blocks(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(ship, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("ship_us", alias_name="pair_mx")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_suppkey", pa.int64()),
+                                ("pair_mx", pa.int64())]))
+    fkeys = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .select_columns(["o_orderkey"]),
+        empty_schema=pa.schema([("o_orderkey", pa.int64())]))
+    pf = shuffle_join(pairs, fkeys, on="l_orderkey", right_on="o_orderkey",
+                      num_partitions=_join_partitions())
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column("_one",
+                               pa.array(np.ones(t.num_rows, np.int64)))
+
+    pf = drop_empty_blocks(
+        pf.map_batches(one, batch_format="pyarrow"),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_suppkey", pa.int64()),
+                                ("pair_mx", pa.int64()),
+                                ("_one", pa.int64())]))
+    per = drop_empty_blocks(
+        pf.groupby("l_orderkey").aggregate(
+            Max("pair_mx", alias_name="mx"),
+            Sum("_one", alias_name="ns")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("mx", pa.int64()),
+                                ("ns", pa.int64())]))
+    cand = shuffle_join(
+        pf.select_columns(["l_orderkey", "l_suppkey", "pair_mx", "_one"]),
+        per, on="l_orderkey",
+        num_partitions=_join_partitions()) \
+        .filter(expr="pair_mx == mx and ns >= 2")
+    uniq = cand.groupby("l_orderkey").aggregate(
+        Sum("_one", alias_name="nmax"),
+        Min("l_suppkey", alias_name="sk")) \
+        .filter(expr="nmax == 1")
+    numwait = uniq.map_batches(
+        lambda t: pa.table({
+            "sk": t.column("sk"),
+            "_w": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow") \
+        .groupby("sk").aggregate(Sum("_w", alias_name="numwait"))
+
+    names = {r["s_suppkey"]: r["s_name"]
+             for r in _read(sf_dir, "supplier",
+                            ["s_suppkey", "s_name"]).take_all()}
+    rows = sorted(numwait.take_all(),
+                  key=lambda r: (-r["numwait"], r["sk"]))
+    return pa.table({
+        "s_suppkey": pa.array([r["sk"] for r in rows], pa.int64()),
+        "s_name": pa.array([names[r["sk"]] for r in rows], pa.string()),
+        "numwait": pa.array([r["numwait"] for r in rows], pa.int64()),
+    })

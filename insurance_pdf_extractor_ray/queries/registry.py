@@ -33,6 +33,7 @@ from .q04 import *  # noqa: F401,F403
 from .q05 import *  # noqa: F401,F403
 from .q06 import *  # noqa: F401,F403
 from .q07 import *  # noqa: F401,F403
+from .q08 import *  # noqa: F401,F403
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
@@ -169,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_flag": _q_q12_priority_by_flag,
         "q15_top_supplier": _q_q15_top_supplier,
         "q20_bulky_suppliers": _q_q20_bulky_suppliers,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q8_market_share": _q_q8_market_share,
+        "q11_important_parts": _q_q11_important_parts,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -392,6 +398,104 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
             WHERE rev.r = (SELECT MAX(r) FROM rev)
             ORDER BY 1
+        """,
+        "q2_min_cost_supplier": """
+            WITH pp AS (SELECT p_partkey FROM part
+                        WHERE p_type = 'SMALL' AND p_size % 5 = 0),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                         AS cost_i2
+              FROM lineitem l JOIN pp ON pp.p_partkey = l.l_partkey
+              GROUP BY 1, 2),
+            mn AS (SELECT l_partkey, MIN(cost_i2) AS m FROM cost GROUP BY 1)
+            SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+                   s.s_name AS s_name, n.n_name AS n_name,
+                   c.cost_i2 AS cost_i2
+            FROM cost c
+            JOIN mn ON mn.l_partkey = c.l_partkey AND c.cost_i2 = mn.m
+            JOIN supplier s ON s.s_suppkey = c.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            ORDER BY 1, 2
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_i4
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_18')
+                OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_12'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN ns.n_name = 'NATION_12'
+                                 THEN CAST(FLOOR(l.l_extendedprice
+                                      * (1 - l.l_discount) * 10000 + 0.5)
+                                      AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS num_i4,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS den_i4
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = nc.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+            WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                         AS value_i2
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE n.n_name = 'NATION_18'
+              GROUP BY 1),
+            t AS (SELECT SUM(value_i2) AS tot FROM v)
+            SELECT v.l_partkey AS p_partkey,
+                   CAST(v.value_i2 AS BIGINT) AS value_i2
+            FROM v, t WHERE v.value_i2 * 1000 > t.tot
+            ORDER BY 2 DESC, 1
+        """,
+        "q21_waiting_suppliers": """
+            WITH pairs AS (
+              SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS mxs
+              FROM lineitem GROUP BY 1, 2),
+            pf AS (SELECT p.* FROM pairs p
+                   JOIN orders o ON o.o_orderkey = p.l_orderkey
+                                AND o.o_orderstatus = 'F'),
+            per AS (SELECT l_orderkey, MAX(mxs) AS mx,
+                           COUNT(*) AS ns
+                    FROM pf GROUP BY 1),
+            cand AS (SELECT pf.l_orderkey, pf.l_suppkey
+                     FROM pf JOIN per ON per.l_orderkey = pf.l_orderkey
+                     WHERE pf.mxs = per.mx AND per.ns >= 2),
+            uniq AS (SELECT l_orderkey, COUNT(*) AS nmax,
+                            MIN(l_suppkey) AS sk
+                     FROM cand GROUP BY 1)
+            SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM uniq JOIN supplier s ON s.s_suppkey = uniq.sk
+            WHERE uniq.nmax = 1
+            GROUP BY 1, 2 ORDER BY 3 DESC, 1
         """,
         "q20_bulky_suppliers": """
             WITH pk AS (SELECT p_partkey FROM part
