@@ -162,6 +162,64 @@ def exact_dedup(
     )
 
 
+def exact_dedup_keep_best(
+    ds: ray.data.Dataset, col: str, id_col: str, score_col: str,
+    num_partitions: Optional[int] = None,
+    max_broadcast: int = MAX_BROADCAST_ROWS,
+) -> ray.data.Dataset:
+    """Keep one row per distinct ``col`` value — the row with MAX
+    ``score_col``, ties broken by min ``id_col``.
+
+    The quality-aware twin of :func:`exact_dedup`: crawl pipelines usually
+    want the longest / highest-quality variant of a duplicate cluster, not
+    the lowest-id one (e.g. keep the full article over its truncated
+    syndication copy).  Same scale shape — the shuffle moves only
+    (hash, id, score) triples, never the payload:
+
+      1. per-hash ``Max(score)`` (one keyed aggregate),
+      2. join the triples back, keep rows at the max, per-hash ``Min(id)``
+         (second keyed aggregate resolves score ties deterministically),
+      3. apply the winner-id set via :func:`filter_by_ids`'s
+         broadcast-or-join path.
+
+    ``score_col`` may be any orderable numeric column.  A 64-bit hash
+    collision merges two distinct values (odds as in :func:`exact_dedup`).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from ..dsutil import drop_empty_blocks
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # int64 reinterpretation of the 64-bit hash (bijective wraparound):
+        # the Dataset.join hash exchange handles uint64 keys by falling back
+        # to Python ints, which overflow Arrow conversion
+        h = pa.array(stable_hash64_column(batch.column(col))
+                     .view(np.int64), pa.int64())
+        return batch.append_column("__h", h)
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    triples = hashed.select_columns(["__h", id_col, score_col])
+    score_t = ds.schema().base_schema.field(score_col).type
+    id_t = ds.schema().base_schema.field(id_col).type
+    mx = drop_empty_blocks(
+        triples.groupby("__h").aggregate(Max(score_col, alias_name="__ms"))
+        .map_batches(lambda t: t.rename_columns(["__hm", "__ms"]),
+                     batch_format="pyarrow"),
+        empty_schema=pa.schema([("__hm", pa.int64()), ("__ms", score_t)]))
+    at_max = drop_empty_blocks(
+        triples, empty_schema=pa.schema(
+            [("__h", pa.int64()), (id_col, id_t), (score_col, score_t)])) \
+        .join(mx, join_type="inner",
+              num_partitions=num_partitions or _join_partitions(),
+              on=("__h",), right_on=("__hm",)) \
+        .filter(expr=f"{score_col} == __ms")
+    winners = at_max.groupby("__h").aggregate(
+        Min(id_col, alias_name="__keep"))
+    return filter_by_ids(ds, id_col, winners, ids_col="__keep",
+                         keep_matching=True, max_broadcast=max_broadcast,
+                         num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # scale-aware id filtering (shared by all dup-id consumers)
 # ---------------------------------------------------------------------------

@@ -17,7 +17,8 @@ from ._shared import *  # noqa: F401,F403
 
 __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q8_market_share', '_q_q11_important_parts',
-           '_q_q21_waiting_suppliers']
+           '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
+           '_q_source_median_filter']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -459,4 +460,69 @@ def _q_q21_waiting_suppliers(sf_dir: str):
         "s_suppkey": pa.array([r["sk"] for r in rows], pa.int64()),
         "s_name": pa.array([names[r["sk"]] for r in rows], pa.string()),
         "numwait": pa.array([r["numwait"] for r in rows], pa.int64()),
+    })
+
+
+def _q_prefix_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup (pipelines/dedup.py exact_dedup_keep_best):
+    documents sharing the same 2-word prefix form a duplicate cluster; keep
+    the LONGEST member (max n_chars, ties to min doc_id) — the crawl-side
+    "keep the full article, drop the truncated syndication copy" policy.
+    The 2-word key collides ~30% of docs at both test scales, so the
+    keep-best path (hash Max(score) -> tie Min(id) -> winner semi-join) is
+    genuinely exercised."""
+    from insurance_pdf_extractor_ray.pipelines.dedup import (
+        exact_dedup_keep_best)
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text"), " ")
+        pfx = pc.binary_join(pc.list_slice(words, 0, 2), " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": b.column("n_chars"),
+            "pfx": pfx,
+        })
+
+    ds = _documents(sf_dir, ["doc_id", "text", "n_chars"]) \
+        .map_batches(add_prefix, batch_format="pyarrow")
+    kept = exact_dedup_keep_best(ds, "pfx", "doc_id", "n_chars")
+    ids = sorted(r["doc_id"] for r in
+                 kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def _q_source_median_filter(sf_dir: str):
+    """Per-domain length-percentile gate: keep documents at or above their
+    OWN source's median length — the per-source twin of a global length
+    floor (a global cut over-prunes verbose sources and under-prunes terse
+    ones).  The per-source exact median comes from quantiles_by's
+    distinct-value histogram (one keyed exchange bounded by the value
+    domain, not the row count); the source-sized (source -> median) map
+    then broadcasts into a zero-shuffle filter."""
+    import ray as _ray
+
+    from insurance_pdf_extractor_ray.pipelines.rankagg import quantiles_by
+
+    docs = _documents(sf_dir, ["doc_id", "source", "n_chars"])
+    meds = {r["source"]: r["p50"]
+            for r in quantiles_by(docs, "source", "n_chars",
+                                  qs=[0.5]).take_all()}
+    ref = _ray.put(meds)
+
+    class Gate:
+        def __init__(self, meds_ref):
+            self.meds = _ray.get(meds_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            src = b.column("source").to_pylist()
+            med = np.array([self.meds[s] for s in src], np.float64)
+            n = b.column("n_chars").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(n >= med))
+
+    kept = docs.map_batches(Gate, fn_constructor_kwargs=dict(meds_ref=ref),
+                            batch_format="pyarrow", concurrency=(1, 8))
+    rows = sorted((r["doc_id"], r["n_chars"]) for r in kept.take_all())
+    return pa.table({
+        "doc_id": pa.array([a for a, _ in rows], pa.int64()),
+        "n_chars": pa.array([b for _, b in rows], pa.int64()),
     })

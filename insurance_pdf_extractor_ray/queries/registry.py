@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,
         "q11_important_parts": _q_q11_important_parts,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
+        "prefix_dedup_keep_best": _q_prefix_dedup_keep_best,
+        "source_median_filter": _q_source_median_filter,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -496,6 +498,26 @@ def oracle_sql() -> dict[str, str]:
             FROM uniq JOIN supplier s ON s.s_suppkey = uniq.sk
             WHERE uniq.nmax = 1
             GROUP BY 1, 2 ORDER BY 3 DESC, 1
+        """,
+        "prefix_dedup_keep_best": """
+            WITH k AS (
+              SELECT doc_id, n_chars,
+                     array_to_string(list_slice(string_split(text, ' '),
+                                                1, 2), ' ') AS pfx
+              FROM documents)
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                       PARTITION BY pfx
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM k)
+            WHERE rn = 1 ORDER BY 1
+        """,
+        "source_median_filter": """
+            WITH q AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+                       FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN q USING (source)
+            WHERE d.n_chars >= q.med ORDER BY 1
         """,
         "q20_bulky_suppliers": """
             WITH pk AS (SELECT p_partkey FROM part

@@ -434,3 +434,41 @@ class TestMinhashCrossJoin:
 
     def test_layout_independent(self):
         assert self._run() == self._run(rep=3)
+
+
+class TestKeepBestDedup:
+    """exact_dedup_keep_best: max-score winner, min-id ties, both
+    application paths."""
+
+    def _docs(self):
+        # key groups: 'a' x3 (scores 5,9,9 -> id 6 wins: max score 9, min id
+        # among ties), 'b' x2 (scores 2,7 -> id 4), singletons keep selves
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "key": pa.array(["a", "b", "a", "c", "b", "d", "a", "e"]),
+            "score": pa.array([5, 2, 9, 1, 7, 3, 9, 8], pa.int64()),
+        }))
+
+    def test_winner_is_max_score_min_id(self, ray_session):
+        kept = sorted(r["doc_id"] for r in dedup.exact_dedup_keep_best(
+            self._docs(), "key", "doc_id", "score").take_all())
+        assert kept == [2, 3, 4, 5, 7]
+
+    def test_join_path_agrees(self, ray_session):
+        kept = sorted(r["doc_id"] for r in dedup.exact_dedup_keep_best(
+            self._docs(), "key", "doc_id", "score",
+            max_broadcast=2).take_all())
+        assert kept == [2, 3, 4, 5, 7]
+
+    def test_matches_window_oracle_on_documents(self, ray_session):
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+        kept = sorted(r["doc_id"] for r in dedup.exact_dedup_keep_best(
+            ds, "lang", "doc_id", "n_chars").take_all())
+        con = duckdb.connect()
+        want = [w[0] for w in con.execute(
+            f"""SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (
+                    PARTITION BY lang ORDER BY n_chars DESC, doc_id) rn
+                  FROM '{SF}/documents.parquet') WHERE rn = 1
+                ORDER BY 1""").fetchall()]
+        assert kept == want
