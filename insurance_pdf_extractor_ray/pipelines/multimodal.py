@@ -601,3 +601,103 @@ def frame_digests(ds: ray.data.Dataset) -> ray.data.Dataset:
                          "frame_digest": pa.array([";".join(parts)], pa.string())})
 
     return ds.groupby("media_ref").map_groups(per_clip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# audio analysis (real WAV decode -> spectral/energy features)
+# ---------------------------------------------------------------------------
+
+
+def _audio_feature_kernel(samples: np.ndarray, rate: int) -> dict:
+    """Shared feature math for decoded WAV samples and source arrays.
+
+    The WAV round trip is lossless PCM16, so running this on the DECODED
+    samples (engine) and on the SOURCE arrays (golden) must agree
+    bit-for-bit — no tolerance needed.  Features: duration, RMS energy,
+    zero-crossing rate, FFT-argmax dominant frequency (DC excluded;
+    resolution rate/n), peak amplitude."""
+    mono = samples[:, 0].astype(np.float64)
+    n = int(mono.shape[0])
+    dur_ms = int(round(n * 1000.0 / rate)) if n else 0
+    rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+    zc = int(np.count_nonzero(np.signbit(mono[1:])
+                              != np.signbit(mono[:-1]))) if n > 1 else 0
+    dom_hz = 0.0
+    if n > 1:
+        spec = np.abs(np.fft.rfft(mono))
+        spec[0] = 0.0
+        dom_hz = float(int(np.argmax(spec)) * rate / n)
+    peak = int(np.max(np.abs(samples[:, 0].astype(np.int64)))) if n else 0
+    return {
+        "n_samples": n, "rate": int(rate), "duration_ms": dur_ms,
+        "rms_q9": _q9(rms), "zcr_q9": _q9(zc / n if n else 0.0),
+        "dom_freq_q9": _q9(dom_hz), "peak_i": peak,
+    }
+
+
+_AUDIO_FEATURE_COLS = ["n_samples", "rate", "duration_ms", "rms_q9",
+                       "zcr_q9", "dom_freq_q9", "peak_i"]
+
+
+class AudioFeatureStage:
+    """Actor stage: asset rows -> one feature row per decodable WAV.
+
+    Non-audio payloads (by magic-byte sniff, not the declared kind — a
+    mislabeled PNG must not reach the WAV parser) and undecodable payloads
+    are dropped; the golden pins exactly which refs must survive."""
+
+    def __init__(self):
+        pass  # the codec is stdlib `wave`; nothing to warm up
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_ref": []}
+        out.update({c: [] for c in _AUDIO_FEATURE_COLS})
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for ref, payload in zip(refs, payloads):
+            if sniff_media_kind(payload) != "audio":
+                continue
+            try:
+                samples, rate = codecs.decode_wav(payload)
+            except (ValueError, EOFError, wave_error):
+                continue
+            feats = _audio_feature_kernel(samples, rate)
+            out["media_ref"].append(ref)
+            for c in _AUDIO_FEATURE_COLS:
+                out[c].append(feats[c])
+        return pa.table({
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            **{c: pa.array(out[c], pa.int64())
+               for c in _AUDIO_FEATURE_COLS},
+        })
+
+
+def audio_features(
+    assets: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Audio feature extraction over an asset table (real WAV decode)."""
+    return assets.map_batches(
+        AudioFeatureStage, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size)
+
+
+def audio_features_golden(doc_media_refs, seed: int = 42) -> pa.Table:
+    """First-principles twin of :func:`audio_features` over CLEAN assets:
+    features recomputed from the source sample arrays before encoding."""
+    seen = set()
+    rows = []
+    for _doc_id, ref in doc_media_refs:
+        if ref in seen:
+            continue
+        seen.add(ref)
+        spec = _asset_spec(ref, seed)
+        if spec["kind"] != "audio":
+            continue
+        feats = _audio_feature_kernel(spec["samples"], spec["rate"])
+        rows.append({"media_ref": ref, **feats})
+    rows.sort(key=lambda r: r["media_ref"])
+    return pa.table({
+        "media_ref": pa.array([r["media_ref"] for r in rows], pa.string()),
+        **{c: pa.array([r[c] for r in rows], pa.int64())
+           for c in _AUDIO_FEATURE_COLS},
+    })

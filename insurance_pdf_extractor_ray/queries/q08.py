@@ -18,7 +18,7 @@ from ._shared import *  # noqa: F401,F403
 __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q8_market_share', '_q_q11_important_parts',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
-           '_q_source_median_filter']
+           '_q_source_median_filter', '_q_audio_features_check']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -526,3 +526,35 @@ def _q_source_median_filter(sf_dir: str):
         "doc_id": pa.array([a for a, _ in rows], pa.int64()),
         "n_chars": pa.array([b for _, b in rows], pa.int64()),
     })
+
+
+def _q_audio_features_check(sf_dir: str):
+    """Hard gate for the audio analysis stage (pipelines/multimodal.py
+    audio_features): real WAV decode -> duration / RMS / zero-crossing
+    rate / FFT-argmax dominant frequency / peak, diffed against a
+    first-principles golden computed from the source sample arrays before
+    encoding.  Empty result = the PCM16 round trip and every feature are
+    bit-exact for every audio asset (non-audio payloads must be sniffed
+    out before the WAV parser)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        audio_features,
+        audio_features_golden,
+        real_assets_for_docs,
+    )
+    from .q01 import _media_refs
+
+    refs = _media_refs(sf_dir)
+    seen: set = set()
+    uniq = [(d, r) for d, r in refs
+            if r not in seen and not seen.add(r)]
+    assets = real_assets_for_docs(uniq)
+    got = audio_features(ray.data.from_arrow(assets))
+    want = audio_features_golden(uniq)
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
+                                      key="media_ref"))

@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "prefix_dedup_keep_best": _q_prefix_dedup_keep_best,
         "source_median_filter": _q_source_median_filter,
+        "audio_features_check": _q_audio_features_check,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -1473,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         # at any scale factor, not a pinned constant.
         "frame_sample_check": _EMPTY_DIFF_SQL,
         "media_decode_check": _EMPTY_DIFF_SQL,
+        "audio_features_check": _EMPTY_DIFF_SQL,
         # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,
