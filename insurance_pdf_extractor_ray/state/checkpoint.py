@@ -138,3 +138,83 @@ def run_partitioned(
         ran += 1
         total_rows += rows
     return {"partitions_run": ran, "partitions_skipped": skipped, "rows": total_rows}
+
+
+def run_metrics(out_dir: str):
+    """Per-partition lineage + metrics from committed manifests, as a table.
+
+    The operational read side of :func:`run_partitioned`: one row per
+    committed partition with its row count, wall time, input-file count,
+    config hash and rule-table version — the artifact a cluster operator
+    watches during a 10^12-doc run (straggler partitions surface as wall
+    outliers; a version-mixed resume surfaces as >1 distinct
+    ``rules_version``).  Manifest-dir-sized: never touches the data files.
+    """
+    import pyarrow as pa
+
+    rows = sorted(committed_partitions(out_dir).items())
+    return pa.table({
+        "partition": pa.array([i for i, _ in rows], pa.int32()),
+        "rows": pa.array([m.get("rows", 0) for _, m in rows], pa.int64()),
+        "n_input_files": pa.array([len(m.get("input_files", [])) for _, m in rows],
+                                  pa.int32()),
+        "wall_time_sec": pa.array([float(m.get("wall_time_sec", 0.0))
+                                   for _, m in rows], pa.float64()),
+        "config_hash": pa.array([m.get("config_hash", "") for _, m in rows],
+                                pa.string()),
+        "rules_version": pa.array([m.get("rules_version") for _, m in rows],
+                                  pa.string()),
+        "committed_at": pa.array([m.get("committed_at", "") for _, m in rows],
+                                 pa.string()),
+    })
+
+
+def compact_partitions(out_dir: str, target_rows_per_file: int = 1_000_000,
+                       min_files: int = 2) -> Dict:
+    """Merge each committed partition's small parquet files into few large
+    ones — the small-file compaction every long-running partitioned sink
+    needs (a 10^12-doc run writing per-task fragments produces millions of
+    KB-sized files that crush any later scan's scheduler).
+
+    Exactly-once safe: the compacted copy is written to a shadow directory,
+    its row count verified against the partition's MANIFEST (not the
+    possibly-damaged data), then swapped in atomically (``os.replace`` of
+    the directory); manifests are untouched, so resume semantics are
+    unchanged and a kill mid-compaction leaves either the old or the new
+    layout, never a mix.  Partitions already at ``<= min_files`` files are
+    skipped.  Returns {compacted, skipped, files_before, files_after}.
+    """
+    import pyarrow.parquet as pq
+
+    compacted = skipped = before = after = 0
+    for i, manifest in sorted(committed_partitions(out_dir).items()):
+        part_dir = os.path.join(out_dir, f"part-{i}")
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        before += len(files)
+        if len(files) <= min_files:
+            skipped += 1
+            after += len(files)
+            continue
+        shadow = part_dir + ".compact"
+        shutil.rmtree(shadow, ignore_errors=True)
+        ds = ray.data.read_parquet(files)
+        ds.repartition(max(1, -(-manifest.get("rows", 1)
+                                // target_rows_per_file))) \
+            .write_parquet(shadow)
+        new_files = glob.glob(os.path.join(shadow, "*.parquet"))
+        new_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in new_files)
+        if new_rows != manifest.get("rows"):
+            shutil.rmtree(shadow, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row mismatch on partition {i}: "
+                f"{new_rows} != manifest {manifest.get('rows')}")
+        old = part_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(part_dir, old)
+        os.replace(shadow, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        compacted += 1
+        after += len(new_files)
+    return {"compacted": compacted, "skipped": skipped,
+            "files_before": before, "files_after": after}

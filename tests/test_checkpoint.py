@@ -201,3 +201,41 @@ def test_bucketed_layout_end_to_end(tmp_path):
     res2 = checkpoint.run_partitioned(
         "", out, _pipeline, config={"v": 1}, partitions=parts)
     assert res2 == {"partitions_run": 0, "partitions_skipped": 5, "rows": 240}
+
+
+def test_run_metrics_surfaces_lineage(sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    checkpoint.run_partitioned(sharded_input, out, _pipeline,
+                               num_partitions=3,
+                               config={"rules_version": "v1"})
+    m = checkpoint.run_metrics(out)
+    assert m.num_rows == 3
+    assert sum(m.column("rows").to_pylist()) == 300
+    assert set(m.column("rules_version").to_pylist()) == {"v1"}
+    assert all(n >= 1 for n in m.column("n_input_files").to_pylist())
+    assert len(set(m.column("config_hash").to_pylist())) == 1
+
+
+def test_compact_partitions_preserves_rows_and_resume(sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    checkpoint.run_partitioned(sharded_input, out, _pipeline, num_partitions=3)
+    files_before = glob.glob(os.path.join(out, "part-*", "*.parquet"))
+    # force every partition to look "small-file" so compaction runs
+    res = checkpoint.compact_partitions(out, target_rows_per_file=1_000_000,
+                                        min_files=0)
+    assert res["compacted"] == 3
+    assert res["files_after"] <= res["files_before"] == len(files_before)
+    # rows intact, per partition and in total
+    total = 0
+    for i in range(3):
+        part_files = glob.glob(os.path.join(out, f"part-{i}", "*.parquet"))
+        assert len(part_files) == 1  # 100 rows << target -> one file
+        total += sum(pq.ParquetFile(f).metadata.num_rows for f in part_files)
+    assert total == 300
+    # manifests untouched: a resume still skips everything
+    res2 = checkpoint.run_partitioned(sharded_input, out, _pipeline,
+                                      num_partitions=3)
+    assert res2 == {"partitions_run": 0, "partitions_skipped": 3, "rows": 300}
+    # second compaction is a no-op (already at <= min_files defaults)
+    res3 = checkpoint.compact_partitions(out)
+    assert res3["compacted"] == 0 and res3["skipped"] == 3
