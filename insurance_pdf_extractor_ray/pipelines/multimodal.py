@@ -701,3 +701,94 @@ def audio_features_golden(doc_media_refs, seed: int = 42) -> pa.Table:
         **{c: pa.array([r[c] for r in rows], pa.int64())
            for c in _AUDIO_FEATURE_COLS},
     })
+
+
+# ---------------------------------------------------------------------------
+# video analysis (real AVI decode -> scene-cut detection)
+# ---------------------------------------------------------------------------
+
+
+def _scene_cut_kernel(frames: np.ndarray, threshold: float) -> dict:
+    """Scene-cut detection over decoded frames: a cut lands wherever the
+    mean absolute per-pixel difference between consecutive frames reaches
+    ``threshold`` (0..255 scale).  Runs identically on decoded AVI frames
+    (engine) and source arrays (golden) — the DIB round trip is lossless
+    uint8, so cut indices and quantized diffs are bit-exact."""
+    n = int(frames.shape[0])
+    if n < 2:
+        return {"n_frames": n, "n_cuts": 0, "cuts": "", "diffs_q3": ""}
+    d = np.abs(frames[1:].astype(np.float64)
+               - frames[:-1].astype(np.float64)).mean(axis=(1, 2, 3))
+    cuts = (np.flatnonzero(d >= threshold) + 1).tolist()
+    diffs_q3 = ",".join(str(int(np.floor(v * 1e3 + 0.5))) for v in d)
+    return {"n_frames": n, "n_cuts": len(cuts),
+            "cuts": ",".join(map(str, cuts)), "diffs_q3": diffs_q3}
+
+
+class SceneCutStage:
+    """Actor stage: asset rows -> one scene-cut row per decodable AVI."""
+
+    def __init__(self, threshold: float = 8.0):
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_ref": [], "n_frames": [], "fps_q3": [],
+               "n_cuts": [], "cuts": [], "diffs_q3": []}
+        for ref, payload in zip(batch.column("media_ref").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if sniff_media_kind(payload) != "video":
+                continue
+            try:
+                frames, fps = codecs.decode_avi_frames(payload)
+            except (ValueError, EOFError, struct_error):
+                continue
+            k = _scene_cut_kernel(frames, self.threshold)
+            out["media_ref"].append(ref)
+            out["fps_q3"].append(int(np.floor(fps * 1e3 + 0.5)))
+            for c in ("n_frames", "n_cuts", "cuts", "diffs_q3"):
+                out[c].append(k[c])
+        return pa.table({
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+            "fps_q3": pa.array(out["fps_q3"], pa.int64()),
+            "n_cuts": pa.array(out["n_cuts"], pa.int64()),
+            "cuts": pa.array(out["cuts"], pa.string()),
+            "diffs_q3": pa.array(out["diffs_q3"], pa.string()),
+        })
+
+
+def scene_cuts(
+    assets: ray.data.Dataset, threshold: float = 8.0,
+    concurrency=(1, 8), batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Scene-cut detection over an asset table (real AVI decode)."""
+    return assets.map_batches(
+        SceneCutStage, fn_constructor_kwargs=dict(threshold=threshold),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def scene_cuts_golden(doc_media_refs, threshold: float = 8.0,
+                      seed: int = 42) -> pa.Table:
+    """First-principles twin of :func:`scene_cuts` over CLEAN assets."""
+    seen = set()
+    rows = []
+    for _doc_id, ref in doc_media_refs:
+        if ref in seen:
+            continue
+        seen.add(ref)
+        spec = _asset_spec(ref, seed)
+        if spec["kind"] != "video":
+            continue
+        k = _scene_cut_kernel(spec["frames"], threshold)
+        rows.append({"media_ref": ref,
+                     "fps_q3": int(np.floor(spec["fps"] * 1e3 + 0.5)), **k})
+    rows.sort(key=lambda r: r["media_ref"])
+    return pa.table({
+        "media_ref": pa.array([r["media_ref"] for r in rows], pa.string()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int64()),
+        "fps_q3": pa.array([r["fps_q3"] for r in rows], pa.int64()),
+        "n_cuts": pa.array([r["n_cuts"] for r in rows], pa.int64()),
+        "cuts": pa.array([r["cuts"] for r in rows], pa.string()),
+        "diffs_q3": pa.array([r["diffs_q3"] for r in rows], pa.string()),
+    })

@@ -18,7 +18,7 @@ from ._shared import *  # noqa: F401,F403
 __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q8_market_share', '_q_q11_important_parts',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
-           '_q_source_median_filter', '_q_audio_features_check']
+           '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -556,5 +556,36 @@ def _q_audio_features_check(sf_dir: str):
     assets = real_assets_for_docs(uniq)
     got = audio_features(ray.data.from_arrow(assets))
     want = audio_features_golden(uniq)
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
+                                      key="media_ref"))
+
+
+def _q_scene_cuts_check(sf_dir: str):
+    """Hard gate for video scene-cut detection (pipelines/multimodal.py
+    scene_cuts): real AVI container parse -> DIB frame decode -> mean
+    absolute inter-frame difference -> threshold cuts, diffed against a
+    golden computed from the source frame arrays.  Empty result = cut
+    indices, quantized diff series, frame counts and fps are bit-exact for
+    every video asset."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        real_assets_for_docs,
+        scene_cuts,
+        scene_cuts_golden,
+    )
+    from .q01 import _media_refs
+
+    refs = _media_refs(sf_dir)
+    seen: set = set()
+    uniq = [(d, r) for d, r in refs
+            if r not in seen and not seen.add(r)]
+    assets = real_assets_for_docs(uniq)
+    got = scene_cuts(ray.data.from_arrow(assets))
+    want = scene_cuts_golden(uniq)
     return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
                                       key="media_ref"))

@@ -311,3 +311,51 @@ class TestAudioFeatures:
         assert 0 < len(rows) <= n_audio_clean
         for r in rows:
             assert r["rate"] == 16000
+
+
+class TestSceneCuts:
+    """scene_cuts: real AVI decode -> inter-frame-difference cut detection."""
+
+    REFS = [(f"doc_{i}", f"media/video_test_{i}.bin") for i in range(60)]
+
+    def test_controlled_scenes_cut_exactly_at_boundary(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from insurance_pdf_extractor_ray.functions import codecs
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            ASSET_SCHEMA, scene_cuts)
+
+        # two static 4-frame scenes (gray 10 then gray 200): exactly one
+        # cut at frame index 4; within-scene diffs are 0
+        a = np.full((4, 8, 8, 3), 10, np.uint8)
+        b = np.full((4, 8, 8, 3), 200, np.uint8)
+        payload = codecs.encode_avi(np.concatenate([a, b]), fps=5)
+        assets = pa.table({
+            "media_ref": pa.array(["clip"], pa.string()),
+            "doc_id": pa.array(["d0"], pa.string()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
+            "mime": pa.array(["video/x-msvideo"], pa.string()),
+            "width": pa.array([8], pa.int32()),
+            "height": pa.array([8], pa.int32()),
+            "duration_ms": pa.array([1600], pa.int32()),
+        }, schema=ASSET_SCHEMA)
+        rows = scene_cuts(ray.data.from_arrow(assets)).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_frames"] == 8 and r["fps_q3"] == 5000
+        assert r["n_cuts"] == 1 and r["cuts"] == "4"
+        diffs = [int(x) for x in r["diffs_q3"].split(",")]
+        assert diffs == [0, 0, 0, 190000, 0, 0, 0]
+
+    def test_stage_matches_source_golden_bit_exact(self, ray_session):
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            real_assets_for_docs, scene_cuts, scene_cuts_golden)
+
+        assets = real_assets_for_docs(self.REFS)
+        got = sorted(scene_cuts(ray.data.from_arrow(assets)).take_all(),
+                     key=lambda r: r["media_ref"])
+        want = scene_cuts_golden(self.REFS).to_pylist()
+        assert len(want) > 0
+        assert got == want
