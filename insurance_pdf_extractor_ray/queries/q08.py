@@ -18,7 +18,8 @@ from ._shared import *  # noqa: F401,F403
 __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q8_market_share', '_q_q11_important_parts',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
-           '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check']
+           '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check',
+           '_q_video_dedup_check']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -588,4 +589,36 @@ def _q_scene_cuts_check(sf_dir: str):
     got = scene_cuts(ray.data.from_arrow(assets))
     want = scene_cuts_golden(uniq)
     return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
+                                      key="media_ref"))
+
+
+def _q_video_dedup_check(sf_dir: str):
+    """Hard gate for perceptual video near-dup over real codecs: every video
+    asset gets a planted near-duplicate twin (the same clip, frame-wise
+    integer-upscaled and re-encoded); the engine decodes the real AVIs,
+    fingerprints each with a K-frame dHash signature and groups by banded
+    Hamming LSH over frame 0 (pipelines/videodedup.py).  Diffed against the
+    planted group structure — empty result = every twin found, no false
+    merges across distinct clips."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.videodedup import (
+        assets_with_video_dups,
+        near_dup_video_groups,
+    )
+    from .q01 import _media_refs
+
+    refs = _media_refs(sf_dir)
+    seen: set = set()
+    uniq = [(d, r) for d, r in refs
+            if r not in seen and not seen.add(r)]
+    assets, golden = assets_with_video_dups(uniq)
+    got = near_dup_video_groups(ray.data.from_arrow(assets),
+                                max_hamming=3, bands=4)
+    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+                                      ray.data.from_arrow(golden),
                                       key="media_ref"))

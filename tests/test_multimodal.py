@@ -359,3 +359,50 @@ class TestSceneCuts:
         want = scene_cuts_golden(self.REFS).to_pylist()
         assert len(want) > 0
         assert got == want
+
+
+class TestVideoNearDup:
+    """near_dup_video_groups: K-frame dHash signatures + banded Hamming LSH
+    over real AVI decode (pipelines/videodedup.py)."""
+
+    REFS = [(f"doc_{i}", f"media/vdup_test_{i}.bin") for i in range(80)]
+
+    def test_signature_invariant_to_integer_upscale(self):
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.functions import codecs
+        from insurance_pdf_extractor_ray.pipelines.videodedup import _signature
+
+        rng = np.random.RandomState(7)
+        frames = rng.randint(0, 256, size=(6, 10, 14, 3)).astype(np.uint8)
+        for scale in (2, 3):
+            up = np.repeat(np.repeat(frames, scale, axis=1), scale, axis=2)
+            assert _signature(frames) == _signature(up)
+        # lossless codec round trip preserves the signature too
+        dec, _fps = codecs.decode_avi_frames(codecs.encode_avi(frames, 5))
+        assert _signature(dec) == _signature(frames)
+
+    def test_planted_twins_grouped_distinct_clips_not(self, ray_session):
+        from insurance_pdf_extractor_ray.pipelines.videodedup import (
+            assets_with_video_dups, near_dup_video_groups)
+
+        assets, golden = assets_with_video_dups(self.REFS)
+        got = near_dup_video_groups(ray.data.from_arrow(assets),
+                                    max_hamming=3, bands=4)
+        assert golden.num_rows > 0  # at least one video in the ref mix
+        assert got.to_pylist() == golden.to_pylist()
+        # every planted twin maps to its base; at least one group of size 2
+        groups = [r["group"] for r in golden.to_pylist()]
+        assert any(groups.count(g) == 2 for g in set(groups))
+
+    def test_bands_guard(self):
+        import pyarrow as pa
+
+        from insurance_pdf_extractor_ray.pipelines.videodedup import (
+            near_dup_video_groups)
+
+        with pytest.raises(ValueError):
+            near_dup_video_groups(ray.data.from_arrow(
+                pa.table({"media_ref": pa.array([], pa.string()),
+                          "payload": pa.array([], pa.binary())})),
+                max_hamming=4, bands=4)
