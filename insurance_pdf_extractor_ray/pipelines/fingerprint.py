@@ -1,0 +1,114 @@
+"""Shared banded-Hamming LSH grouping over fixed-width binary signatures.
+
+The common tail of the perceptual near-dup family (imagededup / videodedup /
+audiodedup): given a Dataset of ``(media_ref: string, sig: binary)`` rows
+where every signature is the same multiple-of-8-byte width (one or more
+big-endian 64-bit perceptual hashes), find all pairs whose max per-chunk
+Hamming distance is <= ``max_hamming`` and emit connected-component groups.
+
+LSH completeness is the pigeonhole argument over the FIRST 8-byte chunk:
+two signatures within overall distance ``bands - 1`` are within that
+distance on chunk 0, so they agree exactly on at least one of its ``bands``
+contiguous bit-bands and collide in that band's bucket; only band-bucket
+collisions are ever compared.
+
+Scale shape: the map side of the only exchange carries signatures (8-32
+bytes), never payloads; candidate pairs are verified with exact Hamming
+inside the bucket group and deduped by one keyed combine.  The final
+connected-components step runs on the driver over the verified-pair set
+(dup-bounded — swap in dedup.dup_components_distributed for billion-pair
+regimes, exactly like jaccard_component_dedup).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions import codecs
+
+
+def sig_hamming(a: bytes, b: bytes) -> int:
+    """Max per-8-byte-chunk Hamming distance between two aligned signatures."""
+    return max(codecs.hamming64(int.from_bytes(a[o:o + 8], "big"),
+                                int.from_bytes(b[o:o + 8], "big"))
+               for o in range(0, len(a), 8))
+
+
+def banded_hamming_groups(
+    sigs: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int = 2048,
+) -> pa.Table:
+    """(media_ref, group) for every signature row; ``group`` is the
+    lexicographic-min media_ref of the near-dup component (singletons map
+    to themselves).  ``max_hamming`` must be < ``bands`` for the pigeonhole
+    guarantee (chunk-0 distance <= max distance)."""
+    if max_hamming >= bands:
+        raise ValueError("banded LSH is only complete for max_hamming < bands")
+    # materialize: consumed by BOTH the pair pipeline and the final ref scan
+    # (a lazy Dataset would re-run the upstream decode stage twice)
+    sigs = sigs.materialize()
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        raw = batch.column("sig").to_pylist()
+        f0 = np.array([int.from_bytes(s[:8], "big") for s in raw], np.uint64)
+        out_key, out_ref, out_sig = [], [], []
+        for b in range(bands):
+            band = ((f0 >> np.uint64(b * band_bits))
+                    & np.uint64(mask)).astype(np.int64)
+            out_key.extend((np.int64(b) << np.int64(band_bits)) + band)
+            out_ref.extend(refs)
+            out_sig.extend(raw)
+        return pa.table({"bucket": pa.array(out_key, pa.int64()),
+                         "media_ref": pa.array(out_ref, pa.string()),
+                         "sig": pa.array(out_sig, pa.binary())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        refs = group.column("media_ref").to_pylist()[:bucket_cap]
+        ss = group.column("sig").to_pylist()[:bucket_cap]
+        a_out, b_out = [], []
+        for i in range(len(refs)):
+            for j in range(i + 1, len(refs)):
+                if refs[i] == refs[j]:
+                    continue
+                if sig_hamming(ss[i], ss[j]) <= max_hamming:
+                    lo, hi = sorted((refs[i], refs[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    pairs = (sigs.map_batches(to_buckets, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
+
+    # driver union-find over the verified pair set (dup-bounded)
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.take_all():
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+
+    all_refs = sorted(r["media_ref"] for r in
+                      sigs.select_columns(["media_ref"]).take_all())
+    groups = [find(r) for r in all_refs]
+    return pa.table({"media_ref": pa.array(all_refs, pa.string()),
+                     "group": pa.array(groups, pa.string())})

@@ -30,7 +30,7 @@ Reference analog: binary-payload parsing into typed per-document structure,
 from __future__ import annotations
 
 from struct import error as struct_error
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -48,13 +48,6 @@ def _signature(frames: np.ndarray, k: int = SIG_FRAMES) -> bytes:
     idx = (np.arange(k) * (n / k)).astype(np.int64)
     return b"".join(codecs.dhash64(frames[int(i)]).to_bytes(8, "big")
                     for i in idx)
-
-
-def _sig_hamming(a: bytes, b: bytes) -> int:
-    """Max per-frame Hamming distance between two aligned signatures."""
-    return max(codecs.hamming64(int.from_bytes(a[o:o + 8], "big"),
-                                int.from_bytes(b[o:o + 8], "big"))
-               for o in range(0, len(a), 8))
 
 
 def assets_with_video_dups(doc_media_refs, seed: int = 42,
@@ -144,68 +137,10 @@ def near_dup_video_groups(
     lexicographic-min media_ref of the near-dup component (singletons map to
     themselves).  Complete for signature pairs whose max per-frame Hamming
     distance is within ``bands - 1``; ``max_hamming`` must be < ``bands``
-    for the pigeonhole guarantee (frame-0 distance <= max distance)."""
-    if max_hamming >= bands:
-        raise ValueError("banded LSH is only complete for max_hamming < bands")
-    # materialize: consumed by BOTH the pair pipeline and the final ref scan
-    # (a lazy Dataset would re-run the decode stage twice)
-    sigs = video_signatures(assets).materialize()
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
+    for the pigeonhole guarantee (frame-0 distance <= max distance).
+    Grouping is the shared banded-Hamming LSH (pipelines/fingerprint.py)."""
+    from .fingerprint import banded_hamming_groups
 
-    def to_buckets(batch: pa.Table) -> pa.Table:
-        refs = batch.column("media_ref").to_pylist()
-        raw = batch.column("sig").to_pylist()
-        f0 = np.array([int.from_bytes(s[:8], "big") for s in raw], np.uint64)
-        out_key, out_ref, out_sig = [], [], []
-        for b in range(bands):
-            band = ((f0 >> np.uint64(b * band_bits))
-                    & np.uint64(mask)).astype(np.int64)
-            out_key.extend((np.int64(b) << np.int64(band_bits)) + band)
-            out_ref.extend(refs)
-            out_sig.extend(raw)
-        return pa.table({"bucket": pa.array(out_key, pa.int64()),
-                         "media_ref": pa.array(out_ref, pa.string()),
-                         "sig": pa.array(out_sig, pa.binary())})
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        refs = group.column("media_ref").to_pylist()[:bucket_cap]
-        ss = group.column("sig").to_pylist()[:bucket_cap]
-        a_out, b_out = [], []
-        for i in range(len(refs)):
-            for j in range(i + 1, len(refs)):
-                if refs[i] == refs[j]:
-                    continue
-                if _sig_hamming(ss[i], ss[j]) <= max_hamming:
-                    lo, hi = sorted((refs[i], refs[j]))
-                    a_out.append(lo)
-                    b_out.append(hi)
-        return pa.table({"a": pa.array(a_out, pa.string()),
-                         "b": pa.array(b_out, pa.string())})
-
-    from ray.data.aggregate import Count
-
-    pairs = (sigs.map_batches(to_buckets, batch_format="pyarrow")
-             .groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
-
-    # driver union-find over the verified pair set (dup-bounded)
-    parent: Dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in pairs.take_all():
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-
-    all_refs = sorted(r["media_ref"] for r in
-                      sigs.select_columns(["media_ref"]).take_all())
-    groups = [find(r) for r in all_refs]
-    return pa.table({"media_ref": pa.array(all_refs, pa.string()),
-                     "group": pa.array(groups, pa.string())})
+    return banded_hamming_groups(video_signatures(assets),
+                                 max_hamming=max_hamming, bands=bands,
+                                 bucket_cap=bucket_cap)

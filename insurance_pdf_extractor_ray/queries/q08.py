@@ -19,7 +19,7 @@ __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q8_market_share', '_q_q11_important_parts',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
            '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check',
-           '_q_video_dedup_check']
+           '_q_video_dedup_check', '_q_audio_dedup_check']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -618,6 +618,37 @@ def _q_video_dedup_check(sf_dir: str):
             if r not in seen and not seen.add(r)]
     assets, golden = assets_with_video_dups(uniq)
     got = near_dup_video_groups(ray.data.from_arrow(assets),
+                                max_hamming=3, bands=4)
+    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+                                      ray.data.from_arrow(golden),
+                                      key="media_ref"))
+
+
+def _q_audio_dedup_check(sf_dir: str):
+    """Hard gate for perceptual audio near-dup over real codecs: every audio
+    asset gets a planted near-duplicate twin (the same clip, gain-scaled and
+    re-encoded); the engine decodes the real WAVs, fingerprints each with a
+    64-bit temporal energy-gradient hash and groups by banded Hamming LSH
+    (pipelines/audiodedup.py).  Diffed against the planted group structure —
+    empty result = every twin found, no false merges across distinct clips."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.audiodedup import (
+        assets_with_audio_dups,
+        near_dup_audio_groups,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from .q01 import _media_refs
+
+    refs = _media_refs(sf_dir)
+    seen: set = set()
+    uniq = [(d, r) for d, r in refs
+            if r not in seen and not seen.add(r)]
+    assets, golden = assets_with_audio_dups(uniq)
+    got = near_dup_audio_groups(ray.data.from_arrow(assets),
                                 max_hamming=3, bands=4)
     return normalize_diff(golden_diff(ray.data.from_arrow(got),
                                       ray.data.from_arrow(golden),

@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features_check": _q_audio_features_check,
         "scene_cuts_check": _q_scene_cuts_check,
         "video_dedup_check": _q_video_dedup_check,
+        "audio_dedup_check": _q_audio_dedup_check,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -1479,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features_check": _EMPTY_DIFF_SQL,
         "scene_cuts_check": _EMPTY_DIFF_SQL,
         "video_dedup_check": _EMPTY_DIFF_SQL,
+        "audio_dedup_check": _EMPTY_DIFF_SQL,
         # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,

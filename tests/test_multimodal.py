@@ -406,3 +406,58 @@ class TestVideoNearDup:
                 pa.table({"media_ref": pa.array([], pa.string()),
                           "payload": pa.array([], pa.binary())})),
                 max_hamming=4, bands=4)
+
+
+class TestAudioNearDup:
+    """near_dup_audio_groups: 64-bit temporal energy-gradient fingerprints
+    + shared banded Hamming LSH over real WAV decode
+    (pipelines/audiodedup.py, pipelines/fingerprint.py)."""
+
+    REFS = [(f"doc_{i}", f"media/adup_test_{i}.bin") for i in range(80)]
+
+    def test_fingerprint_invariant_to_gain_polarity_reencode(self):
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.functions import codecs
+        from insurance_pdf_extractor_ray.pipelines.audiodedup import (
+            audio_fingerprint64)
+
+        rng = np.random.RandomState(11)
+        t = np.arange(4000)
+        x = (5000 * np.sin(2 * np.pi * 440 * t / 16000)
+             + rng.randint(-400, 400, size=4000)).astype(np.int16)[:, None]
+        base = audio_fingerprint64(x)
+        assert audio_fingerprint64(x.astype(np.int64) * 3) == base  # gain
+        assert audio_fingerprint64(-x.astype(np.int64)) == base     # polarity
+        dec, _ = codecs.decode_wav(codecs.encode_wav(x, 16000))
+        assert audio_fingerprint64(dec) == base                     # re-encode
+
+    def test_distinct_clips_far_apart(self):
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.functions import codecs
+        from insurance_pdf_extractor_ray.pipelines.audiodedup import (
+            audio_fingerprint64)
+
+        rng = np.random.RandomState(5)
+        fps = []
+        for freq in (150, 500, 1100, 1900):
+            t = np.arange(5000)
+            x = (6000 * np.sin(2 * np.pi * freq * t / 16000)
+                 + rng.randint(-500, 500, size=5000)).astype(np.int16)
+            fps.append(audio_fingerprint64(x[:, None]))
+        for i in range(len(fps)):
+            for j in range(i + 1, len(fps)):
+                assert codecs.hamming64(fps[i], fps[j]) > 3
+
+    def test_planted_twins_grouped_distinct_clips_not(self, ray_session):
+        from insurance_pdf_extractor_ray.pipelines.audiodedup import (
+            assets_with_audio_dups, near_dup_audio_groups)
+
+        assets, golden = assets_with_audio_dups(self.REFS)
+        got = near_dup_audio_groups(ray.data.from_arrow(assets),
+                                    max_hamming=3, bands=4)
+        assert golden.num_rows > 0  # at least one audio clip in the ref mix
+        assert got.to_pylist() == golden.to_pylist()
+        groups = [r["group"] for r in golden.to_pylist()]
+        assert any(groups.count(g) == 2 for g in set(groups))
