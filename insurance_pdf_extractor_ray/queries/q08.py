@@ -19,7 +19,8 @@ __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q8_market_share', '_q_q11_important_parts',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
            '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check',
-           '_q_video_dedup_check', '_q_audio_dedup_check']
+           '_q_video_dedup_check', '_q_audio_dedup_check',
+           '_q_fingerprint_incremental_check']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -652,4 +653,89 @@ def _q_audio_dedup_check(sf_dir: str):
                                 max_hamming=3, bands=4)
     return normalize_diff(golden_diff(ray.data.from_arrow(got),
                                       ray.data.from_arrow(golden),
+                                      key="media_ref"))
+
+
+def _q_fingerprint_incremental_check(sf_dir: str):
+    """Hard gate for the incremental perceptual near-dup index
+    (pipelines/fingerprintindex.py) over real decoded PNG dHashes: base
+    images plus up2 twins of the EVEN half ingest as increment 1 (the
+    within-increment path must drop those twins), then up2 twins of the ODD
+    half and up4 twins of the even half probe the committed index as
+    increment 2 (the cross-increment path must drop all of them — dhash64
+    is exactly invariant to integer upscaling).  Diffed against the base
+    image refs — empty result = the kept set across both increments is
+    exactly one representative per picture."""
+    import tempfile
+
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.fingerprintindex import (
+        fingerprint_dedup_incremental,
+        fingerprint_index_append,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.imagededup import (
+        assets_with_image_dups,
+        image_dhashes,
+    )
+    from .q01 import _media_refs
+
+    refs = _media_refs(sf_dir)
+    seen: set = set()
+    uniq = [(d, r) for d, r in refs
+            if r not in seen and not seen.add(r)]
+    a2, golden2 = assets_with_image_dups(uniq, scale=2)
+    a4, _ = assets_with_image_dups(uniq, scale=4)
+    base_refs = sorted(set(golden2.column("group").to_pylist()))
+    even = {r for i, r in enumerate(base_refs) if i % 2 == 0}
+
+    def rows_where(tbl, pred):
+        keep = pa.array([pred(r) for r in
+                         tbl.column("media_ref").to_pylist()])
+        return tbl.filter(keep)
+
+    is_base = lambda r: "#up" not in r  # noqa: E731
+    inc1 = pa.concat_tables([
+        rows_where(a2, is_base),
+        rows_where(a2, lambda r: r.endswith("#up2")
+                   and r.split("#up")[0] in even),
+    ])
+    inc2 = pa.concat_tables([
+        rows_where(a2, lambda r: r.endswith("#up2")
+                   and r.split("#up")[0] not in even
+                   and not is_base(r)),
+        rows_where(a4, lambda r: r.endswith("#up4")
+                   and r.split("#up")[0] in even),
+    ])
+
+    def sigs_of(tbl):
+        def pack(b: pa.Table) -> pa.Table:
+            hs = b.column("dhash").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "media_ref": b.column("media_ref"),
+                "sig": pa.array([int(h).to_bytes(8, "big", signed=True)
+                                 for h in hs], pa.binary())})
+
+        return image_dhashes(ray.data.from_arrow(tbl)).map_batches(
+            pack, batch_format="pyarrow")
+
+    index_dir = tempfile.mkdtemp(prefix="ipe_fpidx_q_")
+    kept_refs = []
+    for inc in (inc1, inc2):
+        kept = fingerprint_dedup_incremental(
+            sigs_of(inc), index_dir,
+            tmp_dir=tempfile.mkdtemp(prefix="ipe_fpinc_q_"))
+        kept = kept.materialize()
+        kept_refs.extend(r["media_ref"] for r in
+                         kept.select_columns(["media_ref"]).take_all())
+        fingerprint_index_append(index_dir, kept)
+
+    got = pa.table({"media_ref": pa.array(sorted(kept_refs), pa.string())})
+    want = pa.table({"media_ref": pa.array(base_refs, pa.string())})
+    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+                                      ray.data.from_arrow(want),
                                       key="media_ref"))

@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_cuts_check": _q_scene_cuts_check,
         "video_dedup_check": _q_video_dedup_check,
         "audio_dedup_check": _q_audio_dedup_check,
+        "fingerprint_incremental_check": _q_fingerprint_incremental_check,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -1481,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "scene_cuts_check": _EMPTY_DIFF_SQL,
         "video_dedup_check": _EMPTY_DIFF_SQL,
         "audio_dedup_check": _EMPTY_DIFF_SQL,
+        "fingerprint_incremental_check": _EMPTY_DIFF_SQL,
         # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,
