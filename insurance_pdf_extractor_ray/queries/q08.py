@@ -20,7 +20,7 @@ __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
            '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check',
            '_q_video_dedup_check', '_q_audio_dedup_check',
-           '_q_fingerprint_incremental_check']
+           '_q_fingerprint_incremental_check', '_q_q9_product_profit']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -739,3 +739,120 @@ def _q_fingerprint_incremental_check(sf_dir: str):
     return normalize_diff(golden_diff(ray.data.from_arrow(got),
                                       ray.data.from_arrow(want),
                                       key="media_ref"))
+
+
+def _q_q9_product_profit(sf_dir: str):
+    """TPC-H Q9 analog (no partsupp: supply cost per (part, supplier) pair =
+    the cheapest observed lineitem price for that pair, in cents — the same
+    derivation Q2 uses): profit by SUPPLIER nation and order year over parts
+    whose name contains 'widget'.  Shape: broadcast part-key semi-join
+    prunes the fact stream up front; pair costs are a (filtered-part x
+    supplier)-bounded keyed aggregate broadcast back onto the stream under
+    one composite int64 pair key (dimension-safe, the Q2 argument);
+    supplier->nation resolves from a driver dict; per-line integer profit
+    (1e-4 dollars: cents x (100 - discount-cents) minus cost-cents x qty x
+    100) pre-reduces per (orderkey, nation) BELOW the single big-big
+    orderkey join; the final combine is (nation x year)-sized."""
+    import ray as _ray
+    from ray.data.aggregate import Min, Sum
+
+    from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.joins import (
+        broadcast_join,
+        broadcast_semi_join,
+        shuffle_join,
+    )
+
+    part_rows = _read(sf_dir, "part", ["p_partkey", "p_name"]).take_all()
+    pids = np.array(sorted(r["p_partkey"] for r in part_rows
+                           if "widget" in r["p_name"]), np.int64)
+
+    sup_nat = {r["s_suppkey"]: r["s_nationkey"]
+               for r in _read(sf_dir, "supplier",
+                              ["s_suppkey", "s_nationkey"]).take_all()}
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation",
+                          ["n_nationkey", "n_name"]).take_all()}
+    sup_ref = _ray.put(sup_nat)
+    nat_ref = _ray.put(nat)
+
+    li = broadcast_semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"]),
+        "l_partkey", pids)
+
+    PAIR_SHIFT = np.int64(1) << np.int64(32)
+
+    def with_pair(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return b.append_column("pair", pa.array(pk * PAIR_SHIFT + sk,
+                                                pa.int64()))
+
+    li = li.map_batches(with_pair, batch_format="pyarrow")
+
+    def pair_cost(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pair": b.column("pair"),
+            "cost_c": pa.array(_i2(b.column("l_extendedprice")), pa.int64()),
+        })
+
+    costs = drop_empty_blocks(
+        li.map_batches(pair_cost, batch_format="pyarrow")
+          .groupby("pair").aggregate(Min("cost_c", alias_name="cost_c")),
+        empty_schema=pa.schema([("pair", pa.int64()),
+                                ("cost_c", pa.int64())]))
+
+    lines = drop_empty_blocks(
+        broadcast_join(li, costs, on="pair", add_cols=["cost_c"],
+                       how="inner"),
+        empty_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()), ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+            ("pair", pa.int64()), ("cost_c", pa.int64())]))
+
+    def profit(b: pa.Table) -> pa.Table:
+        s = _ray.get(sup_ref)
+        n = _ray.get(nat_ref)
+        ext_c = _i2(b.column("l_extendedprice"))
+        disc_c = _i2(b.column("l_discount"))
+        qty = np.floor(b.column("l_quantity").to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        cost_c = b.column("cost_c").to_numpy(zero_copy_only=False)
+        p = ext_c * (100 - disc_c) - cost_c * qty * 100
+        nations = [n[s[k]] for k in
+                   b.column("l_suppkey").to_pylist()]
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "nation": pa.array(nations, pa.string()),
+                         "profit_u4": pa.array(p, pa.int64())})
+
+    per_order = drop_empty_blocks(
+        lines.map_batches(profit, batch_format="pyarrow")
+             .groupby(["l_orderkey", "nation"])
+             .aggregate(Sum("profit_u4", alias_name="profit_u4")),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("nation", pa.string()),
+                                ("profit_u4", pa.int64())]))
+
+    def year_of(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(year_of, batch_format="pyarrow")
+    j = shuffle_join(per_order, orders, on="l_orderkey",
+                     right_on="o_orderkey",
+                     num_partitions=_join_partitions())
+    agg = j.groupby(["nation", "o_year"]).aggregate(
+        Sum("profit_u4", alias_name="profit_u4"))
+    rows = sorted(agg.take_all(), key=lambda r: (r["nation"], -r["o_year"]))
+    return pa.table({
+        "nation": pa.array([r["nation"] for r in rows], pa.string()),
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "profit_u4": pa.array([r["profit_u4"] for r in rows], pa.int64()),
+    })

@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,
         "q11_important_parts": _q_q11_important_parts,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
+        "q9_product_profit": _q_q9_product_profit,
         "prefix_dedup_keep_best": _q_prefix_dedup_keep_best,
         "source_median_filter": _q_source_median_filter,
         "audio_features_check": _q_audio_features_check,
@@ -1489,6 +1490,31 @@ def oracle_sql() -> dict[str, str]:
         "file_gate_check": _EMPTY_DIFF_SQL,
         "image_dedup_check": _EMPTY_DIFF_SQL,
         "extract_rules_v2_check": _EMPTY_DIFF_SQL,
+        "q9_product_profit": """
+            -- supply cost per (part,supp) pair := cheapest observed line
+            -- price in cents (the Q2 derivation); profit in 1e-4 dollars
+            WITH sc AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                     - sc.cost_c * CAST(round(l_quantity) AS BIGINT) * 100
+                   ) AS BIGINT) AS profit_u4
+            FROM lineitem
+            JOIN sc USING (l_partkey, l_suppkey)
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
