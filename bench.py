@@ -720,6 +720,42 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     assert near_dup_image_groups(assets, max_hamming=3, bands=4).num_rows > 0
     queries["image_dedup"] = round(time.time() - t0, 3)
 
+    from insurance_pdf_extractor_ray.pipelines.audiodedup import (
+        audio_fingerprints,
+        near_dup_audio_groups,
+    )
+    from insurance_pdf_extractor_ray.pipelines.fingerprintindex import (
+        fingerprint_dedup_incremental,
+        fingerprint_index_append,
+    )
+    from insurance_pdf_extractor_ray.pipelines.videodedup import (
+        near_dup_video_groups,
+    )
+
+    t0 = time.time()
+    assert near_dup_video_groups(assets, max_hamming=3, bands=4).num_rows > 0
+    queries["video_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assert near_dup_audio_groups(assets, max_hamming=3, bands=4).num_rows > 0
+    queries["audio_dedup"] = round(time.time() - t0, 3)
+
+    # incremental fingerprint index: first half builds, second half probes
+    import shutil as _sh
+    import tempfile as _tf
+
+    sigs_all = audio_fingerprints(assets).materialize()
+    half_ref = f"media://doc-{n_assets_docs // 2:09d}/0"
+    first = sigs_all.filter(expr=f"media_ref < '{half_ref}'").materialize()
+    second = sigs_all.filter(expr=f"media_ref >= '{half_ref}'").materialize()
+    fp_idx = _tf.mkdtemp(prefix="ipe_bench_fpidx_")
+    t0 = time.time()
+    kept1 = fingerprint_dedup_incremental(first, fp_idx)
+    fingerprint_index_append(fp_idx, kept1)
+    assert fingerprint_dedup_incremental(second, fp_idx).count() > 0
+    queries["fingerprint_incremental"] = round(time.time() - t0, 3)
+    _sh.rmtree(fp_idx, ignore_errors=True)
+
     n_pdf_docs = 5000
 
     def _gen_pdfs(batch) -> pa.Table:

@@ -792,3 +792,46 @@ def scene_cuts_golden(doc_media_refs, threshold: float = 8.0,
         "cuts": pa.array([r["cuts"] for r in rows], pa.string()),
         "diffs_q3": pa.array([r["diffs_q3"] for r in rows], pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# doc-asset connected components (docs linked by shared media assets)
+# ---------------------------------------------------------------------------
+
+
+def doc_asset_components(refs: ray.data.Dataset,
+                         max_rounds: int = 12) -> ray.data.Dataset:
+    """Connected components over the doc <- shares-an-asset -> doc relation:
+    ``refs`` is (doc_id, media_ref) rows (media_refs_from_docs output);
+    returns (doc_id, component) for every doc carrying media, where
+    ``component`` is the min doc_id reachable through shared assets
+    (web-pipeline analog: pages embedding the same image/video are mirror
+    candidates).
+
+    Scale shape: ONE media_ref-keyed exchange emits star edges per shared
+    asset (each doc in a group pairs with the group min — O(group) edges,
+    connectivity-preserving), then distributed min-label propagation
+    (dedup.dup_components_distributed) resolves components without any
+    driver-resident state; singleton docs ride along as self-edges, so the
+    output covers every input doc."""
+    from .dedup import dup_components_distributed
+
+    def star(group: pa.Table) -> pa.Table:
+        docs = sorted(set(group.column("doc_id").to_pylist()))
+        root = docs[0]
+        # singleton groups emit a self-edge so the doc reaches the output
+        others = docs[1:] if len(docs) > 1 else [root]
+        return pa.table({"id_a": pa.array([root] * len(others),
+                                          group.column("doc_id").type),
+                         "id_b": pa.array(others,
+                                          group.column("doc_id").type)})
+
+    edges = (refs.groupby("media_ref")
+             .map_groups(star, batch_format="pyarrow"))
+    comp = dup_components_distributed(edges, "id_a", "id_b",
+                                      max_rounds=max_rounds)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "component"])
+
+    return comp.map_batches(rename, batch_format="pyarrow")

@@ -20,7 +20,8 @@ __all__ = ['_q_q2_min_cost_supplier', '_q_q7_nation_volume',
            '_q_q21_waiting_suppliers', '_q_prefix_dedup_keep_best',
            '_q_source_median_filter', '_q_audio_features_check', '_q_scene_cuts_check',
            '_q_video_dedup_check', '_q_audio_dedup_check',
-           '_q_fingerprint_incremental_check', '_q_q9_product_profit']
+           '_q_fingerprint_incremental_check', '_q_q9_product_profit',
+           '_q_doc_asset_components_check']
 
 
 def _i2(col: pa.ChunkedArray) -> np.ndarray:
@@ -856,3 +857,69 @@ def _q_q9_product_profit(sf_dir: str):
         "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
         "profit_u4": pa.array([r["profit_u4"] for r in rows], pa.int64()),
     })
+
+
+def _q_doc_asset_components_check(sf_dir: str):
+    """Hard gate for doc-asset connected components
+    (pipelines/multimodal.py:doc_asset_components): the corpus's
+    (doc_id, media_ref) table gets planted sharing — every 3rd doc also
+    carries its predecessor's first asset, every 7th its pre-predecessor's
+    — so components of size 1, 2 and 3+ all exist; the engine's star-edge +
+    distributed min-label result is diffed against a driver union-find over
+    the same bipartite table (independent algorithm, first principles).
+    Empty result = identical component assignment for every doc."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.multimodal import (
+        doc_asset_components,
+    )
+    from .q01 import _media_refs
+
+    refs = list(_media_refs(sf_dir))
+    docs = sorted({d for d, _ in refs})
+    first_ref = {}
+    for d, r in refs:
+        first_ref.setdefault(d, r)
+    for i, d in enumerate(docs):
+        if i % 3 == 2:
+            refs.append((d, first_ref[docs[i - 1]]))
+        if i % 7 == 4 and i >= 2:
+            refs.append((d, first_ref[docs[i - 2]]))
+
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in refs], pa.string()),
+        "media_ref": pa.array([r for _, r in refs], pa.string()),
+    })
+    got = doc_asset_components(ray.data.from_arrow(tbl))
+
+    # golden: driver union-find over the bipartite (doc, ref) relation
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d, r in refs:
+        rd, rr = find(("d", d)), find(("r", r))
+        if rd != rr:
+            parent[rr] = rd
+    comp_docs: dict = {}
+    for d in {x for x, _ in refs}:
+        comp_docs.setdefault(find(("d", d)), []).append(d)
+    want_rows = []
+    for members in comp_docs.values():
+        root = min(members)
+        want_rows.extend((m, root) for m in members)
+    want_rows.sort()
+    want = pa.table({
+        "doc_id": pa.array([d for d, _ in want_rows], pa.string()),
+        "component": pa.array([c for _, c in want_rows], pa.string()),
+    })
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(want),
+                                      key="doc_id"))

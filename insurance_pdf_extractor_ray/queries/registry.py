@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dedup_check": _q_video_dedup_check,
         "audio_dedup_check": _q_audio_dedup_check,
         "fingerprint_incremental_check": _q_fingerprint_incremental_check,
+        "doc_asset_components_check": _q_doc_asset_components_check,
         "quantiles_exact_by_type": _q_quantiles_exact,
         "skew_join_events": _q_skew_join,
         "percent_rank_values": _q_percent_rank,
@@ -1484,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "video_dedup_check": _EMPTY_DIFF_SQL,
         "audio_dedup_check": _EMPTY_DIFF_SQL,
         "fingerprint_incremental_check": _EMPTY_DIFF_SQL,
+        "doc_asset_components_check": _EMPTY_DIFF_SQL,
         # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,

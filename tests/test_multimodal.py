@@ -461,3 +461,27 @@ class TestAudioNearDup:
         assert got.to_pylist() == golden.to_pylist()
         groups = [r["group"] for r in golden.to_pylist()]
         assert any(groups.count(g) == 2 for g in set(groups))
+
+
+class TestDocAssetComponents:
+    """doc_asset_components: star edges per shared asset + distributed
+    min-label components over the doc/asset bipartite relation."""
+
+    def test_chain_pairs_and_singletons(self, ray_session):
+        import pyarrow as pa
+
+        from insurance_pdf_extractor_ray.pipelines.multimodal import (
+            doc_asset_components)
+
+        # d1-d2 share m1; d2-d3 share m2 (chain -> one component of 3);
+        # d4-d5 share m3 (pair); d6 alone (singleton)
+        rows = [("d1", "m1"), ("d2", "m1"), ("d2", "m2"), ("d3", "m2"),
+                ("d4", "m3"), ("d5", "m3"), ("d6", "m4")]
+        tbl = pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.string()),
+            "media_ref": pa.array([m for _, m in rows], pa.string())})
+        got = sorted((r["doc_id"], r["component"]) for r in
+                     doc_asset_components(
+                         ray.data.from_arrow(tbl)).take_all())
+        assert got == [("d1", "d1"), ("d2", "d1"), ("d3", "d1"),
+                       ("d4", "d4"), ("d5", "d4"), ("d6", "d6")]
