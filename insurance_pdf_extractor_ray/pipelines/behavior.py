@@ -541,3 +541,187 @@ def rfm_segments(
         ).drop_columns(["last_ts_us"])
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (support + lift)
+# ---------------------------------------------------------------------------
+
+def association_lift(
+    ds: ray.data.Dataset,
+    key_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_lift_pct: int = 0,
+    broadcast_items_max: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Market-basket association pairs with SUPPORT and LIFT — for every
+    unordered item pair {a, b}: n_ab (baskets containing both), the item
+    supports c_a / c_b, and lift = n_ab·N / (c_a·c_b) where N is the basket
+    count.  The classic Apriori-at-depth-2 / related-items primitive, the
+    step beyond raw co-occurrence counts (``cooccurrence_pairs``).
+
+    Scale shape: ONE distinct-(basket, item) shuffle is the only pass over
+    the raw stream and is shared by all three statistics — pair counts ride
+    the bounded per-basket triu explode of ``cooccurrence_pairs``; item
+    supports and the basket count are tiny keyed combines off the same
+    deduped table.  The item-support map is vocabulary-bounded by contract
+    (``broadcast_items_max`` guard) and broadcast via ``ray.put`` once —
+    lift is then a zero-shuffle vectorized lookup over the pair stream
+    (sorted-id ``np.searchsorted``, no Python dict in the hot path).
+
+    Thresholds are integer-exact so an SQL oracle re-derives the kept set
+    without float-boundary flicker: ``min_support`` on n_ab and
+    ``min_lift_pct`` as ``100·n_ab·N >= min_lift_pct·c_a·c_b`` (int64; at
+    ~10^9 baskets × 10^6-support pairs the product approaches the int64
+    edge — pass ``min_lift_pct=0`` and filter on the emitted floats
+    downstream there).
+    """
+    base = ds.select_columns([key_col, item_col])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(item_col)))
+        return batch.group_by([key_col, item_col]).aggregate([])
+
+    uniq = (base.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby([key_col, item_col]).aggregate(Count(alias_name="_c"))
+            ).materialize()
+
+    supports = (uniq.groupby(item_col).aggregate(Count(alias_name="_s"))
+                ).take_all()
+    if len(supports) > broadcast_items_max:
+        raise ValueError(
+            f"item vocabulary {len(supports)} exceeds broadcast cap "
+            f"{broadcast_items_max}; bucket the item space first")
+    sup_ids = np.array([r[item_col] for r in supports], np.int64)
+    sup_n = np.array([r["_s"] for r in supports], np.int64)
+    order = np.argsort(sup_ids)
+    sup_ref = ray.put((sup_ids[order], sup_n[order]))
+    n_baskets = int(uniq.groupby(key_col).aggregate(
+        Count(alias_name="_k")).count())
+
+    def explode_pairs(group: pa.Table) -> pa.Table:
+        items = group.column(item_col)
+        items = items.take(pc.sort_indices(items))
+        ii, jj = np.triu_indices(len(items), k=1)
+        return pa.table({
+            "item_a": items.take(pa.array(ii, pa.int64())),
+            "item_b": items.take(pa.array(jj, pa.int64())),
+        })
+
+    pairs = (uniq.groupby(key_col).map_groups(
+        explode_pairs, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"]).aggregate(Count(alias_name="n_ab")))
+
+    def with_lift(batch: pa.Table, sup=sup_ref, N=n_baskets,
+                  msup=min_support, mlift=min_lift_pct) -> pa.Table:
+        ids, cnts = ray.get(sup)
+        a = batch.column("item_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = batch.column("item_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nab = batch.column("n_ab").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ca = cnts[np.searchsorted(ids, a)]
+        cb = cnts[np.searchsorted(ids, b)]
+        keep = nab >= msup
+        if mlift:
+            keep &= 100 * nab * N >= mlift * ca * cb
+        lift = nab[keep].astype(np.float64) * N / (
+            ca[keep].astype(np.float64) * cb[keep])
+        return pa.table({
+            "item_a": pa.array(a[keep], pa.int64()),
+            "item_b": pa.array(b[keep], pa.int64()),
+            "n_ab": pa.array(nab[keep], pa.int64()),
+            "c_a": pa.array(ca[keep], pa.int64()),
+            "c_b": pa.array(cb[keep], pa.int64()),
+            "lift": pa.array(lift, pa.float64()),
+        })
+
+    return pairs.map_batches(with_lift, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+def attribution_linear(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_us: int,
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Linear (equal-weight) multi-touch attribution — each conversion's
+    value is split equally across the converting user's touch events in the
+    ``window_us`` lookback (touch ts in ``(conv_ts - window, conv_ts]``);
+    conversions with no in-window touch credit the ``'direct'`` channel.
+    Credits are fixed-point micro-units rounded PER (conversion, channel) —
+    ``floor(value·n_ch/k·scale + 0.5)`` — so channel totals are exact int64
+    sums an SQL oracle reproduces without float-reduction-order drift.
+
+    Scale shape: ONE user-keyed shuffle; the per-user interior sorts the
+    group once and answers every conversion's per-channel in-window touch
+    count with two vectorized ``np.searchsorted`` probes per channel (no
+    per-conversion scan), emitting only channel-count-bounded partial sums.
+    Same one-user-fits-in-memory contract as ``funnel_counts`` /
+    ``session_windows``; salt hot users upstream if violated.  The final
+    combine is channel-bounded (tiny).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    touch_list = list(touch_types)
+    channels = touch_list + ["direct"]
+    cols = [user_col, ts_col, type_col, value_col]
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.take(pc.sort_indices(group, sort_keys=[
+            (ts_col, "ascending")]))
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        typ = group.column(type_col).to_numpy(zero_copy_only=False)
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        is_conv = typ == conversion_type
+        cts, cval = ts[is_conv], val[is_conv]
+        out_ch, out_credit = [], []
+        if len(cts):
+            per_touch = []
+            for t in touch_list:
+                tts = ts[typ == t]
+                lo = np.searchsorted(tts, cts - window_us, side="right")
+                hi = np.searchsorted(tts, cts, side="right")
+                per_touch.append(hi - lo)
+            counts = np.stack(per_touch) if per_touch else np.zeros(
+                (0, len(cts)), np.int64)
+            k = counts.sum(axis=0)
+            covered = k > 0
+            for i, t in enumerate(touch_list):
+                n_ch = counts[i][covered]
+                kk = k[covered]
+                vv = cval[covered]
+                credit = np.floor(
+                    (vv * n_ch) / kk * scale + 0.5).astype(np.int64)
+                out_ch.append(t)
+                out_credit.append(int(credit.sum()))
+            direct = np.floor(cval[~covered] * scale + 0.5).astype(np.int64)
+            out_ch.append("direct")
+            out_credit.append(int(direct.sum()))
+        return pa.table({
+            "channel": pa.array(out_ch, pa.string()),
+            "_credit": pa.array(out_credit, pa.int64()),
+        })
+
+    partials = ds.select_columns(cols).groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow")
+    agg = {r["channel"]: r["credit_i"] for r in partials.groupby(
+        "channel").aggregate(_Sum("_credit", alias_name="credit_i"))
+        .take_all()}
+    got = [agg.get(c, 0) for c in channels]
+    return pa.table({
+        "channel": pa.array(channels, pa.string()),
+        "credit_i": pa.array(got, pa.int64()),
+    })

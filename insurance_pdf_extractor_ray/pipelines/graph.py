@@ -18,7 +18,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..dsutil import drop_empty_blocks
-from .dedup import _join_partitions
+from .dedup import _join_partitions, join_partitions_for
 
 
 def pagerank(
@@ -48,8 +48,13 @@ def pagerank(
     identical exchange shape every round, so a cluster keeps the same
     partitioning throughout.
     """
-    P = num_partitions or _join_partitions()
     edges = edges.select_columns([src, dst]).materialize()
+    # size-aware join partitioning: each hash-join aggregator actor costs a
+    # scheduling slot + ~1s spawn, so a thousand-edge audit graph wants 2-4
+    # partitions, not CPU-count — at corpus scale the row quotient exceeds
+    # the CPU cap and behavior is unchanged (same tradeoff measured for
+    # triangle_stats / entity_components).
+    P = num_partitions or join_partitions_for(edges.count())
     id_type = edges.schema().base_schema.field(src).type
     if edges.count() == 0:
         return ray.data.from_arrow(pa.table(
@@ -411,3 +416,90 @@ def bfs_hops(
         "node": pa.array(nodes, pa.int64()),
         "hop": pa.array([dist[n] for n in nodes], pa.int64()),
     })
+
+
+def hits_bipartite(
+    edges: ray.data.Dataset,
+    hub_col: str,
+    auth_col: str,
+    n_iter: int = 2,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over a bipartite edge list, UNNORMALIZED
+    and integer-exact: hub⁰ ≡ 1, authⁱ(p) = Σ_{h→p} hubⁱ⁻¹(h),
+    hubⁱ(h) = Σ_{h→p} authⁱ(p), for exactly ``n_iter`` authority updates.
+    Skipping the per-round normalization keeps every score an exact int64
+    (degree sums — commutative/associative, partition- and retry-
+    independent), which is what lets an SQL oracle unroll the identical
+    rounds with no float-reduction drift; relative rankings are unchanged
+    (normalization is a positive global scalar per round).
+
+    Same per-round exchange shape as :func:`pagerank`: ONE keyed join
+    (scores onto the materialized edge list) + ONE keyed combine on the
+    other side, alternating sides each half-round — a cluster keeps the
+    same two hash partitionings throughout.  Scores overflow int64 only
+    past ~degree^(2·n_iter) ≈ 10^18 mass; cap ``n_iter`` or normalize
+    offline for adversarial graphs.
+
+    Returns Dataset(id, score, side) with side ∈ {'hub', 'auth'} at the
+    final round (authorities from round ``n_iter``, hubs from round
+    ``n_iter − 1``'s update — the standard alternating schedule).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = edges.select_columns([hub_col, auth_col]).materialize()
+    P = num_partitions or join_partitions_for(edges.count())
+    hub_t = edges.schema().base_schema.field(hub_col).type
+    auth_t = edges.schema().base_schema.field(auth_col).type
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "side": pa.array([], pa.string())}))
+    # upstream dedups/groupbys can leave zero-column placeholder blocks the
+    # per-round Dataset.join would reject — scrub once (metadata-only)
+    edges = drop_empty_blocks(edges)
+
+    # round 1 authority update: auth = in-degree (hub scores are all 1)
+    auth = drop_empty_blocks(
+        edges.groupby(auth_col).aggregate(Count(alias_name="score"))
+        .rename_columns(["id", "score"]),
+        empty_schema=pa.schema([("id", auth_t), ("score", pa.int64())]))
+    hubs = None
+    for _ in range(n_iter - 1):
+        # hub update: sum of current authority over out-neighbors
+        m = edges.join(auth, join_type="inner", num_partitions=P,
+                       on=(auth_col,), right_on=("id",))
+        hubs = drop_empty_blocks(
+            m.groupby(hub_col).aggregate(_Sum("score", alias_name="_s"))
+            .rename_columns(["id", "score"]),
+            empty_schema=pa.schema([("id", hub_t), ("score", pa.int64())]))
+        # authority update: sum of current hub over in-neighbors
+        m2 = edges.join(hubs, join_type="inner", num_partitions=P,
+                        on=(hub_col,), right_on=("id",))
+        auth = drop_empty_blocks(
+            m2.groupby(auth_col).aggregate(_Sum("score", alias_name="_s"))
+            .rename_columns(["id", "score"]),
+            empty_schema=pa.schema([("id", auth_t), ("score", pa.int64())]))
+    if hubs is None:  # n_iter == 1: hubs stay at the uniform start
+
+        def uniform_hub(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": t.column(hub_col),
+                "score": pa.array([1] * t.num_rows, pa.int64())})
+
+        hubs = drop_empty_blocks(
+            edges.groupby(hub_col).aggregate(Count(alias_name="_one"))
+            .map_batches(uniform_hub, batch_format="pyarrow"),
+            empty_schema=pa.schema([("id", hub_t), ("score", pa.int64())]))
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": t.column("id").cast(pa.int64()),
+                "score": t.column("score").cast(pa.int64()),
+                "side": pa.array([side] * t.num_rows, pa.string())})
+        return f
+
+    return (auth.map_batches(tag("auth"), batch_format="pyarrow")
+            .union(hubs.map_batches(tag("hub"), batch_format="pyarrow")))

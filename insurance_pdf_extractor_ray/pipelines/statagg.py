@@ -876,3 +876,79 @@ def ohlc_by_key(
     return (ds.select_columns([key, order_col, tiebreak_col, value_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(final, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator
+# ---------------------------------------------------------------------------
+
+def kaplan_meier(
+    ds: "ray.data.Dataset",
+    subject_col: str,
+    ts_col: str,
+    censor_horizon_us: int,
+    bucket_us: int = 86_400_000_000,
+) -> pa.Table:
+    """Kaplan-Meier survival curve over subject lifetimes derived from an
+    event stream — S(t) = Π_{t_i <= t} (1 − d_i / n_i) at each distinct
+    lifetime bucket t_i with d_i > 0, where a subject's lifetime is
+    ``floor((max_ts − min_ts) / bucket_us)`` and the subject is an EVENT
+    (churned) iff its last activity predates the corpus end by more than
+    ``censor_horizon_us`` (otherwise right-censored: still alive at the
+    observation boundary).  The classic churn / retention-duration
+    estimator with censoring handled properly, one level up from the
+    day-over-day churn counts (`user_churn_daily`).
+
+    Scale shape: one subject-keyed combine (Min/Max ts — map-side partial,
+    pre-combined) produces the lifetime table; a second keyed combine
+    reduces it to the BUCKET-bounded (t, d_i, c_i) table (distinct lifetime
+    buckets, e.g. days — thousands at most, by contract); at-risk counts
+    and the cumulative product are a vectorized driver pass over that tiny
+    table (reverse cumsum + cumprod — sequential by construction, so the
+    float product is deterministic and an SQL windowed PRODUCT re-derives
+    it exactly).
+
+    Returns pa.Table(t, events, censored, at_risk, survival) over buckets
+    with d_i > 0, survival UNROUNDED (callers round for hashing).
+    """
+    from ray.data.aggregate import Count as _Count, Max as _Max, Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    base = ds.select_columns([subject_col, ts_col]).materialize()
+    end_us = base.aggregate(_Max(ts_col, alias_name="m"))["m"]
+    end_us = int(pa.scalar(end_us).cast(pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+    cutoff = end_us - censor_horizon_us
+
+    spans = base.groupby(subject_col).aggregate(
+        _Min(ts_col, alias_name="_lo"), _Max(ts_col, alias_name="_hi"))
+
+    def lifetimes(batch: pa.Table) -> pa.Table:
+        lo = batch.column("_lo").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        hi = batch.column("_hi").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "t": pa.array((hi - lo) // bucket_us, pa.int64()),
+            "_ev": pa.array((hi < cutoff).astype(np.int64), pa.int64()),
+        })
+
+    per_t = (spans.map_batches(lifetimes, batch_format="pyarrow")
+             .groupby("t").aggregate(_Sum("_ev", alias_name="d"),
+                                     _Count(alias_name="c"))
+             ).take_all()
+    per_t.sort(key=lambda r: r["t"])
+    t = np.array([r["t"] for r in per_t], np.int64)
+    d = np.array([r["d"] for r in per_t], np.int64)
+    c = np.array([r["c"] for r in per_t], np.int64)
+    # at risk at t_i: everyone with lifetime >= t_i
+    n_at = c[::-1].cumsum()[::-1]
+    keep = d > 0
+    surv = np.cumprod(1.0 - d[keep].astype(np.float64) / n_at[keep])
+    return pa.table({
+        "t": pa.array(t[keep], pa.int64()),
+        "events": pa.array(d[keep], pa.int64()),
+        "censored": pa.array((c - d)[keep], pa.int64()),
+        "at_risk": pa.array(n_at[keep], pa.int64()),
+        "survival": pa.array(surv, pa.float64()),
+    })

@@ -1,0 +1,107 @@
+"""Round-3 additions, batch 9: market-basket association lift, Kaplan-Meier
+churn survival, linear multi-touch attribution, HITS hubs/authorities.
+
+Each query returns a deterministic Arrow table whose value hash the driver
+compares against the DuckDB oracle in ``registry.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ._shared import _events, _read, _round_col
+
+__all__ = [
+    "_q_basket_lift_pairs",
+    "_q_kaplan_meier_churn",
+    "_q_attribution_linear",
+    "_q_hits_scores",
+]
+
+_DAY_US = 86_400_000_000
+
+
+def _q_basket_lift_pairs(sf_dir: str):
+    """Market-basket association pairs over order baskets (support >= 2,
+    lift emitted) — one distinct-(basket, item) shuffle shared by pair
+    counts / item supports / basket count, bounded triu pair explode,
+    broadcast support lookup (pipelines/behavior.py:association_lift)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import association_lift
+
+    out = association_lift(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey", min_support=2)
+    rows = sorted(out.take_all(), key=lambda r: (r["item_a"], r["item_b"]))
+    t = pa.table({
+        "item_a": pa.array([r["item_a"] for r in rows], pa.int64()),
+        "item_b": pa.array([r["item_b"] for r in rows], pa.int64()),
+        "n_ab": pa.array([r["n_ab"] for r in rows], pa.int64()),
+        "c_a": pa.array([r["c_a"] for r in rows], pa.int64()),
+        "c_b": pa.array([r["c_b"] for r in rows], pa.int64()),
+        "lift": pa.array([r["lift"] for r in rows], pa.float64()),
+    })
+    return _round_col(t, "lift", 9)
+
+
+def _q_kaplan_meier_churn(sf_dir: str):
+    """Kaplan-Meier survival over user lifetimes (event = last activity
+    more than 12 hours before corpus end, else right-censored) — two keyed
+    combines to a day-bounded (t, d, c) table, vectorized at-risk reverse
+    cumsum + sequential cumprod (pipelines/statagg.py:kaplan_meier)."""
+    from insurance_pdf_extractor_ray.pipelines.statagg import kaplan_meier
+
+    t = kaplan_meier(_events(sf_dir, ["user_id", "ts"]),
+                     "user_id", "ts", censor_horizon_us=_DAY_US // 2)
+    return _round_col(t, "survival", 9)
+
+
+def _q_attribution_linear(sf_dir: str):
+    """Linear multi-touch attribution: each purchase's value split equally
+    over the user's view/click touches in the trailing 7 days (no touch →
+    'direct'), micro-unit credits rounded per (conversion, channel) so the
+    channel totals are exact int64 sums
+    (pipelines/behavior.py:attribution_linear)."""
+    from insurance_pdf_extractor_ray.pipelines.behavior import (
+        attribution_linear,
+    )
+
+    t = attribution_linear(
+        _events(sf_dir, ["user_id", "ts", "event_type", "value"]),
+        "user_id", "ts", "event_type", "value",
+        conversion_type="purchase", touch_types=["view", "click"],
+        window_us=7 * _DAY_US)
+    idx = np.argsort(t.column("channel").to_numpy(zero_copy_only=False))
+    return t.take(pa.array(idx, pa.int64()))
+
+
+def _q_hits_scores(sf_dir: str):
+    """HITS hubs-and-authorities (2 integer-exact authority rounds,
+    unnormalized) over the bipartite customer→part purchase graph — the
+    pagerank exchange shape with exact int64 scores; top-20 per side under
+    (score desc, id) (pipelines/graph.py:hits_bipartite)."""
+    from insurance_pdf_extractor_ray.pipelines.dedup import (
+        join_partitions_for,
+    )
+    from insurance_pdf_extractor_ray.pipelines.graph import hits_bipartite
+    from insurance_pdf_extractor_ray.pipelines.rankagg import grouped_top_k
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).materialize()
+    P = join_partitions_for(li.count())
+    from ray.data.aggregate import Count
+
+    edges = (orders.join(li, join_type="inner", num_partitions=P,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+             .groupby(["o_custkey", "l_partkey"])
+             .aggregate(Count(alias_name="_c"))
+             .select_columns(["o_custkey", "l_partkey"]))
+    scores = hits_bipartite(edges, "o_custkey", "l_partkey", n_iter=2)
+    top = grouped_top_k(scores, "side", ["score", "id"], [True, False], 20)
+    rows = sorted(top.take_all(),
+                  key=lambda r: (r["side"], -r["score"], r["id"]))
+    return pa.table({
+        "side": pa.array([r["side"] for r in rows], pa.string()),
+        "id": pa.array([r["id"] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.int64()),
+    })

@@ -34,6 +34,7 @@ from .q05 import *  # noqa: F401,F403
 from .q06 import *  # noqa: F401,F403
 from .q07 import *  # noqa: F401,F403
 from .q08 import *  # noqa: F401,F403
+from .q09 import *  # noqa: F401,F403
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
@@ -295,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_growth": _q_heaps_growth,
         "q19_band_revenue": _q_q19_band_revenue,
         "order_concentration_gini": _q_order_concentration_gini,
+        "basket_lift_pairs": _q_basket_lift_pairs,
+        "kaplan_meier_churn": _q_kaplan_meier_churn,
+        "attribution_linear": _q_attribution_linear,
+        "hits_scores": _q_hits_scores,
     }
 
 
@@ -3586,6 +3591,97 @@ def oracle_sql() -> dict[str, str]:
                    round((2.0 * SUM(i * n)) / (COUNT(*) * SUM(n))
                          - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
             FROM r
+        """,
+        "basket_lift_pairs": """
+            WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+                       FROM lineitem),
+            nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM b),
+            ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+            p AS (SELECT a.i AS ia, b2.i AS ib,
+                         CAST(COUNT(*) AS BIGINT) AS cab
+                  FROM b a JOIN b b2 ON a.k = b2.k AND a.i < b2.i
+                  GROUP BY 1, 2)
+            SELECT CAST(p.ia AS BIGINT) AS item_a,
+                   CAST(p.ib AS BIGINT) AS item_b,
+                   p.cab AS n_ab, ca.c AS c_a, cb.c AS c_b,
+                   ROUND(CAST(p.cab AS DOUBLE) * (SELECT n FROM nb)
+                         / (CAST(ca.c AS DOUBLE) * cb.c), 9) AS lift
+            FROM p JOIN ci ca ON ca.i = p.ia JOIN ci cb ON cb.i = p.ib
+            WHERE p.cab >= 2
+            ORDER BY 1, 2
+        """,
+        "kaplan_meier_churn": """
+            WITH mx AS (SELECT epoch_us(MAX(ts)) AS m FROM events),
+            u AS (SELECT user_id,
+                    (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                      // 86400000000 AS t,
+                    CASE WHEN epoch_us(MAX(ts))
+                              < (SELECT m FROM mx) - 43200000000
+                         THEN 1 ELSE 0 END AS ev
+                  FROM events GROUP BY 1),
+            g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM u GROUP BY 1),
+            r AS (SELECT t, d, c,
+                         CAST(SUM(c) OVER (ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at
+                  FROM g),
+            s AS (SELECT * FROM r WHERE d > 0)
+            SELECT t, d AS events, c - d AS censored, n_at AS at_risk,
+                   ROUND(PRODUCT(1.0 - CAST(d AS DOUBLE) / n_at)
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 9)
+                     AS survival
+            FROM s ORDER BY t
+        """,
+        "attribution_linear": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, ts, event_type FROM events
+                  WHERE event_type IN ('view', 'click')),
+            k AS (SELECT p.event_id, ANY_VALUE(p.value) AS value,
+                    CAST(COUNT(*) FILTER (WHERE t.event_type = 'view')
+                         AS BIGINT) AS nv,
+                    CAST(COUNT(*) FILTER (WHERE t.event_type = 'click')
+                         AS BIGINT) AS nc
+                  FROM p LEFT JOIN t ON t.user_id = p.user_id
+                       AND t.ts > p.ts - INTERVAL 7 DAY AND t.ts <= p.ts
+                  GROUP BY 1)
+            SELECT channel, credit_i FROM (
+              SELECT 'view' AS channel,
+                     COALESCE(CAST(SUM(CAST(floor((value * nv) / (nv + nc)
+                       * 1000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS credit_i
+              FROM k WHERE nv + nc > 0
+              UNION ALL
+              SELECT 'click',
+                     COALESCE(CAST(SUM(CAST(floor((value * nc) / (nv + nc)
+                       * 1000000 + 0.5) AS BIGINT)) AS BIGINT), 0)
+              FROM k WHERE nv + nc > 0
+              UNION ALL
+              SELECT 'direct',
+                     COALESCE(CAST(SUM(CAST(floor(value * 1000000 + 0.5)
+                       AS BIGINT)) AS BIGINT), 0)
+              FROM k WHERE nv + nc = 0
+            ) ORDER BY channel
+        """,
+        "hits_scores": """
+            WITH e AS (SELECT DISTINCT o_custkey AS h, l_partkey AS a
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+            a1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS s FROM e
+                   GROUP BY 1),
+            h1 AS (SELECT h, CAST(SUM(a1.s) AS BIGINT) AS s
+                   FROM e JOIN a1 USING (a) GROUP BY 1),
+            a2 AS (SELECT a, CAST(SUM(h1.s) AS BIGINT) AS s
+                   FROM e JOIN h1 USING (h) GROUP BY 1),
+            ranked AS (
+              SELECT 'auth' AS side, a AS id, s,
+                     ROW_NUMBER() OVER (ORDER BY s DESC, a) AS rn FROM a2
+              UNION ALL
+              SELECT 'hub', h, s,
+                     ROW_NUMBER() OVER (ORDER BY s DESC, h) FROM h1)
+            SELECT side, CAST(id AS BIGINT) AS id, s AS score
+            FROM ranked WHERE rn <= 20
+            ORDER BY side, score DESC, id
         """,
     }
 

@@ -1,0 +1,192 @@
+"""Association lift, Kaplan-Meier survival, linear attribution, HITS."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from insurance_pdf_extractor_ray.pipelines.behavior import (
+    association_lift,
+    attribution_linear,
+)
+from insurance_pdf_extractor_ray.pipelines.graph import hits_bipartite
+from insurance_pdf_extractor_ray.pipelines.statagg import kaplan_meier
+
+from conftest import to_arrow
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+_DAY = 86_400_000_000
+
+
+def _ts(day_float):
+    return int(day_float * _DAY)
+
+
+class TestAssociationLift:
+    def _baskets(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([k for k, _ in rows], pa.int64()),
+            "i": pa.array([i for _, i in rows], pa.int64()),
+        })).repartition(2)
+
+    def test_hand_computed_lift(self):
+        # baskets: {1,2}, {1,2}, {1,3}, {2,3}  -> N=4
+        # c(1)=3 c(2)=3 c(3)=2; n(1,2)=2 n(1,3)=1 n(2,3)=1
+        ds = self._baskets([(10, 1), (10, 2), (11, 1), (11, 2),
+                            (12, 1), (12, 3), (13, 2), (13, 3)])
+        out = to_arrow(association_lift(ds, "k", "i", min_support=1))
+        got = {(r["item_a"], r["item_b"]): r for r in out.to_pylist()}
+        assert got[(1, 2)]["n_ab"] == 2
+        assert got[(1, 2)]["lift"] == pytest.approx(2 * 4 / (3 * 3))
+        assert got[(1, 3)]["lift"] == pytest.approx(1 * 4 / (3 * 2))
+        assert got[(2, 3)]["c_a"] == 3 and got[(2, 3)]["c_b"] == 2
+
+    def test_min_support_and_duplicate_rows(self):
+        # duplicate (basket, item) rows must dedup before counting
+        ds = self._baskets([(1, 7), (1, 7), (1, 8), (2, 7), (2, 8)])
+        out = to_arrow(association_lift(ds, "k", "i", min_support=2))
+        assert out.to_pylist() == [{
+            "item_a": 7, "item_b": 8, "n_ab": 2, "c_a": 2, "c_b": 2,
+            "lift": pytest.approx(2 * 2 / (2 * 2))}]
+
+    def test_min_lift_pct_integer_gate(self):
+        ds = self._baskets([(10, 1), (10, 2), (11, 1), (11, 2),
+                            (12, 1), (12, 3), (13, 2), (13, 3)])
+        # lift(1,2)=8/9 < 1.0; lift(1,3)=lift(2,3)=4/6 < 1 — pct=100 drops all
+        out = to_arrow(association_lift(ds, "k", "i", min_support=1,
+                                        min_lift_pct=100))
+        assert out is None or out.num_rows == 0
+        # pct=80: keeps only (1,2) (0.888... >= 0.8; 4/6=0.666 dropped)
+        out = to_arrow(association_lift(ds, "k", "i", min_support=1,
+                                        min_lift_pct=80))
+        assert [(r["item_a"], r["item_b"]) for r in out.to_pylist()] \
+            == [(1, 2)]
+
+
+class TestKaplanMeier:
+    def _events(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+        })).repartition(2)
+
+    def test_textbook_curve(self):
+        # corpus end = day 10.  horizon 1 day -> event iff last < day 9.
+        # u1: days 0..2 (dur 2, event)   u2: days 0..5 (dur 5, event)
+        # u3: days 0..5 (dur 5, event)   u4: days 3..9.5 (dur 6, censored)
+        # u5: days 0..10 (dur 10, censored)
+        ev = self._events([
+            (1, _ts(0)), (1, _ts(2)),
+            (2, _ts(0)), (2, _ts(5)),
+            (3, _ts(0)), (3, _ts(5)),
+            (4, _ts(3)), (4, _ts(9.5)),
+            (5, _ts(0)), (5, _ts(10)),
+        ])
+        out = kaplan_meier(ev, "u", "ts", censor_horizon_us=_DAY)
+        assert out.column("t").to_pylist() == [2, 5]
+        assert out.column("events").to_pylist() == [1, 2]
+        assert out.column("at_risk").to_pylist() == [5, 4]
+        # S(2) = 1 - 1/5 = 0.8 ; S(5) = 0.8 * (1 - 2/4) = 0.4
+        s = out.column("survival").to_pylist()
+        assert s[0] == pytest.approx(0.8)
+        assert s[1] == pytest.approx(0.4)
+        # censored column: at t=5 only the two events had that duration
+        assert out.column("censored").to_pylist() == [0, 0]
+
+    def test_all_censored_gives_empty_curve(self):
+        ev = self._events([(1, _ts(0)), (1, _ts(9.9)),
+                           (2, _ts(1)), (2, _ts(10))])
+        out = kaplan_meier(ev, "u", "ts", censor_horizon_us=_DAY)
+        assert out.num_rows == 0
+
+
+class TestAttributionLinear:
+    def _events(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "typ": pa.array([r[2] for r in rows], pa.string()),
+            "val": pa.array([r[3] for r in rows], pa.float64()),
+        })).repartition(2)
+
+    def _run(self, ds, window_days=7):
+        return attribution_linear(
+            ds, "u", "ts", "typ", "val",
+            conversion_type="purchase", touch_types=["view", "click"],
+            window_us=window_days * _DAY)
+
+    def test_split_and_direct(self):
+        ev = self._events([
+            # user 1: 2 views + 1 click before a 90.0 purchase -> 60/30
+            (1, _ts(0.1), "view", 0.0),
+            (1, _ts(0.2), "view", 0.0),
+            (1, _ts(0.3), "click", 0.0),
+            (1, _ts(1.0), "purchase", 90.0),
+            # user 2: no touches -> direct 50.0
+            (2, _ts(1.0), "purchase", 50.0),
+        ])
+        out = {r["channel"]: r["credit_i"] for r in self._run(ev).to_pylist()}
+        assert out == {"view": 60_000_000, "click": 30_000_000,
+                       "direct": 50_000_000}
+
+    def test_window_is_half_open_and_per_user(self):
+        ev = self._events([
+            # touch exactly at window edge (ts == p.ts - 7d) is EXCLUDED
+            (1, _ts(0.0), "view", 0.0),
+            (1, _ts(7.0), "purchase", 10.0),
+            # same-timestamp touch (ts == p.ts) is INCLUDED
+            (2, _ts(3.0), "click", 0.0),
+            (2, _ts(3.0), "purchase", 20.0),
+            # other users' touches never credit this purchase
+            (3, _ts(2.9), "view", 0.0),
+        ])
+        out = {r["channel"]: r["credit_i"] for r in self._run(ev).to_pylist()}
+        assert out == {"view": 0, "click": 20_000_000,
+                       "direct": 10_000_000}
+
+    def test_per_conversion_rounding_is_exact_int(self):
+        # 10.0 split over 3 touches: floor(10*2/3*1e6+.5)=6666667 (view)
+        # floor(10*1/3*1e6+.5)=3333333 (click) — sums preserved exactly
+        ev = self._events([
+            (1, _ts(0.1), "view", 0.0),
+            (1, _ts(0.2), "view", 0.0),
+            (1, _ts(0.3), "click", 0.0),
+            (1, _ts(1.0), "purchase", 10.0),
+        ])
+        out = {r["channel"]: r["credit_i"] for r in self._run(ev).to_pylist()}
+        assert out == {"view": 6_666_667, "click": 3_333_333, "direct": 0}
+
+
+class TestHitsBipartite:
+    def _edges(self, pairs):
+        return ray.data.from_arrow(pa.table({
+            "h": pa.array([a for a, _ in pairs], pa.int64()),
+            "a": pa.array([b for _, b in pairs], pa.int64()),
+        })).repartition(2)
+
+    def test_two_round_integer_scores(self):
+        # hubs {1,2}, auths {10,11,12}
+        # 1 -> 10, 11 ; 2 -> 11, 12
+        e = self._edges([(1, 10), (1, 11), (2, 11), (2, 12)])
+        out = to_arrow(hits_bipartite(e, "h", "a", n_iter=2))
+        got = {(r["side"], r["id"]): r["score"] for r in out.to_pylist()}
+        # a1: 10->1, 11->2, 12->1 ; h1: 1->1+2=3, 2->2+1=3
+        # a2: 10->3, 11->6, 12->3
+        assert got[("hub", 1)] == 3 and got[("hub", 2)] == 3
+        assert got[("auth", 10)] == 3
+        assert got[("auth", 11)] == 6
+        assert got[("auth", 12)] == 3
+
+    def test_one_round_is_degree_count(self):
+        e = self._edges([(1, 10), (1, 11), (2, 11)])
+        out = to_arrow(hits_bipartite(e, "h", "a", n_iter=1))
+        got = {(r["side"], r["id"]): r["score"] for r in out.to_pylist()}
+        assert got[("auth", 11)] == 2 and got[("auth", 10)] == 1
+        assert got[("hub", 1)] == 1 and got[("hub", 2)] == 1
+
+    def test_empty_edges(self):
+        e = ray.data.from_arrow(pa.table({
+            "h": pa.array([], pa.int64()), "a": pa.array([], pa.int64())}))
+        out = to_arrow(hits_bipartite(e, "h", "a"))
+        assert out is None or out.num_rows == 0
