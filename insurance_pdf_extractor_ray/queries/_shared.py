@@ -113,7 +113,7 @@ def _customer_name_graph(sf_dir: str):
     by the PageRank-family queries (same derivation as entity_components:
     fuzzy pairs + block dim joins, empty-block hygiene between them)."""
     from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
-    from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
+    from insurance_pdf_extractor_ray.pipelines.dedup import join_partitions_for
     from insurance_pdf_extractor_ray.pipelines.fuzzy import fuzzy_pairs
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
@@ -122,7 +122,9 @@ def _customer_name_graph(sf_dir: str):
                     "c_custkey", "c_name"),
         empty_schema=pa.schema([("id_a", pa.int64()),
                                 ("id_b", pa.int64())]))
-    P = _join_partitions()
+    # pairs just materialized (drop_empty_blocks) — size the join to the
+    # data, not the CPU count (aggregator actors cost ~1s each to spin up)
+    P = join_partitions_for(pairs.count())
     dim = cust.select_columns(["c_custkey", "c_nationkey"])
     pairs = pairs.join(dim, join_type="inner", num_partitions=P,
                        on=("id_a",), right_on=("c_custkey",))
