@@ -228,3 +228,134 @@ def semantic_dedup_drop_ids(
     out = (mat.map_batches(assign, batch_format="pyarrow")
            .groupby("__c").map_groups(prune, batch_format="pyarrow"))
     return out.sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over an embedding column (exact quantized similarity graph)
+# ---------------------------------------------------------------------------
+
+def dbscan_embeddings(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    id_col: str,
+    tau: float,
+    min_pts: int,
+    max_vertices: int = 4096,
+    max_broadcast_pairs: int = 2_000_000,
+    distributed: Optional[bool] = None,
+) -> pa.Table:
+    """DBSCAN density clustering over an embedding column, built on the
+    EXACT integer-quantized inner-product threshold graph
+    (:func:`graph.ip_threshold_graph`): neighborhood = {sim_q >= tau_q},
+    CORE = nodes with >= ``min_pts`` neighbors, clusters = connected
+    components of the core-core subgraph (label = component min id),
+    BORDER = non-core nodes adjacent to >= 1 core (label = MIN over
+    adjacent cores' cluster labels — deterministic, unlike classic
+    first-come DBSCAN), NOISE = everything else (label −1).  Integer-exact
+    edges mean an SQL oracle re-derives the identical clustering — no
+    float-threshold flicker on the eps boundary.
+
+    Scale shape: the vertex set is bounded by contract (``max_vertices``,
+    inherited from the exact graph — eval pools / audit samples; compose
+    LSH/IVF candidate generators upstream for open corpora), but the EDGE
+    list never lands on the driver: degrees are map-side endpoint-explode
+    partials + one keyed combine; border labels are a zero-shuffle
+    broadcast-lookup pass emitting per-batch (node, min-label) partials +
+    one keyed Min combine.  Core-core components run driver union-find
+    while the core pair list fits (``max_broadcast_pairs``), else the
+    min-label-propagation rounds of ``dedup.dup_components_distributed``
+    — the same auto-switch as ``jaccard_component_dedup``.
+
+    Returns pa.Table(id, cluster, role) sorted by id, one row per input
+    vector; roles ∈ {'core', 'border', 'noise'}.
+    """
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    from .dedup import dup_components, dup_components_distributed
+    from .graph import ip_threshold_graph
+
+    all_ids = np.array(sorted(
+        r[id_col] for r in ds.select_columns([id_col]).take_all()),
+        np.int64)
+    edges = ip_threshold_graph(ds, emb_col, id_col, tau,
+                               max_vertices=max_vertices).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            batch.column("u").combine_chunks(),
+            batch.column("v").combine_chunks()])
+        t = pa.table({"node": node})
+        g = t.group_by(["node"]).aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "_d": g.column("count_all").cast(pa.int64())})
+
+    deg_rows = (edges.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(_Sum("_d", alias_name="degree"))
+                ).take_all()
+    core_ids = np.array(sorted(r["node"] for r in deg_rows
+                               if r["degree"] >= min_pts), np.int64)
+    core_set_ref = ray.put(core_ids)
+
+    # core-core components
+    def cc_filter(batch: pa.Table, ref=core_set_ref) -> pa.Table:
+        cs = ray.get(ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        m = np.isin(u, cs) & np.isin(v, cs)
+        return pa.table({"id_a": pa.array(u[m], pa.int64()),
+                         "id_b": pa.array(v[m], pa.int64())})
+
+    cc_pairs = edges.map_batches(cc_filter,
+                                 batch_format="pyarrow").materialize()
+    if distributed is None:
+        distributed = cc_pairs.count() > max_broadcast_pairs
+    if distributed:
+        lab_rows = dup_components_distributed(cc_pairs).take_all()
+        labels = {r["id"]: r["root"] for r in lab_rows}
+    else:
+        labels = dup_components(cc_pairs)
+    label_map = {int(c): int(labels.get(int(c), int(c))) for c in core_ids}
+    core_lbls = np.array([label_map[int(c)] for c in core_ids], np.int64)
+    lbl_ref = ray.put((core_ids, core_lbls))
+
+    # border labels: min adjacent-core cluster label per non-core node
+    def border_partial(batch: pa.Table, ref=lbl_ref) -> pa.Table:
+        cids, clbl = ray.get(ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        uc = np.isin(u, cids)
+        vc = np.isin(v, cids)
+        nodes = np.concatenate([u[~uc & vc], v[~vc & uc]])
+        nbr = np.concatenate([v[~uc & vc], u[~vc & uc]])
+        lbl = clbl[np.searchsorted(cids, nbr)] if len(nbr) else \
+            np.empty(0, np.int64)
+        if len(nodes):  # in-batch min per node
+            order = np.lexsort((lbl, nodes))
+            nodes, lbl = nodes[order], lbl[order]
+            first = np.empty(len(nodes), bool)
+            first[0] = True
+            first[1:] = nodes[1:] != nodes[:-1]
+            nodes, lbl = nodes[first], lbl[first]
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "_l": pa.array(lbl, pa.int64())})
+
+    border_rows = (edges.map_batches(border_partial, batch_format="pyarrow")
+                   .groupby("node").aggregate(_Min("_l", alias_name="lbl"))
+                   ).take_all()
+    border = {int(r["node"]): int(r["lbl"]) for r in border_rows}
+
+    cluster = np.full(len(all_ids), -1, np.int64)
+    role = np.full(len(all_ids), "noise", object)
+    core_pos = np.searchsorted(all_ids, core_ids)
+    cluster[core_pos] = core_lbls
+    role[core_pos] = "core"
+    for n, l in border.items():
+        i = int(np.searchsorted(all_ids, n))
+        if role[i] == "noise":
+            cluster[i] = l
+            role[i] = "border"
+    return pa.table({
+        "id": pa.array(all_ids, pa.int64()),
+        "cluster": pa.array(cluster, pa.int64()),
+        "role": pa.array([str(x) for x in role], pa.string()),
+    })

@@ -17,6 +17,7 @@ __all__ = [
     "_q_kaplan_meier_churn",
     "_q_attribution_linear",
     "_q_hits_scores",
+    "_q_dbscan_embeddings",
 ]
 
 _DAY_US = 86_400_000_000
@@ -105,3 +106,19 @@ def _q_hits_scores(sf_dir: str):
         "id": pa.array([r["id"] for r in rows], pa.int64()),
         "score": pa.array([r["score"] for r in rows], pa.int64()),
     })
+
+
+def _q_dbscan_embeddings(sf_dir: str):
+    """DBSCAN over the id-capped embedding pool (tau = 0.3125 exact-binary
+    quantized cosine-IP threshold, min_pts = 3): exact integer threshold
+    graph, map-side degree partials, core-core components (driver UF /
+    min-label rounds auto-switch), broadcast-lookup border labeling
+    (pipelines/clustering.py:dbscan_embeddings)."""
+    from insurance_pdf_extractor_ray.pipelines.clustering import (
+        dbscan_embeddings,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id < 400")
+    return dbscan_embeddings(ds, "embedding", "vec_id",
+                             tau=0.3125, min_pts=3)

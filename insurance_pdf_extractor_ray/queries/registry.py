@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_churn": _q_kaplan_meier_churn,
         "attribution_linear": _q_attribution_linear,
         "hits_scores": _q_hits_scores,
+        "dbscan_embeddings": _q_dbscan_embeddings,
     }
 
 
@@ -3682,6 +3683,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT side, CAST(id AS BIGINT) AS id, s AS score
             FROM ranked WHERE rn <= 20
             ORDER BY side, score DESC, id
+        """,
+        "dbscan_embeddings": """
+            WITH RECURSIVE
+            q AS (SELECT vec_id,
+                    unnest(generate_series(1, len(embedding))) - 1 AS i,
+                    CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1048576) + 0.5) AS BIGINT) AS qv
+                  FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS MATERIALIZED (SELECT u, v FROM s
+                               WHERE sim >= 343597383680),
+            d AS (SELECT node, COUNT(*) AS dg FROM
+                    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                  GROUP BY 1),
+            core AS MATERIALIZED (SELECT node FROM d WHERE dg >= 3),
+            ce AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              WHERE u IN (SELECT node FROM core)
+                AND v IN (SELECT node FROM core)
+              UNION ALL
+              SELECT v, u FROM e
+              WHERE u IN (SELECT node FROM core)
+                AND v IN (SELECT node FROM core)),
+            reach AS (SELECT node AS id, node AS r FROM core
+                      UNION
+                      SELECT ce.dst, reach.r FROM reach
+                      JOIN ce ON reach.id = ce.src),
+            clab AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+            bcand AS (
+              SELECT u AS node, clab.lbl FROM e
+              JOIN clab ON e.v = clab.id
+              WHERE u NOT IN (SELECT node FROM core)
+              UNION ALL
+              SELECT v, clab.lbl FROM e
+              JOIN clab ON e.u = clab.id
+              WHERE v NOT IN (SELECT node FROM core)),
+            blab AS (SELECT node, MIN(lbl) AS lbl FROM bcand GROUP BY 1),
+            univ AS (SELECT DISTINCT vec_id FROM embeddings
+                     WHERE vec_id < 400)
+            SELECT CAST(univ.vec_id AS BIGINT) AS id,
+                   CAST(COALESCE(clab.lbl, blab.lbl, -1) AS BIGINT)
+                     AS cluster,
+                   CASE WHEN clab.lbl IS NOT NULL THEN 'core'
+                        WHEN blab.lbl IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role
+            FROM univ LEFT JOIN clab ON univ.vec_id = clab.id
+            LEFT JOIN blab ON univ.vec_id = blab.node
+            ORDER BY 1
         """,
     }
 

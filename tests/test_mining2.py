@@ -190,3 +190,66 @@ class TestHitsBipartite:
             "h": pa.array([], pa.int64()), "a": pa.array([], pa.int64())}))
         out = to_arrow(hits_bipartite(e, "h", "a"))
         assert out is None or out.num_rows == 0
+
+
+class TestDbscanEmbeddings:
+    def _ds(self):
+        # 8-dim; cluster A in dims 0-3, cluster B in dims 4-7, tau=0.5:
+        #   A: v0=[1,1,0,0] v1=[1,0,1,0] v2=[0,1,1,0] pairwise dot 1
+        #      v3=[0.7,0,0,0] touches v0, v1 only
+        #   B: same motif at ids 5,6,7 + border 8
+        #   v4: orthogonal singleton -> noise
+        z4 = [0.0] * 4
+        vecs = {
+            0: [1, 1, 0, 0] + z4, 1: [1, 0, 1, 0] + z4,
+            2: [0, 1, 1, 0] + z4, 3: [0.7, 0, 0, 0] + z4,
+            4: z4[:3] + [1.0] + [0.0, 0.0, 0.0, 0.0],
+            5: z4 + [1, 1, 0, 0], 6: z4 + [1, 0, 1, 0],
+            7: z4 + [0, 1, 1, 0], 8: z4 + [0.7, 0, 0, 0],
+        }
+        # v4 must be orthogonal to everything: put it on dim 3 (unused by A)
+        vecs[4] = [0, 0, 0, 1] + z4
+        ids = sorted(vecs)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([[float(x) for x in vecs[i]]
+                                   for i in ids],
+                                  pa.list_(pa.float32())),
+        })).repartition(2)
+
+    def test_core_border_noise_roles(self):
+        from insurance_pdf_extractor_ray.pipelines.clustering import (
+            dbscan_embeddings,
+        )
+
+        out = dbscan_embeddings(self._ds(), "embedding", "vec_id",
+                                tau=0.5, min_pts=3)
+        got = {r["id"]: (r["cluster"], r["role"]) for r in out.to_pylist()}
+        assert got == {
+            0: (0, "core"), 1: (0, "core"),
+            2: (0, "border"), 3: (0, "border"),
+            4: (-1, "noise"),
+            5: (5, "core"), 6: (5, "core"),
+            7: (5, "border"), 8: (5, "border"),
+        }
+
+    def test_distributed_components_path_identical(self):
+        from insurance_pdf_extractor_ray.pipelines.clustering import (
+            dbscan_embeddings,
+        )
+
+        a = dbscan_embeddings(self._ds(), "embedding", "vec_id",
+                              tau=0.5, min_pts=3)
+        b = dbscan_embeddings(self._ds(), "embedding", "vec_id",
+                              tau=0.5, min_pts=3, distributed=True)
+        assert a.equals(b)
+
+    def test_min_pts_sweep_degenerates(self):
+        from insurance_pdf_extractor_ray.pipelines.clustering import (
+            dbscan_embeddings,
+        )
+
+        # min_pts above max degree -> everything noise
+        out = dbscan_embeddings(self._ds(), "embedding", "vec_id",
+                                tau=0.5, min_pts=10)
+        assert set(r["role"] for r in out.to_pylist()) == {"noise"}
