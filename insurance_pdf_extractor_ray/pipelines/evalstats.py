@@ -273,3 +273,93 @@ def benford_first_digit(
         "expected_p": pa.array(
             [math.log10(1 + 1 / d) for d in digits], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# per-dimension mutual information vs a label (feature selection)
+# ---------------------------------------------------------------------------
+
+def dim_label_mi(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    label_col: str,
+) -> pa.Table:
+    """Mutual information I(sign(x_d); label) per embedding dimension — the
+    filter-method feature-selection primitive: which coordinates carry
+    label signal at all.  The feature is the dimension's SIGN BIT
+    (x_d >= 0), so every statistic is an integer count and the only float
+    work is the final (dims × 2 × labels)-bounded plug-in estimate
+    I = Σ p(s,l)·ln(p(s,l)/(p(s)·p(l))), accumulated in sorted (s, label)
+    order so the tiny float sum is deterministic.
+
+    Scale shape: one ``map_batches`` pass emits per-batch integer count
+    partials — at most dims × labels rows per batch however big the block
+    (vectorized: one boolean matrix, per-label column sums) — then ONE
+    keyed combine on (dim, label).  No other exchange; nothing
+    corpus-sized ever leaves the workers.
+
+    Returns pa.Table(dim, mi) over dims 0..d−1, mi in nats, UNROUNDED.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .similarity import embedding_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch.column(emb_col))
+        lab = batch.column(label_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = (x >= 0.0)
+        dims = x.shape[1]
+        ulab = np.unique(lab)
+        out_d, out_l, out_p, out_n = [], [], [], []
+        for l in ulab:
+            m = lab == l
+            p = pos[m].sum(axis=0).astype(np.int64)
+            out_d.append(np.arange(dims, dtype=np.int64))
+            out_l.append(np.full(dims, l, np.int64))
+            out_p.append(p)
+            out_n.append(np.full(dims, int(m.sum()), np.int64))
+        return pa.table({
+            "dim": pa.array(np.concatenate(out_d), pa.int64()),
+            "label": pa.array(np.concatenate(out_l), pa.int64()),
+            "_pos": pa.array(np.concatenate(out_p), pa.int64()),
+            "_tot": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    rows = (ds.select_columns([emb_col, label_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["dim", "label"])
+            .aggregate(_Sum("_pos", alias_name="pos"),
+                       _Sum("_tot", alias_name="tot"))).take_all()
+    # bounded table: dims × labels rows
+    dims = sorted({r["dim"] for r in rows})
+    labels = sorted({r["label"] for r in rows})
+    pos = {(r["dim"], r["label"]): r["pos"] for r in rows}
+    tot = {l: 0 for l in labels}
+    for r in rows:
+        if r["dim"] == dims[0]:
+            tot[r["label"]] = r["tot"]
+    N = float(sum(tot.values()))
+    import math
+
+    mis = []
+    for d in dims:
+        # marginals for this dim's sign bit
+        n_pos = sum(pos[(d, l)] for l in labels)
+        p_s = {1: n_pos / N, 0: (N - n_pos) / N}
+        mi = 0.0
+        for s in (0, 1):  # sorted (s, label) order — deterministic sum
+            for l in labels:
+                n_sl = pos[(d, l)] if s == 1 else tot[l] - pos[(d, l)]
+                if n_sl == 0:
+                    continue
+                p_sl = n_sl / N
+                p_l = tot[l] / N
+                mi += p_sl * math.log(p_sl / (p_s[s] * p_l))
+        mis.append(mi)
+    return pa.table({
+        "dim": pa.array(dims, pa.int64()),
+        "mi": pa.array(mis, pa.float64()),
+    })

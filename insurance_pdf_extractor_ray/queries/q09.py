@@ -18,6 +18,8 @@ __all__ = [
     "_q_attribution_linear",
     "_q_hits_scores",
     "_q_dbscan_embeddings",
+    "_q_label_propagation",
+    "_q_dim_mi_ranking",
 ]
 
 _DAY_US = 86_400_000_000
@@ -122,3 +124,32 @@ def _q_dbscan_embeddings(sf_dir: str):
         expr="vec_id < 400")
     return dbscan_embeddings(ds, "embedding", "vec_id",
                              tau=0.3125, min_pts=3)
+
+
+def _q_label_propagation(sf_dir: str):
+    """2-round synchronous label propagation over the capped exact
+    similarity graph (seeds = vec_id < 100 keep their true label; majority
+    vote, ties to smallest label) — per-round zero-shuffle broadcast vote
+    pass + one (node,label)-keyed combine, integer-exact throughout
+    (pipelines/clustering.py:label_propagation)."""
+    from insurance_pdf_extractor_ray.pipelines.clustering import (
+        label_propagation,
+    )
+
+    ds = _read(sf_dir, "embeddings",
+               ["vec_id", "embedding", "label"]).filter(expr="vec_id < 400")
+    return label_propagation(ds, "embedding", "vec_id", "label",
+                             seed_pred=lambda ids: ids < 100,
+                             tau=0.3125, n_rounds=2)
+
+
+def _q_dim_mi_ranking(sf_dir: str):
+    """Per-dimension mutual information I(sign(x_d); label) — one pass of
+    (dims x labels)-bounded integer count partials, ONE keyed combine,
+    driver plug-in estimate over the bounded table
+    (pipelines/evalstats.py:dim_label_mi)."""
+    from insurance_pdf_extractor_ray.pipelines.evalstats import dim_label_mi
+
+    t = dim_label_mi(_read(sf_dir, "embeddings", ["embedding", "label"]),
+                     "embedding", "label")
+    return _round_col(t, "mi", 6)

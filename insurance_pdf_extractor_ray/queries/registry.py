@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_linear": _q_attribution_linear,
         "hits_scores": _q_hits_scores,
         "dbscan_embeddings": _q_dbscan_embeddings,
+        "label_propagation": _q_label_propagation,
+        "dim_mi_ranking": _q_dim_mi_ranking,
     }
 
 
@@ -3734,6 +3736,74 @@ def oracle_sql() -> dict[str, str]:
             FROM univ LEFT JOIN clab ON univ.vec_id = clab.id
             LEFT JOIN blab ON univ.vec_id = blab.node
             ORDER BY 1
+        """,
+        "label_propagation": """
+            WITH q AS (SELECT vec_id,
+                    unnest(generate_series(1, len(embedding))) - 1 AS i,
+                    CAST(-floor(-(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1048576) + 0.5) AS BIGINT) AS qv
+                  FROM embeddings WHERE vec_id < 400),
+            s AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         SUM(a.qv * b.qv) AS sim
+                  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            e AS MATERIALIZED (SELECT u, v FROM s
+                               WHERE sim >= 343597383680),
+            sym AS (SELECT u AS src, v AS dst FROM e
+                    UNION ALL SELECT v, u FROM e),
+            univ AS (SELECT vec_id AS id, label FROM embeddings
+                     WHERE vec_id < 400),
+            l0 AS (SELECT id, CASE WHEN id < 100 THEN label
+                              ELSE -1 END AS lbl FROM univ),
+            v1 AS (SELECT sym.dst AS id, l0.lbl,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM sym JOIN l0 ON sym.src = l0.id
+                   WHERE l0.lbl >= 0 GROUP BY 1, 2),
+            b1 AS (SELECT id, lbl FROM (
+                     SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+                       ORDER BY n DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+            l1 AS (SELECT u.id,
+                     CASE WHEN u.id < 100 THEN u.label
+                          ELSE COALESCE(b1.lbl, -1) END AS lbl
+                   FROM univ u LEFT JOIN b1 ON u.id = b1.id),
+            v2 AS (SELECT sym.dst AS id, l1.lbl,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM sym JOIN l1 ON sym.src = l1.id
+                   WHERE l1.lbl >= 0 GROUP BY 1, 2),
+            b2 AS (SELECT id, lbl FROM (
+                     SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+                       ORDER BY n DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+            l2 AS (SELECT u.id,
+                     CASE WHEN u.id < 100 THEN u.label
+                          ELSE COALESCE(b2.lbl, -1) END AS lbl
+                   FROM univ u LEFT JOIN b2 ON u.id = b2.id)
+            SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label,
+                   CASE WHEN id < 100 THEN 'seed'
+                        WHEN lbl >= 0 THEN 'propagated'
+                        ELSE 'unlabeled' END AS role
+            FROM l2 ORDER BY id
+        """,
+        "dim_mi_ranking": """
+            WITH x AS (SELECT label,
+                    unnest(generate_series(1, len(embedding))) - 1 AS d,
+                    CASE WHEN unnest(embedding) >= 0 THEN 1 ELSE 0 END AS s
+                  FROM embeddings),
+            c AS (SELECT d, s, label, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM x GROUP BY 1, 2, 3),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+                  FROM embeddings),
+            ms AS (SELECT d, s, CAST(SUM(n) AS BIGINT) AS ns
+                   FROM c GROUP BY 1, 2),
+            ml AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nl
+                   FROM embeddings GROUP BY 1)
+            SELECT CAST(c.d AS BIGINT) AS dim,
+                   ROUND(SUM((c.n / t.total)
+                         * ln((c.n / t.total)
+                              / ((ms.ns / t.total) * (ml.nl / t.total)))),
+                         6) AS mi
+            FROM c JOIN ms ON c.d = ms.d AND c.s = ms.s
+            JOIN ml ON c.label = ml.label CROSS JOIN t
+            GROUP BY 1 ORDER BY 1
         """,
     }
 

@@ -253,3 +253,119 @@ class TestDbscanEmbeddings:
         out = dbscan_embeddings(self._ds(), "embedding", "vec_id",
                                 tau=0.5, min_pts=10)
         assert set(r["role"] for r in out.to_pylist()) == {"noise"}
+
+
+class TestLabelPropagation:
+    def _ds(self):
+        # two orthogonal cliques (dims 0-3 / 4-7), one seed each
+        z4 = [0.0] * 4
+        vecs = {
+            0: [1, 1, 0, 0] + z4,            # seed, label 7
+            1: [1, 0, 1, 0] + z4,            # -> 7 in round 1
+            2: [0, 1, 1, 0] + z4,            # -> 7 in round 1
+            3: [0, 0, 0, 1] + z4,            # isolated -> unlabeled
+            5: z4 + [1, 1, 0, 0],            # seed, label 9
+            6: z4 + [1, 0, 1, 0],            # -> 9
+            7: z4 + [0.0, 0.7, 0.7, 0.0],    # touches 5 (0.7) and 6 (0.7)
+        }
+        ids = sorted(vecs)
+        labels = {0: 7, 5: 9}
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in vecs[i]] for i in ids],
+                pa.list_(pa.float32())),
+            "label": pa.array([labels.get(i, 0) for i in ids], pa.int64()),
+        })).repartition(2)
+
+    def test_propagates_from_seeds(self):
+        from insurance_pdf_extractor_ray.pipelines.clustering import (
+            label_propagation,
+        )
+
+        out = label_propagation(
+            self._ds(), "embedding", "vec_id", "label",
+            seed_pred=lambda ids: np.isin(ids, [0, 5]),
+            tau=0.5, n_rounds=2)
+        got = {r["id"]: (r["label"], r["role"]) for r in out.to_pylist()}
+        assert got[0] == (7, "seed") and got[5] == (9, "seed")
+        assert got[1] == (7, "propagated") and got[2] == (7, "propagated")
+        assert got[6] == (9, "propagated") and got[7] == (9, "propagated")
+        assert got[3] == (-1, "unlabeled")
+
+    def test_majority_and_tie_break(self):
+        from insurance_pdf_extractor_ray.pipelines.clustering import (
+            label_propagation,
+        )
+
+        # node 10 neighbors: two seeds labeled 4, one seed labeled 2 -> 4;
+        # node 11 neighbors: one seed 4, one seed 2 (tie) -> min label 2
+        vecs = {
+            0: [1, 0, 0, 0, 0, 0],   # seed 4
+            1: [1, 0, 0, 0, 0, 0],   # seed 4
+            2: [0, 1, 0, 0, 0, 0],   # seed 2
+            10: [0.6, 0.6, 0, 0, 0, 0],   # dot: 0.6 w/ 0,1,2
+            11: [0, 0, 0, 0.6, 0, 0],     # touches 12, 13 only
+            12: [0, 0, 0, 1, 0, 0],       # seed 4
+            13: [0, 0, 0, 1, 0, 0],       # seed 2
+        }
+        # make 12/13 distinct vectors so 11 ties between labels 4 and 2:
+        vecs[12] = [0, 0, 0, 1, 0.1, 0]
+        vecs[13] = [0, 0, 0, 1, 0, 0.1]
+        ids = sorted(vecs)
+        labels = {0: 4, 1: 4, 2: 2, 12: 4, 13: 2}
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in vecs[i]] for i in ids],
+                pa.list_(pa.float32())),
+            "label": pa.array([labels.get(i, 0) for i in ids], pa.int64()),
+        })).repartition(2)
+        out = label_propagation(
+            ds, "embedding", "vec_id", "label",
+            seed_pred=lambda v: np.isin(v, [0, 1, 2, 12, 13]),
+            tau=0.5, n_rounds=1)
+        got = {r["id"]: r["label"] for r in out.to_pylist()}
+        assert got[10] == 4   # majority 2-vs-1
+        assert got[11] == 2   # tie breaks to the smaller label
+
+
+class TestDimLabelMi:
+    def test_perfect_and_zero_signal_dims(self):
+        from insurance_pdf_extractor_ray.pipelines.evalstats import (
+            dim_label_mi,
+        )
+
+        # dim 0 = exact label sign (MI = ln 2 for balanced binary),
+        # dim 1 = constant (MI = 0)
+        n = 64
+        lab = [i % 2 for i in range(n)]
+        emb = [[1.0 if l else -1.0, 0.5] for l in lab]
+        ds = ray.data.from_arrow(pa.table({
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array(lab, pa.int64()),
+        })).repartition(3)
+        out = dim_label_mi(ds, "embedding", "label")
+        mi = out.column("mi").to_pylist()
+        assert out.column("dim").to_pylist() == [0, 1]
+        assert mi[0] == pytest.approx(np.log(2))
+        assert mi[1] == pytest.approx(0.0, abs=1e-12)
+
+    def test_partials_merge_across_blocks(self):
+        from insurance_pdf_extractor_ray.pipelines.evalstats import (
+            dim_label_mi,
+        )
+
+        rng = np.random.RandomState(3)
+        emb = rng.randn(200, 4).astype(np.float32)
+        lab = rng.randint(0, 3, 200)
+        t = pa.table({
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(lab, pa.int64()),
+        })
+        a = dim_label_mi(ray.data.from_arrow(t).repartition(1),
+                         "embedding", "label")
+        b = dim_label_mi(ray.data.from_arrow(t).repartition(7),
+                         "embedding", "label")
+        assert a.equals(b)
