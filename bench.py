@@ -850,6 +850,58 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     queries["apply_changes_bucketed"] = round(time.time() - t0, 3)
     shutil.rmtree(root, ignore_errors=True)
 
+    # round-3 additions: market-basket lift + survival + attribution
+    from insurance_pdf_extractor_ray.pipelines.behavior import (
+        association_lift,
+        attribution_linear,
+    )
+    from insurance_pdf_extractor_ray.pipelines.statagg import kaplan_meier
+
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_type",
+                                        "value"])
+    t0 = time.time()
+    assert association_lift(li, "l_orderkey", "l_partkey",
+                            min_support=2).count() > 0
+    kaplan_meier(ev, "user_id", "ts", censor_horizon_us=43_200_000_000)
+    attribution_linear(ev, "user_id", "ts", "event_type", "value",
+                       conversion_type="purchase",
+                       touch_types=["view", "click"],
+                       window_us=7 * 86_400_000_000)
+    queries["mining2"] = round(time.time() - t0, 3)
+
+    # round-3 additions: graph/ML family over embeddings + purchase graph
+    from insurance_pdf_extractor_ray.pipelines.clustering import (
+        dbscan_embeddings,
+        label_propagation,
+    )
+    from insurance_pdf_extractor_ray.pipelines.evalstats import dim_label_mi
+    from insurance_pdf_extractor_ray.pipelines.graph import hits_bipartite
+    from ray.data.aggregate import Count
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    capped = emb.filter(expr="vec_id < 400").materialize()
+    t0 = time.time()
+    assert dbscan_embeddings(capped, "embedding", "vec_id", tau=0.3125,
+                             min_pts=3).num_rows > 0
+    label_propagation(capped, "embedding", "vec_id", "label",
+                      seed_pred=lambda ids: ids < 100,
+                      tau=0.3125, n_rounds=2)
+    dim_label_mi(emb, "embedding", "label")
+    ords = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey"])
+    edges = ords.join(li.materialize(), join_type="inner",
+                      num_partitions=8, on=("o_orderkey",),
+                      right_on=("l_orderkey",)) \
+        .groupby(["o_custkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="_c")) \
+        .select_columns(["o_custkey", "l_partkey"])
+    assert hits_bipartite(edges, "o_custkey", "l_partkey",
+                          n_iter=2).count() > 0
+    queries["graph_ml"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall-time (read->reassemble->extract->validate), corpus derived from sf documents",
         "value": round(extract_sec, 3),
