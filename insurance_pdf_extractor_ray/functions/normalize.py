@@ -269,3 +269,53 @@ def clean_text_array(values) -> np.ndarray:
     if arr.size == 0:
         return arr
     return np.array([clean_text_field(v) for v in arr], dtype=object)
+
+
+def dirty_text_mask(texts) -> "object":
+    """Vectorized ``_RE_DIRTY`` test over a pyarrow string array — numpy
+    bool mask, True where :func:`clean_text_field` would NOT be a no-op.
+
+    The fast-path regex itself was the per-span bottleneck on span-heavy
+    docs (~29 µs/call — alternation overhead, not matching work).  ASCII
+    rows get exact byte tests (python ``\\s`` on ASCII is exactly bytes
+    {9,10,11,12,13,32}; the bullet class is non-ASCII so it can't occur);
+    rows with any non-ASCII byte are conservatively marked dirty — the
+    scalar cleaner they then route through re-checks the same fast path,
+    so semantics are unchanged, only speed.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts, "")
+    off_dtype = np.int64 if t.type == pa.large_string() else np.int32
+    n = len(t)
+    if n == 0:
+        return np.zeros(0, bool)
+    off = np.frombuffer(t.buffers()[1], off_dtype)[
+        t.offset: t.offset + n + 1].astype(np.int64)
+    base = off[0]
+    data = np.frombuffer(t.buffers()[2], np.uint8)[base:off[-1]]
+    off = off - base
+    lo, hi = off[:-1], off[1:]
+    nonempty = hi > lo
+
+    ws = (data == 32) | ((data >= 9) & (data <= 13))
+    odd_ws = ws & (data != 32)          # any whitespace other than ' '
+    non_ascii = data >= 128
+    dbl = np.zeros(len(data), bool)     # ws pair fully inside one row
+    if len(data) > 1:
+        dbl[:-1] = ws[:-1] & ws[1:]
+        dbl[hi[nonempty] - 1] = False   # pair crossing a row boundary
+
+    def row_any(mask: "np.ndarray") -> "np.ndarray":
+        c = np.concatenate([np.zeros(1, np.int32),
+                            np.cumsum(mask.view(np.uint8), dtype=np.int32)])
+        return c[hi] > c[lo]
+
+    out = row_any(odd_ws | non_ascii | dbl)
+    edge = np.zeros(n, bool)
+    edge[nonempty] = ws[lo[nonempty]] | ws[hi[nonempty] - 1]
+    return out | edge

@@ -345,3 +345,98 @@ def snapshot_diff(
         return pa.table(cols).filter(pa.array(keep))
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def merge_aggregate_bucketed(
+    view_path: str,
+    increment: ray.data.Dataset,
+    key_col: str,
+    add_cols: Sequence[str],
+    inc_path: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Incremental maintenance of an ADDITIVE aggregate view (counts /
+    integer sums per key) over a hash-bucketed at-rest layout — the
+    materialized-view sibling of :func:`apply_changes_bucketed`: the view
+    equals a full GROUP BY recompute over base ∪ increment, but the base
+    aggregate NEVER rescans or reshuffles.
+
+    ``increment`` rows are partial contributions ``(key_col, *add_cols)``
+    with int64 additive columns (raw events map to partials with n=1 /
+    per-row fixed-point sums — integer addition is commutative/associative,
+    so the merged view is partition-, retry- and order-independent, which
+    is what lets an SQL oracle assert view == full recompute exactly).
+
+    Shape: ONE map pass over the increment — per-batch per-key local
+    pre-combine, then append into the view's ``_bucket=i/`` dirs (same
+    durable key hash, no shuffle) — then one task per bucket combines its
+    increment partials locally and adds them onto the co-located base
+    bucket rows (one local Arrow combine; never a distributed join).  Untouched
+    buckets pass through unread-increment.  Persist the next state with
+    ``bucketed.write_bucketed`` (a map pass — the durable hash is
+    deterministic).
+    """
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .bucketed import _bucket_of, _read_bucket, layout_of
+
+    lay = layout_of(view_path)
+    view_key, n_buckets = lay["key"], lay["n_buckets"]
+    cols = [key_col] + list(add_cols)
+    inc_path = inc_path or tempfile.mkdtemp(prefix="ipe_aggv_inc_")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        # local pre-combine: one partial row per key per batch
+        raw = batch.group_by([key_col]).aggregate(
+            [(c, "sum") for c in add_cols])
+        g = pa.table(
+            {key_col: raw.column(key_col),
+             **{c: raw.column(f"{c}_sum").cast(pa.int64())
+                for c in add_cols}})
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g.column(key_col), n_buckets),
+                                pa.int64()))
+
+    increment.map_batches(tag, batch_format="pyarrow").write_parquet(
+        inc_path, partition_cols=["_bucket"])
+
+    sample = sorted(_glob.glob(
+        os.path.join(view_path, "_bucket=*", "*.parquet")))
+    if not sample:
+        raise ValueError(f"no bucket files under {view_path}")
+    view_schema = pq.read_schema(sample[0])
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        out: List[pa.Table] = []
+        for b in batch.column("bucket").to_pylist():
+            tv = _read_bucket(view_path, b, None)
+            ti = _read_bucket(inc_path, b, None)
+            if ti is None or ti.num_rows == 0:
+                if tv is not None:
+                    out.append(tv.select([view_key] + list(add_cols)))
+                continue
+            if tv is None:
+                tv = view_schema.empty_table()
+            # combine increment partials + base rows in one local combine
+            both = pa.concat_tables([
+                tv.select([view_key] + list(add_cols)),
+                pa.table({view_key: ti.column(key_col),
+                          **{c: ti.column(c).cast(pa.int64())
+                             for c in add_cols}})],
+                promote_options="default")
+            g = both.group_by([view_key]).aggregate(
+                [(c, "sum") for c in add_cols])
+            out.append(pa.table(
+                {view_key: g.column(view_key),
+                 **{c: g.column(f"{c}_sum").cast(pa.int64())
+                    for c in add_cols}}))
+        if not out:
+            return view_schema.empty_table()
+        return pa.concat_tables(out, promote_options="default")
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n_buckets)])
+    return buckets.map_batches(merge_one, batch_size=1,
+                               batch_format="pyarrow")

@@ -154,6 +154,60 @@ def _shuffle_merge(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Datase
 #: larger broadcast set costs more than just shuffling everything
 MAX_SPLIT_BROADCAST = 2_000_000
 
+#: weight-outlier routing (auto mode): rows with at least this many spans are
+#: CANDIDATE heavy docs; the actual threshold is
+#: max(floor, factor x corpus mean spans/row), so a uniformly-heavy corpus
+#: routes nothing while a concentrated 100x tail is spread by the exchange.
+#: Measured: 500 oversized (~1400-span) docs concentrated in 2 input files
+#: made auto mode 4x slower than the full shuffle (one straggler task owned
+#: every heavy doc); routing them through the exchange restores parity.
+HEAVY_SPANS_FLOOR = 256
+HEAVY_SPANS_FACTOR = 16
+
+
+def _heavy_doc_hashes(pre: ray.data.Dataset) -> np.ndarray:
+    """Weight-outlier detector over the materialized precombined frontier:
+    doc-id hashes of rows whose span count >= max(HEAVY_SPANS_FLOOR,
+    HEAVY_SPANS_FACTOR x corpus mean spans/row).
+
+    One zero-shuffle pass: each batch ships its batch totals plus the
+    (hash, len) pairs of floor-exceeding CANDIDATES only (one binary blob —
+    outlier-bounded, never corpus-sized); the driver computes the relative
+    threshold from the totals and prunes the candidate list.  Auto mode
+    unions the result with the split-doc set so the streaming branch is
+    weight-homogeneous — a block that concentrates the oversized tail no
+    longer serializes one straggler task.
+    """
+    from ..functions.hashing import stable_hash64_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = batch.column("spans").combine_chunks().value_lengths() \
+            .fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = stable_hash64_column(batch.column("doc_id")).view(np.int64)
+        cand = lens >= HEAVY_SPANS_FLOOR
+        blob = np.concatenate([h[cand], lens[cand]]).tobytes()
+        return pa.table({
+            "blob": pa.array([blob], pa.binary()),
+            "n": pa.array([len(lens)], pa.int64()),
+            "s": pa.array([int(lens.sum())], pa.int64()),
+        })
+
+    rows = pre.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    mean = sum(r["s"] for r in rows) / n
+    thr = max(HEAVY_SPANS_FLOOR, HEAVY_SPANS_FACTOR * mean)
+    hs, ls = [], []
+    for r in rows:
+        arr = np.frombuffer(r["blob"], dtype=np.int64)
+        k = len(arr) // 2
+        hs.append(arr[:k])
+        ls.append(arr[k:])
+    h = np.concatenate(hs)
+    l = np.concatenate(ls)
+    return np.unique(h[l >= thr])
+
 
 #: below this row count the split-doc detector collects per-batch hash blobs
 #: to the driver (8 bytes/row — 400 MB at the hard cap, one cheap pass, no
@@ -279,7 +333,25 @@ def reassemble(
         return _shuffle_merge(pre, num_partitions)
     if mode != "auto":
         raise ValueError(f"unknown reassemble mode: {mode}")
+    whole, frag = _auto_parts(pre, num_partitions)
+    return whole if frag is None else whole.union(frag)
 
+
+def _auto_parts(
+    pre: ray.data.Dataset, num_partitions: int,
+) -> Tuple[ray.data.Dataset, Optional[ray.data.Dataset]]:
+    """Auto-mode reassembly split into its two streams: (whole, frag).
+
+    ``whole`` is the shuffle-free branch (docs already complete on the
+    precombined frontier, weight-outliers excluded); ``frag`` is the
+    exchanged branch (split docs + weight outliers), or None when nothing
+    routes / the fallback collapsed everything into one stream.  Callers
+    that apply a downstream per-batch stage should size the two branches'
+    batches differently: ``frag`` blocks are few-row but span-heavy, so a
+    row-count batch_size bundles them into one straggler task (measured:
+    521 routed 1400-span docs -> ONE 37 s extract task at batch_size=4096;
+    block-sized batches restore partition-wide parallelism).
+    """
     import ray as _ray
 
     from ..functions.hashing import stable_hash64_column
@@ -296,11 +368,18 @@ def reassemble(
     # all landed in one precombine batch is already merged and streams.
     pre = pre.materialize()
     split = _split_doc_hashes(pre)
-    if len(split) == 0:
-        return pre.map_batches(sort_spans_batch, batch_format="pyarrow")
     if len(split) > MAX_SPLIT_BROADCAST:
-        return _shuffle_merge(pre, num_partitions)
-    ref = _ray.put(split)  # sorted hash array, broadcast once
+        return _shuffle_merge(pre, num_partitions), None
+    # weight outliers route through the exchange too: the streaming branch
+    # keeps the input's block layout, so a block concentrating the oversized
+    # tail would otherwise serialize one straggler task (see
+    # _heavy_doc_hashes; measured 4x at 1% docs x 100x spans in 2 files)
+    route = np.union1d(split, _heavy_doc_hashes(pre))
+    if len(route) == 0:
+        return pre.map_batches(sort_spans_batch, batch_format="pyarrow"), None
+    if len(route) > MAX_SPLIT_BROADCAST:
+        return _shuffle_merge(pre, num_partitions), None
+    ref = _ray.put(route)  # sorted hash array, broadcast once
 
     def make_filter(keep_split: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -315,7 +394,7 @@ def reassemble(
                .map_batches(sort_spans_batch, batch_format="pyarrow")
     frag = _shuffle_merge(pre.map_batches(make_filter(True), batch_format="pyarrow"),
                           num_partitions)
-    return whole.union(frag)
+    return whole, frag
 
 
 # per-worker-process extractor cache for the task-based compute path:
@@ -358,13 +437,27 @@ def extract_pipeline(
     32 CPUs: tasks 54.8k docs/s vs actors ~34k.
     """
     ds = read_table(source, columns=["doc_id", "spans"]) if isinstance(source, str) else source
-    ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode)
+    frag = None
+    if mode == "auto":
+        # keep the two auto streams separate through extraction: the frag
+        # branch is few-row/span-heavy, so the row-count batch_size that is
+        # right for the whole branch bundles it into one straggler task
+        # (see _auto_parts) — it extracts with block-sized batches instead
+        # (one task per exchanged partition).
+        pre = ds.map_batches(precombine, batch_format="pyarrow")
+        ds, frag = _auto_parts(pre, _default_partitions())
+    else:
+        ds = reassemble(ds, assume_colocated=assume_colocated, mode=mode)
 
     if compute == "tasks":
         def extract_batch(batch: pa.Table) -> pa.Table:
             return _cached_extractor(strip_boilerplate, rules_version)(batch)
 
-        return ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+        out = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+        if frag is not None:
+            out = out.union(frag.map_batches(
+                extract_batch, batch_format="pyarrow", batch_size=None))
+        return out
 
     if concurrency is None:
         # callable classes require an explicit concurrency in Ray >= 2.9
@@ -372,14 +465,16 @@ def extract_pipeline(
 
         n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = (1, max(2, n_cpus))
-    return ds.map_batches(
-        FieldExtractor,
+    kw = dict(
         fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate,
                                "rules_version": rules_version},
         batch_format="pyarrow",
-        batch_size=batch_size,
         concurrency=concurrency,
     )
+    out = ds.map_batches(FieldExtractor, batch_size=batch_size, **kw)
+    if frag is not None:
+        out = out.union(frag.map_batches(FieldExtractor, batch_size=None, **kw))
+    return out
 
 
 def doc_info(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -20,6 +20,7 @@ __all__ = [
     "_q_dbscan_embeddings",
     "_q_label_propagation",
     "_q_dim_mi_ranking",
+    "_q_agg_view_incremental",
 ]
 
 _DAY_US = 86_400_000_000
@@ -153,3 +154,53 @@ def _q_dim_mi_ranking(sf_dir: str):
     t = dim_label_mi(_read(sf_dir, "embeddings", ["embedding", "label"]),
                      "embedding", "label")
     return _round_col(t, "mi", 6)
+
+
+def _q_agg_view_incremental(sf_dir: str):
+    """Incremental additive-aggregate view maintenance: the per-user
+    (count, fixed-point value sum) view is built from the even-event_id
+    half of the stream, bucketed at rest, then the odd half is merged in
+    with ZERO base exchange (one increment map pass into the bucket layout
+    + per-bucket local combine) — result must equal a full GROUP BY
+    recompute over the whole stream
+    (pipelines/cdc.py:merge_aggregate_bucketed)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+    from insurance_pdf_extractor_ray.pipelines.cdc import (
+        merge_aggregate_bucketed,
+    )
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def partials(half):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), half)
+            b = b.filter(keep)
+            v = b.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": b.column("user_id"),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "v_i6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            })
+        return f
+
+    view_root = tempfile.mkdtemp(prefix="ipe_aggview_")
+    base = ev.map_batches(partials(0), batch_format="pyarrow")
+    # compact the base half to one row per key before writing the view
+    from ray.data.aggregate import Sum
+
+    base_agg = base.groupby("user_id").aggregate(
+        Sum("n", alias_name="n"), Sum("v_i6", alias_name="v_i6"))
+    write_bucketed(base_agg, view_root, "user_id", 8)
+    inc = ev.map_batches(partials(1), batch_format="pyarrow")
+    out = merge_aggregate_bucketed(view_root, inc, "user_id",
+                                   ["n", "v_i6"])
+    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "v_i6": pa.array([r["v_i6"] for r in rows], pa.int64()),
+    })

@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_embeddings": _q_dbscan_embeddings,
         "label_propagation": _q_label_propagation,
         "dim_mi_ranking": _q_dim_mi_ranking,
+        "agg_view_incremental": _q_agg_view_incremental,
     }
 
 
@@ -3804,6 +3805,13 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN ms ON c.d = ms.d AND c.s = ms.s
             JOIN ml ON c.label = ml.label CROSS JOIN t
             GROUP BY 1 ORDER BY 1
+        """,
+        "agg_view_incremental": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS v_i6
+            FROM events GROUP BY 1 ORDER BY 1
         """,
     }
 

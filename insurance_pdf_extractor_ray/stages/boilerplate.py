@@ -59,3 +59,91 @@ def boilerplate_score(text: str) -> float:
 
 def is_boilerplate(text: str) -> bool:
     return boilerplate_score(text) >= 0.5
+
+
+def boilerplate_mask(texts) -> "object":
+    """Vectorized :func:`is_boilerplate` over a pyarrow string array —
+    returns a numpy bool mask, bit-identical to the scalar path.
+
+    The per-span Python scorer dominated oversized-doc extraction (measured
+    3.4 s of a 4.5 s / 50-doc profile at 1400 spans/doc).  Features are
+    computed over the array's raw UTF-8 buffer with numpy byte kernels
+    (Arrow's count_substring_regex is ~50x slower than the cumsum trick
+    here): per-row alnum-char and word-run counts via one cumulative sum
+    indexed at the offset boundaries.  Exactness contract: rows that are
+    pure ASCII and contain no menu-separator char take the vector path,
+    where every feature provably equals the Python definitions (byte
+    length == code-point length, byte classes == re classes on ASCII);
+    rows with non-ASCII bytes (Unicode \\s / \\d class differences) or any
+    ``|``/``>`` (nav-segment scoring needs per-segment word counts) fall
+    back to the scalar scorer row-by-row — rare in document text, always
+    correct.  Only the two anchor patterns (page-number, copyright) stay
+    RE2 kernels; both are cheap.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts, "")
+    if t.type == pa.large_string():
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    n = len(t)
+    if n == 0:
+        return np.zeros(0, bool)
+    off = np.frombuffer(t.buffers()[1], off_dtype)[
+        t.offset: t.offset + n + 1].astype(np.int64)
+    # slice the shared value buffer to THIS array's byte range — a sliced
+    # batch otherwise pays cumsum over the whole parent buffer
+    base = off[0]
+    data = np.frombuffer(t.buffers()[2], np.uint8)[base:off[-1]]
+    off = off - base
+    lo, hi = off[:-1], off[1:]
+    length = hi - lo
+
+    def row_counts(mask: "np.ndarray") -> "np.ndarray":
+        # uint8 view + int32 cumsum: numpy's bool cumsum casts per element,
+        # ~6x slower than the same scan over the raw byte view
+        c = np.concatenate([np.zeros(1, np.int32),
+                            np.cumsum(mask.view(np.uint8), dtype=np.int32)])
+        return (c[hi] - c[lo]).astype(np.int64)
+
+    alnum_b = ((data >= 48) & (data <= 57)) | \
+              ((data >= 65) & (data <= 90)) | \
+              ((data >= 97) & (data <= 122))
+    ws_b = (data == 32) | ((data >= 9) & (data <= 13))
+    non_ascii = row_counts(data >= 128) > 0
+    has_sep = row_counts((data == 124) | (data == 62)) > 0
+    vec = ~non_ascii & ~has_sep
+
+    alnum = row_counts(alnum_b)
+    # word runs: alnum byte whose predecessor is not alnum; row starts are
+    # forced run starts (the predecessor byte belongs to another row)
+    run = alnum_b.copy()
+    run[1:] &= ~alnum_b[:-1]
+    inbounds = lo[length > 0]
+    run[inbounds] = alnum_b[inbounds]
+    n_words = row_counts(run)
+    blank = row_counts(ws_b) == length  # zero-length rows are blank too
+
+    page = pc.match_substring_regex(
+        t, r"(?i)^[\s\v]*page[\s\v]+[0-9]+([\s\v]+of[\s\v]+[0-9]+)?[\s\v]*$"
+    ).to_numpy(zero_copy_only=False)
+    cpy = pc.match_substring_regex(
+        t, r"(?i)\(c\)[\s\v]*[0-9]{4}|copyright|all rights reserved"
+    ).to_numpy(zero_copy_only=False)
+    # the © alternative is non-ASCII — vector-path rows can never hit it
+
+    # score >= 0.5 needs both 0.3 features (short AND low-density)
+    both = (n_words <= 3) & (alnum * 2 < length)
+    out = ~blank & (page | cpy | both)
+
+    fb = np.flatnonzero(~vec)
+    if len(fb):
+        tl = t.take(pa.array(fb, pa.int64())).to_pylist()
+        for j, s in zip(fb, tl):
+            out[j] = is_boilerplate(s)
+    return out

@@ -29,7 +29,7 @@ from ..config import FIELD_ORDER, LABEL_TO_FIELD
 from ..functions.confidence import calculate_confidence_scores, extract_failed_fields
 from ..functions.normalize import US_STATES, clean_text_field
 from ..schema import FIELDS_STRUCT, SPAN_STRUCT
-from .boilerplate import is_boilerplate
+from .boilerplate import boilerplate_mask, is_boilerplate
 from .validate import validate_record
 
 EMPTY = "EMPTY VALUE"
@@ -135,10 +135,13 @@ class FieldExtractor:
         }
 
     # -- vectorized document core --------------------------------------------
-    def extract_doc_arrays(self, kinds, texts, medias):
+    def extract_doc_arrays(self, kinds, texts, medias, boiler=None):
         """Same semantics as :meth:`extract_doc` over parallel span arrays
         (already offset-ordered).  Returns (raw_fields_dict, response_text,
-        kept_indices) — the hot inner loop with no dict-per-span overhead."""
+        kept_indices) — the hot inner loop with no dict-per-span overhead.
+        ``boiler`` is an optional precomputed per-span boilerplate mask
+        (``boilerplate_mask`` over the whole batch — bit-identical to the
+        scalar test, ~40x cheaper on span-heavy docs)."""
         raw: Dict[str, str] = dict(self._empty_raw)
         kept = []
         text_parts: List[str] = []
@@ -150,7 +153,9 @@ class FieldExtractor:
             kind = kinds[i]
             if kind in self.text_kinds:
                 text = texts[i] or ""
-                if self.strip_boilerplate and is_boilerplate(text):
+                if self.strip_boilerplate and (
+                        boiler[i] if boiler is not None
+                        else is_boilerplate(text)):
                     continue
                 text_parts.append(text)
                 for line in text.split("\n"):
@@ -165,7 +170,10 @@ class FieldExtractor:
                         if sp and sp.group(1) in US_STATES:
                             amt = int(round(float(sp.group(3).replace(",", ""))))
                             state_premiums.append(f"{sp.group(1)} - {sp.group(2)} - {amt}")
-                    if excl_unset:
+                    # cheap substring gate before the two exclusion regex
+                    # scans — filler lines never contain 'xcluded' (70% of
+                    # oversized-doc line-loop time was these two searches)
+                    if excl_unset and "xcluded" in line:
                         lit = self.excl_literal_re.search(line)
                         if lit and lit.group(1) in US_STATES:
                             raw["workers_comp_exclusion_description"] = f"{lit.group(1)}-Excluded"
@@ -209,6 +217,16 @@ class FieldExtractor:
         kinds_a = flat.field(0).to_numpy(zero_copy_only=False)
         texts_a = flat.field(1).to_numpy(zero_copy_only=False)
         medias_a = flat.field(2).to_numpy(zero_copy_only=False)
+        # one vectorized boilerplate pass over every span in the batch
+        # (numpy byte kernels; bit-identical to the scalar test) — the
+        # per-span Python scorer was 70% of oversized-doc extraction time
+        boiler_a = (boilerplate_mask(flat.field(1))
+                    if self.strip_boilerplate else None)
+        # vectorized clean_text_field fast-path test: spans the dirty mask
+        # clears pass through unchanged, the rest take the scalar cleaner
+        from ..functions.normalize import dirty_text_mask
+
+        dirty_a = dirty_text_mask(flat.field(1))
 
         import numpy as np
 
@@ -238,7 +256,9 @@ class FieldExtractor:
             kinds = kinds_a[lo:hi]
             texts = texts_a[lo:hi]
             medias = medias_a[lo:hi]
-            raw, response_text, kept = self.extract_doc_arrays(kinds, texts, medias)
+            raw, response_text, kept = self.extract_doc_arrays(
+                kinds, texts, medias,
+                boiler=None if boiler_a is None else boiler_a[lo:hi])
             gate_errors, gate_warnings = self.doc_gates(kinds, texts, response_text)
             if gate_errors:
                 fields = dict(self._empty_raw)
@@ -267,7 +287,8 @@ class FieldExtractor:
             for i in kept:
                 kind = kinds[i]
                 if kind in self.text_kinds:
-                    txt = clean_text_field(texts[i] or "")
+                    txt = (texts[i] or "") if not dirty_a[lo + i] \
+                        else clean_text_field(texts[i] or "")
                     if not title and kind == "heading" and txt:
                         title = txt
                     if preview_len < self.PREVIEW_CHARS:

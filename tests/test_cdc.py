@@ -249,3 +249,75 @@ class TestSnapshotDiff:
                        AND o.v IS NOT DISTINCT FROM n.v)
         """).fetchall())
         assert got == want
+
+
+class TestMergeAggregateBucketed:
+    def _partials(self, rows):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows], pa.int64()),
+        })).repartition(2)
+
+    def _view(self, tmp_path, rows, n_buckets=4):
+        from insurance_pdf_extractor_ray.pipelines.bucketed import (
+            write_bucketed,
+        )
+
+        return write_bucketed(self._partials(rows), str(tmp_path / "view"),
+                              "k", n_buckets)
+
+    def test_adds_inserts_and_passthrough(self, tmp_path):
+        from insurance_pdf_extractor_ray.pipelines.cdc import (
+            merge_aggregate_bucketed,
+        )
+
+        view = self._view(tmp_path, [(1, 2, 10), (2, 1, 5), (3, 4, 40)])
+        inc = self._partials([(1, 1, 7), (1, 1, 3), (9, 1, 100)])
+        out = merge_aggregate_bucketed(view, inc, "k", ["n", "s"])
+        got = {r["k"]: (r["n"], r["s"]) for r in out.take_all()}
+        assert got == {1: (4, 20),      # 2+1+1 / 10+7+3
+                       2: (1, 5),       # untouched passthrough
+                       3: (4, 40),      # untouched passthrough
+                       9: (1, 100)}     # brand-new key inserts
+
+    def test_equals_full_recompute_over_increments(self, tmp_path):
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.pipelines.bucketed import (
+            write_bucketed,
+        )
+        from insurance_pdf_extractor_ray.pipelines.cdc import (
+            merge_aggregate_bucketed,
+        )
+
+        rng = np.random.RandomState(11)
+        all_rows = [(int(k), 1, int(v)) for k, v in
+                    zip(rng.randint(0, 40, 300), rng.randint(0, 1000, 300))]
+        base, inc1, inc2 = all_rows[:100], all_rows[100:200], all_rows[200:]
+        view = self._view(tmp_path, base, n_buckets=5)
+        mid = merge_aggregate_bucketed(view, self._partials(inc1),
+                                       "k", ["n", "s"])
+        view2 = write_bucketed(mid, str(tmp_path / "view2"), "k", 5)
+        out = merge_aggregate_bucketed(view2, self._partials(inc2),
+                                       "k", ["n", "s"])
+        got = {r["k"]: (r["n"], r["s"]) for r in out.take_all()}
+        want: dict = {}
+        for k, n, s in all_rows:
+            a, b = want.get(k, (0, 0))
+            want[k] = (a + n, b + s)
+        assert got == want
+
+    def test_empty_increment_is_identity(self, tmp_path):
+        from insurance_pdf_extractor_ray.pipelines.cdc import (
+            merge_aggregate_bucketed,
+        )
+
+        view = self._view(tmp_path, [(1, 2, 10), (7, 1, 5)])
+        out = merge_aggregate_bucketed(view, self._partials([]),
+                                       "k", ["n", "s"])
+        got = {r["k"]: (r["n"], r["s"]) for r in out.take_all()}
+        assert got == {1: (2, 10), 7: (1, 5)}

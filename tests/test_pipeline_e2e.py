@@ -167,3 +167,45 @@ def test_malformed_spans_survive(ray_session):
     assert by_id["ok-1"]["fields"]["quote_number"] is not None
     for did in ("null-text", "empty-spans", "media-only"):
         assert by_id[did]["status"] is not None  # classified, not crashed
+
+
+def test_auto_mode_routes_weight_outliers(ray_session):
+    """auto mode must spread a concentrated oversized tail through the
+    exchange: output identical to the full shuffle, and the heavy docs'
+    hashes must be in the routed set (pipelines/extraction.py:
+    _heavy_doc_hashes).  Measured 4x straggler collapse without this."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from insurance_pdf_extractor_ray.functions.hashing import (
+        stable_hash64_column,
+    )
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        _heavy_doc_hashes,
+        precombine,
+    )
+
+    light = synth.docs_table(range(300))                 # ~14 spans/doc
+    heavy = synth.docs_table(range(300, 306), text_scale=100)
+    # heavy docs concentrated in their own block (the adversarial layout)
+    ds = ray.data.from_arrow(light).repartition(8) \
+        .union(ray.data.from_arrow(heavy))
+
+    shuf = {r["doc_id"]: r for r in
+            extract_pipeline(ds, mode="shuffle").take_all()}
+    auto = {r["doc_id"]: r for r in
+            extract_pipeline(ds, mode="auto").take_all()}
+    assert set(shuf) == set(auto) and len(auto) == 306
+    for k in shuf:
+        assert shuf[k]["n_spans"] == auto[k]["n_spans"]
+        assert [s["offset"] for s in shuf[k]["spans_out"]] == \
+            [s["offset"] for s in auto[k]["spans_out"]]
+
+    pre = ds.map_batches(precombine, batch_format="pyarrow").materialize()
+    routed = _heavy_doc_hashes(pre)
+    hh = stable_hash64_column(heavy.column("doc_id")).view(np.int64)
+    assert np.isin(np.unique(hh), routed).all()
+    # light docs must NOT be routed (threshold is relative to corpus mean)
+    lh = stable_hash64_column(light.column("doc_id")).view(np.int64)
+    assert not np.isin(np.unique(lh), routed).any()
