@@ -284,22 +284,13 @@ def dirty_text_mask(texts) -> "object":
     so semantics are unchanged, only speed.
     """
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    t = pc.fill_null(texts, "")
-    off_dtype = np.int64 if t.type == pa.large_string() else np.int32
+    from .bytekernels import row_any, string_buffer
+
+    data, lo, hi, t = string_buffer(texts)
     n = len(t)
     if n == 0:
         return np.zeros(0, bool)
-    off = np.frombuffer(t.buffers()[1], off_dtype)[
-        t.offset: t.offset + n + 1].astype(np.int64)
-    base = off[0]
-    data = np.frombuffer(t.buffers()[2], np.uint8)[base:off[-1]]
-    off = off - base
-    lo, hi = off[:-1], off[1:]
     nonempty = hi > lo
 
     ws = (data == 32) | ((data >= 9) & (data <= 13))
@@ -310,12 +301,7 @@ def dirty_text_mask(texts) -> "object":
         dbl[:-1] = ws[:-1] & ws[1:]
         dbl[hi[nonempty] - 1] = False   # pair crossing a row boundary
 
-    def row_any(mask: "np.ndarray") -> "np.ndarray":
-        c = np.concatenate([np.zeros(1, np.int32),
-                            np.cumsum(mask.view(np.uint8), dtype=np.int32)])
-        return c[hi] > c[lo]
-
-    out = row_any(odd_ws | non_ascii | dbl)
+    out = row_any(odd_ws | non_ascii | dbl, lo, hi)
     edge = np.zeros(n, bool)
     edge[nonempty] = ws[lo[nonempty]] | ws[hi[nonempty] - 1]
     return out | edge

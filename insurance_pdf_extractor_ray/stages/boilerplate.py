@@ -84,50 +84,31 @@ def boilerplate_mask(texts) -> "object":
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    t = pc.fill_null(texts, "")
-    if t.type == pa.large_string():
-        off_dtype = np.int64
-    else:
-        off_dtype = np.int32
+    from ..functions.bytekernels import row_sums, string_buffer
+
+    data, lo, hi, t = string_buffer(texts)
     n = len(t)
     if n == 0:
         return np.zeros(0, bool)
-    off = np.frombuffer(t.buffers()[1], off_dtype)[
-        t.offset: t.offset + n + 1].astype(np.int64)
-    # slice the shared value buffer to THIS array's byte range — a sliced
-    # batch otherwise pays cumsum over the whole parent buffer
-    base = off[0]
-    data = np.frombuffer(t.buffers()[2], np.uint8)[base:off[-1]]
-    off = off - base
-    lo, hi = off[:-1], off[1:]
     length = hi - lo
-
-    def row_counts(mask: "np.ndarray") -> "np.ndarray":
-        # uint8 view + int32 cumsum: numpy's bool cumsum casts per element,
-        # ~6x slower than the same scan over the raw byte view
-        c = np.concatenate([np.zeros(1, np.int32),
-                            np.cumsum(mask.view(np.uint8), dtype=np.int32)])
-        return (c[hi] - c[lo]).astype(np.int64)
 
     alnum_b = ((data >= 48) & (data <= 57)) | \
               ((data >= 65) & (data <= 90)) | \
               ((data >= 97) & (data <= 122))
     ws_b = (data == 32) | ((data >= 9) & (data <= 13))
-    non_ascii = row_counts(data >= 128) > 0
-    has_sep = row_counts((data == 124) | (data == 62)) > 0
+    non_ascii = row_sums(data >= 128, lo, hi) > 0
+    has_sep = row_sums((data == 124) | (data == 62), lo, hi) > 0
     vec = ~non_ascii & ~has_sep
 
-    alnum = row_counts(alnum_b)
+    alnum = row_sums(alnum_b, lo, hi)
     # word runs: alnum byte whose predecessor is not alnum; row starts are
     # forced run starts (the predecessor byte belongs to another row)
     run = alnum_b.copy()
     run[1:] &= ~alnum_b[:-1]
     inbounds = lo[length > 0]
     run[inbounds] = alnum_b[inbounds]
-    n_words = row_counts(run)
-    blank = row_counts(ws_b) == length  # zero-length rows are blank too
+    n_words = row_sums(run, lo, hi)
+    blank = row_sums(ws_b, lo, hi) == length  # zero-length rows are blank
 
     page = pc.match_substring_regex(
         t, r"(?i)^[\s\v]*page[\s\v]+[0-9]+([\s\v]+of[\s\v]+[0-9]+)?[\s\v]*$"
