@@ -50,10 +50,15 @@ def row_sums(mask: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     n = len(lo)
     if n == 0:
         return np.empty(0, np.int64)
+    out = np.zeros(n, np.int64)
     if len(mask) == 0:
-        return np.zeros(n, np.int64)
-    idx = np.minimum(lo, len(mask) - 1)  # trailing empty rows: clip in-bounds
-    out = np.add.reduceat(mask, idx, dtype=np.int32).astype(np.int64)
+        return out
+    # trailing empty rows have lo == len(mask) (out of bounds for reduceat);
+    # lo is non-decreasing, so the in-bounds rows are a prefix — reduceat
+    # over that prefix only (clipping instead would steal bytes from the
+    # previous row's segment)
+    k = int(np.searchsorted(lo, len(mask), side="left"))
+    out[:k] = np.add.reduceat(mask, lo[:k], dtype=np.int32)
     out[lo == hi] = 0  # duplicate indices return mask[lo], not 0
     return out
 
