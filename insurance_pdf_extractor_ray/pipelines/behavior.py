@@ -392,24 +392,33 @@ def transition_counts(
     memory contract as ``session_windows``.
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        items = group.column(item_col).combine_chunks()
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        items = part.column(item_col).combine_chunks()
         n = len(items)
         if n < 2:
             return pa.table({"from_item": pa.array([], items.type),
                              "to_item": pa.array([], items.type),
                              "_n": pa.array([], pa.int64())})
+        # adjacency only counts within a key's run (key-change rows mask out)
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        same_key = pa.array(keys_np[1:] == keys_np[:-1])
         t = pa.table({"from_item": items.slice(0, n - 1),
-                      "to_item": items.slice(1, n)})
+                      "to_item": items.slice(1, n)}).filter(same_key)
+        if t.num_rows == 0:
+            return pa.table({"from_item": pa.array([], items.type),
+                             "to_item": pa.array([], items.type),
+                             "_n": pa.array([], pa.int64())})
         g = t.group_by(["from_item", "to_item"]).aggregate([([], "count_all")])
         return g.rename_columns(["from_item", "to_item", "_n"]).set_column(
             2, "_n", g.column("count_all").cast(pa.int64()))
 
-    partials = ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    partials = keyed_partition_map(ds, key_col, per_partition)
     return partials.groupby(["from_item", "to_item"]).aggregate(
         Sum("_n", alias_name=alias))
 

@@ -8,11 +8,11 @@ groups rows per document regardless of attempt count); at corpus scale the
 same shape answers "merged outage windows", "user active periods",
 "coalesced span coverage".
 
-Scale shape: ONE keyed shuffle (``groupby(key).map_groups``); the per-key
-interior is a sort + ``np.maximum.accumulate`` running end + one
-``np.add.reduceat`` fold per island — no per-row Python.  The same per-key
-memory contract as ``session_windows`` applies (a key's intervals must fit
-one worker; salt upstream if violated).
+Scale shape: ONE ``hash(key) % P`` exchange (``dsutil.keyed_partition_map``
+— one vectorized call per PARTITION, not per key); the interior is a
+lexsort + a segmented prefix-max scan + ``reduceat`` folds — no per-row or
+per-key Python.  Memory contract is per-partition (≈ rows / P), the same
+worst case as Ray's own groupby shuffle.
 """
 
 from __future__ import annotations
@@ -41,24 +41,54 @@ def merge_intervals_by_key(
     Start/end are int64 (cast timestamps to epoch-us upstream).
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        group = group.take(pc.sort_indices(
-            group, sort_keys=[(start_col, "ascending"),
-                              (end_col, "ascending")]))
-        s = group.column(start_col).cast(pa.int64()) \
-                 .to_numpy(zero_copy_only=False)
-        e = group.column(end_col).cast(pa.int64()) \
-                 .to_numpy(zero_copy_only=False)
-        run_end = np.maximum.accumulate(e)
-        # row i starts a new island iff its start clears every prior end
-        brk = np.empty(len(s), dtype=bool)
+    def per_partition(part: pa.Table) -> pa.Table:
+        """All keys of one hash partition in ONE vectorized pass: lexsort by
+        (key, start, end), then island detection with a key-boundary guard.
+        The within-key running coverage end is a SEGMENTED prefix max
+        (Hillis–Steele doubling scan — log2(n) vectorized passes, exact in
+        int64), replacing the per-group ``np.maximum.accumulate``."""
+        n = part.num_rows
+        if n == 0:
+            ktype = part.column(key_col).type
+            return pa.table({
+                key_col: pa.array([], ktype),
+                start_col: pa.array([], pa.int64()),
+                end_col: pa.array([], pa.int64()),
+                count_alias: pa.array([], pa.int64()),
+            })
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(key_col, "ascending"),
+                             (start_col, "ascending"),
+                             (end_col, "ascending")]))
+        s = part.column(start_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        e = part.column(end_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        # segmented prefix max of e within each key run
+        run_end = e.copy()
+        seg = np.cumsum(new_key) - 1
+        lo = np.iinfo(np.int64).min
+        shift = 1
+        while shift < n:
+            ok = seg[shift:] == seg[:-shift]
+            np.maximum(run_end[shift:],
+                       np.where(ok, run_end[:-shift], lo),
+                       out=run_end[shift:])
+            shift <<= 1
+        # row i starts a new island iff it opens a new key or its start
+        # clears every prior end within the key
+        brk = np.empty(n, dtype=bool)
         brk[0] = True
-        brk[1:] = s[1:] > run_end[:-1] + min_gap
+        brk[1:] = new_key[1:] | (s[1:] > run_end[:-1] + min_gap)
         starts = np.flatnonzero(brk)
-        ends = np.append(starts[1:], len(s))
+        ends = np.append(starts[1:], n)
         island_start = s[starts]
         island_end = np.maximum.reduceat(e, starts)
-        key = group.column(key_col).take(pa.array(starts, pa.int64()))
+        key = part.column(key_col).take(pa.array(starts, pa.int64()))
         return pa.table({
             key_col: key,
             start_col: pa.array(island_start, pa.int64()),
@@ -66,7 +96,9 @@ def merge_intervals_by_key(
             count_alias: pa.array(ends - starts, pa.int64()),
         })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def merge_intervals_sql(table: str, key: str, start: str, end: str,

@@ -80,13 +80,15 @@ def grouped_top_k(
     def partial(batch: pa.Table) -> pa.Table:
         return _per_key_head(batch, key, order_by, descending, k)
 
-    def final(group: pa.Table) -> pa.Table:
-        return _per_key_head(group, key, order_by, descending, k)
+    # _per_key_head is multi-key vectorized, so the reduce side runs one
+    # call per hash PARTITION (dsutil.keyed_partition_map) instead of one
+    # Python dispatch per key — same exchange, O(P) not O(keys) overhead.
+    from ..dsutil import keyed_partition_map
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(final, batch_format="pyarrow")
+    out = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key,
+        lambda part: _per_key_head(part, key, order_by, descending, k),
     )
     if columns:
         out = out.select_columns(columns)

@@ -102,45 +102,59 @@ def session_windows(
     event exceeds ``gap_us``.  Returns (key, session_id, n, start_us, end_us);
     session_id is 0-based per key in event-time order.
 
-    Partitioning assumption: one key's events fit one worker's memory (the
-    ``groupby(key).map_groups`` contract).  For hot keys beyond that, salt
-    the key with a coarse time epoch (e.g. day) first and merge sessions
-    across epoch boundaries in a second, much smaller pass — the interior is
-    already fully vectorized (boundary-index slicing, no per-session scan).
+    Partitioning: ONE ``hash(key) % P`` exchange (``dsutil.
+    keyed_partition_map``) with one vectorized call per PARTITION — a
+    partition (≈ rows / P) must fit one worker, the same worst case as
+    Ray's own groupby shuffle.  For hot keys whose stream dwarfs a
+    partition, salt the key with a coarse time epoch (e.g. day) first and
+    merge sessions across epoch boundaries in a second, much smaller pass
+    (:func:`session_windows_salted`).
     """
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        key = group.column(key_col)[0].as_py()
-        us = _ts_us(group, ts_col).to_numpy()
+    def sessionize(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        ktype = part.column(key_col).type
+        if n == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({
+                key_col: pa.array([], ktype),
+                "session_id": pa.array(z, pa.int64()),
+                "n": pa.array(z, pa.int64()),
+                "start_us": pa.array(z, pa.int64()),
+                "end_us": pa.array(z, pa.int64()),
+            })
+        # all keys of the partition in one pass: sort by
+        # (key, ts[, tiebreak]), session breaks = key change OR gap > gap_us
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if tiebreak_col is not None:
-            tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, us))
-        else:
-            order = np.argsort(us, kind="stable")
-        us = us[order]
-        if len(us) == 0:
-            n_sessions = 0
-            starts = ends = counts = np.zeros(0, dtype=np.int64)
-        else:
-            # session boundaries are where the gap exceeds gap_us; sessions are
-            # contiguous runs in the sorted array, so reduceat-style slicing on
-            # the boundary indices replaces the O(sessions x rows) masked scan
-            bounds = np.flatnonzero(np.diff(us) > gap_us) + 1
-            first = np.concatenate(([0], bounds))          # first row of each session
-            last = np.concatenate((bounds - 1, [len(us) - 1]))  # last row of each
-            n_sessions = len(first)
-            starts = us[first]
-            ends = us[last]
-            counts = np.diff(np.concatenate((first, [len(us)])))
+            sort_keys.append((tiebreak_col, "ascending"))
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        us = _ts_us(part, ts_col).to_numpy()
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        brk = new_key.copy()
+        brk[1:] |= np.diff(us) > gap_us
+        first = np.flatnonzero(brk)                 # first row of each session
+        last = np.append(first[1:] - 1, n - 1)      # last row of each session
+        counts = np.diff(np.append(first, n))
+        # session_id restarts at 0 per key: island ordinal minus the ordinal
+        # of the key's first island (islands of one key are contiguous)
+        iid = np.arange(len(first), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(new_key[first], iid, 0))
+        key_arr = part.column(key_col).take(pa.array(first, pa.int64()))
         return pa.table({
-            key_col: pa.array([key] * n_sessions, group.column(key_col).type),
-            "session_id": pa.array(np.arange(n_sessions), pa.int64()),
+            key_col: key_arr,
+            "session_id": pa.array(iid - base, pa.int64()),
             "n": pa.array(counts, pa.int64()),
-            "start_us": pa.array(starts, pa.int64()),
-            "end_us": pa.array(ends, pa.int64()),
+            "start_us": pa.array(us[first], pa.int64()),
+            "end_us": pa.array(us[last], pa.int64()),
         })
 
-    return ds.groupby(key_col).map_groups(sessionize, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, sessionize)
 
 
 def session_windows_salted(
@@ -173,57 +187,78 @@ def session_windows_salted(
             cols[tiebreak_col] = batch.column(tiebreak_col)
         return pa.table(cols)
 
-    def sessionize_local(group: pa.Table) -> pa.Table:
-        key = group.column(key_col)[0].as_py()
-        us = group.column("__us").to_numpy()
+    def sessionize_local(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        ktype = part.column(key_col).type
+        if n == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({key_col: pa.array([], ktype),
+                             "start_us": pa.array(z), "end_us": pa.array(z),
+                             "n": pa.array(z)})
+        sort_keys = [(key_col, "ascending"), ("__epoch", "ascending"),
+                     ("__us", "ascending")]
         if tiebreak_col is not None:
-            tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, us))
-        else:
-            order = np.argsort(us, kind="stable")
-        us = us[order]
-        bounds = np.flatnonzero(np.diff(us) > gap_us) + 1
-        first = np.concatenate(([0], bounds))
-        last = np.concatenate((bounds - 1, [len(us) - 1]))
-        counts = np.diff(np.concatenate((first, [len(us)])))
+            sort_keys.append((tiebreak_col, "ascending"))
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        us = part.column("__us").to_numpy()
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        ep = part.column("__epoch").to_numpy(zero_copy_only=False)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = ((keys_np[1:] != keys_np[:-1]) | (ep[1:] != ep[:-1])
+                   | (np.diff(us) > gap_us))
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:] - 1, n - 1)
+        counts = np.diff(np.append(first, n))
         return pa.table({
-            key_col: pa.array([key] * len(first), group.column(key_col).type),
+            key_col: part.column(key_col).take(pa.array(first, pa.int64())),
             "start_us": pa.array(us[first], pa.int64()),
             "end_us": pa.array(us[last], pa.int64()),
             "n": pa.array(counts, pa.int64()),
         })
 
-    def merge_sessions(group: pa.Table) -> pa.Table:
-        key = group.column(key_col)[0].as_py()
-        starts = group.column("start_us").to_numpy()
-        ends = group.column("end_us").to_numpy()
-        ns = group.column("n").to_numpy()
-        order = np.lexsort((ends, starts))
-        starts, ends, ns = starts[order], ends[order], ns[order]
+    def merge_sessions(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        ktype = part.column(key_col).type
+        if n == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return pa.table({key_col: pa.array([], ktype),
+                             "session_id": pa.array(z), "n": pa.array(z),
+                             "start_us": pa.array(z), "end_us": pa.array(z)})
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(key_col, "ascending"),
+                             ("start_us", "ascending"),
+                             ("end_us", "ascending")]))
+        starts = part.column("start_us").to_numpy()
+        ends = part.column("end_us").to_numpy()
+        ns = part.column("n").to_numpy()
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
         # adjacent local sessions merge when the inter-gap closes; local
         # sessions never overlap (they come from disjoint epoch slices)
-        brk = np.ones(len(starts), dtype=bool)
-        if len(starts) > 1:
-            brk[1:] = (starts[1:] - ends[:-1]) > gap_us
-        sid = np.cumsum(brk) - 1
-        n_out = sid[-1] + 1 if len(starts) else 0
+        brk = new_key.copy()
+        brk[1:] |= (starts[1:] - ends[:-1]) > gap_us
         first = np.flatnonzero(brk)
-        last = np.concatenate((first[1:] - 1, [len(starts) - 1]))
+        last = np.append(first[1:] - 1, n - 1)
         counts = np.add.reduceat(ns, first)
+        iid = np.arange(len(first), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(new_key[first], iid, 0))
         return pa.table({
-            key_col: pa.array([key] * n_out, group.column(key_col).type),
-            "session_id": pa.array(np.arange(n_out), pa.int64()),
+            key_col: part.column(key_col).take(pa.array(first, pa.int64())),
+            "session_id": pa.array(iid - base, pa.int64()),
             "n": pa.array(counts, pa.int64()),
             "start_us": pa.array(starts[first], pa.int64()),
             "end_us": pa.array(ends[last], pa.int64()),
         })
 
-    local = (
-        ds.map_batches(add_epoch, batch_format="pyarrow")
-        .groupby([key_col, "__epoch"])
-        .map_groups(sessionize_local, batch_format="pyarrow")
-    )
-    return local.groupby(key_col).map_groups(merge_sessions, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    local = keyed_partition_map(
+        ds.map_batches(add_epoch, batch_format="pyarrow"),
+        [key_col, "__epoch"], sessionize_local)
+    return keyed_partition_map(local, key_col, merge_sessions)
 
 
 def rolling_by_key(
@@ -356,30 +391,37 @@ def debounce_by_key(
     interior is a sort + two vectorized shifted compares.  Note the SQL
     semantics are *non-cascading*: each row compares against its raw
     predecessor, so of three rapid repeats the 1st and 3rd survive (row 3's
-    predecessor is row 2, dropped or not).  Same per-key memory contract as
-    ``session_windows``.
+    predecessor is row 2, dropped or not).  ONE ``hash(key) % P`` exchange
+    with one vectorized call per partition (``dsutil.keyed_partition_map``);
+    per-partition memory contract, same as ``session_windows``.
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        n = group.num_rows
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        n = part.num_rows
         if n <= 1:
-            return group
-        sig = group.column(signal_col).combine_chunks()
-        ts = group.column(ts_col).combine_chunks().cast(pa.int64())
+            return part
+        sig = part.column(signal_col).combine_chunks()
+        ts = part.column(ts_col).combine_chunks().cast(pa.int64())
         same = pc.equal(sig.slice(1, n - 1), sig.slice(0, n - 1))
         close = pc.less_equal(
             pc.subtract(ts.slice(1, n - 1), ts.slice(0, n - 1)), gap)
         drop = pc.and_kleene(same, close)  # null signal/ts -> null -> keep
-        keep = np.ones(n, dtype=bool)
-        keep[1:] = ~np.asarray(
+        drop_np = np.asarray(
             drop.fill_null(False).to_numpy(zero_copy_only=False))
-        return group.filter(pa.array(keep))
+        # a row never debounces against the previous KEY's last row
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        same_key = keys_np[1:] == keys_np[:-1]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~(drop_np & same_key)
+        return part.filter(pa.array(keep))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def range_rolling_by_key(
