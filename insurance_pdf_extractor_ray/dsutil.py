@@ -118,3 +118,41 @@ def keyed_partition_map(
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__part")
               .map_groups(run, batch_format="pyarrow"))
+
+
+def distinct_rows_by(
+    ds: ray.data.Dataset,
+    key_cols,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """``DISTINCT ON (key_cols)`` keeping one deterministic row per key
+    (the first under an ascending sort of the key columns) — the partition-
+    map replacement for ``groupby(keys).map_groups(lambda g: g.slice(0, 1))``,
+    which pays a Python dispatch per key.  ONE hash exchange; interior is a
+    sort + first-occurrence run mask."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+
+    def first_per_key(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n <= 1:
+            return part
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(k, "ascending") for k in key_cols]))
+        same = np.ones(n - 1, dtype=bool)
+        for k in key_cols:
+            col = part.column(k).combine_chunks()
+            cur, prev = col.slice(1, n - 1), col.slice(0, n - 1)
+            eq = pc.fill_null(pc.equal(cur, prev), False)
+            both_null = pc.and_(pc.is_null(cur), pc.is_null(prev))
+            same &= pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~same
+        return part.filter(pa.array(keep))
+
+    return keyed_partition_map(ds, key_cols, first_per_key,
+                               num_partitions=num_partitions)

@@ -121,21 +121,41 @@ def funnel_counts(
         batch = batch.select([user_col, ts_col, type_col])
         return batch.filter(pc.is_in(batch.column(type_col), value_set=step_set))
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        types = np.asarray(group.column(type_col).to_pylist())
-        done = 0
-        prev = -np.inf
+    def per_partition(part: pa.Table) -> pa.Table:
+        """All users of the partition at once: K vectorized sweeps (one per
+        funnel step), each a masked ``np.minimum.reduceat`` over the
+        user-sorted rows — no per-user Python."""
+        n = part.num_rows
+        ktype = part.column(user_col).type
+        if n == 0:
+            return pa.table({user_col: pa.array([], ktype),
+                             "n_completed": pa.array([], pa.int64())})
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(user_col, "ascending")]))
+        ts = part.column(ts_col).cast(pa.int64()) \
+                 .to_numpy(zero_copy_only=False)
+        type_arr = part.column(type_col)
+        keys_np = part.column(user_col).to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        n_users = len(starts)
+        lo64, hi64 = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        prev = np.full(n_users, lo64, np.int64)   # "-inf": first step passes
+        done = np.zeros(n_users, np.int64)
+        alive = np.ones(n_users, bool)
         for s in steps:
-            cand = ts[(types == s) & (ts > prev)]
-            if cand.size == 0:
-                break
-            prev = cand.min()
-            done += 1
+            m = pc.equal(type_arr, s).to_numpy(zero_copy_only=False)
+            cand = np.where(m & (ts > prev[seg]) & alive[seg], ts, hi64)
+            step_min = np.minimum.reduceat(cand, starts)
+            alive &= step_min < hi64
+            prev = np.where(alive, step_min, prev)
+            done += alive
         return pa.table({
-            user_col: pa.array([group.column(user_col)[0].as_py()],
-                               group.column(user_col).type),
-            "n_completed": pa.array([done], pa.int64()),
+            user_col: part.column(user_col).take(pa.array(starts, pa.int64())),
+            "n_completed": pa.array(done, pa.int64()),
         })
 
     def partial_hist(batch: pa.Table) -> pa.Table:
@@ -144,10 +164,11 @@ def funnel_counts(
         return batch.group_by("n_completed").aggregate([(user_col, "count")]) \
                     .rename_columns(["n_completed", "n"])
 
+    from ..dsutil import keyed_partition_map
+
     completed = (
-        ds.map_batches(prune, batch_format="pyarrow")
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pyarrow")
+        keyed_partition_map(ds.map_batches(prune, batch_format="pyarrow"),
+                            user_col, per_partition)
         .map_batches(partial_hist, batch_format="pyarrow")
         .take_all()
     )

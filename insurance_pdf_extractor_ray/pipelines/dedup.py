@@ -374,9 +374,9 @@ def minhash_dup_ids(
         lambda g: _bucket_dups(g, id_col, threshold), batch_format="pyarrow"
     )
     # a doc can be flagged in several bands -> distinct
-    return dup.groupby(id_col).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ..dsutil import distinct_rows_by
+
+    return distinct_rows_by(dup, id_col)
 
 
 def minhash_dedup(
@@ -465,7 +465,9 @@ def simhash_dup_ids(
         batch_format="pyarrow", concurrency=concurrency,
     )
     dup = sigs.groupby("band_key").map_groups(bucket, batch_format="pyarrow")
-    return dup.groupby(id_col).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from ..dsutil import distinct_rows_by
+
+    return distinct_rows_by(dup, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -538,9 +540,9 @@ def jaccard_dup_pairs(
     )
     pairs = sigs.groupby("band_key").map_groups(verify, batch_format="pyarrow")
     # same pair can surface from several bands -> distinct on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ..dsutil import distinct_rows_by
+
+    return distinct_rows_by(pairs, ["id_a", "id_b"])
 
 
 def _jaccard_pairs_join(
@@ -576,8 +578,9 @@ def _jaccard_pairs_join(
                          "id_b": pa.array(out_b, id_type)})
 
     pairs = sigs.groupby("band_key").map_groups(cand, batch_format="pyarrow")
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from ..dsutil import distinct_rows_by
+
+    pairs = distinct_rows_by(pairs, ["id_a", "id_b"])
     pairs = drop_empty_blocks(pairs, empty_schema=pair_schema)
 
     texts = ds.select_columns([id_col, col])
@@ -1015,5 +1018,6 @@ def minhash_cross_join(
 
     pairs = both.groupby("band_key").map_groups(match, batch_format="pyarrow")
     # same pair can surface from several bands; est is band-independent
-    return pairs.groupby(["l_id", "r_id"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from ..dsutil import distinct_rows_by
+
+    return distinct_rows_by(pairs, ["l_id", "r_id"])

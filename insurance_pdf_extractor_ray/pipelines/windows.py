@@ -282,26 +282,34 @@ def rolling_by_key(
     contract as ``session_windows``; salt hot keys upstream if violated).
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        v = group.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        v = part.column(value_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
         n = len(v)
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            seg[1:] = np.cumsum(keys_np[1:] != keys_np[:-1])
         s = np.zeros(n, dtype=np.float64)
         cnt = np.zeros(n, dtype=np.int64)
         for lag in range(window - 1, 0, -1):  # oldest term first
-            s[lag:] += v[:-lag]
-            cnt[lag:] += 1
+            ok = seg[lag:] == seg[:-lag]      # term must be the same key's
+            s[lag:] += np.where(ok, v[:-lag], 0.0)
+            cnt[lag:] += ok
         s += v
         cnt += 1
-        out = group.append_column(f"{out_prefix}sum", pa.array(s, pa.float64()))
+        out = part.append_column(f"{out_prefix}sum", pa.array(s, pa.float64()))
         out = out.append_column(f"{out_prefix}n", pa.array(cnt, pa.int64()))
         return out.append_column(f"{out_prefix}avg",
                                  pa.array(s / cnt, pa.float64()))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def expanding_by_key(
@@ -323,24 +331,44 @@ def expanding_by_key(
     cents).  Same per-key memory contract as ``session_windows``.
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        v = part.column(value_col).to_numpy(zero_copy_only=False)
+        n = part.num_rows
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        new_key = np.empty(max(n, 1), dtype=bool)[:n]
+        if n:
+            new_key[0] = True
+            new_key[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
         if np.issubdtype(v.dtype, np.integer):
-            cum = np.cumsum(v.astype(np.int64))
-            cum_arr = pa.array(cum, pa.int64())
+            # segmented cumsum via base subtraction — exact in int64
+            total = np.cumsum(v.astype(np.int64))
+            base = (total[starts] - v[starts]) if n else total
+            cum_arr = pa.array(total - base[seg], pa.int64())
         else:
-            cum = np.cumsum(v.astype(np.float64))
+            # float: keep strict left-to-right per-key order (the documented
+            # contract) — cumsum per segment slice, not the subtraction trick
+            vf = v.astype(np.float64)
+            cum = np.empty(n, dtype=np.float64)
+            bounds = np.append(starts, n)
+            for i in range(len(starts)):
+                lo, hi = bounds[i], bounds[i + 1]
+                cum[lo:hi] = np.cumsum(vf[lo:hi])
             cum_arr = pa.array(cum, pa.float64())
-        n = group.num_rows
-        out = group.append_column(f"{out_prefix}sum", cum_arr)
-        return out.append_column(
-            f"{out_prefix}n", pa.array(np.arange(1, n + 1), pa.int64()))
+        # running count restarts per key: position minus key-start position
+        pos = np.arange(n, dtype=np.int64)
+        run_n = pos - (starts[seg] if n else pos) + 1
+        out = part.append_column(f"{out_prefix}sum", cum_arr)
+        return out.append_column(f"{out_prefix}n", pa.array(run_n, pa.int64()))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def lag_by_key(
@@ -357,20 +385,27 @@ def lag_by_key(
     shuffle; the interior is a sort + vectorized shift.  Same per-key
     memory contract as ``session_windows``."""
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        n = group.num_rows
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        n = part.num_rows
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
         idx = np.arange(n, dtype=np.int64) - offset
         invalid = (idx < 0) | (idx >= n)
+        # shifting across a key boundary is out-of-partition in SQL -> null
+        if n:
+            src = np.where(invalid, 0, idx)
+            invalid |= keys_np[src] != keys_np
         take_idx = pa.array(np.where(invalid, 0, idx), pa.int64(),
                             mask=invalid)  # null index -> null output
-        shifted = group.column(value_col).take(take_idx)
-        return group.append_column(out_col, shifted)
+        shifted = part.column(value_col).take(take_idx)
+        return part.append_column(out_col, shifted)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def debounce_by_key(
@@ -450,25 +485,43 @@ def range_rolling_by_key(
     ``session_windows`` applies (salt hot keys upstream if violated).
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        group = group.take(pc.sort_indices(
-            group, sort_keys=[(ts_col, "ascending")]))
-        ts = group.column(ts_col).cast(pa.int64()) \
-                  .to_numpy(zero_copy_only=False)
-        v = group.column(value_col).to_numpy(zero_copy_only=False)
+    def per_partition(part: pa.Table) -> pa.Table:
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]))
+        ts = part.column(ts_col).cast(pa.int64()) \
+                 .to_numpy(zero_copy_only=False)
+        v = part.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(v)
         integral = np.issubdtype(v.dtype, np.integer)
         acc = v.astype(np.int64 if integral else np.float64)
         csum = np.concatenate(([0], np.cumsum(acc)))
-        lo = np.searchsorted(ts, ts - range_us, side="left")
-        hi = np.searchsorted(ts, ts, side="right")  # includes peers
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(new_key)
+        bounds = np.append(starts, n)
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        # searchsorted per key segment (ts is sorted only within a key);
+        # pure numpy slice ops — no per-row Python, ~µs per key
+        for i in range(len(starts)):
+            a, b = bounds[i], bounds[i + 1]
+            seg_ts = ts[a:b]
+            lo[a:b] = a + np.searchsorted(seg_ts, seg_ts - range_us,
+                                          side="left")
+            hi[a:b] = a + np.searchsorted(seg_ts, seg_ts, side="right")
         s = csum[hi] - csum[lo]
-        out = group.append_column(
+        out = part.append_column(
             f"{out_prefix}sum",
             pa.array(s, pa.int64() if integral else pa.float64()))
         return out.append_column(
             f"{out_prefix}n", pa.array(hi - lo, pa.int64()))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def rolling_distinct_days(

@@ -179,10 +179,12 @@ def _q_q16_brand_size_suppliers(sf_dir: str):
             "l_suppkey": pa.array(u["s"], pa.int64()),
         })
 
-    distinct = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-                .map_batches(pairs, batch_format="pyarrow")
-                .groupby(["p_brand", "size_bucket", "l_suppkey"])
-                .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    from ..dsutil import distinct_rows_by
+
+    distinct = distinct_rows_by(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["p_brand", "size_bucket", "l_suppkey"])
 
     def one(t: pa.Table) -> pa.Table:
         return t.append_column("_one",
@@ -313,11 +315,12 @@ def _q_q22_idle_rich(sf_dir: str):
         return t.filter(pc.greater_equal(d, cutoff)) \
                 .select(["o_custkey"])
 
+    from ..dsutil import distinct_rows_by
+
     ordered = drop_empty_blocks(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(recent, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow"),
+        distinct_rows_by(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .map_batches(recent, batch_format="pyarrow"), "o_custkey"),
         empty_schema=pa.schema([("o_custkey", pa.int64())]))
     idle = cust.join(ordered, join_type="left_anti",
                      num_partitions=_join_partitions(),
