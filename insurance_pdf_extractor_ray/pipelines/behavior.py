@@ -376,21 +376,50 @@ def cooccurrence_pairs(
     uniq = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
             .groupby([key_col, item_col]).aggregate(Count(alias_name="_c")))
 
-    def explode_pairs(group: pa.Table) -> pa.Table:
-        items = group.column(item_col)
-        idx = pc.sort_indices(items)
-        items = items.take(idx)
-        m = len(items)
-        ii, jj = np.triu_indices(m, k=1)
-        return pa.table({
-            "item_a": items.take(pa.array(ii, pa.int64())),
-            "item_b": items.take(pa.array(jj, pa.int64())),
-        })
+    from ..dsutil import keyed_partition_map
 
-    pairs = uniq.groupby(key_col).map_groups(
-        explode_pairs, batch_format="pyarrow")
+    pairs = keyed_partition_map(
+        uniq, key_col,
+        lambda part: _explode_pairs_partition(part, key_col, item_col))
     return pairs.groupby(["item_a", "item_b"]).aggregate(
         Count(alias_name=alias))
+
+
+def _explode_pairs_partition(part: pa.Table, key_col: str,
+                             item_col: str) -> pa.Table:
+    """Within-key unordered item pairs for EVERY key of one partition in a
+    single pass: sort by (key, item), then per-segment ``triu`` index
+    blocks (cached by segment size — per-key sets are vocabulary-bounded)
+    offset into the global row space.  No per-key table slicing."""
+    itype = part.column(item_col).type
+    if part.num_rows == 0:
+        return pa.table({"item_a": pa.array([], itype),
+                         "item_b": pa.array([], itype)})
+    part = part.take(pc.sort_indices(
+        part, sort_keys=[(key_col, "ascending"), (item_col, "ascending")]))
+    keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
+    n = len(keys_np)
+    new_key = np.r_[True, keys_np[1:] != keys_np[:-1]]
+    starts = np.flatnonzero(new_key)
+    counts = np.diff(np.append(starts, n))
+    cache: dict = {}
+    ii_all, jj_all = [], []
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        ij = cache.get(c)
+        if ij is None:
+            ij = np.triu_indices(int(c), k=1)
+            cache[c] = ij
+        ii_all.append(ij[0] + s)
+        jj_all.append(ij[1] + s)
+    if not ii_all:
+        return pa.table({"item_a": pa.array([], itype),
+                         "item_b": pa.array([], itype)})
+    items = part.column(item_col)
+    ii = pa.array(np.concatenate(ii_all), pa.int64())
+    jj = pa.array(np.concatenate(jj_all), pa.int64())
+    return pa.table({"item_a": items.take(ii), "item_b": items.take(jj)})
 
 
 def transition_counts(
@@ -469,26 +498,30 @@ def path_ngrams(
     """
     from ray.data.aggregate import Sum
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending"), (ts_col, "ascending")]
         if tiebreak:
             sort_keys.append((tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        m = group.num_rows - n + 1
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        m = part.num_rows - n + 1
         if m <= 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "_n": pa.array([], pa.int64())})
-        cat = group.column(cat_col).combine_chunks()
+        cat = part.column(cat_col).combine_chunks()
         parts = [cat.slice(i, m) for i in range(n)]
         joined = pc.binary_join_element_wise(*parts, ">")
-        g = pa.table({"path": joined}).group_by("path").aggregate(
-            [([], "count_all")])
+        # a window is a real path only when all n rows share the key
+        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        valid = keys_np[:m] == keys_np[n - 1:]
+        g = (pa.table({"path": joined}).filter(pa.array(valid))
+             .group_by("path").aggregate([([], "count_all")]))
         return pa.table({"path": g.column("path"),
                          "_n": g.column("count_all").cast(pa.int64())})
 
+    from ..dsutil import keyed_partition_map
+
     cols = [key, ts_col, cat_col] + ([tiebreak] if tiebreak else [])
-    counts = (ds.select_columns(cols)
-              .groupby(key).map_groups(per_key, batch_format="pyarrow")
+    counts = (keyed_partition_map(ds.select_columns(cols), key, per_partition)
               .groupby("path").aggregate(Sum("_n", alias_name="n_paths")))
     rows = counts.take_all()
     rows.sort(key=lambda r: (-r["n_paths"], r["path"]))
@@ -630,17 +663,11 @@ def association_lift(
     n_baskets = int(uniq.groupby(key_col).aggregate(
         Count(alias_name="_k")).count())
 
-    def explode_pairs(group: pa.Table) -> pa.Table:
-        items = group.column(item_col)
-        items = items.take(pc.sort_indices(items))
-        ii, jj = np.triu_indices(len(items), k=1)
-        return pa.table({
-            "item_a": items.take(pa.array(ii, pa.int64())),
-            "item_b": items.take(pa.array(jj, pa.int64())),
-        })
+    from ..dsutil import keyed_partition_map
 
-    pairs = (uniq.groupby(key_col).map_groups(
-        explode_pairs, batch_format="pyarrow")
+    pairs = (keyed_partition_map(
+        uniq, key_col,
+        lambda part: _explode_pairs_partition(part, key_col, item_col))
         .groupby(["item_a", "item_b"]).aggregate(Count(alias_name="n_ab")))
 
     def with_lift(batch: pa.Table, sup=sup_ref, N=n_baskets,
@@ -708,20 +735,34 @@ def attribution_linear(
     channels = touch_list + ["direct"]
     cols = [user_col, ts_col, type_col, value_col]
 
-    def per_user(group: pa.Table) -> pa.Table:
-        group = group.take(pc.sort_indices(group, sort_keys=[
-            (ts_col, "ascending")]))
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
+    def per_partition(part: pa.Table) -> pa.Table:
+        """All users of one partition: sort by (user, ts) once, then loop
+        user SEGMENTS with pure numpy-slice searchsorted probes — no
+        per-user table slicing or Ray dispatch."""
+        if part.num_rows == 0:
+            return pa.table({"channel": pa.array([], pa.string()),
+                             "_credit": pa.array([], pa.int64())})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            (user_col, "ascending"), (ts_col, "ascending")]))
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        typ = group.column(type_col).to_numpy(zero_copy_only=False)
-        val = group.column(value_col).to_numpy(zero_copy_only=False)
-        is_conv = typ == conversion_type
-        cts, cval = ts[is_conv], val[is_conv]
-        out_ch, out_credit = [], []
-        if len(cts):
+        typ = part.column(type_col).to_numpy(zero_copy_only=False)
+        val = part.column(value_col).to_numpy(zero_copy_only=False)
+        keys_np = part.column(user_col).to_numpy(zero_copy_only=False)
+        nrows = len(ts)
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        bounds = np.append(starts, nrows)
+        credit_tot = np.zeros(len(touch_list) + 1, np.int64)  # + direct
+        for u in range(len(starts)):
+            a, b = bounds[u], bounds[u + 1]
+            uts, utyp, uval = ts[a:b], typ[a:b], val[a:b]
+            is_conv = utyp == conversion_type
+            cts, cval = uts[is_conv], uval[is_conv]
+            if not len(cts):
+                continue
             per_touch = []
             for t in touch_list:
-                tts = ts[typ == t]
+                tts = uts[utyp == t]
                 lo = np.searchsorted(tts, cts - window_us, side="right")
                 hi = np.searchsorted(tts, cts, side="right")
                 per_touch.append(hi - lo)
@@ -729,24 +770,23 @@ def attribution_linear(
                 (0, len(cts)), np.int64)
             k = counts.sum(axis=0)
             covered = k > 0
-            for i, t in enumerate(touch_list):
+            for i in range(len(touch_list)):
                 n_ch = counts[i][covered]
-                kk = k[covered]
-                vv = cval[covered]
                 credit = np.floor(
-                    (vv * n_ch) / kk * scale + 0.5).astype(np.int64)
-                out_ch.append(t)
-                out_credit.append(int(credit.sum()))
+                    (cval[covered] * n_ch) / k[covered] * scale + 0.5
+                ).astype(np.int64)
+                credit_tot[i] += int(credit.sum())
             direct = np.floor(cval[~covered] * scale + 0.5).astype(np.int64)
-            out_ch.append("direct")
-            out_credit.append(int(direct.sum()))
+            credit_tot[-1] += int(direct.sum())
         return pa.table({
-            "channel": pa.array(out_ch, pa.string()),
-            "_credit": pa.array(out_credit, pa.int64()),
+            "channel": pa.array(touch_list + ["direct"], pa.string()),
+            "_credit": pa.array(credit_tot, pa.int64()),
         })
 
-    partials = ds.select_columns(cols).groupby(user_col).map_groups(
-        per_user, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    partials = keyed_partition_map(ds.select_columns(cols), user_col,
+                                   per_partition)
     agg = {r["channel"]: r["credit_i"] for r in partials.groupby(
         "channel").aggregate(_Sum("_credit", alias_name="credit_i"))
         .take_all()}

@@ -246,38 +246,46 @@ def scd2_intervals(
     """
     payload_cols = list(payload_cols)
 
-    def per_key(group: pa.Table) -> pa.Table:
-        sort_keys = [(ts_col, "ascending")]
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
-        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
-        n = group.num_rows
+        part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        n = part.num_rows
+        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
         keep = np.ones(n, dtype=bool)
         if n > 1:
-            same_all = np.ones(n - 1, dtype=bool)
+            same_all = keys_np[1:] == keys_np[:-1]  # only within one key
             for c in payload_cols:
-                col = group.column(c).combine_chunks()
+                col = part.column(c).combine_chunks()
                 cur, prev = col.slice(1, n - 1), col.slice(0, n - 1)
                 eq = pc.fill_null(pc.equal(cur, prev), False)
                 both_null = pc.and_(pc.is_null(cur), pc.is_null(prev))
                 same = pc.or_(eq, both_null)
                 same_all &= same.to_numpy(zero_copy_only=False)
             keep[1:] = ~same_all
-        group = group.filter(pa.array(keep))
-        m = group.num_rows
-        # LEAD(ts): shift up by one; last row's index is masked -> typed null
+        part = part.filter(pa.array(keep))
+        m = part.num_rows
+        kf = part.column(key_col).to_numpy(zero_copy_only=False)
+        # LEAD(ts) within the key: the next row only counts if it is the
+        # same key; last-of-key rows get a typed null
         idx = np.arange(1, m + 1, dtype=np.int64)
         invalid = idx >= m
+        src = np.where(invalid, 0, idx)
+        if m:
+            invalid |= kf[src] != kf
         take_idx = pa.array(np.where(invalid, 0, idx), pa.int64(),
                             mask=invalid)
-        out = {key_col: group.column(key_col)}
+        out = {key_col: part.column(key_col)}
         for c in payload_cols:
-            out[c] = group.column(c)
-        out[valid_from] = group.column(ts_col)
-        out[valid_to] = group.column(ts_col).take(take_idx)
+            out[c] = part.column(c)
+        out[valid_from] = part.column(ts_col)
+        out[valid_to] = part.column(ts_col).take(take_idx)
         return pa.table(out)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(ds, key_col, per_partition)
 
 
 def snapshot_diff(

@@ -190,21 +190,24 @@ def materialize_sequences(
 
     pieces = joined.map_batches(slice_piece, batch_format="pyarrow")
 
-    def concat(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        group = group.take(order)
-        return pa.table({
-            "seq_id": pa.array([group.column("seq_id")[0].as_py()],
-                               pa.int64()),
-            "seq_text": pa.array(
-                [" ".join(group.column("piece").to_pylist())], pa.string()),
-            "n_tokens": pa.array(
-                [int(pc.sum(group.column("_ntok")).as_py())], pa.int64()),
-            "n_docs": pa.array([group.num_rows], pa.int64()),
-        })
+    def concat(part: pa.Table) -> pa.Table:
+        # all sequences of the partition at once: one Rust-side sorted
+        # string-join / sum / count per seq_id
+        import polars as pl
 
-    return pieces.groupby("seq_id").map_groups(concat,
-                                               batch_format="pyarrow")
+        df = pl.from_arrow(part.select(["seq_id", id_col, "piece", "_ntok"]))
+        out = (df.sort(["seq_id", id_col])
+                 .group_by("seq_id", maintain_order=True)
+                 .agg(pl.col("piece").str.join(" ").alias("seq_text"),
+                      pl.col("_ntok").sum().alias("n_tokens"),
+                      pl.len().cast(pl.Int64).alias("n_docs")))
+        return out.to_arrow().cast(pa.schema([
+            ("seq_id", pa.int64()), ("seq_text", pa.string()),
+            ("n_tokens", pa.int64()), ("n_docs", pa.int64())]))
+
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(pieces, "seq_id", concat)
 
 
 def padding_efficiency(

@@ -339,12 +339,20 @@ def string_agg_by_key(
 
     parts = numbered.map_batches(partial, batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("_ord", kind="mergesort")
-        return pd.DataFrame({key: [group[key].iloc[0]],
-                             out_col: [sep.join(group["_part"])]})
+    def merge(part: pa.Table) -> pa.Table:
+        # all keys at once: one Rust-side sorted string-join per key
+        import polars as pl
 
-    return parts.groupby(key).map_groups(merge, batch_format="pandas")
+        df = pl.from_arrow(part)
+        out = (df.sort([key, "_ord"])
+                 .group_by(key, maintain_order=True)
+                 .agg(pl.col("_part").str.join(sep).alias(out_col)))
+        return out.to_arrow().cast(pa.schema([
+            (key, part.schema.field(key).type), (out_col, pa.string())]))
+
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(parts, key, merge)
 
 
 def mad_by_key(
@@ -533,19 +541,36 @@ def entropy_by_key(
               .map_batches(partial, batch_format="pyarrow")
               .groupby([key, cat]).aggregate(Sum("_n", alias_name="_n")))
 
-    def per_key(group: pa.Table) -> pa.Table:
-        # deterministic reduction order: sort by category first
-        group = group.take(pc.sort_indices(
-            group, sort_keys=[(cat, "ascending")]))
-        c = group.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
-        n = c.sum()
-        p = c / n
-        h = float(-(p * np.log2(p)).sum()) if n > 0 else 0.0
-        return pa.table({key: group.column(key).slice(0, 1),
-                         out_col: pa.array([h], pa.float64()),
-                         "n_cats": pa.array([group.num_rows], pa.int64())})
+    def per_partition(part: pa.Table) -> pa.Table:
+        """All keys at once over the bounded (key, cat, n) table:
+        deterministic reduction order via the (key, cat) sort, per-key sums
+        as sequential ``np.add.reduceat`` segment folds."""
+        n_rows = part.num_rows
+        ktype = part.column(key).type
+        if n_rows == 0:
+            return pa.table({key: pa.array([], ktype),
+                             out_col: pa.array([], pa.float64()),
+                             "n_cats": pa.array([], pa.int64())})
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(key, "ascending"), (cat, "ascending")]))
+        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        c = part.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        new_key = np.empty(n_rows, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        tot = np.add.reduceat(c, starts)
+        p = c / tot[seg]
+        h = np.add.reduceat(-(p * np.log2(p)), starts)
+        n_cats = np.diff(np.append(starts, n_rows))
+        return pa.table({key: part.column(key).take(pa.array(starts, pa.int64())),
+                         out_col: pa.array(h, pa.float64()),
+                         "n_cats": pa.array(n_cats, pa.int64())})
 
-    return counts.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(counts, key, per_partition)
 
 
 def gini_of_counts(ds: ray.data.Dataset, key: str) -> pa.Table:
@@ -853,29 +878,43 @@ def ohlc_by_key(
             "_vol": pa.array(np.add.reduceat(qv, starts), pa.int64()),
         })
 
-    def final(group: pa.Table) -> pa.Table:
-        ots = group.column("_ots").to_numpy(zero_copy_only=False)
-        otie = group.column("_otie").to_numpy(zero_copy_only=False)
-        cts = group.column("_cts").to_numpy(zero_copy_only=False)
-        ctie = group.column("_ctie").to_numpy(zero_copy_only=False)
-        oi = np.lexsort((otie, ots))[0]
-        ci = np.lexsort((ctie, cts))[-1]
+    def final(part: pa.Table) -> pa.Table:
+        """All bars of the partition at once: open = first partial under the
+        (key, _ots, _otie) sort, close = last under (key, _cts, _ctie); the
+        commutative aggregates combine via one local Arrow group_by.  All
+        three passes emit rows in ascending-key order, so columns align."""
+        if part.num_rows == 0:
+            ktype = part.column(key).type
+            f64 = pa.array([], pa.float64())
+            return pa.table({key: pa.array([], ktype), "open": f64,
+                             "high": f64, "low": f64, "close": f64,
+                             "n": pa.array([], pa.int64()),
+                             "vol_q": pa.array([], pa.int64())})
+        t1 = part.take(pc.sort_indices(part, sort_keys=[
+            (key, "ascending"), ("_ots", "ascending"), ("_otie", "ascending")]))
+        k1 = t1.column(key).to_numpy(zero_copy_only=False)
+        new1 = np.r_[True, k1[1:] != k1[:-1]]
+        starts1 = np.flatnonzero(new1)
+        t2 = part.take(pc.sort_indices(part, sort_keys=[
+            (key, "ascending"), ("_cts", "ascending"), ("_ctie", "ascending")]))
+        last2 = np.append(starts1[1:] - 1, part.num_rows - 1)
+        agg = t1.group_by(key, use_threads=False).aggregate(
+            [("_mx", "max"), ("_mn", "min"), ("_n", "sum"), ("_vol", "sum")])
         return pa.table({
-            key: group.column(key).slice(0, 1),
-            "open": group.column("_oval").slice(int(oi), 1),
-            "high": pa.array([pc.max(group.column("_mx")).as_py()],
-                             pa.float64()),
-            "low": pa.array([pc.min(group.column("_mn")).as_py()],
-                            pa.float64()),
-            "close": group.column("_cval").slice(int(ci), 1),
-            "n": pa.array([pc.sum(group.column("_n")).as_py()], pa.int64()),
-            "vol_q": pa.array([pc.sum(group.column("_vol")).as_py()],
-                              pa.int64()),
+            key: t1.column(key).take(pa.array(starts1, pa.int64())),
+            "open": t1.column("_oval").take(pa.array(starts1, pa.int64())),
+            "high": agg.column("_mx_max").cast(pa.float64()),
+            "low": agg.column("_mn_min").cast(pa.float64()),
+            "close": t2.column("_cval").take(pa.array(last2, pa.int64())),
+            "n": agg.column("_n_sum").cast(pa.int64()),
+            "vol_q": agg.column("_vol_sum").cast(pa.int64()),
         })
 
-    return (ds.select_columns([key, order_col, tiebreak_col, value_col])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(key).map_groups(final, batch_format="pyarrow"))
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(
+        ds.select_columns([key, order_col, tiebreak_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"), key, final)
 
 
 # ---------------------------------------------------------------------------

@@ -980,21 +980,38 @@ def _q_interarrival(sf_dir: str):
     differences are tie-order invariant, so the per-key sort needs no
     tiebreak; one keyed shuffle, integer-microsecond exact."""
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").cast(pa.int64()).to_numpy(
+    def per_partition(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "n_events": z, "span_us": z,
+                             "max_gap_us": z})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")]))
+        ts = part.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        ts = np.sort(ts)
-        gaps = np.diff(ts)
+        keys_np = part.column("user_id").to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, keys_np[1:] != keys_np[:-1]]
+        starts = np.flatnonzero(new_key)
+        last = np.append(starts[1:] - 1, n - 1)
+        counts = np.diff(np.append(starts, n))
+        # per-key max gap: adjacent diffs, cross-key positions masked to -1,
+        # padded reduceat (single-event keys see only -1 -> typed null)
+        gv = np.append(np.where(~new_key[1:], np.diff(ts), -1), -1)
+        maxg = np.maximum.reduceat(gv, starts)
+        null_g = maxg < 0
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "span_us": pa.array([int(ts[-1] - ts[0])], pa.int64()),
-            "max_gap_us": pa.array(
-                [int(gaps.max()) if len(gaps) else None], pa.int64()),
+            "user_id": part.column("user_id").take(pa.array(starts, pa.int64())),
+            "n_events": pa.array(counts, pa.int64()),
+            "span_us": pa.array(ts[last] - ts[starts], pa.int64()),
+            "max_gap_us": pa.array(np.where(null_g, 0, maxg), pa.int64(),
+                                   mask=null_g),
         })
 
-    out = (_events(sf_dir, ["user_id", "ts"])
-           .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    from insurance_pdf_extractor_ray.dsutil import keyed_partition_map
+
+    out = keyed_partition_map(_events(sf_dir, ["user_id", "ts"]),
+                              "user_id", per_partition)
     rows = out.take_all()
     rows.sort(key=lambda r: r["user_id"])
     return pa.table({

@@ -268,30 +268,42 @@ def _q_twap(sf_dir: str):
     (value·µs units), so the reduction is order-proof; final division is
     one mirrored float expression."""
 
-    def per_user(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                ("event_id", "ascending")])
-        group = group.take(idx)
-        ts = group.column("ts").cast(pa.int64()).to_numpy(
+    def per_partition(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "span_us": z, "twap_q": z})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        ts = part.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        v = group.column("value").to_numpy(zero_copy_only=False).astype(
+        v = part.column("value").to_numpy(zero_copy_only=False).astype(
             np.float64)
-        span = int(ts[-1] - ts[0])
-        if span <= 0:
-            return pa.table({"user_id": group.column("user_id").slice(0, 0),
-                             "span_us": pa.array([], pa.int64()),
-                             "twap_q": pa.array([], pa.int64())})
+        keys_np = part.column("user_id").to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, keys_np[1:] != keys_np[:-1]]
+        starts = np.flatnonzero(new_key)
+        last = np.append(starts[1:] - 1, n - 1)
+        # per-term rounding THEN a per-key segment sum (cross-key terms 0)
         dt = np.diff(ts).astype(np.float64)
         terms = v[:-1] * dt
-        q = int((-np.floor(-terms + 0.5)).astype(np.int64).sum())
+        r = (-np.floor(-terms + 0.5)).astype(np.int64)
+        rv = np.append(np.where(~new_key[1:], r, 0), 0)
+        q = np.add.reduceat(rv, starts)
+        span = ts[last] - ts[starts]
+        keep = span > 0
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "span_us": pa.array([span], pa.int64()),
-            "twap_q": pa.array([q], pa.int64()),
+            "user_id": part.column("user_id").take(
+                pa.array(starts[keep], pa.int64())),
+            "span_us": pa.array(span[keep], pa.int64()),
+            "twap_q": pa.array(q[keep], pa.int64()),
         })
 
-    out = (_events(sf_dir, ["user_id", "ts", "event_id", "value"])
-           .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    from insurance_pdf_extractor_ray.dsutil import keyed_partition_map
+
+    out = keyed_partition_map(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]),
+        "user_id", per_partition)
     rows = out.take_all()
     rows.sort(key=lambda r: r["user_id"])
     q = np.array([r["twap_q"] for r in rows], np.float64)
@@ -382,23 +394,32 @@ def _q_time_in_state(sf_dir: str):
     diffs, map-side per-type partials, ONE tiny combine; integer-µs."""
     from ray.data.aggregate import Sum
 
-    def per_user(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                ("event_id", "ascending")])
-        group = group.take(idx)
-        ts = group.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        if len(ts) < 2:
+    def per_partition(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n < 2:
             return pa.table({"event_type": pa.array([], pa.string()),
                              "_d": pa.array([], pa.int64())})
-        dt = np.diff(ts)
-        t = pa.table({"event_type": group.column("event_type").slice(
-            0, len(ts) - 1), "_d": pa.array(dt, pa.int64())})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        ts = part.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keys_np = part.column("user_id").to_numpy(zero_copy_only=False)
+        same_key = keys_np[1:] == keys_np[:-1]
+        t = pa.table({"event_type": part.column("event_type").slice(0, n - 1),
+                      "_d": pa.array(np.diff(ts), pa.int64())}) \
+              .filter(pa.array(same_key))
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "_d": pa.array([], pa.int64())})
         g = t.group_by(["event_type"]).aggregate([("_d", "sum")])
         return g.rename_columns(["event_type", "_d"])
 
-    out = (_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-           .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    from insurance_pdf_extractor_ray.dsutil import keyed_partition_map
+
+    out = (keyed_partition_map(
+              _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+              "user_id", per_partition)
            .groupby("event_type").aggregate(Sum("_d", alias_name="dwell_us")))
     rows = out.take_all()
     rows.sort(key=lambda r: r["event_type"])
@@ -675,23 +696,41 @@ def _q_longest_streak(sf_dir: str):
         t = pa.table({"user_id": batch.column("user_id"), "_day": day})
         return t.group_by(["user_id", "_day"]).aggregate([])
 
-    def per_user(group: pa.Table) -> pa.Table:
-        days = np.unique(group.column("_day").to_numpy(
-            zero_copy_only=False))
-        if len(days) == 0:
-            return pa.table({"user_id": group.column("user_id").slice(0, 0),
-                             "n_days": pa.array([], pa.int64()),
-                             "longest_streak": pa.array([], pa.int64())})
-        breaks = np.flatnonzero(np.diff(days) != 1)
-        run_lens = np.diff(np.concatenate(([-1], breaks, [len(days) - 1])))
+    def per_partition(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "n_days": z, "longest_streak": z})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("_day", "ascending")]))
+        k = part.column("user_id").to_numpy(zero_copy_only=False)
+        d = part.column("_day").to_numpy(zero_copy_only=False)
+        # global (user, day) dedup (map-side dedup is per batch only)
+        keep = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        sel = np.flatnonzero(keep)
+        k, d = k[sel], d[sel]
+        m = len(k)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_key)
+        n_days = np.diff(np.append(starts, m))
+        # streak islands: new key or a calendar gap
+        brk = new_key | np.r_[True, np.diff(d) != 1]
+        isl_starts = np.flatnonzero(brk)
+        isl_len = np.diff(np.append(isl_starts, m))
+        key_isl_starts = np.flatnonzero(new_key[isl_starts])
+        longest = np.maximum.reduceat(isl_len, key_isl_starts)
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_days": pa.array([len(days)], pa.int64()),
-            "longest_streak": pa.array([int(run_lens.max())], pa.int64()),
+            "user_id": part.column("user_id").take(
+                pa.array(sel[starts], pa.int64())),
+            "n_days": pa.array(n_days, pa.int64()),
+            "longest_streak": pa.array(longest, pa.int64()),
         })
 
-    out = (ev.map_batches(day_pairs, batch_format="pyarrow")
-           .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+    from insurance_pdf_extractor_ray.dsutil import keyed_partition_map
+
+    out = keyed_partition_map(
+        ev.map_batches(day_pairs, batch_format="pyarrow"),
+        "user_id", per_partition)
     rows = out.take_all()
     rows.sort(key=lambda r: r["user_id"])
     return pa.table({
