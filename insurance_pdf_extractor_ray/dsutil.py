@@ -55,8 +55,13 @@ def _partition_hash(col) -> "np.ndarray":
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        v = pc.fill_null(col, 0).cast(pa.int64()).to_numpy() \
-              .view(np.uint64).copy()
+        filled = pc.fill_null(col, 0)
+        if pa.types.is_unsigned_integer(col.type):
+            v = filled.cast(pa.uint64()).to_numpy(zero_copy_only=False) \
+                      .astype(np.uint64)
+        else:
+            v = filled.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                      .view(np.uint64).copy()
         v *= np.uint64(_KNUTH64)
         v ^= v >> np.uint64(31)
         return v
@@ -155,4 +160,45 @@ def distinct_rows_by(
         return part.filter(pa.array(keep))
 
     return keyed_partition_map(ds, key_cols, first_per_key,
+                               num_partitions=num_partitions)
+
+
+def bucketed_segments_map(
+    ds: ray.data.Dataset,
+    bucket_col: str,
+    per_bucket,
+    empty_out: pa.Table,
+    min_rows: int = 2,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Replace ``groupby(bucket).map_groups(per_bucket)`` when buckets are
+    MANY and TINY (LSH band buckets: mostly singletons, a few collision
+    groups).  One hash exchange; each partition sorts by the bucket id once,
+    drops every segment smaller than ``min_rows`` VECTORIZED (singletons
+    never reach Python), and calls ``per_bucket`` on zero-copy table slices
+    of the surviving segments only.  ``empty_out`` is a zero-row table with
+    ``per_bucket``'s output schema (used when a partition has no surviving
+    bucket).  ``per_bucket`` sees the bucket column, same as map_groups."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def part_fn(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return empty_out
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(bucket_col, "ascending")]))
+        k = part.column(bucket_col).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.append(starts, n))
+        outs = []
+        for s, c in zip(starts[counts >= min_rows], counts[counts >= min_rows]):
+            t = per_bucket(part.slice(int(s), int(c)))
+            if t.num_rows:
+                outs.append(t)
+        if not outs:
+            return empty_out
+        return pa.concat_tables(outs, promote_options="default")
+
+    return keyed_partition_map(ds, bucket_col, part_fn,
                                num_partitions=num_partitions)

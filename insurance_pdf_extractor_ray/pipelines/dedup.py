@@ -370,12 +370,14 @@ def minhash_dup_ids(
                                    num_bands=num_bands, ngram=ngram),
         batch_format="pyarrow", concurrency=concurrency,
     )
-    dup = sigs.groupby("band_key").map_groups(
-        lambda g: _bucket_dups(g, id_col, threshold), batch_format="pyarrow"
-    )
-    # a doc can be flagged in several bands -> distinct
-    from ..dsutil import distinct_rows_by
+    from ..dsutil import bucketed_segments_map, distinct_rows_by
 
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    dup = bucketed_segments_map(
+        sigs, "band_key", lambda g: _bucket_dups(g, id_col, threshold),
+        empty_out=pa.table({id_col: pa.array([], id_type)}))
+    # a doc can be flagged in several bands -> distinct
     return distinct_rows_by(dup, id_col)
 
 
@@ -464,9 +466,13 @@ def simhash_dup_ids(
                                    num_bands=num_bands),
         batch_format="pyarrow", concurrency=concurrency,
     )
-    dup = sigs.groupby("band_key").map_groups(bucket, batch_format="pyarrow")
-    from ..dsutil import distinct_rows_by
+    from ..dsutil import bucketed_segments_map, distinct_rows_by
 
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    dup = bucketed_segments_map(
+        sigs, "band_key", bucket,
+        empty_out=pa.table({id_col: pa.array([], id_type)}))
     return distinct_rows_by(dup, id_col)
 
 
@@ -538,10 +544,16 @@ def jaccard_dup_pairs(
                                    num_bands=num_bands, ngram=ngram),
         batch_format="pyarrow", concurrency=concurrency,
     )
-    pairs = sigs.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    # same pair can surface from several bands -> distinct on (id_a, id_b)
-    from ..dsutil import distinct_rows_by
+    from ..dsutil import bucketed_segments_map, distinct_rows_by
 
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    pairs = bucketed_segments_map(
+        sigs, "band_key", verify,
+        empty_out=pa.table({"id_a": pa.array([], id_type),
+                            "id_b": pa.array([], id_type),
+                            "jaccard": pa.array([], pa.float64())}))
+    # same pair can surface from several bands -> distinct on (id_a, id_b)
     return distinct_rows_by(pairs, ["id_a", "id_b"])
 
 
@@ -577,9 +589,12 @@ def _jaccard_pairs_join(
         return pa.table({"id_a": pa.array(out_a, id_type),
                          "id_b": pa.array(out_b, id_type)})
 
-    pairs = sigs.groupby("band_key").map_groups(cand, batch_format="pyarrow")
-    from ..dsutil import distinct_rows_by
+    from ..dsutil import bucketed_segments_map, distinct_rows_by
 
+    pairs = bucketed_segments_map(
+        sigs, "band_key", cand,
+        empty_out=pa.table({"id_a": pa.array([], id_type),
+                            "id_b": pa.array([], id_type)}))
     pairs = distinct_rows_by(pairs, ["id_a", "id_b"])
     pairs = drop_empty_blocks(pairs, empty_schema=pair_schema)
 
@@ -842,7 +857,13 @@ def embedding_dup_ids(
         fn_constructor_kwargs=dict(emb_col=emb_col, id_col=id_col, n_planes=n_planes),
         batch_format="pyarrow", concurrency=concurrency,
     )
-    return sigs.groupby("bucket").map_groups(bucket, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    return bucketed_segments_map(
+        sigs, "bucket", bucket,
+        empty_out=pa.table({id_col: pa.array([], id_type)}))
 
 
 def embedding_dup_ids_exact(
@@ -1016,8 +1037,14 @@ def minhash_cross_join(
             "est": pa.array(est[li, ri], pa.float64()),
         })
 
-    pairs = both.groupby("band_key").map_groups(match, batch_format="pyarrow")
-    # same pair can surface from several bands; est is band-independent
-    from ..dsutil import distinct_rows_by
+    from ..dsutil import bucketed_segments_map, distinct_rows_by
 
+    lsch = left.schema()
+    lid_type = dict(zip(lsch.names, lsch.types))[id_col]
+    pairs = bucketed_segments_map(
+        both, "band_key", match,
+        empty_out=pa.table({"l_id": pa.array([], lid_type),
+                            "r_id": pa.array([], lid_type),
+                            "est": pa.array([], pa.float64())}))
+    # same pair can surface from several bands; est is band-independent
     return distinct_rows_by(pairs, ["l_id", "r_id"])

@@ -150,8 +150,13 @@ def near_dup_image_groups(
 
     from ray.data.aggregate import Count
 
-    pairs = (hashes.map_batches(to_buckets, batch_format="pyarrow")
-             .groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    pairs = (bucketed_segments_map(
+                 hashes.map_batches(to_buckets, batch_format="pyarrow"),
+                 "bucket", bucket_pairs,
+                 empty_out=pa.table({"a": pa.array([], pa.string()),
+                                     "b": pa.array([], pa.string())}))
              .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
 
     # driver union-find over the verified pair set (dup-bounded)
