@@ -159,17 +159,19 @@ def asof_join(
     ``on`` ≥ it (``"forward"``), or whichever of the two is closer
     (``"nearest"``, backward on exact-distance ties).
 
-    One keyed shuffle: both sides are tagged and unioned, then a single
-    ``groupby(by).map_groups`` sorts each key's rows once and answers every
-    left row with one vectorized ``np.searchsorted`` — no per-row Python, no
-    second shuffle.  Ties (right ``on`` equal to left ``on``) match, mirroring
-    the SQL ``>=`` bound; duplicate right timestamps are safe because only
-    ``value_col`` (typically the matched ``on`` itself) is emitted.
+    One keyed shuffle: both sides are tagged and unioned, then ONE
+    vectorized call per hash partition (``dsutil.keyed_partition_map``)
+    sorts the partition by (by, on) once and answers every left row of
+    every key with a single composite-key ``np.searchsorted`` sweep — no
+    per-row or per-key Python, no second shuffle.  Ties (right ``on`` equal
+    to left ``on``) match, mirroring the SQL ``>=`` bound; duplicate right
+    timestamps are safe because only ``value_col`` (typically the matched
+    ``on`` itself) is emitted.
 
-    Partitioning assumption: one ``by`` key's rows (both sides) fit one
-    worker — the same contract as ``session_windows``.  For hot keys beyond
-    that use ``asof_join_salted`` (epoch-salted shuffle + carry rows; proven
-    output-identical).
+    Partitioning assumption: a hash partition's rows (both sides) fit one
+    worker — the same contract as Ray's own groupby shuffle.  For hot keys
+    beyond that use ``asof_join_salted`` (epoch-salted shuffle + carry
+    rows; proven output-identical).
     """
     out_col = out_col or f"right_{value_col}"
     l_schema = left.schema()
@@ -203,55 +205,84 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group.column("_side").to_numpy(zero_copy_only=False)
-        ons = group.column(on).to_numpy(zero_copy_only=False)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+
+    def merge_partition(part: pa.Table) -> pa.Table:
+        """Every ``by`` key of the partition in ONE vectorized pass: sort by
+        (by, on) once, then composite-key ``np.searchsorted`` — right rows
+        of key k occupy the contiguous band ``seg*BIG + (on - on_min)``, so
+        a single binary-search sweep answers all keys (segment-ordinal ×
+        range-offset monotonization; falls back to a per-segment sweep if
+        the composite would overflow int64, which real timestamp ranges
+        never hit)."""
+        vtype = part.column(value_col).type
+        if part.num_rows == 0:
+            out = pa.table({c: pa.array([], l_types[c]) for c in left_cols})
+            return out.append_column(out_col, pa.array([], vtype))
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(by, "ascending"), (on, "ascending")]))
+        n = part.num_rows
+        side = part.column("_side").to_numpy(zero_copy_only=False)
+        ons = part.column(on).to_numpy(zero_copy_only=False)
         if ons.dtype.kind == "M":  # timestamps: integer view so the
             ons = ons.view(np.int64)  # nearest-distance arithmetic works
-        l_tbl = group.filter(pa.array(side == 0)).drop_columns(["_side"])
-        r_mask = side == 1
-        l_on = ons[side == 0]
-        r_on = ons[r_mask]
-        if len(r_on) == 0:
-            matched = pa.nulls(l_tbl.num_rows, group.column(value_col).type)
+        ons = ons.astype(np.int64, copy=False)
+        keys_np = part.column(by).to_numpy(zero_copy_only=False)
+        seg = np.zeros(n, np.int64)
+        if n > 1:
+            seg[1:] = np.cumsum(keys_np[1:] != keys_np[:-1])
+        lidx = np.flatnonzero(side == 0)
+        ridx = np.flatnonzero(side == 1)
+        l_tbl = part.take(pa.array(lidx, pa.int64()))
+        if len(ridx) == 0 or len(lidx) == 0:
+            matched = pa.nulls(l_tbl.num_rows, vtype)
         else:
-            order = np.argsort(r_on, kind="stable")
-            r_on_sorted = r_on[order]
-            # backward index: greatest right on <= left on (-1 = no match);
-            # forward index: smallest right on >= left on (n = no match)
-            back = np.searchsorted(r_on_sorted, l_on, side="right") - 1
+            on_min = int(ons.min())
+            span = int(ons.max()) - on_min + 2
+            n_seg = int(seg[-1]) + 1
+            if n_seg * span < (1 << 62):
+                comp = seg * np.int64(span) + (ons - np.int64(on_min))
+                comp_r, comp_l = comp[ridx], comp[lidx]
+            else:  # pathological range: per-value pairs via object compare
+                comp = np.rec.fromarrays([seg, ons])
+                comp_r, comp_l = comp[ridx], comp[lidx]
+            r_seg = seg[ridx]
+            l_seg = seg[lidx]
+            nr = len(ridx)
+            # backward: greatest right (seg, on) <= left's; key-guarded
+            back = np.searchsorted(comp_r, comp_l, side="right") - 1
+            back_ok = (back >= 0) & (r_seg[np.maximum(back, 0)] == l_seg)
             if direction == "backward":
-                pos = back
+                pos, ok = back, back_ok
             else:
-                fwd = np.searchsorted(r_on_sorted, l_on, side="left")
+                fwd = np.searchsorted(comp_r, comp_l, side="left")
+                fwd_ok = (fwd < nr) & (r_seg[np.minimum(fwd, nr - 1)] == l_seg)
                 if direction == "forward":
-                    pos = np.where(fwd < len(r_on_sorted), fwd, -1)
-                elif direction == "nearest":
-                    fwd_ok = fwd < len(r_on_sorted)
-                    back_ok = back >= 0
+                    pos, ok = fwd, fwd_ok
+                else:  # nearest: backward wins exact-distance ties
+                    r_on = ons[ridx]
+                    l_on = ons[lidx]
                     db = np.where(back_ok,
-                                  l_on - r_on_sorted[np.maximum(back, 0)],
-                                  np.inf)
+                                  l_on - r_on[np.maximum(back, 0)], np.inf)
                     dfw = np.where(fwd_ok,
-                                   r_on_sorted[np.minimum(
-                                       fwd, len(r_on_sorted) - 1)] - l_on,
+                                   r_on[np.minimum(fwd, nr - 1)] - l_on,
                                    np.inf)
-                    # backward wins exact-distance ties
-                    pos = np.where(db <= dfw, back,
-                                   np.where(fwd_ok, fwd, -1))
-                else:
-                    raise ValueError(f"unknown direction: {direction}")
-            r_vals = group.filter(pa.array(r_mask)).column(value_col).take(
-                pa.array(order[np.maximum(pos, 0)])
-            )
-            matched = pc.if_else(pa.array(pos >= 0), r_vals,
-                                 pa.scalar(None, group.column(value_col).type))
+                    use_back = db <= dfw
+                    pos = np.where(use_back, back, np.minimum(fwd, nr - 1))
+                    ok = np.where(use_back, back_ok, fwd_ok)
+            safe = np.where(ok, pos, 0)
+            r_vals = part.column(value_col).take(
+                pa.array(ridx[safe], pa.int64()))
+            matched = pc.if_else(pa.array(ok), r_vals, pa.scalar(None, vtype))
         out = l_tbl.select(left_cols).append_column(out_col, matched)
         if how == "inner":
             out = out.filter(pc.is_valid(out.column(out_col)))
         return out
 
-    return both.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(both, by, merge_partition)
 
 
 def asof_join_salted(
