@@ -182,14 +182,21 @@ def bucketed_segments_map(
     import numpy as np
     import pyarrow.compute as pc
 
+    bucket_cols = ([bucket_col] if isinstance(bucket_col, str)
+                   else list(bucket_col))
+
     def part_fn(part: pa.Table) -> pa.Table:
         n = part.num_rows
         if n == 0:
             return empty_out
         part = part.take(pc.sort_indices(
-            part, sort_keys=[(bucket_col, "ascending")]))
-        k = part.column(bucket_col).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            part, sort_keys=[(c, "ascending") for c in bucket_cols]))
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in bucket_cols:
+            k = part.column(c).to_numpy(zero_copy_only=False)
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, n))
         outs = []
         for s, c in zip(starts[counts >= min_rows], counts[counts >= min_rows]):

@@ -576,7 +576,12 @@ def range_join(
         return pa.table(cols)
 
     keys = [by, "_bucket"] if by else ["_bucket"]
-    return both.groupby(keys).map_groups(match, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    _empty = {c: pa.array([], p_types[c]) for c in p_cols}
+    _empty.update({c: pa.array([], i_types[c]) for c in out_int_cols})
+    return bucketed_segments_map(both, keys, match,
+                                 empty_out=pa.table(_empty))
 
 
 def skew_join(
@@ -851,7 +856,12 @@ def interval_overlap_join(
         return pa.table(cols)
 
     keys = [by, "_bucket"] if by else ["_bucket"]
-    return both.groupby(keys).map_groups(match, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    _empty = {c: pa.array([], l_types[c]) for c in l_cols}
+    _empty.update({c: pa.array([], r_types[c]) for c in r_cols})
+    return bucketed_segments_map(both, keys, match,
+                                 empty_out=pa.table(_empty))
 
 
 def scalar_band_join(
