@@ -69,29 +69,53 @@ def golden_diff(
 
     schema = _diff_schema(key_type)
 
-    def compare(group: pa.Table) -> pa.Table:
-        sides = group.column("__side").to_pylist()
-        k = group.column(key)[0].as_py()
-        n_got = sides.count(_SIDE_GOT)
-        n_want = sides.count(_SIDE_WANT)
+    def compare_partition(part: pa.Table) -> pa.Table:
+        """All keys of one hash partition vectorized: sort by (key, side) —
+        'got' < 'want', so a clean 1:1 key occupies rows (s, s+1) — then one
+        null-safe string compare per checked column over the clean keys;
+        presence/multiplicity anomalies fall out of the side counts."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = part.num_rows
+        if n == 0:
+            return schema.empty_table()
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            (key, "ascending"), ("__side", "ascending")]))
+        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        is_got = pc.equal(part.column("__side"), _SIDE_GOT) \
+                   .to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        counts = np.diff(np.append(starts, n))
+        n_got = np.add.reduceat(is_got.astype(np.int64), starts)
+        n_want = counts - n_got
+        clean = (n_got == 1) & (n_want == 1)
         out_k, out_c, out_g, out_w = [], [], [], []
-        if n_got != 1 or n_want != 1:
-            col = "__presence__" if (n_got == 0 or n_want == 0) else "__multiplicity__"
-            out_k.append(k)
-            out_c.append(col)
-            out_g.append(str(n_got))
-            out_w.append(str(n_want))
-        else:
-            gi = sides.index(_SIDE_GOT)
-            wi = sides.index(_SIDE_WANT)
-            for c in columns:
-                col_arr = group.column(c)
-                gv, wv = col_arr[gi].as_py(), col_arr[wi].as_py()
-                if gv != wv:
-                    out_k.append(k)
-                    out_c.append(c)
-                    out_g.append(gv)
-                    out_w.append(wv)
+        # anomalies: presence (one side absent) or multiplicity
+        bad = np.flatnonzero(~clean)
+        key_col = part.column(key)
+        for b in bad:
+            out_k.append(key_col[int(starts[b])].as_py())
+            out_c.append("__presence__" if (n_got[b] == 0 or n_want[b] == 0)
+                         else "__multiplicity__")
+            out_g.append(str(int(n_got[b])))
+            out_w.append(str(int(n_want[b])))
+        # clean keys: got at starts, want at starts+1 (side sort order)
+        gsel = pa.array(starts[clean], pa.int64())
+        wsel = pa.array(starts[clean] + 1, pa.int64())
+        gkeys = key_col.take(gsel)
+        for c in columns:
+            g = part.column(c).take(gsel)
+            w = part.column(c).take(wsel)
+            eq = pc.fill_null(pc.equal(g, w), False)
+            both_null = pc.and_(pc.is_null(g), pc.is_null(w))
+            diff = pc.invert(pc.or_(eq, both_null)) \
+                     .to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(diff):
+                out_k.append(gkeys[int(i)].as_py())
+                out_c.append(c)
+                out_g.append(g[int(i)].as_py())
+                out_w.append(w[int(i)].as_py())
         return pa.table({
             "doc_id": pa.array(out_k, key_type),
             "column": pa.array(out_c, pa.string()),
@@ -99,7 +123,9 @@ def golden_diff(
             "want": pa.array(out_w, pa.string()),
         }, schema=schema)
 
-    return unioned.groupby(key).map_groups(compare, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(unioned, key, compare_partition)
 
 
 def span_digests(ds: ray.data.Dataset, spans_col: str,

@@ -40,4 +40,9 @@ def words_to_docs(
         return pa.table({"doc_id": pa.array([doc_id], pa.string()),
                          "spans": pa.array([spans], SPANS_TYPE)})
 
-    return ds.groupby("doc_id").map_groups(parse_group, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    return bucketed_segments_map(
+        ds, "doc_id", parse_group, min_rows=1,
+        empty_out=pa.table({"doc_id": pa.array([], pa.string()),
+                            "spans": pa.array([], SPANS_TYPE)}))

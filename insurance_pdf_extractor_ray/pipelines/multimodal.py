@@ -600,7 +600,12 @@ def frame_digests(ds: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"media_ref": pa.array([rows[0]["media_ref"]], pa.string()),
                          "frame_digest": pa.array([";".join(parts)], pa.string())})
 
-    return ds.groupby("media_ref").map_groups(per_clip, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    return bucketed_segments_map(
+        ds, "media_ref", per_clip, min_rows=1,
+        empty_out=pa.table({"media_ref": pa.array([], pa.string()),
+                            "frame_digest": pa.array([], pa.string())}))
 
 
 # ---------------------------------------------------------------------------
