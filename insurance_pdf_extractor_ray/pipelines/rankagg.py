@@ -166,19 +166,40 @@ def quantiles_by(
         .aggregate(Count(alias_name="_c"))
     )
 
-    def interp(group: pa.Table) -> pa.Table:
-        kv = group.column(key)[0]
-        order = pc.sort_indices(group, sort_keys=[(value_col, "ascending")])
-        group = group.take(order)
-        values = group.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        counts = group.column("_c").to_numpy(zero_copy_only=False)
-        cols: dict = {key: pa.array([kv.as_py()], group.column(key).type),
-                      "n": pa.array([int(counts.sum())], pa.int64())}
-        for q, name in zip(qs, names):
-            cols[name] = pa.array([_percentile_cont(values, counts, q)], pa.float64())
-        return pa.table(cols)
+    def interp_partition(part: pa.Table) -> pa.Table:
+        """All keys of the partition: one (key, value) sort, then numpy-slice
+        interpolation per key segment (histograms are distinct-value-bounded,
+        so the per-segment loop is tiny)."""
+        ktype = part.column(key).type
+        if part.num_rows == 0:
+            return pa.table({key: pa.array([], ktype),
+                             "n": pa.array([], pa.int64()),
+                             **{nm: pa.array([], pa.float64())
+                                for nm in names}})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            (key, "ascending"), (value_col, "ascending")]))
+        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        values = part.column(value_col).to_numpy(zero_copy_only=False) \
+                     .astype(np.float64)
+        counts = part.column("_c").to_numpy(zero_copy_only=False)
+        m = len(keys_np)
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        bounds = np.append(starts, m)
+        totals = np.add.reduceat(counts, starts)
+        out_q = {nm: np.empty(len(starts), np.float64) for nm in names}
+        for i in range(len(starts)):
+            lo_i, hi_i = bounds[i], bounds[i + 1]
+            v, c = values[lo_i:hi_i], counts[lo_i:hi_i]
+            for q, nm in zip(qs, names):
+                out_q[nm][i] = _percentile_cont(v, c, q)
+        return pa.table({
+            key: part.column(key).take(pa.array(starts, pa.int64())),
+            "n": pa.array(totals.astype(np.int64), pa.int64()),
+            **{nm: pa.array(out_q[nm], pa.float64()) for nm in names}})
 
-    return hist.groupby(key).map_groups(interp, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(hist, key, interp_partition)
 
 
 def quantiles_by_binned(
@@ -246,18 +267,28 @@ def dense_rank_by(
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
     uniq = pairs.groupby([key, value_col]).aggregate(Count(alias_name="_c"))
 
-    def rank(group: pa.Table) -> pa.Table:
+    def rank_partition(part: pa.Table) -> pa.Table:
         order = "descending" if descending else "ascending"
-        idx = pc.sort_indices(group, sort_keys=[(value_col, order)])
-        g = group.take(idx).select([key, value_col])
+        idx = pc.sort_indices(part, sort_keys=[
+            (key, "ascending"), (value_col, order)])
+        g = part.take(idx).select([key, value_col])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(alias, pa.array([], pa.int64()))
+        keys_np = g.column(key).to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, keys_np[1:] != keys_np[:-1]]
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
         # distinct pairs => every row is a new rank within the key
-        ranks = np.arange(1, g.num_rows + 1, dtype=np.int64)
+        ranks = np.arange(n, dtype=np.int64) - starts[seg] + 1
         g = g.append_column(alias, pa.array(ranks, pa.int64()))
         if max_rank is not None:
             g = g.filter(pa.array(ranks <= max_rank))
         return g
 
-    return uniq.groupby(key).map_groups(rank, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(uniq, key, rank_partition)
 
 
 def latest_by_key(
