@@ -105,19 +105,31 @@ def exact_dedup(
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     if strict:
-        def keep_first(group: pa.Table) -> pa.Table:
-            if group.num_rows == 1:
-                return group.drop_columns(["__h"])
-            vals = group.column(col).to_pylist()
-            ids = group.column(id_col).to_pylist()
-            best: dict = {}
-            for i, (v, rid) in enumerate(zip(vals, ids)):
-                if v not in best or rid < ids[best[v]]:
-                    best[v] = i
-            keep = sorted(best.values())
-            return group.take(pa.array(keep)).drop_columns(["__h"])
+        # equal VALUES co-locate under the hash partitioning, so one
+        # (value, id) sort + a first-occurrence run mask keeps the min-id
+        # row per distinct value for every hash of the partition at once —
+        # value equality is re-checked on the actual strings, so a 64-bit
+        # hash collision cannot merge two distinct values
+        def keep_first_partition(part: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc2
 
-        return hashed.groupby("__h").map_groups(keep_first, batch_format="pyarrow")
+            n = part.num_rows
+            if n <= 1:
+                return part.drop_columns(["__h"])
+            part = part.take(_pc2.sort_indices(part, sort_keys=[
+                (col, "ascending"), (id_col, "ascending")]))
+            c = part.column(col).combine_chunks()
+            cur, prev = c.slice(1, n - 1), c.slice(0, n - 1)
+            same = _pc2.fill_null(_pc2.equal(cur, prev), False)
+            both_null = _pc2.and_(_pc2.is_null(cur), _pc2.is_null(prev))
+            dup = _pc2.or_(same, both_null).to_numpy(zero_copy_only=False)
+            keep = np.ones(n, dtype=bool)
+            keep[1:] = ~dup
+            return part.filter(pa.array(keep)).drop_columns(["__h"])
+
+        from ..dsutil import keyed_partition_map
+
+        return keyed_partition_map(hashed, "__h", keep_first_partition)
 
     from ray.data.aggregate import Min
 
