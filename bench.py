@@ -892,12 +892,14 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     dim_label_mi(emb, "embedding", "label")
     ords = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                  columns=["o_orderkey", "o_custkey"])
-    edges = ords.join(li.materialize(), join_type="inner",
-                      num_partitions=8, on=("o_orderkey",),
-                      right_on=("l_orderkey",)) \
-        .groupby(["o_custkey", "l_partkey"]) \
-        .aggregate(Count(alias_name="_c")) \
-        .select_columns(["o_custkey", "l_partkey"])
+    from insurance_pdf_extractor_ray.dsutil import distinct_rows_by
+
+    edges = distinct_rows_by(
+        ords.join(li.materialize(), join_type="inner",
+                  num_partitions=8, on=("o_orderkey",),
+                  right_on=("l_orderkey",))
+        .select_columns(["o_custkey", "l_partkey"]),
+        ["o_custkey", "l_partkey"])
     assert hits_bipartite(edges, "o_custkey", "l_partkey",
                           n_iter=2).count() > 0
     queries["graph_ml"] = round(time.time() - t0, 3)

@@ -373,10 +373,11 @@ def cooccurrence_pairs(
             pc.is_valid(batch.column(item_col)))
         return batch.group_by([key_col, item_col]).aggregate([])
 
-    uniq = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
-            .groupby([key_col, item_col]).aggregate(Count(alias_name="_c")))
+    from ..dsutil import distinct_rows_by, keyed_partition_map
 
-    from ..dsutil import keyed_partition_map
+    uniq = distinct_rows_by(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        [key_col, item_col])
 
     pairs = keyed_partition_map(
         uniq, key_col,
@@ -646,9 +647,11 @@ def association_lift(
         batch = batch.filter(pc.is_valid(batch.column(item_col)))
         return batch.group_by([key_col, item_col]).aggregate([])
 
-    uniq = (base.map_batches(distinct_pairs, batch_format="pyarrow")
-            .groupby([key_col, item_col]).aggregate(Count(alias_name="_c"))
-            ).materialize()
+    from ..dsutil import distinct_rows_by
+
+    uniq = distinct_rows_by(
+        base.map_batches(distinct_pairs, batch_format="pyarrow"),
+        [key_col, item_col]).materialize()
 
     supports = (uniq.groupby(item_col).aggregate(Count(alias_name="_s"))
                 ).take_all()

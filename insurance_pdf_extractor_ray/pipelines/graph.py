@@ -418,6 +418,83 @@ def bfs_hops(
     })
 
 
+#: edge count above which HITS/score maps stop broadcasting and the keyed
+#: join/combine rounds run instead (nodes ≤ edges, so this bounds the
+#: broadcast id/score arrays at ~80 MB)
+HITS_BROADCAST_EDGES_MAX = 5_000_000
+
+
+def _collect_parts(ds: ray.data.Dataset) -> Optional[pa.Table]:
+    """Concat a partial-table Dataset's non-empty Arrow blocks on the driver
+    (bounded by contract: nodes × blocks partial rows)."""
+    import ray as _ray
+
+    tbls = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls, promote_options="default")
+
+
+def _hits_broadcast_rounds(edges: ray.data.Dataset, hub_col: str,
+                           auth_col: str, n_iter: int) -> ray.data.Dataset:
+    """HITS rounds with broadcast score maps — bit-identical to the join
+    path (integer degree sums are order-independent), zero shuffles."""
+    import numpy as np
+    import ray as _ray
+
+    def merge(parts: pa.Table):
+        g = parts.group_by("id").aggregate([("s", "sum")])
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        sc = g.column("s_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        return ids[order].astype(np.int64), sc[order].astype(np.int64)
+
+    def count_partial(col):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(col).aggregate([([], "count_all")])
+            return pa.table({"id": g.column(col).cast(pa.int64()),
+                             "s": g.column("count_all").cast(pa.int64())})
+        return f
+
+    def sum_partial(probe_col, out_col, ref):
+        def f(t: pa.Table) -> pa.Table:
+            ids, sc = _ray.get(ref)
+            p = t.column(probe_col).cast(pa.int64()) \
+                 .to_numpy(zero_copy_only=False)
+            v = sc[np.searchsorted(ids, p)]  # every edge endpoint has a score
+            tt = pa.table({"id": t.column(out_col).cast(pa.int64()),
+                           "s": pa.array(v, pa.int64())})
+            g = tt.group_by("id").aggregate([("s", "sum")])
+            return pa.table({"id": g.column("id"),
+                             "s": g.column("s_sum").cast(pa.int64())})
+        return f
+
+    # round 1 authority update: auth = in-degree (hub scores are all 1)
+    auth = merge(_collect_parts(edges.map_batches(
+        count_partial(auth_col), batch_format="pyarrow")))
+    hubs = None
+    for _ in range(n_iter - 1):
+        ref_a = _ray.put(auth)
+        hubs = merge(_collect_parts(edges.map_batches(
+            sum_partial(auth_col, hub_col, ref_a), batch_format="pyarrow")))
+        ref_h = _ray.put(hubs)
+        auth = merge(_collect_parts(edges.map_batches(
+            sum_partial(hub_col, auth_col, ref_h), batch_format="pyarrow")))
+    if hubs is None:  # n_iter == 1: hubs stay at the uniform start
+        ids, _ = merge(_collect_parts(edges.map_batches(
+            count_partial(hub_col), batch_format="pyarrow")))
+        hubs = (ids, np.ones(len(ids), np.int64))
+
+    def side_tbl(pair, side):
+        ids, sc = pair
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "score": pa.array(sc, pa.int64()),
+                         "side": pa.array([side] * len(ids), pa.string())})
+
+    return ray.data.from_arrow(pa.concat_tables(
+        [side_tbl(auth, "auth"), side_tbl(hubs, "hub")]))
+
+
 def hits_bipartite(
     edges: ray.data.Dataset,
     hub_col: str,
@@ -459,6 +536,17 @@ def hits_bipartite(
     # upstream dedups/groupbys can leave zero-column placeholder blocks the
     # per-round Dataset.join would reject — scrub once (metadata-only)
     edges = drop_empty_blocks(edges)
+
+    # Zero-shuffle fast path: score maps are NODE-cardinality (≤ edge
+    # count), so under the broadcast cap each half-round is one map pass
+    # over the edges (broadcast scores probed with a sorted-id searchsorted,
+    # per-batch int64 partial sums) plus a driver merge of partials — the
+    # ``kmeans_lloyd`` shape.  Above the cap (or non-integer ids) the keyed
+    # join/combine rounds below run unchanged.
+    n_edges = edges.count()
+    if (pa.types.is_integer(hub_t) and pa.types.is_integer(auth_t)
+            and n_edges <= HITS_BROADCAST_EDGES_MAX):
+        return _hits_broadcast_rounds(edges, hub_col, auth_col, n_iter)
 
     # round 1 authority update: auth = in-degree (hub scores are all 1)
     auth = drop_empty_blocks(

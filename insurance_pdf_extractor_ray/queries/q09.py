@@ -93,13 +93,13 @@ def _q_hits_scores(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).materialize()
     P = join_partitions_for(li.count())
-    from ray.data.aggregate import Count
+    from insurance_pdf_extractor_ray.dsutil import distinct_rows_by
 
-    edges = (orders.join(li, join_type="inner", num_partitions=P,
-                         on=("o_orderkey",), right_on=("l_orderkey",))
-             .groupby(["o_custkey", "l_partkey"])
-             .aggregate(Count(alias_name="_c"))
-             .select_columns(["o_custkey", "l_partkey"]))
+    edges = distinct_rows_by(
+        orders.join(li, join_type="inner", num_partitions=P,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+        .select_columns(["o_custkey", "l_partkey"]),
+        ["o_custkey", "l_partkey"])
     scores = hits_bipartite(edges, "o_custkey", "l_partkey", n_iter=2)
     top = grouped_top_k(scores, "side", ["score", "id"], [True, False], 20)
     rows = sorted(top.take_all(),
