@@ -379,11 +379,12 @@ def cooccurrence_pairs(
         ds.map_batches(distinct_pairs, batch_format="pyarrow"),
         [key_col, item_col])
 
+    from ..dsutil import count_by
+
     pairs = keyed_partition_map(
         uniq, key_col,
         lambda part: _explode_pairs_partition(part, key_col, item_col))
-    return pairs.groupby(["item_a", "item_b"]).aggregate(
-        Count(alias_name=alias))
+    return count_by(pairs, ["item_a", "item_b"], alias)
 
 
 def _explode_pairs_partition(part: pa.Table, key_col: str,
@@ -469,9 +470,10 @@ def transition_counts(
 
     from ..dsutil import keyed_partition_map
 
+    from ..dsutil import sum_by
+
     partials = keyed_partition_map(ds, key_col, per_partition)
-    return partials.groupby(["from_item", "to_item"]).aggregate(
-        Sum("_n", alias_name=alias))
+    return sum_by(partials, ["from_item", "to_item"], "_n", alias)
 
 
 def path_ngrams(
@@ -653,8 +655,9 @@ def association_lift(
         base.map_batches(distinct_pairs, batch_format="pyarrow"),
         [key_col, item_col]).materialize()
 
-    supports = (uniq.groupby(item_col).aggregate(Count(alias_name="_s"))
-                ).take_all()
+    from ..dsutil import count_by
+
+    supports = count_by(uniq, item_col, "_s").take_all()
     if len(supports) > broadcast_items_max:
         raise ValueError(
             f"item vocabulary {len(supports)} exceeds broadcast cap "
@@ -663,15 +666,15 @@ def association_lift(
     sup_n = np.array([r["_s"] for r in supports], np.int64)
     order = np.argsort(sup_ids)
     sup_ref = ray.put((sup_ids[order], sup_n[order]))
-    n_baskets = int(uniq.groupby(key_col).aggregate(
-        Count(alias_name="_k")).count())
+    n_baskets = int(distinct_rows_by(
+        uniq.select_columns([key_col]), key_col).count())
 
     from ..dsutil import keyed_partition_map
 
-    pairs = (keyed_partition_map(
+    pairs = count_by(keyed_partition_map(
         uniq, key_col,
-        lambda part: _explode_pairs_partition(part, key_col, item_col))
-        .groupby(["item_a", "item_b"]).aggregate(Count(alias_name="n_ab")))
+        lambda part: _explode_pairs_partition(part, key_col, item_col)),
+        ["item_a", "item_b"], "n_ab")
 
     def with_lift(batch: pa.Table, sup=sup_ref, N=n_baskets,
                   msup=min_support, mlift=min_lift_pct) -> pa.Table:
