@@ -352,15 +352,25 @@ def asof_join_salted(
         last[:-1] = (k[:-1] != k[1:]) | (e[:-1] != e[1:])
         return tbl.filter(pa.array(last))
 
-    summaries = (
+    def last_per_key_epoch(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return part
+        sort_cols = list(dict.fromkeys([by, "_epoch", on, value_col]))
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(c, "ascending") for c in sort_cols]))
+        k = part.column(by).to_numpy(zero_copy_only=False)
+        e = part.column("_epoch").to_numpy(zero_copy_only=False)
+        last = np.ones(n, dtype=bool)
+        last[:-1] = (k[:-1] != k[1:]) | (e[:-1] != e[1:])
+        return part.filter(pa.array(last))
+
+    from ..dsutil import distinct_rows_by, keyed_partition_map
+
+    summaries = keyed_partition_map(
         right.select_columns(list(dict.fromkeys(r_keep)))
-        .map_batches(right_summary, batch_format="pyarrow")
-        .groupby([by, "_epoch"])
-        .map_groups(lambda g: g.take(pc.sort_indices(
-            g, sort_keys=[(c, "ascending")
-                          for c in dict.fromkeys([on, value_col])])).slice(
-                g.num_rows - 1, 1), batch_format="pyarrow")
-    )
+        .map_batches(right_summary, batch_format="pyarrow"),
+        [by, "_epoch"], last_per_key_epoch)
 
     # --- distinct (key, epoch) pairs the LEFT touches (map-side dedup) ---
     def left_epochs(batch: pa.Table) -> pa.Table:
@@ -371,12 +381,10 @@ def asof_join_salted(
         t = pa.table({by: batch.column(by), "_epoch": pa.array(ep, pa.int64())})
         return t.group_by([by, "_epoch"]).aggregate([])
 
-    l_epochs = (
+    l_epochs = distinct_rows_by(
         left.select_columns([by, on])
-        .map_batches(left_epochs, batch_format="pyarrow")
-        .groupby([by, "_epoch"]).map_groups(
-            lambda g: g.slice(0, 1).select([by, "_epoch"]), batch_format="pyarrow")
-    )
+        .map_batches(left_epochs, batch_format="pyarrow"),
+        [by, "_epoch"]).select_columns([by, "_epoch"])
 
     # --- forward-fill right summaries onto left epochs, per key ---
     def sum_tag(kind: int):
@@ -437,7 +445,14 @@ def asof_join_salted(
                          on: picked.column(on),
                          value_col: picked.column(value_col)})
 
-    carries = merged_small.groupby(by).map_groups(carry_rows, batch_format="pyarrow")
+    from ..dsutil import bucketed_segments_map
+
+    _carry_empty = pa.table({by: pa.array([], by_type),
+                             "_epoch": pa.array([], pa.int64()),
+                             on: pa.array([], on_type),
+                             value_col: pa.array([], val_type)})
+    carries = bucketed_segments_map(merged_small, by, carry_rows,
+                                    empty_out=_carry_empty, min_rows=1)
 
     # --- big shuffle: left + right + carry rows keyed (by, epoch) ---
     def tag(side: int, from_right_schema: bool):
@@ -488,7 +503,11 @@ def asof_join_salted(
             out = out.filter(pc.is_valid(out.column(out_col)))
         return out
 
-    return both.groupby([by, "_epoch"]).map_groups(merge, batch_format="pyarrow")
+    _merge_empty_cols = {c: pa.array([], l_types[c]) for c in left_cols}
+    _merge_empty_cols[out_col] = pa.array([], val_type)
+    return bucketed_segments_map(both, [by, "_epoch"], merge,
+                                 empty_out=pa.table(_merge_empty_cols),
+                                 min_rows=1)
 
 
 def range_join(
