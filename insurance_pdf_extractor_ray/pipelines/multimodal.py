@@ -821,18 +821,43 @@ def doc_asset_components(refs: ray.data.Dataset,
     output covers every input doc."""
     from .dedup import dup_components_distributed
 
-    def star(group: pa.Table) -> pa.Table:
-        docs = sorted(set(group.column("doc_id").to_pylist()))
-        root = docs[0]
-        # singleton groups emit a self-edge so the doc reaches the output
-        others = docs[1:] if len(docs) > 1 else [root]
-        return pa.table({"id_a": pa.array([root] * len(others),
-                                          group.column("doc_id").type),
-                         "id_b": pa.array(others,
-                                          group.column("doc_id").type)})
+    def star_partition(part: pa.Table) -> pa.Table:
+        """Star edges for every asset of the partition in one pass: sort by
+        (media_ref, doc_id), dedup (ref, doc) repeats with a run mask, then
+        every non-first row of a ref segment pairs with the segment's first
+        doc; singleton segments emit a self-edge."""
+        import numpy as np
+        import pyarrow.compute as pc
 
-    edges = (refs.groupby("media_ref")
-             .map_groups(star, batch_format="pyarrow"))
+        dtype = part.column("doc_id").type
+        n = part.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], dtype),
+                             "id_b": pa.array([], dtype)})
+        part = part.take(pc.sort_indices(part, sort_keys=[
+            ("media_ref", "ascending"), ("doc_id", "ascending")]))
+        r = part.column("media_ref").to_numpy(zero_copy_only=False)
+        d = part.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.r_[True, (r[1:] != r[:-1]) | (d[1:] != d[:-1])]
+        sel = np.flatnonzero(keep)
+        part = part.take(pa.array(sel, pa.int64()))
+        r = r[sel]
+        m = len(sel)
+        new_ref = np.r_[True, r[1:] != r[:-1]]
+        starts = np.flatnonzero(new_ref)
+        seg = np.cumsum(new_ref) - 1
+        counts = np.diff(np.append(starts, m))
+        others = np.flatnonzero(~new_ref)              # non-root rows
+        singles = starts[counts == 1]                  # self-edge roots
+        a_idx = np.concatenate([starts[seg[others]], singles])
+        b_idx = np.concatenate([others, singles])
+        docs = part.column("doc_id")
+        return pa.table({"id_a": docs.take(pa.array(a_idx, pa.int64())),
+                         "id_b": docs.take(pa.array(b_idx, pa.int64()))})
+
+    from ..dsutil import keyed_partition_map
+
+    edges = keyed_partition_map(refs, "media_ref", star_partition)
     comp = dup_components_distributed(edges, "id_a", "id_b",
                                       max_rounds=max_rounds)
 

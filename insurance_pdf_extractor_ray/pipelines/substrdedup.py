@@ -255,9 +255,14 @@ def dup_span_clean(
         return pa.table({id_col: pa.array([key], group.schema.field(id_col).type),
                          "__posblob": pa.array([pos.tobytes()], pa.binary())})
 
-    poslists = (dup_pos.select_columns([id_col, "__pos"])
-                .groupby(id_col).map_groups(collect_positions,
-                                            batch_format="pyarrow"))
+    from ..dsutil import bucketed_segments_map
+
+    _pos_empty = pa.table({id_col: pa.array([], docs.schema()
+                                            .base_schema.field(id_col).type),
+                           "__posblob": pa.array([], pa.binary())})
+    poslists = bucketed_segments_map(
+        dup_pos.select_columns([id_col, "__pos"]), id_col,
+        collect_positions, empty_out=_pos_empty, min_rows=1)
     joined = docs.join(drop_empty_blocks(poslists), join_type="left_outer",
                        num_partitions=nparts, on=(id_col,))
 
@@ -875,12 +880,15 @@ def set_similarity_pairs(
         g = t.group_by(["a", "b"]).aggregate([])
         return g
 
+    from ..dsutil import distinct_rows_by
+
     cands = drop_empty_blocks(
-        prefixes.map_batches(to_tok_bucket, batch_format="pyarrow")
-        .groupby("_tb").map_groups(candidate_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"]).aggregate(Count(alias_name="_c")),
-        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                                ("_c", pa.int64())])).drop_columns(["_c"])
+        distinct_rows_by(
+            prefixes.map_batches(to_tok_bucket, batch_format="pyarrow")
+            .groupby("_tb").map_groups(candidate_pairs,
+                                       batch_format="pyarrow"),
+            ["a", "b"]),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]))
 
     # Materialize BOTH sides before counting: .count() on a lazy Dataset
     # would execute the candidate/aggregation pipeline once for the count
