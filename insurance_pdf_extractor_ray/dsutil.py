@@ -105,7 +105,11 @@ def keyed_partition_map(
 
         n_cpus = (int(_ray.cluster_resources().get("CPU", 8))
                   if _ray.is_initialized() else 8)
-        num_partitions = max(2, min(2 * n_cpus, 256))
+        # scale with the CLUSTER (2 partitions per core keeps wave slack);
+        # the 4096 ceiling only bounds scheduler overhead on very large
+        # clusters — per-partition memory = rows/P, so jobs where that
+        # still exceeds a worker should pass num_partitions explicitly
+        num_partitions = max(2, min(2 * n_cpus, 4096))
     P = num_partitions
 
     def add_part(batch: pa.Table) -> pa.Table:
