@@ -180,6 +180,12 @@ def asof_join(
     r_keep = [by, on, value_col]
 
     r_schema = right.schema()
+    if r_schema is None:
+        # Ray loses the schema of some fully-empty datasets (e.g. after
+        # repartition); surface that clearly instead of an AttributeError
+        raise ValueError(
+            "asof_join: right side has no schema (empty schemaless "
+            "dataset) — pass the unrepartitioned dataset or one with rows")
     r_types = dict(zip(r_schema.names, r_schema.types))
     # unified shuffle schema: every left column + any right-only join column
     r_extra = [c for c in r_keep if c not in left_cols]
