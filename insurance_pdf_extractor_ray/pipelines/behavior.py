@@ -70,25 +70,36 @@ def pivot_counts(
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
 
-    idx = {v: i for i, v in enumerate(col_values)}
     names = [f"{prefix}{v}" for v in col_values]
 
     # the ONLY shuffle: partial (row, col, n) pairs group by row key; the
     # widen step sums duplicate cols from different blocks while pivoting —
-    # per-group input is bounded by |col_values| × #blocks, never by rows
-    def widen(group: pa.Table) -> pa.Table:
-        row = np.zeros(len(col_values), dtype=np.int64)
-        cols = group.column(col_key).to_pylist()
-        ns = group.column("_n").to_numpy(zero_copy_only=False)
-        for c, n in zip(cols, ns):
-            row[idx[c]] += n
-        out: dict = {row_key: pa.array([group.column(row_key)[0].as_py()],
-                                       group.column(row_key).type)}
-        for name, n in zip(names, row):
-            out[name] = pa.array([int(n)], pa.int64())
+    # per-PARTITION input is bounded by |col_values| × #blocks × keys/P;
+    # all row keys of a partition widen in |col_values| masked reduceats
+    def widen_partition(part: pa.Table) -> pa.Table:
+        ktype = part.column(row_key).type
+        m = part.num_rows
+        if m == 0:
+            return pa.table({row_key: pa.array([], ktype),
+                             **{nm: pa.array([], pa.int64())
+                                for nm in names}})
+        part = part.take(pc.sort_indices(
+            part, sort_keys=[(row_key, "ascending")]))
+        keys_np = part.column(row_key).to_numpy(zero_copy_only=False)
+        ns = part.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        out: dict = {row_key: part.column(row_key).take(
+            pa.array(starts, pa.int64()))}
+        col_arr = part.column(col_key)
+        for v, name in zip(col_values, names):
+            mask = pc.equal(col_arr, v).to_numpy(zero_copy_only=False)
+            out[name] = pa.array(
+                np.add.reduceat(np.where(mask, ns, 0), starts), pa.int64())
         return pa.table(out)
 
-    return pairs.groupby(row_key).map_groups(widen, batch_format="pyarrow")
+    from ..dsutil import keyed_partition_map
+
+    return keyed_partition_map(pairs, row_key, widen_partition)
 
 
 # ---------------------------------------------------------------------------

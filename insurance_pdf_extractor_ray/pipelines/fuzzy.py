@@ -228,27 +228,13 @@ def fuzzy_pairs(
     pairs = var_ds.groupby("_b").map_groups(bucket_pairs,
                                             batch_format="pyarrow")
 
-    # global pair dedup (pairs may also recur ACROSS buckets): the same
-    # coarse-bucket shape — Ray's composite-key Aggregate costs ~20x a
-    # sort-partitioned map_groups with an in-group np.unique here
-    def tag_pair(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = a * np.uint64(0x9E3779B97F4A7C15) ^ b
-        return batch.append_column(
-            "_pb", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
-                            pa.int64()))
+    # global pair dedup (pairs may also recur ACROSS buckets): Ray's
+    # composite-key Aggregate costs ~20x a sort-partitioned distinct —
+    # distinct_rows_by is exactly that shape (one exchange, one sorted
+    # first-occurrence mask per partition)
+    from ..dsutil import distinct_rows_by
 
-    def uniq_group(group: pa.Table) -> pa.Table:
-        m = np.stack([group.column("id_a").to_numpy(zero_copy_only=False),
-                      group.column("id_b").to_numpy(zero_copy_only=False)],
-                     axis=1)
-        u = np.unique(m, axis=0)
-        return pa.table({"id_a": pa.array(u[:, 0], pa.int64()),
-                         "id_b": pa.array(u[:, 1], pa.int64())})
-
-    return (pairs.map_batches(tag_pair, batch_format="pyarrow")
-            .groupby("_pb").map_groups(uniq_group, batch_format="pyarrow"))
+    return distinct_rows_by(pairs, ["id_a", "id_b"])
 
 
 def entity_components(
