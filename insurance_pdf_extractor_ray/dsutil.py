@@ -42,6 +42,47 @@ def drop_empty_blocks(
     return ray.data.from_arrow_refs(refs)
 
 
+def adjacent_change(col) -> "np.ndarray":
+    """Length ``n-1`` bool mask: True where row ``i+1`` differs from row
+    ``i`` of an Arrow column — NULL-SAFE (null == null is *not* a change;
+    null vs value is).  Use this instead of
+    ``keys_np[1:] != keys_np[:-1]`` for any nullable numeric / timestamp
+    key: ``to_numpy(zero_copy_only=False)`` maps those nulls to NaN/NaT and
+    ``NaN != NaN`` is True, which would split one SQL null group into
+    per-row segments.  (String keys become ``None`` in object arrays, where
+    ``None != None`` is False — but this helper is safe for every type.)"""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n <= 1:
+        return np.zeros(max(n - 1, 0), dtype=bool)
+    if pa.types.is_null(col.type):
+        return np.zeros(n - 1, dtype=bool)  # all-null column: one run
+    cur, prev = col.slice(1, n - 1), col.slice(0, n - 1)
+    eq = pc.fill_null(pc.equal(cur, prev), False)
+    both_null = pc.and_(pc.is_null(cur), pc.is_null(prev))
+    same = pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+    return ~same
+
+
+def run_starts(col) -> "np.ndarray":
+    """Length ``n`` bool mask: True at row 0 and at every null-safe value
+    change (see :func:`adjacent_change`) — the first row of each run of a
+    sorted column."""
+    import numpy as np
+
+    n = len(col)
+    out = np.empty(n, dtype=bool)
+    if n == 0:
+        return out
+    out[0] = True
+    out[1:] = adjacent_change(col)
+    return out
+
+
 _KNUTH64 = 0x9E3779B97F4A7C15  # splitmix/Fibonacci multiplier (odd, bijective)
 
 
@@ -133,25 +174,35 @@ def distinct_rows_by(
     ds: ray.data.Dataset,
     key_cols,
     num_partitions: Optional[int] = None,
+    tiebreak_cols=None,
 ) -> ray.data.Dataset:
-    """``DISTINCT ON (key_cols)`` keeping one deterministic row per key
-    (the first under an ascending sort of the key columns) — the partition-
-    map replacement for ``groupby(keys).map_groups(lambda g: g.slice(0, 1))``,
+    """``DISTINCT ON (key_cols)``, one row per key — the partition-map
+    replacement for ``groupby(keys).map_groups(lambda g: g.slice(0, 1))``,
     which pays a Python dispatch per key.  ONE hash exchange; interior is a
-    sort + first-occurrence run mask."""
+    sort + first-occurrence run mask.
+
+    Determinism: the KEY columns of the output are always deterministic.
+    The survivor's NON-key columns are arbitrary (they depend on shuffle
+    arrival order) unless ``tiebreak_cols`` is given, in which case the
+    survivor is the first row under an ascending sort of
+    ``key_cols + tiebreak_cols`` — pass a total-ordering tiebreak (e.g. a
+    unique id) for a fully deterministic row."""
     import numpy as np
     import pyarrow.compute as pc
 
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     key_cols = list(key_cols)
+    if isinstance(tiebreak_cols, str):
+        tiebreak_cols = [tiebreak_cols]
+    sort_cols = key_cols + list(tiebreak_cols or [])
 
     def first_per_key(part: pa.Table) -> pa.Table:
         n = part.num_rows
         if n <= 1:
             return part
         part = part.take(pc.sort_indices(
-            part, sort_keys=[(k, "ascending") for k in key_cols]))
+            part, sort_keys=[(k, "ascending") for k in sort_cols]))
         same = np.ones(n - 1, dtype=bool)
         for k in key_cols:
             col = part.column(k).combine_chunks()
@@ -263,8 +314,7 @@ def bucketed_segments_map(
         new = np.zeros(n, dtype=bool)
         new[0] = True
         for c in bucket_cols:
-            k = part.column(c).to_numpy(zero_copy_only=False)
-            new[1:] |= k[1:] != k[:-1]
+            new[1:] |= adjacent_change(part.column(c))
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, n))
         outs = []

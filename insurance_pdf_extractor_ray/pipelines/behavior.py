@@ -85,9 +85,10 @@ def pivot_counts(
                                 for nm in names}})
         part = part.take(pc.sort_indices(
             part, sort_keys=[(row_key, "ascending")]))
-        keys_np = part.column(row_key).to_numpy(zero_copy_only=False)
+        from ..dsutil import run_starts
+
         ns = part.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
-        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        starts = np.flatnonzero(run_starts(part.column(row_key)))
         out: dict = {row_key: part.column(row_key).take(
             pa.array(starts, pa.int64()))}
         col_arr = part.column(col_key)
@@ -145,11 +146,10 @@ def funnel_counts(
             part, sort_keys=[(user_col, "ascending")]))
         ts = part.column(ts_col).cast(pa.int64()) \
                  .to_numpy(zero_copy_only=False)
+        from ..dsutil import run_starts
+
         type_arr = part.column(type_col)
-        keys_np = part.column(user_col).to_numpy(zero_copy_only=False)
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        new_key = run_starts(part.column(user_col))  # null-safe key change
         starts = np.flatnonzero(new_key)
         seg = np.cumsum(new_key) - 1
         n_users = len(starts)
@@ -410,9 +410,10 @@ def _explode_pairs_partition(part: pa.Table, key_col: str,
                          "item_b": pa.array([], itype)})
     part = part.take(pc.sort_indices(
         part, sort_keys=[(key_col, "ascending"), (item_col, "ascending")]))
-    keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-    n = len(keys_np)
-    new_key = np.r_[True, keys_np[1:] != keys_np[:-1]]
+    from ..dsutil import run_starts
+
+    n = part.num_rows
+    new_key = run_starts(part.column(key_col))  # null-safe key change
     starts = np.flatnonzero(new_key)
     counts = np.diff(np.append(starts, n))
     cache: dict = {}
@@ -466,9 +467,11 @@ def transition_counts(
             return pa.table({"from_item": pa.array([], items.type),
                              "to_item": pa.array([], items.type),
                              "_n": pa.array([], pa.int64())})
-        # adjacency only counts within a key's run (key-change rows mask out)
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        same_key = pa.array(keys_np[1:] == keys_np[:-1])
+        # adjacency only counts within a key's run (key-change rows mask
+        # out; null-safe — a null-key run is one key)
+        from ..dsutil import adjacent_change
+
+        same_key = pa.array(~adjacent_change(part.column(key_col)))
         t = pa.table({"from_item": items.slice(0, n - 1),
                       "to_item": items.slice(1, n)}).filter(same_key)
         if t.num_rows == 0:
@@ -525,8 +528,11 @@ def path_ngrams(
         parts = [cat.slice(i, m) for i in range(n)]
         joined = pc.binary_join_element_wise(*parts, ">")
         # a window is a real path only when all n rows share the key
-        keys_np = part.column(key).to_numpy(zero_copy_only=False)
-        valid = keys_np[:m] == keys_np[n - 1:]
+        # (null-safe segment ids: a null-key run is one key)
+        from ..dsutil import run_starts
+
+        seg = np.cumsum(run_starts(part.column(key))) - 1
+        valid = seg[:m] == seg[n - 1:]
         g = (pa.table({"path": joined}).filter(pa.array(valid))
              .group_by("path").aggregate([([], "count_all")]))
         return pa.table({"path": g.column("path"),
@@ -764,10 +770,11 @@ def attribution_linear(
         ts = part.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         typ = part.column(type_col).to_numpy(zero_copy_only=False)
+        from ..dsutil import run_starts
+
         val = part.column(value_col).to_numpy(zero_copy_only=False)
-        keys_np = part.column(user_col).to_numpy(zero_copy_only=False)
         nrows = len(ts)
-        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        starts = np.flatnonzero(run_starts(part.column(user_col)))
         bounds = np.append(starts, nrows)
         credit_tot = np.zeros(len(touch_list) + 1, np.int64)  # + direct
         for u in range(len(starts)):

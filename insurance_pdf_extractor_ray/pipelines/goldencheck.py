@@ -82,10 +82,11 @@ def golden_diff(
             return schema.empty_table()
         part = part.take(pc.sort_indices(part, sort_keys=[
             (key, "ascending"), ("__side", "ascending")]))
-        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        from ..dsutil import run_starts
+
         is_got = pc.equal(part.column("__side"), _SIDE_GOT) \
                    .to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        starts = np.flatnonzero(run_starts(part.column(key)))
         counts = np.diff(np.append(starts, n))
         n_got = np.add.reduceat(is_got.astype(np.int64), starts)
         n_want = counts - n_got

@@ -64,10 +64,9 @@ def merge_intervals_by_key(
                 .to_numpy(zero_copy_only=False)
         e = part.column(end_col).cast(pa.int64()) \
                 .to_numpy(zero_copy_only=False)
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        from ..dsutil import run_starts
+
+        new_key = run_starts(part.column(key_col))  # null-safe key change
         # segmented prefix max of e within each key run
         run_end = e.copy()
         seg = np.cumsum(new_key) - 1

@@ -233,24 +233,36 @@ def asof_join(
         ons = part.column(on).to_numpy(zero_copy_only=False)
         if ons.dtype.kind == "M":  # timestamps: integer view so the
             ons = ons.view(np.int64)  # nearest-distance arithmetic works
-        ons = ons.astype(np.int64, copy=False)
-        keys_np = part.column(by).to_numpy(zero_copy_only=False)
-        seg = np.zeros(n, np.int64)
-        if n > 1:
-            seg[1:] = np.cumsum(keys_np[1:] != keys_np[:-1])
+        if ons.dtype.kind == "f":
+            # float on-values: keep exact float64 (an int64 cast would
+            # truncate 1.7 -> 1 and misplace boundary matches); the
+            # composite-key fast path below is skipped for floats.
+            on_is_float = True
+            ons = ons.astype(np.float64, copy=False)
+        else:
+            on_is_float = False
+            ons = ons.astype(np.int64, copy=False)
+        from ..dsutil import run_starts
+
+        # null-safe segment ids (a null-key run is one group)
+        seg = np.cumsum(run_starts(part.column(by))) - 1
         lidx = np.flatnonzero(side == 0)
         ridx = np.flatnonzero(side == 1)
         l_tbl = part.take(pa.array(lidx, pa.int64()))
         if len(ridx) == 0 or len(lidx) == 0:
             matched = pa.nulls(l_tbl.num_rows, vtype)
         else:
-            on_min = int(ons.min())
-            span = int(ons.max()) - on_min + 2
-            n_seg = int(seg[-1]) + 1
-            if n_seg * span < (1 << 62):
+            use_composite = not on_is_float
+            if use_composite:
+                on_min = int(ons.min())
+                span = int(ons.max()) - on_min + 2
+                n_seg = int(seg[-1]) + 1
+                use_composite = n_seg * span < (1 << 62)
+            if use_composite:
                 comp = seg * np.int64(span) + (ons - np.int64(on_min))
                 comp_r, comp_l = comp[ridx], comp[lidx]
-            else:  # pathological range: per-value pairs via object compare
+            else:  # float on-values or pathological int range: exact
+                # lexicographic (seg, on) record compare — no truncation
                 comp = np.rec.fromarrays([seg, ons])
                 comp_r, comp_l = comp[ridx], comp[lidx]
             r_seg = seg[ridx]

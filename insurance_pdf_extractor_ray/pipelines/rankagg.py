@@ -48,14 +48,13 @@ def _per_key_head(tbl: pa.Table, key: str, order_by: List[str],
     ]
     idx = pc.sort_indices(tbl, sort_keys=sort_keys)
     tbl = tbl.take(idx)
-    keys = tbl.column(key).to_numpy(zero_copy_only=False)
-    # index within each equal-key run
-    change = np.empty(len(keys), dtype=bool)
-    change[0] = True
-    change[1:] = keys[1:] != keys[:-1]
+    from ..dsutil import run_starts
+
+    # index within each equal-key run (null-safe: one null-key run)
+    change = run_starts(tbl.column(key))
     run_id = np.cumsum(change) - 1
     run_start = np.flatnonzero(change)
-    within = np.arange(len(keys)) - run_start[run_id]
+    within = np.arange(len(change)) - run_start[run_id]
     return tbl.filter(pa.array(within < k))
 
 
@@ -178,12 +177,13 @@ def quantiles_by(
                                 for nm in names}})
         part = part.take(pc.sort_indices(part, sort_keys=[
             (key, "ascending"), (value_col, "ascending")]))
-        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        from ..dsutil import run_starts
+
         values = part.column(value_col).to_numpy(zero_copy_only=False) \
                      .astype(np.float64)
         counts = part.column("_c").to_numpy(zero_copy_only=False)
-        m = len(keys_np)
-        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        m = part.num_rows
+        starts = np.flatnonzero(run_starts(part.column(key)))
         bounds = np.append(starts, m)
         totals = np.add.reduceat(counts, starts)
         out_q = {nm: np.empty(len(starts), np.float64) for nm in names}
@@ -275,8 +275,9 @@ def dense_rank_by(
         n = g.num_rows
         if n == 0:
             return g.append_column(alias, pa.array([], pa.int64()))
-        keys_np = g.column(key).to_numpy(zero_copy_only=False)
-        new_key = np.r_[True, keys_np[1:] != keys_np[:-1]]
+        from ..dsutil import run_starts
+
+        new_key = run_starts(g.column(key))  # null-safe key change
         starts = np.flatnonzero(new_key)
         seg = np.cumsum(new_key) - 1
         # distinct pairs => every row is a new rank within the key

@@ -322,12 +322,12 @@ def string_agg_by_key(
             return pa.table({key: pa.array([], pa.string()),
                              "_part": pa.array([], pa.string()),
                              "_ord": pa.array([], pa.int64())})
+        from ..dsutil import run_starts
+
         keys = batch.column(key).to_numpy(zero_copy_only=False)
         vals = pc.cast(batch.column(value), pa.string()).to_pylist()
         rn = batch.column("_rn0").to_numpy(zero_copy_only=False)
-        change = np.empty(len(keys), dtype=bool)
-        change[0] = True
-        change[1:] = keys[1:] != keys[:-1]
+        change = run_starts(batch.column(key))  # null-safe key change
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(keys))
         return pa.table({
@@ -553,11 +553,10 @@ def entropy_by_key(
                              "n_cats": pa.array([], pa.int64())})
         part = part.take(pc.sort_indices(
             part, sort_keys=[(key, "ascending"), (cat, "ascending")]))
-        keys_np = part.column(key).to_numpy(zero_copy_only=False)
+        from ..dsutil import run_starts
+
         c = part.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
-        new_key = np.empty(n_rows, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        new_key = run_starts(part.column(key))  # null-safe key change
         starts = np.flatnonzero(new_key)
         seg = np.cumsum(new_key) - 1
         tot = np.add.reduceat(c, starts)
@@ -859,13 +858,18 @@ def ohlc_by_key(
                 "_n": pa.array([], pa.int64()),
                 "_vol": pa.array([], pa.int64()),
             })
+        from ..dsutil import run_starts
+
         order = np.lexsort((t, o, k))
         k, o, t, v = k[order], o[order], t[order], v[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        # null-safe run detection on the reordered Arrow key column
+        k_arr = batch.column(key).combine_chunks() \
+                     .take(pa.array(order, pa.int64()))
+        starts = np.flatnonzero(run_starts(k_arr))
         ends = np.r_[starts[1:], len(k)] - 1
         qv = np.floor(v * float(vol_scale) + 0.5).astype(np.int64)
         return pa.table({
-            key: pa.array(k[starts].tolist(), ktype),
+            key: k_arr.take(pa.array(starts, pa.int64())),
             "_ots": pa.array(o[starts], pa.int64()),
             "_otie": pa.array(t[starts], pa.int64()),
             "_oval": pa.array(v[starts], pa.float64()),
@@ -892,9 +896,9 @@ def ohlc_by_key(
                              "vol_q": pa.array([], pa.int64())})
         t1 = part.take(pc.sort_indices(part, sort_keys=[
             (key, "ascending"), ("_ots", "ascending"), ("_otie", "ascending")]))
-        k1 = t1.column(key).to_numpy(zero_copy_only=False)
-        new1 = np.r_[True, k1[1:] != k1[:-1]]
-        starts1 = np.flatnonzero(new1)
+        from ..dsutil import run_starts
+
+        starts1 = np.flatnonzero(run_starts(t1.column(key)))
         t2 = part.take(pc.sort_indices(part, sort_keys=[
             (key, "ascending"), ("_cts", "ascending"), ("_ctie", "ascending")]))
         last2 = np.append(starts1[1:] - 1, part.num_rows - 1)

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..dsutil import adjacent_change, run_starts
+
 
 def _ts_us(batch: pa.Table, ts_col: str) -> pa.Array:
     col = batch.column(ts_col)
@@ -130,10 +132,7 @@ def session_windows(
             sort_keys.append((tiebreak_col, "ascending"))
         part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
         us = _ts_us(part, ts_col).to_numpy()
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        new_key = run_starts(part.column(key_col))  # null-safe key change
         brk = new_key.copy()
         brk[1:] |= np.diff(us) > gap_us
         first = np.flatnonzero(brk)                 # first row of each session
@@ -201,12 +200,9 @@ def session_windows_salted(
             sort_keys.append((tiebreak_col, "ascending"))
         part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
         us = part.column("__us").to_numpy()
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
         ep = part.column("__epoch").to_numpy(zero_copy_only=False)
-        brk = np.empty(n, dtype=bool)
-        brk[0] = True
-        brk[1:] = ((keys_np[1:] != keys_np[:-1]) | (ep[1:] != ep[:-1])
-                   | (np.diff(us) > gap_us))
+        brk = run_starts(part.column(key_col))  # null-safe key change
+        brk[1:] |= (ep[1:] != ep[:-1]) | (np.diff(us) > gap_us)
         first = np.flatnonzero(brk)
         last = np.append(first[1:] - 1, n - 1)
         counts = np.diff(np.append(first, n))
@@ -232,10 +228,7 @@ def session_windows_salted(
         starts = part.column("start_us").to_numpy()
         ends = part.column("end_us").to_numpy()
         ns = part.column("n").to_numpy()
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        new_key = run_starts(part.column(key_col))  # null-safe key change
         # adjacent local sessions merge when the inter-gap closes; local
         # sessions never overlap (they come from disjoint epoch slices)
         brk = new_key.copy()
@@ -290,10 +283,9 @@ def rolling_by_key(
         v = part.column(value_col).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
         n = len(v)
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
         seg = np.zeros(n, dtype=np.int64)
         if n > 1:
-            seg[1:] = np.cumsum(keys_np[1:] != keys_np[:-1])
+            seg[1:] = np.cumsum(adjacent_change(part.column(key_col)))
         s = np.zeros(n, dtype=np.float64)
         cnt = np.zeros(n, dtype=np.int64)
         for lag in range(window - 1, 0, -1):  # oldest term first
@@ -338,11 +330,7 @@ def expanding_by_key(
         part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
         v = part.column(value_col).to_numpy(zero_copy_only=False)
         n = part.num_rows
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        new_key = np.empty(max(n, 1), dtype=bool)[:n]
-        if n:
-            new_key[0] = True
-            new_key[1:] = keys_np[1:] != keys_np[:-1]
+        new_key = run_starts(part.column(key_col))  # null-safe key change
         starts = np.flatnonzero(new_key)
         seg = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
         if np.issubdtype(v.dtype, np.integer):
@@ -391,13 +379,14 @@ def lag_by_key(
             sort_keys.append((order_tiebreak, "ascending"))
         part = part.take(pc.sort_indices(part, sort_keys=sort_keys))
         n = part.num_rows
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
         idx = np.arange(n, dtype=np.int64) - offset
         invalid = (idx < 0) | (idx >= n)
         # shifting across a key boundary is out-of-partition in SQL -> null
+        # (null-safe segment ids: a null-key run is ONE partition)
         if n:
+            seg = np.cumsum(run_starts(part.column(key_col))) - 1
             src = np.where(invalid, 0, idx)
-            invalid |= keys_np[src] != keys_np
+            invalid |= seg[src] != seg
         take_idx = pa.array(np.where(invalid, 0, idx), pa.int64(),
                             mask=invalid)  # null index -> null output
         shifted = part.column(value_col).take(take_idx)
@@ -448,8 +437,8 @@ def debounce_by_key(
         drop_np = np.asarray(
             drop.fill_null(False).to_numpy(zero_copy_only=False))
         # a row never debounces against the previous KEY's last row
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        same_key = keys_np[1:] == keys_np[:-1]
+        # (null-safe: a null-key run is one key)
+        same_key = ~adjacent_change(part.column(key_col))
         keep = np.ones(n, dtype=bool)
         keep[1:] = ~(drop_np & same_key)
         return part.filter(pa.array(keep))
@@ -495,11 +484,7 @@ def range_rolling_by_key(
         integral = np.issubdtype(v.dtype, np.integer)
         acc = v.astype(np.int64 if integral else np.float64)
         csum = np.concatenate(([0], np.cumsum(acc)))
-        keys_np = part.column(key_col).to_numpy(zero_copy_only=False)
-        new_key = np.empty(n, dtype=bool)
-        if n:
-            new_key[0] = True
-            new_key[1:] = keys_np[1:] != keys_np[:-1]
+        new_key = run_starts(part.column(key_col))  # null-safe key change
         starts = np.flatnonzero(new_key)
         bounds = np.append(starts, n)
         lo = np.empty(n, dtype=np.int64)
