@@ -143,7 +143,7 @@ def near_dup_audio_groups(
     max_hamming: int = 3,
     bands: int = 4,
     bucket_cap: int = 2048,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """(media_ref, group) for every decodable audio clip; ``group`` is the
     lexicographic-min media_ref of the near-dup component."""
     return banded_hamming_groups(audio_fingerprints(assets),

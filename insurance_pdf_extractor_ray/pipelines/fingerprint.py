@@ -12,20 +12,20 @@ distance on chunk 0, so they agree exactly on at least one of its ``bands``
 contiguous bit-bands and collide in that band's bucket; only band-bucket
 collisions are ever compared.
 
-Scale shape: the map side of the only exchange carries signatures (8-32
+Scale shape: the map side of the band exchange carries signatures (8-32
 bytes), never payloads; candidate pairs are verified with exact Hamming
-inside the bucket group and deduped by one keyed combine.  The final
-connected-components step runs on the driver over the verified-pair set
-(dup-bounded — swap in dedup.dup_components_distributed for billion-pair
-regimes, exactly like jaccard_component_dedup).
+inside the bucket group and deduped by one keyed combine.  Components run
+DISTRIBUTED (dedup.dup_components_distributed min-label rounds over the
+verified pair list) and group assignment is a left join of the root table
+onto the ref set — nothing corpus-sized ever lands on the driver, so the
+tail scales to 10^9+ assets.
 """
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions import codecs
@@ -38,16 +38,50 @@ def sig_hamming(a: bytes, b: bytes) -> int:
                for o in range(0, len(a), 8))
 
 
+def grouped_refs_from_pairs(
+    refs: ray.data.Dataset, pairs: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Distributed (media_ref, group) assembly shared by the perceptual
+    dedup family: min-label components over the verified dup-pair edge list
+    (``dedup.dup_components_distributed``) left-joined back onto the full
+    ref set; ``group`` is the lexicographic-min media_ref of each component
+    (the min-label fixpoint — identical to the previous driver union-find
+    with sorted-root merging), singletons map to themselves via coalesce.
+    No whole-corpus driver materialization: the only driver-side value is
+    the dup-bounded pair COUNT."""
+    from .dedup import dup_components_distributed, join_partitions_for
+
+    pairs = pairs.materialize()  # dup-bounded; reused for count + edges
+    if pairs.count() == 0:
+        return refs.map_batches(
+            lambda t: pa.table({"media_ref": t.column("media_ref"),
+                                "group": t.column("media_ref")}),
+            batch_format="pyarrow")
+    labels = dup_components_distributed(pairs, id_a="a", id_b="b")
+    refs = refs.materialize()  # ref-per-asset projection; sized for the join
+    P = join_partitions_for(refs.count())
+    joined = refs.join(labels, join_type="left_outer", num_partitions=P,
+                       on=("media_ref",), right_on=("id",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "group": pc.coalesce(t.column("root"), t.column("media_ref")),
+        })
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
 def banded_hamming_groups(
     sigs: ray.data.Dataset,
     max_hamming: int = 3,
     bands: int = 4,
     bucket_cap: int = 2048,
-) -> pa.Table:
-    """(media_ref, group) for every signature row; ``group`` is the
-    lexicographic-min media_ref of the near-dup component (singletons map
-    to themselves).  ``max_hamming`` must be < ``bands`` for the pigeonhole
-    guarantee (chunk-0 distance <= max distance)."""
+) -> ray.data.Dataset:
+    """Dataset of (media_ref, group) for every signature row; ``group`` is
+    the lexicographic-min media_ref of the near-dup component (singletons
+    map to themselves).  ``max_hamming`` must be < ``bands`` for the
+    pigeonhole guarantee (chunk-0 distance <= max distance)."""
     if max_hamming >= bands:
         raise ValueError("banded LSH is only complete for max_hamming < bands")
     # materialize: consumed by BOTH the pair pipeline and the final ref scan
@@ -97,23 +131,4 @@ def banded_hamming_groups(
                                      "b": pa.array([], pa.string())}))
              .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
 
-    # driver union-find over the verified pair set (dup-bounded)
-    parent: Dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in pairs.take_all():
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-
-    all_refs = sorted(r["media_ref"] for r in
-                      sigs.select_columns(["media_ref"]).take_all())
-    groups = [find(r) for r in all_refs]
-    return pa.table({"media_ref": pa.array(all_refs, pa.string()),
-                     "group": pa.array(groups, pa.string())})
+    return grouped_refs_from_pairs(sigs.select_columns(["media_ref"]), pairs)

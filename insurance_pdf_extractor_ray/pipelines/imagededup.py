@@ -9,18 +9,17 @@ into ``bands`` contiguous chunks; two hashes within Hamming distance
 ``bands - 1`` of each other agree exactly on at least one band, so only
 band-bucket collisions are ever compared.
 
-Scale shape: decode+hash is a zero-shuffle actor stage; the only exchange
-is the band-bucket groupby, whose map side carries 8-byte hashes (never
-pixels); candidate pairs are verified with exact Hamming inside the bucket
-group and deduped by one keyed combine.  The final connected-components
-step runs on the driver over the verified-pair set (dup-bounded, like
-jaccard_component_dedup's small side — swap in dedup.dup_components_distributed
-for billion-pair regimes).
+Scale shape: decode+hash is a zero-shuffle actor stage; the band-bucket
+groupby's map side carries 8-byte hashes (never pixels); candidate pairs
+are verified with exact Hamming inside the bucket group and deduped by one
+keyed combine.  Components and group assignment are fully distributed
+(``fingerprint.grouped_refs_from_pairs``: min-label rounds + a root left
+join) — nothing corpus-sized lands on the driver.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -106,10 +105,10 @@ def near_dup_image_groups(
     max_hamming: int = 3,
     bands: int = 4,
     bucket_cap: int = 2048,
-) -> pa.Table:
-    """(media_ref, group) for every decodable image; ``group`` is the
-    lexicographic-min media_ref of the near-dup component (singletons map to
-    themselves).  Complete for pairs within Hamming ``bands - 1``;
+) -> ray.data.Dataset:
+    """Dataset of (media_ref, group) for every decodable image; ``group``
+    is the lexicographic-min media_ref of the near-dup component (singletons
+    map to themselves).  Complete for pairs within Hamming ``bands - 1``;
     ``max_hamming`` must be < ``bands`` for the pigeonhole guarantee."""
     if max_hamming >= bands:
         raise ValueError("banded LSH is only complete for max_hamming < bands")
@@ -151,6 +150,7 @@ def near_dup_image_groups(
     from ray.data.aggregate import Count
 
     from ..dsutil import bucketed_segments_map
+    from .fingerprint import grouped_refs_from_pairs
 
     pairs = (bucketed_segments_map(
                  hashes.map_batches(to_buckets, batch_format="pyarrow"),
@@ -159,23 +159,5 @@ def near_dup_image_groups(
                                      "b": pa.array([], pa.string())}))
              .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
 
-    # driver union-find over the verified pair set (dup-bounded)
-    parent: Dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in pairs.take_all():
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-
-    all_refs = sorted(r["media_ref"] for r in
-                      hashes.select_columns(["media_ref"]).take_all())
-    groups = [find(r) for r in all_refs]
-    return pa.table({"media_ref": pa.array(all_refs, pa.string()),
-                     "group": pa.array(groups, pa.string())})
+    return grouped_refs_from_pairs(hashes.select_columns(["media_ref"]),
+                                   pairs)

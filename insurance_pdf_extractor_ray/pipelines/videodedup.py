@@ -132,7 +132,7 @@ def near_dup_video_groups(
     max_hamming: int = 3,
     bands: int = 4,
     bucket_cap: int = 2048,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """(media_ref, group) for every decodable video; ``group`` is the
     lexicographic-min media_ref of the near-dup component (singletons map to
     themselves).  Complete for signature pairs whose max per-frame Hamming

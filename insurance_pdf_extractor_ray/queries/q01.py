@@ -242,7 +242,7 @@ def _q_image_dedup_check(sf_dir: str):
     assets, golden = assets_with_image_dups(refs)
     got = near_dup_image_groups(ray.data.from_arrow(assets),
                                 max_hamming=3, bands=4)
-    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+    return normalize_diff(golden_diff(got,
                                       ray.data.from_arrow(golden),
                                       key="media_ref"))
 

@@ -621,7 +621,7 @@ def _q_video_dedup_check(sf_dir: str):
     assets, golden = assets_with_video_dups(uniq)
     got = near_dup_video_groups(ray.data.from_arrow(assets),
                                 max_hamming=3, bands=4)
-    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+    return normalize_diff(golden_diff(got,
                                       ray.data.from_arrow(golden),
                                       key="media_ref"))
 
@@ -652,7 +652,7 @@ def _q_audio_dedup_check(sf_dir: str):
     assets, golden = assets_with_audio_dups(uniq)
     got = near_dup_audio_groups(ray.data.from_arrow(assets),
                                 max_hamming=3, bands=4)
-    return normalize_diff(golden_diff(ray.data.from_arrow(got),
+    return normalize_diff(golden_diff(got,
                                       ray.data.from_arrow(golden),
                                       key="media_ref"))
 

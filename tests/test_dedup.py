@@ -254,6 +254,23 @@ class TestScaleSafePaths:
         assert kept_b == kept_d
         assert 0 in kept_b and 1 not in kept_b and 2 not in kept_b
 
+    def test_jaccard_component_dedup_auto_switch(self, ray_session):
+        """distributed=None picks the path by pair count vs max_broadcast:
+        max_broadcast=0 forces every real pair list onto the distributed
+        min-label path through the PUBLIC default entry point."""
+        import pyarrow as pa
+
+        txts = (["the quick brown fox jumps over the lazy dog " * 5] * 3
+                + [f"unique text {i} with many extra words appended" for i in range(4)])
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(7), pa.int64()), "text": pa.array(txts)}))
+        kept_auto = sorted(r["doc_id"] for r in dedup.jaccard_component_dedup(
+            ds, "text", "doc_id", max_broadcast=0).take_all())
+        kept_b = sorted(r["doc_id"] for r in dedup.jaccard_component_dedup(
+            ds, "text", "doc_id", distributed=False).take_all())
+        assert kept_auto == kept_b
+        assert 0 in kept_auto and 1 not in kept_auto and 2 not in kept_auto
+
     def test_jaccard_pairs_join_mode_agrees(self, ray_session):
         import pyarrow as pa
 

@@ -60,7 +60,7 @@ class TestNearDupGroups:
         assets, golden = assets_with_image_dups(REFS)
         got = near_dup_image_groups(ray.data.from_arrow(assets),
                                     max_hamming=3, bands=4)
-        assert got.to_pylist() == golden.to_pylist()
+        assert sorted(got.take_all(), key=lambda r: r['media_ref']) == golden.to_pylist()
         groups = golden.column("group").to_pylist()
         assert len(set(groups)) < len(groups)  # real dup pairs exist
 
@@ -69,7 +69,7 @@ class TestNearDupGroups:
         got = near_dup_image_groups(
             ray.data.from_arrow(assets).repartition(7),
             max_hamming=3, bands=4)
-        assert got.to_pylist() == golden.to_pylist()
+        assert sorted(got.take_all(), key=lambda r: r['media_ref']) == golden.to_pylist()
 
     def test_bands_guard(self):
         assets, _ = assets_with_image_dups(REFS[:4])
