@@ -11,7 +11,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-__all__ = ['SF_DEFAULT', '_round_away', '_docs_rows', '_corpus_root', '_corpus_for', '_events', '_documents', '_read', '_round_col', 'entry', '_ids_table', '_HOUR_US', '_MIX_WEIGHTS', '_round_half_away', '_customer_name_graph', '_r_cents_half_away', '_rev_i4', '_bpe_chain_parts', '_bpe_oracle', '_pretrain_bpe_oracle', '_stopword_oracle', '_kcore_oracle', '_global_ndistinct', '_skyline_2d', '_acf_oracle', '_HLL_PINNED_SQL', '_pii_redact_sql', '_zorder_sql', '_shuffled_head_sql', '_mixture_sql', '_EMPTY_DIFF_SQL']
+__all__ = ['SF_DEFAULT', '_round_away', '_docs_rows', '_corpus_root', '_corpus_for', '_events', '_documents', '_read', '_filtered_keys', '_round_col', 'entry', '_ids_table', '_HOUR_US', '_MIX_WEIGHTS', '_round_half_away', '_customer_name_graph', '_r_cents_half_away', '_rev_i4', '_bpe_chain_parts', '_bpe_oracle', '_pretrain_bpe_oracle', '_stopword_oracle', '_kcore_oracle', '_global_ndistinct', '_skyline_2d', '_acf_oracle', '_HLL_PINNED_SQL', '_pii_redact_sql', '_zorder_sql', '_shuffled_head_sql', '_mixture_sql', '_EMPTY_DIFF_SQL']
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -64,6 +64,31 @@ def _read(sf_dir: str, table: str, columns=None):
 
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                  columns=columns)
+
+
+def _filtered_keys(sf_dir: str, table: str, key_col: str, columns,
+                   pred_fn) -> np.ndarray:
+    """Distributed dimension filter -> sorted int64 key array.
+
+    ``pred_fn(batch) -> pa.BooleanArray`` runs Dataset-side (vectorized per
+    batch, pruned read); only MATCHING keys reach the driver — never the
+    full dimension table.  Use for broadcast-side key sets: the collected
+    set must be broadcast-sized (the same precondition
+    ``broadcast_semi_join`` already imposes on its key argument)."""
+    import ray as _ray
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pred_fn(b)).select([key_col])
+
+    tbls = [t for t in _ray.get(
+        _read(sf_dir, table, columns)
+        .map_batches(keep, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not tbls:
+        return np.zeros(0, np.int64)
+    arr = pa.concat_tables(tbls).column(key_col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.sort(arr)
 
 
 def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:

@@ -142,48 +142,46 @@ def _q_q4_late_orders(sf_dir: str):
 def _q_q16_brand_size_suppliers(sf_dir: str):
     """TPC-H Q16 analog (no partsupp: supplier-part pairs come from
     lineitem): distinct suppliers per (brand, size bucket), one brand
-    excluded.  Part attributes broadcast as searchsorted-aligned arrays
-    (q19's shape); per-batch LOCAL (brand,bucket,supp) dedup bounds the
-    distinct shuffle at brands x buckets x suppliers per block."""
-    import ray as _ray
+    excluded.  Part attributes stay a DISTRIBUTED side: lineitem reduces
+    map-side to distinct (part, supp) pairs, which shuffle-join the
+    filtered part dimension (join_partitions_for-sized) — no dimension
+    table is ever collected on the driver."""
     from ray.data.aggregate import Sum
 
-    parts = _read(sf_dir, "part",
-                  ["p_partkey", "p_brand", "p_size"]).take_all()
-    pk = np.array([r["p_partkey"] for r in parts], np.int64)
-    order = np.argsort(pk)
-    pk = pk[order]
-    brands = np.array([r["p_brand"] for r in parts])[order]
-    ubrands, brand_code = np.unique(brands, return_inverse=True)
-    size = np.array([r["p_size"] for r in parts], np.int64)[order]
-    ref = _ray.put((pk, ubrands, brand_code.astype(np.int64), size))
+    from ..dsutil import distinct_rows_by, drop_empty_blocks
+    from insurance_pdf_extractor_ray.pipelines.dedup import join_partitions_for
+    from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
 
-    def pairs(b: pa.Table) -> pa.Table:
-        kpk, kub, kcode, ksize = _ray.get(ref)
-        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        supp = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(kpk, part)
-        ok = (pos < len(kpk)) & (kpk[np.minimum(pos, len(kpk) - 1)] == part)
-        pos, supp = pos[ok], supp[ok]
-        code, bucket = kcode[pos], ksize[pos] % 5
-        keep = kub[code] != "Brand#45"
-        code, bucket, supp = code[keep], bucket[keep], supp[keep]
-        # local distinct (brand, bucket, supp) via one structured unique
-        rec = np.empty(len(code), dtype=[("b", np.int64), ("k", np.int64),
-                                         ("s", np.int64)])
-        rec["b"], rec["k"], rec["s"] = code, bucket, supp
-        u = np.unique(rec)
-        return pa.table({
-            "p_brand": pa.array(kub[u["b"]], pa.string()),
-            "size_bucket": pa.array(u["k"], pa.int64()),
-            "l_suppkey": pa.array(u["s"], pa.int64()),
-        })
+    # part attributes stay DISTRIBUTED (no dimension take_all): prep the
+    # filtered (partkey, brand, bucket) side, reduce lineitem to distinct
+    # (part, supp) pairs, then one join_partitions_for-sized shuffle join
+    def part_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b.column("p_brand"), "Brand#45")))
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "p_brand": t.column("p_brand"),
+                         "size_bucket": pa.array(size % 5, pa.int64())})
 
-    from ..dsutil import distinct_rows_by
+    parts_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(part_prep, batch_format="pyarrow")
 
-    distinct = distinct_rows_by(
+    def local_pairs(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    li_pairs = distinct_rows_by(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(pairs, batch_format="pyarrow"),
+        .map_batches(local_pairs, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"]).materialize()
+    joined = drop_empty_blocks(
+        shuffle_join(li_pairs, parts_ds, on="l_partkey",
+                     right_on="p_partkey",
+                     num_partitions=join_partitions_for(li_pairs.count())),
+        empty_schema=pa.schema([
+            ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("p_partkey", pa.int64()), ("p_brand", pa.string()),
+            ("size_bucket", pa.int64())]))
+    distinct = distinct_rows_by(
+        joined.select_columns(["p_brand", "size_bucket", "l_suppkey"]),
         ["p_brand", "size_bucket", "l_suppkey"])
 
     def one(t: pa.Table) -> pa.Table:
@@ -217,10 +215,11 @@ def _q_q17_small_qty_revenue(sf_dir: str):
 
     from insurance_pdf_extractor_ray.dsutil import drop_empty_blocks
 
-    brand_keys = np.array(sorted(
-        r["p_partkey"] for r in _read(sf_dir, "part",
-                                      ["p_partkey", "p_brand"]).take_all()
-        if r["p_brand"] == "Brand#23"), np.int64)
+    # Dataset-side dimension filter: only Brand#23 part keys reach the
+    # driver (never the full part table)
+    brand_keys = _filtered_keys(
+        sf_dir, "part", "p_partkey", ["p_partkey", "p_brand"],
+        lambda b: pc.equal(b.column("p_brand"), "Brand#23"))
     bref = _ray.put(brand_keys)
 
     def qty_partial(b: pa.Table) -> pa.Table:

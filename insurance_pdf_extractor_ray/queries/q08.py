@@ -45,11 +45,13 @@ def _q_q2_min_cost_supplier(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.joins import (
         broadcast_join, broadcast_semi_join)
 
-    part_rows = _read(sf_dir, "part",
-                      ["p_partkey", "p_type", "p_size"]).take_all()
-    pids = np.array(sorted(r["p_partkey"] for r in part_rows
-                           if r["p_type"] == "SMALL" and r["p_size"] % 5 == 0),
-                    np.int64)
+    # Dataset-side dimension filter: only SMALL/%5 part keys reach the
+    # driver (never the full part table)
+    pids = _filtered_keys(
+        sf_dir, "part", "p_partkey", ["p_partkey", "p_type", "p_size"],
+        lambda b: pa.array(
+            (b.column("p_type").to_numpy(zero_copy_only=False) == "SMALL")
+            & (b.column("p_size").to_numpy(zero_copy_only=False) % 5 == 0)))
 
     def cost(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -765,9 +767,11 @@ def _q_q9_product_profit(sf_dir: str):
         shuffle_join,
     )
 
-    part_rows = _read(sf_dir, "part", ["p_partkey", "p_name"]).take_all()
-    pids = np.array(sorted(r["p_partkey"] for r in part_rows
-                           if "widget" in r["p_name"]), np.int64)
+    # Dataset-side dimension filter: only widget-named part keys reach the
+    # driver (never the full part table)
+    pids = _filtered_keys(
+        sf_dir, "part", "p_partkey", ["p_partkey", "p_name"],
+        lambda b: pc.match_substring(b.column("p_name"), "widget"))
 
     sup_nat = {r["s_suppkey"]: r["s_nationkey"]
                for r in _read(sf_dir, "supplier",
