@@ -323,6 +323,41 @@ def cmd_shuffle(args) -> None:
     ray.shutdown()
 
 
+def cmd_migrate(args) -> None:
+    """In-place schema migration of a partitioned/bucketed output —
+    reference scripts/migrate_database.py analog (add columns idempotently;
+    here also rename/drop), per-unit rewrite, ledger-resumable."""
+    ray = _ray_init()
+
+    from .state.migrate import migrate_store
+
+    add = {}
+    for spec in args.add or []:
+        parts = spec.split(":", 2)
+        if len(parts) < 2:
+            raise SystemExit(f"--add needs name:type[:default], got {spec!r}")
+        name, typ = parts[0], parts[1]
+        default = None
+        if len(parts) == 3:
+            import pyarrow as _pa
+
+            default = _pa.scalar(json.loads(parts[2]),
+                                 _pa.type_for_alias(typ)).as_py()
+        add[name] = (typ, default)
+    rename = {}
+    for spec in args.rename or []:
+        old, _, new = spec.partition("=")
+        if not new:
+            raise SystemExit(f"--rename needs old=new, got {spec!r}")
+        rename[old] = new
+    out = migrate_store(args.out, add_columns=add, rename_columns=rename,
+                        drop_columns=args.drop or [],
+                        schema_version=args.schema_version,
+                        resume=not args.no_resume)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def cmd_manifest(args) -> None:
     from .state.checkpoint import committed_partitions
 
@@ -475,6 +510,20 @@ def main(argv=None) -> None:
     p = sub.add_parser("manifest", help="show committed partitions of a run")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_manifest)
+
+    p = sub.add_parser(
+        "migrate",
+        help="in-place schema migration of a partitioned/bucketed output")
+    p.add_argument("--out", required=True,
+                   help="root of the at-rest layout (part-*/ or _bucket=*/)")
+    p.add_argument("--add", action="append", metavar="NAME:TYPE[:DEFAULT]",
+                   help="add a column (DEFAULT is JSON; null if omitted)")
+    p.add_argument("--rename", action="append", metavar="OLD=NEW")
+    p.add_argument("--drop", action="append", metavar="NAME")
+    p.add_argument("--schema-version", default=None)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore the migration ledger and redo every unit")
+    p.set_defaults(fn=cmd_migrate)
 
     args = ap.parse_args(argv)
     try:

@@ -21,6 +21,7 @@ __all__ = [
     "_q_label_propagation",
     "_q_dim_mi_ranking",
     "_q_agg_view_incremental",
+    "_q_migrated_store_stats",
 ]
 
 _DAY_US = 86_400_000_000
@@ -203,4 +204,59 @@ def _q_agg_view_incremental(sf_dir: str):
         "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
         "n": pa.array([r["n"] for r in rows], pa.int64()),
         "v_i6": pa.array([r["v_i6"] for r in rows], pa.int64()),
+    })
+
+
+def _q_migrated_store_stats(sf_dir: str):
+    """End-to-end at-rest schema migration (reference
+    scripts/migrate_database.py:16-120 analog): write the documents table
+    as a bucketed layout, run ``migrate_store`` over it (add a COMPUTED
+    text_len column, add a constant schema_rev, rename lang -> language),
+    then aggregate the MIGRATED layout per language.  The oracle derives
+    the same numbers straight from the source table — equality proves the
+    rewrite preserved every row and computed the new column correctly."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+    from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+    def text_len_col(t: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+
+        return pc.utf8_length(t.column("text")).cast(pa.int64())
+
+    root = tempfile.mkdtemp(prefix="ipe_migrate_q_")
+    write_bucketed(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        root, "doc_id", 8)
+    res = migrate_store(
+        root,
+        add_columns={"text_len": ("int64", text_len_col),
+                     "schema_rev": ("string", "v2")},
+        rename_columns={"lang": "language"},
+        schema_version="v2")
+    assert res["units_migrated"] == 8, res
+
+    from ray.data.aggregate import Count, Sum
+
+    files = sorted(_glob.glob(f"{root}/_bucket=*/*.parquet"))
+    out = (ray.data.read_parquet(files,
+                                 columns=["language", "text_len",
+                                          "schema_rev"])
+           .groupby(["language", "schema_rev"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("text_len", alias_name="sum_text_len")))
+    rows = sorted(out.take_all(), key=lambda r: r["language"])
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return pa.table({
+        "language": pa.array([r["language"] for r in rows], pa.string()),
+        "schema_rev": pa.array([r["schema_rev"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "sum_text_len": pa.array([r["sum_text_len"] for r in rows],
+                                 pa.int64()),
     })

@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "dim_mi_ranking": _q_dim_mi_ranking,
         "agg_view_incremental": _q_agg_view_incremental,
+        "migrated_store_stats": _q_migrated_store_stats,
     }
 
 
@@ -3805,6 +3806,12 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN ms ON c.d = ms.d AND c.s = ms.s
             JOIN ml ON c.label = ml.label CROSS JOIN t
             GROUP BY 1 ORDER BY 1
+        """,
+        "migrated_store_stats": """
+            SELECT lang AS language, 'v2' AS schema_rev,
+                   COUNT(*) AS n,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents GROUP BY lang ORDER BY language
         """,
         "agg_view_incremental": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

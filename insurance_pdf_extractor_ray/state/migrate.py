@@ -1,0 +1,225 @@
+"""In-place schema migration of an at-rest partitioned/bucketed output.
+
+The Ray-Data rebuild of the reference's database migration script
+(``scripts/migrate_database.py:16-120``: idempotent ``ALTER TABLE ADD
+COLUMN`` + index builds over an existing SQLite store).  Here the store is
+a directory of parquet *units* — ``part-<i>/`` dirs from
+``checkpoint.run_partitioned``, ``_bucket=<i>/`` dirs from
+``bucketed.write_bucketed``, or a flat fragment directory — and a migration
+is a per-unit fragment rewrite:
+
+    read unit -> map_batches(drop / rename / add) -> shadow dir ->
+    row-count verify -> atomic swap -> ledger append
+
+Resumability: progress lives in ``<root>/_migrations/<spec_hash>.json``
+(one ledger per distinct migration spec, listing completed units).  A
+killed run leaves each unit either fully old + not in the ledger (re-run)
+or fully new + in the ledger (skipped); a kill in the swap/append window
+re-runs the unit, which is safe because every operation is idempotent by
+construction (add of an existing column, rename of an absent source and
+drop of an absent column are all no-ops — the reference's "column already
+exists" checks, ported).  Data-run manifests are untouched: migrations
+never change row counts, so the original run's resume semantics survive.
+
+Scale shape: units migrate sequentially but each unit's rewrite is a
+distributed Ray Data pipeline (read -> map_batches -> write), so a
+multi-node cluster streams fragments through workers; the driver holds
+only unit names and row counts.  On a 100-TB store the unit loop itself
+can be sharded by running several migrate processes over disjoint
+``units=`` slices — the ledger append is atomic per process family.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+AddSpec = Dict[str, Tuple[Union[str, pa.DataType],
+                          Union[None, int, float, str, bool,
+                                Callable[[pa.Table], pa.Array]]]]
+
+
+def _type_of(t: Union[str, pa.DataType]) -> pa.DataType:
+    return pa.type_for_alias(t) if isinstance(t, str) else t
+
+
+def discover_units(root: str) -> List[str]:
+    """Unit directories of an at-rest layout, in deterministic order:
+    ``part-<i>`` (checkpointed runs), ``_bucket=<i>`` (bucketed layouts),
+    else the root itself if it holds flat parquet fragments."""
+    parts = sorted(glob.glob(os.path.join(root, "part-*")))
+    parts = [p for p in parts if os.path.isdir(p)]
+    if parts:
+        return parts
+    buckets = sorted(glob.glob(os.path.join(root, "_bucket=*")))
+    buckets = [b for b in buckets if os.path.isdir(b)]
+    if buckets:
+        return buckets
+    if glob.glob(os.path.join(root, "*.parquet")):
+        return [root]
+    raise FileNotFoundError(f"no migratable units under {root}")
+
+
+def migration_spec_hash(add_columns: Optional[AddSpec],
+                        rename_columns: Optional[Dict[str, str]],
+                        drop_columns: Optional[Sequence[str]],
+                        schema_version: Optional[str]) -> str:
+    """Stable hash of the migration spec; callables hash by __name__ (a
+    resumed run must pass the SAME named callable to be recognized)."""
+
+    def enc_default(d):
+        return getattr(d, "__name__", None) if callable(d) else d
+
+    spec = {
+        "add": {k: [str(_type_of(t)), enc_default(d)]
+                for k, (t, d) in sorted((add_columns or {}).items())},
+        "rename": dict(sorted((rename_columns or {}).items())),
+        "drop": sorted(drop_columns or []),
+        "schema_version": schema_version,
+    }
+    return hashlib.blake2b(json.dumps(spec, sort_keys=True).encode(),
+                           digest_size=8).hexdigest()
+
+
+def _batch_fn(add_columns: AddSpec, rename_columns: Dict[str, str],
+              drop_columns: Sequence[str]):
+    def migrate_batch(t: pa.Table) -> pa.Table:
+        for c in drop_columns:
+            if c in t.column_names:          # absent: no-op (idempotent)
+                t = t.drop_columns([c])
+        if rename_columns:
+            t = t.rename_columns([rename_columns.get(c, c)
+                                  for c in t.column_names])
+        for name, (typ, default) in add_columns.items():
+            if name in t.column_names:       # exists: no-op (idempotent)
+                continue
+            typ = _type_of(typ)
+            if callable(default):
+                arr = default(t)
+                if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                    arr = pa.array(arr, typ)
+            elif default is None:
+                arr = pa.nulls(t.num_rows, typ)
+            else:
+                arr = pa.array([default] * t.num_rows, typ)
+            t = t.append_column(name, arr)
+        return t
+
+    return migrate_batch
+
+
+def _ledger_path(root: str, spec_hash: str) -> str:
+    return os.path.join(root, "_migrations", f"{spec_hash}.json")
+
+
+def _read_ledger(path: str) -> Dict:
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except json.JSONDecodeError:
+            pass  # torn ledger: restart this migration from zero units
+    return {"done_units": []}
+
+
+def _write_ledger(path: str, ledger: Dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def migrate_store(
+    root: str,
+    add_columns: Optional[AddSpec] = None,
+    rename_columns: Optional[Dict[str, str]] = None,
+    drop_columns: Optional[Sequence[str]] = None,
+    schema_version: Optional[str] = None,
+    resume: bool = True,
+    units: Optional[List[str]] = None,
+) -> Dict:
+    """Apply a schema migration to every unit of an at-rest layout.
+
+    ``add_columns``: {name: (type, default)} — default is a scalar (typed
+    null if None) or a NAMED callable ``batch -> pa.Array`` for computed
+    columns (must be deterministic; it re-runs on resume).
+    ``rename_columns``: {old: new}.  ``drop_columns``: [name, ...].
+
+    Returns {units_migrated, units_skipped, rows, spec_hash}.
+    """
+    add_columns = add_columns or {}
+    rename_columns = rename_columns or {}
+    drop_columns = list(drop_columns or [])
+    if not (add_columns or rename_columns or drop_columns):
+        raise ValueError("empty migration: nothing to add/rename/drop")
+    spec_hash = migration_spec_hash(add_columns, rename_columns,
+                                    drop_columns, schema_version)
+    unit_dirs = units if units is not None else discover_units(root)
+    lpath = _ledger_path(root, spec_hash)
+    ledger = _read_ledger(lpath) if resume else {"done_units": []}
+    ledger.setdefault("spec_hash", spec_hash)
+    ledger.setdefault("schema_version", schema_version)
+    done = set(ledger["done_units"])
+    fn = _batch_fn(add_columns, rename_columns, drop_columns)
+
+    migrated = skipped = total_rows = 0
+    for unit in unit_dirs:
+        uname = os.path.relpath(unit, root) if unit != root else "."
+        files = sorted(glob.glob(os.path.join(unit, "*.parquet")))
+        if not files:
+            continue
+        pre_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if uname in done:
+            skipped += 1
+            total_rows += pre_rows
+            continue
+        shadow = unit.rstrip("/") + ".migrate"
+        shutil.rmtree(shadow, ignore_errors=True)
+        t0 = time.time()
+        ray.data.read_parquet(files) \
+            .map_batches(fn, batch_format="pyarrow") \
+            .write_parquet(shadow)
+        new_files = glob.glob(os.path.join(shadow, "*.parquet"))
+        new_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in new_files)
+        if new_rows != pre_rows:
+            shutil.rmtree(shadow, ignore_errors=True)
+            raise RuntimeError(
+                f"migration row mismatch on {uname}: "
+                f"{new_rows} != {pre_rows}")
+        if unit == root:
+            # flat layout: swap fragments inside the root (the root dir
+            # itself can't be replaced — it holds _migrations/)
+            for f in files:
+                os.unlink(f)
+            for f in new_files:
+                os.replace(f, os.path.join(unit, os.path.basename(f)))
+            shutil.rmtree(shadow, ignore_errors=True)
+        else:
+            old = unit.rstrip("/") + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(unit, old)
+            os.replace(shadow, unit)
+            shutil.rmtree(old, ignore_errors=True)
+        ledger["done_units"] = sorted(done | {uname})
+        done.add(uname)
+        ledger["last_unit_sec"] = round(time.time() - t0, 3)
+        _write_ledger(lpath, ledger)
+        migrated += 1
+        total_rows += pre_rows
+    ledger["completed_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    _write_ledger(lpath, ledger)
+    return {"units_migrated": migrated, "units_skipped": skipped,
+            "rows": total_rows, "spec_hash": spec_hash}

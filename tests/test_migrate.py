@@ -1,0 +1,199 @@
+"""At-rest schema migration (state/migrate.py) — the reference's
+scripts/migrate_database.py analog: idempotent add/rename/drop over an
+existing partitioned or bucketed parquet store, per-unit rewrite with a
+resumable ledger."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+def _make_text_len_col(canary=None):
+    """Computed-column callable built as a CLOSURE: test modules aren't
+    importable on Ray workers, so module-level functions pickle by
+    reference and fail to load — closures pickle by value.  ``canary``:
+    path whose existence simulates a mid-migration kill."""
+    import pyarrow.compute as _pcc
+
+    def text_len_col(t):
+        import os as _os
+
+        if canary and _os.path.exists(canary):
+            raise RuntimeError("simulated mid-migration kill")
+        return _pcc.utf8_length(t.column("text")).cast(pa.int64())
+
+    return text_len_col
+
+
+def _docs_table(n=400):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"doc text {i} " + "x" * (i % 17) for i in range(n)]),
+        "lang": pa.array(["en", "de", "fr", "es"][i % 4] for i in range(n)),
+        "junk": pa.array([i % 2 for i in range(n)], pa.int64()),
+    })
+
+
+def _read_all(root: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
+                             recursive=True))
+    return pa.concat_tables([pq.read_table(f) for f in files],
+                            promote_options="default")
+
+
+class TestMigrateBucketed:
+    def _bucketed(self, tmp_path, n=400):
+        from insurance_pdf_extractor_ray.pipelines.bucketed import (
+            write_bucketed)
+
+        root = str(tmp_path / "store")
+        write_bucketed(ray.data.from_arrow(_docs_table(n)), root,
+                       "doc_id", 8)
+        return root
+
+    def test_add_rename_drop(self, tmp_path):
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        root = self._bucketed(tmp_path)
+        out = migrate_store(
+            root,
+            add_columns={"text_len": ("int64", _make_text_len_col()),
+                         "pipeline_rev": ("string", "r4")},
+            rename_columns={"lang": "language"},
+            drop_columns=["junk"],
+            schema_version="v2")
+        assert out["units_migrated"] == 8 and out["units_skipped"] == 0
+        assert out["rows"] == 400
+        got = _read_all(root)
+        # the layout's internal _bucket column must survive the rewrite
+        assert set(got.column_names) == {"doc_id", "text", "language",
+                                         "text_len", "pipeline_rev",
+                                         "_bucket"}
+        want_len = pc.utf8_length(got.column("text")).cast(pa.int64())
+        assert got.column("text_len").combine_chunks().equals(
+            want_len.combine_chunks())
+        assert got.column("pipeline_rev").to_pylist() == ["r4"] * 400
+
+    def test_rerun_skips_all_and_is_idempotent(self, tmp_path):
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        root = self._bucketed(tmp_path)
+        spec = dict(add_columns={"flag": ("bool", True)},
+                    schema_version="v2")
+        first = migrate_store(root, **spec)
+        before = _read_all(root)
+        second = migrate_store(root, **spec)
+        assert first["units_migrated"] == 8
+        assert second["units_migrated"] == 0
+        assert second["units_skipped"] == 8
+        assert _read_all(root).equals(before)
+
+    def test_kill_and_resume(self, tmp_path):
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        root = self._bucketed(tmp_path)
+        canary = str(tmp_path / "kill_now")
+        spec = dict(
+            add_columns={"text_len": ("int64", _make_text_len_col(canary))},
+            schema_version="v2")
+        # first migrate one unit cleanly, THEN arm the canary so the
+        # next unit's rewrite dies mid-migration
+        units = sorted(glob.glob(os.path.join(root, "_bucket=*")))
+        migrate_store(root, units=units[:1], **spec)
+        open(canary, "w").close()
+        with pytest.raises(Exception):
+            migrate_store(root, **spec)
+        # the ledger holds the completed unit; the store is mixed but
+        # every unit is either fully old or fully new
+        lpath = glob.glob(os.path.join(root, "_migrations", "*.json"))
+        assert len(lpath) == 1
+        done = json.load(open(lpath[0]))["done_units"]
+        assert len(done) >= 1
+        os.unlink(canary)
+        out = migrate_store(root, **spec)
+        assert out["units_skipped"] == len(done)
+        assert out["units_migrated"] == 8 - len(done)
+        got = _read_all(root)
+        assert got.num_rows == 400
+        want_len = pc.utf8_length(got.column("text")).cast(pa.int64())
+        assert got.column("text_len").combine_chunks().equals(
+            want_len.combine_chunks())
+
+    def test_bucketed_join_still_reads_migrated_layout(self, tmp_path):
+        from insurance_pdf_extractor_ray.pipelines.bucketed import (
+            bucketed_join, write_bucketed)
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        root = self._bucketed(tmp_path)
+        migrate_store(root, add_columns={"flag": ("bool", True)})
+        other = str(tmp_path / "scores")
+        scores = pa.table({
+            "doc_id": pa.array(range(0, 400, 2), pa.int64()),
+            "score": pa.array([i * 0.5 for i in range(200)], pa.float64()),
+        })
+        write_bucketed(ray.data.from_arrow(scores), other, "doc_id", 8)
+        joined = bucketed_join(root, other)
+        assert joined.count() == 200
+        row = joined.take(1)[0]
+        assert row["flag"] is True and "score" in row
+
+
+class TestMigratePartitioned:
+    def test_part_layout(self, tmp_path):
+        from insurance_pdf_extractor_ray.state.checkpoint import (
+            run_partitioned)
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        t = _docs_table(300)
+        for i in range(6):
+            pq.write_table(t.slice(i * 50, 50),
+                           os.path.join(src, f"f{i}.parquet"))
+        out_dir = str(tmp_path / "out")
+        run_partitioned(src, out_dir, lambda ds: ds, num_partitions=3)
+        res = migrate_store(out_dir,
+                            add_columns={"rev": ("string", "v2")},
+                            drop_columns=["junk"])
+        assert res["units_migrated"] == 3 and res["rows"] == 300
+        got = _read_all(os.path.join(out_dir, "part-0"))
+        assert "rev" in got.column_names and "junk" not in got.column_names
+        # original run manifests untouched: a data-run resume still skips
+        from insurance_pdf_extractor_ray.state.checkpoint import (
+            committed_partitions)
+
+        assert len(committed_partitions(out_dir)) == 3
+
+    def test_flat_layout_and_cli(self, tmp_path):
+        from insurance_pdf_extractor_ray.cli import main
+
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        t = _docs_table(120)
+        pq.write_table(t.slice(0, 60), os.path.join(flat, "a.parquet"))
+        pq.write_table(t.slice(60, 60), os.path.join(flat, "b.parquet"))
+        main(["migrate", "--out", flat,
+              "--add", "rev:string:\"v2\"",
+              "--add", "score:float64",
+              "--rename", "lang=language",
+              "--drop", "junk"])
+        got = _read_all(flat)
+        assert got.num_rows == 120
+        assert set(got.column_names) == {"doc_id", "text", "language",
+                                         "rev", "score"}
+        assert got.column("rev").to_pylist() == ["v2"] * 120
+        assert got.column("score").null_count == 120
+
+    def test_empty_migration_rejected(self, tmp_path):
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        with pytest.raises(ValueError, match="empty migration"):
+            migrate_store(str(tmp_path))
