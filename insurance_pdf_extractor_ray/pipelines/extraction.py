@@ -406,13 +406,17 @@ def _auto_parts(
 _EXTRACTOR_CACHE: dict = {}
 
 
-def _cached_extractor(strip_boilerplate: bool,
-                      rules_version: Optional[str] = None) -> FieldExtractor:
-    key = (strip_boilerplate, rules_version)
+def _cached_extractor(strip_boilerplate: bool, version_tag: str,
+                      label_map: dict) -> FieldExtractor:
+    # keyed by the version NAME: the map was resolved once on the driver
+    # (so user-REGISTERED versions ship to workers) and a version name is
+    # immutable within a job by contract
+    key = (strip_boilerplate, version_tag)
     ex = _EXTRACTOR_CACHE.get(key)
     if ex is None:
         ex = _EXTRACTOR_CACHE[key] = FieldExtractor(
-            strip_boilerplate=strip_boilerplate, rules_version=rules_version
+            label_map=label_map, strip_boilerplate=strip_boilerplate,
+            version_tag=version_tag,
         )
     return ex
 
@@ -436,6 +440,13 @@ def extract_pipeline(
     model; here the state is a few compiled regexes).  Measured on 2M docs /
     32 CPUs: tasks 54.8k docs/s vs actors ~34k.
     """
+    # resolve the rule table ON THE DRIVER so user-registered versions
+    # (rule_manager.register_version — driver-local state) reach workers as
+    # a materialized map; workers never consult their own manager singleton
+    from ..ruleversions import resolve_rules
+
+    resolved_map, resolved_tag = resolve_rules(None, rules_version)
+
     ds = read_table(source, columns=["doc_id", "spans"]) if isinstance(source, str) else source
     frag = None
     if mode == "auto":
@@ -451,7 +462,8 @@ def extract_pipeline(
 
     if compute == "tasks":
         def extract_batch(batch: pa.Table) -> pa.Table:
-            return _cached_extractor(strip_boilerplate, rules_version)(batch)
+            return _cached_extractor(strip_boilerplate, resolved_tag,
+                                     resolved_map)(batch)
 
         out = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
         if frag is not None:
@@ -467,7 +479,8 @@ def extract_pipeline(
         concurrency = (1, max(2, n_cpus))
     kw = dict(
         fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate,
-                               "rules_version": rules_version},
+                               "label_map": resolved_map,
+                               "version_tag": resolved_tag},
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_file_gate_check', '_q_image_dedup_check', '_q_extract_rules_v2_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
+__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_file_gate_check', '_q_image_dedup_check', '_q_extract_rules_v2_check', '_q_extract_rules_registered_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
 
 def _q_extract_fields(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.extraction import (
@@ -285,6 +285,62 @@ def _q_extract_rules_v2_check(sf_dir: str):
 
     golden_v2 = golden.map_batches(to_v2, batch_format="pyarrow")
     return normalize_diff(golden_diff(engine, golden_v2, key="doc_id"))
+
+
+def _q_extract_rules_registered_check(sf_dir: str):
+    """Hard gate for the §2.11 user-registration extension point: a rule
+    table REGISTERED at runtime on the driver (``rule_manager.
+    register_version`` — the reference analog is editing prompts.yaml and
+    hot-reloading, prompt_manager.py:115-132) must reach every Ray worker
+    and drive extraction.  The registered version copies v2's labels under
+    a new name, so the v2-transformed golden applies verbatim; the check
+    additionally requires every output row stamped with the REGISTERED
+    version name (the resolution happened driver-side — a worker-side
+    lookup of an unknown version would fail outright)."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.config import FIELD_ORDER
+    from insurance_pdf_extractor_ray.pipelines.extraction import (
+        extract_pipeline,
+        flatten_fields,
+    )
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.ruleversions import rule_manager
+
+    version = "v2-registered-q"
+    rule_manager.register_version(
+        version, rule_manager.get_rules("v2"),
+        description="runtime-registered copy of v2 (driver-side only)")
+    try:
+        root = _corpus_root(sf_dir)
+        ext = extract_pipeline(os.path.join(root, "documents"),
+                               rules_version=version).materialize()
+        tags = set()
+        for b in ext.select_columns(["rules_version"]) \
+                    .iter_batches(batch_format="pyarrow"):
+            tags.update(b.column("rules_version").to_pylist())
+        assert tags == {version}, tags
+        engine = flatten_fields(ext)
+        golden = ray.data.read_parquet(
+            os.path.join(root, "expected_fields"),
+            columns=["doc_id"] + FIELD_ORDER + ["status"])
+
+        def to_v2(batch: pa.Table) -> pa.Table:
+            addr = batch.column("named_insured_address").to_pylist()
+            new = ["EMPTY VALUE" if a != "VALIDATION_FAILED" else a
+                   for a in addr]
+            i = batch.column_names.index("named_insured_address")
+            return batch.set_column(i, "named_insured_address",
+                                    pa.array(new, pa.string()))
+
+        golden_v2 = golden.map_batches(to_v2, batch_format="pyarrow")
+        return normalize_diff(golden_diff(engine, golden_v2, key="doc_id"))
+    finally:
+        rule_manager._versions.pop(version, None)
+        rule_manager._cache.pop(version, None)
 
 
 def _q_exact_dedup(sf_dir: str):

@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_ingest_check": _q_pdf_ingest_check,
         "file_gate_check": _q_file_gate_check,
         "extract_rules_v2_check": _q_extract_rules_v2_check,
+        "extract_rules_registered_check": _q_extract_rules_registered_check,
         "exact_dedup": _q_exact_dedup,
         "global_stats": _q_global_stats,
         "stats_by_type": _q_stats_by_type,
@@ -1502,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "file_gate_check": _EMPTY_DIFF_SQL,
         "image_dedup_check": _EMPTY_DIFF_SQL,
         "extract_rules_v2_check": _EMPTY_DIFF_SQL,
+        "extract_rules_registered_check": _EMPTY_DIFF_SQL,
         "q9_product_profit": """
             -- supply cost per (part,supp) pair := cheapest observed line
             -- price in cents (the Q2 derivation); profit in 1e-4 dollars

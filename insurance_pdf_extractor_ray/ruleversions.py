@@ -153,13 +153,19 @@ rule_manager = RuleVersionManager()
 
 
 def resolve_rules(label_map: Optional[Dict[str, str]] = None,
-                  rules_version: Optional[str] = None):
+                  rules_version: Optional[str] = None,
+                  version_tag: Optional[str] = None):
     """(label_map, version_tag) for the extractor constructor.
 
-    Explicit ``label_map`` wins and is tagged 'custom'; otherwise the managed
-    version (default when None) is compiled.
+    Explicit ``label_map`` wins and is tagged 'custom' — unless
+    ``version_tag`` names it (the driver-side resolution path: a pipeline
+    resolves a possibly user-REGISTERED version on the driver and ships
+    the materialized map + its version name to workers, since worker
+    processes each hold their own ``rule_manager`` singleton and never see
+    driver-side ``register_version`` calls).  Otherwise the managed version
+    (default when None) is compiled from the local manager.
     """
     if label_map is not None:
-        return dict(label_map), CUSTOM_RULES_VERSION
+        return dict(label_map), (version_tag or CUSTOM_RULES_VERSION)
     v = rules_version if rules_version is not None else rule_manager.get_default_version()
     return rule_manager.get_rules(v), v

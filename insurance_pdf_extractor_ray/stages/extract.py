@@ -52,13 +52,17 @@ class FieldExtractor:
     PREVIEW_CHARS = 500
 
     def __init__(self, label_map: Optional[Dict[str, str]] = None, strip_boilerplate: bool = True,
-                 rules_version: Optional[str] = None):
+                 rules_version: Optional[str] = None,
+                 version_tag: Optional[str] = None):
         # compiled once per actor (reference holds these as process singletons).
         # The alias table is version-managed (ruleversions.py, the reference's
-        # prompt_manager.py analog); an explicit label_map wins ('custom').
+        # prompt_manager.py analog); an explicit label_map wins ('custom'
+        # unless version_tag names it — the driver-resolved registered-
+        # version path).
         from ..ruleversions import resolve_rules
 
-        self.label_map, self.rules_version = resolve_rules(label_map, rules_version)
+        self.label_map, self.rules_version = resolve_rules(
+            label_map, rules_version, version_tag)
         self.line_re = re.compile(r"^\s*([^:]{1,60}):\s*(.*)$")
         # 'ID-Excluded' literal form, then prose form 'XX ... is excluded'
         self.excl_literal_re = re.compile(r"\b([A-Z]{2})-Excluded\b")

@@ -184,3 +184,91 @@ class TestManifestInvalidation:
         mans = [json.load(open(p)) for p in
                 glob.glob(os.path.join(out, "_manifest", "*.json"))]
         assert {m["rules_version"] for m in mans} == {"v2"}
+
+
+class TestRegisteredVersionHotSwap:
+    """§2.11 extension surface: a version registered at RUNTIME on the
+    driver must drive a fresh pipeline (the map ships driver-resolved to
+    workers, which hold their own manager singletons and never see the
+    registration), while a concurrently-pinned built-in run is unaffected,
+    and resume invalidation fires exactly on the version swap."""
+
+    def _register_v3(self):
+        from insurance_pdf_extractor_ray.ruleversions import rule_manager
+
+        # v3 = v1 minus the bare 'address' alias (the v2 core change) under
+        # a name no worker has ever seen
+        labels = dict(rule_manager.get_rules("v1"))
+        labels.pop("address")
+        rule_manager.register_version("v3-hotswap", labels,
+                                      description="runtime-registered")
+        return rule_manager
+
+    def _cleanup(self, m):
+        m._versions.pop("v3-hotswap", None)
+        m._cache.pop("v3-hotswap", None)
+
+    def test_fresh_pipeline_uses_registration_pinned_run_unaffected(self):
+        m = self._register_v3()
+        try:
+            idx = [i * 12 for i in range(12)]
+            ds = ray.data.from_arrow(spans_table(idx))
+            raw3 = extract_pipeline(ds, rules_version="v3-hotswap").materialize()
+            tags = set()
+            for b in raw3.select_columns(["rules_version"]) \
+                         .iter_batches(batch_format="pyarrow"):
+                tags.update(b.column("rules_version").to_pylist())
+            assert tags == {"v3-hotswap"}   # rows stamped with the NEW name
+            v3 = _fields_by_doc(raw3)
+            v1 = _fields_by_doc(extract_pipeline(ds, rules_version="v1"))
+            assert len(v3) == len(idx)
+            for doc_id, r3 in v3.items():
+                # registered semantics applied on workers
+                assert r3["named_insured_address"] == "EMPTY VALUE"
+                # the pinned v1 run still extracts the address
+                r1 = v1[doc_id]
+                assert r1["named_insured_address"].endswith(tuple("0123456789"))
+        finally:
+            self._cleanup(m)
+
+    def test_resume_invalidates_exactly_on_swap(self, tmp_path):
+        from insurance_pdf_extractor_ray.state.checkpoint import run_partitioned
+
+        m = self._register_v3()
+        try:
+            src = str(tmp_path / "in")
+            os.makedirs(src)
+            idx = [i * 12 for i in range(8)]
+            import pyarrow.parquet as pq
+
+            pq.write_table(spans_table(idx), os.path.join(src, "a.parquet"))
+            out = str(tmp_path / "out")
+
+            def pipe_v(version):
+                return lambda ds: extract_pipeline(ds, rules_version=version,
+                                                   assume_colocated=True)
+
+            r1 = run_partitioned(src, out, pipe_v("v1"), num_partitions=1,
+                                 config={"rules_version": "v1"})
+            # swapping to the registered version invalidates and re-runs
+            r2 = run_partitioned(src, out, pipe_v("v3-hotswap"),
+                                 num_partitions=1,
+                                 config={"rules_version": "v3-hotswap"})
+            # resuming under the SAME registered version skips (no spurious
+            # invalidation)
+            r3 = run_partitioned(src, out, pipe_v("v3-hotswap"),
+                                 num_partitions=1,
+                                 config={"rules_version": "v3-hotswap"})
+            assert (r1["partitions_run"], r2["partitions_run"],
+                    r3["partitions_run"]) == (1, 1, 0)
+            assert r3["partitions_skipped"] == 1
+        finally:
+            self._cleanup(m)
+
+    def test_unknown_version_fails_on_driver_not_worker(self):
+        # without a registration, an unknown version errors at pipeline
+        # CONSTRUCTION (driver-side resolve) — not as a buried worker error
+        idx = [0]
+        ds = ray.data.from_arrow(spans_table(idx))
+        with pytest.raises(ValueError, match="not found"):
+            extract_pipeline(ds, rules_version="nope-v9")
