@@ -38,9 +38,6 @@ from .q09 import *  # noqa: F401,F403
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "extract_fields": _q_extract_fields,
-        "extract_spans": _q_extract_spans,
-        "layout_extract": _q_layout_extract,
         "extract_fields_check": _q_extract_fields_check,
         "extract_spans_check": _q_extract_spans_check,
         "layout_extract_check": _q_layout_extract_check,
@@ -68,10 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_success_rates": _q_field_success_rates,
         "quality_filter": _q_quality_filter,
         "repetition_stats": _q_repetition_stats,
-        "media_decode": _q_media_decode,
         "media_decode_check": _q_media_decode_check,
         "frame_sample_check": _q_frame_sample_check,
         "image_dedup_check": _q_image_dedup_check,
+        "migrated_store_stats": _q_migrated_store_stats,
         "retention_filter": _q_retention,
         "json_props_stats": _q_json_props_stats,
         "html_main_content": _q_html_main_content,
@@ -91,6 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dup_span_clean": _q_dup_span_clean,
         "ngram_decontaminate": _q_ngram_decontaminate,
+        # full-output no-oracle twins (rows-only checks) sit
+        # just past the driver's 50-query prefix so every
+        # prefix slot carries a hash-verified gate
+        "extract_fields": _q_extract_fields,
+        "extract_spans": _q_extract_spans,
+        "layout_extract": _q_layout_extract,
+        "media_decode": _q_media_decode,
         "boilerplate_stats": _q_boilerplate_stats,
         "nfc_normalize": _q_nfc_normalize,
         "gopher_repetition": _q_gopher_repetition,
@@ -305,7 +309,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "dim_mi_ranking": _q_dim_mi_ranking,
         "agg_view_incremental": _q_agg_view_incremental,
-        "migrated_store_stats": _q_migrated_store_stats,
     }
 
 
