@@ -338,6 +338,26 @@ class MinHashStage:
         )
 
 
+class MinHashDocStage(MinHashStage):
+    """Actor stage emitting ONE row per doc: (id, sig bytes, bands
+    fixed-size list) — the per-band explode happens in a cheap downstream
+    projection so the corpus-wide band exchange can carry 16-byte rows
+    while the 1 KB signature stays one-per-doc (see ``minhash_dup_ids``)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.col).to_pylist()
+        hashes, lengths = shingle_hashes_many(texts, self.ngram)
+        sigs = self.hasher.signature_from_hashes(hashes, lengths)
+        keys = self.hasher.band_keys_many(sigs, self.num_bands)  # (n, B)
+        bands = pa.FixedSizeListArray.from_arrays(
+            pa.array(keys.ravel(), pa.uint64()), self.num_bands)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+            "bands": bands,
+        })
+
+
 def _bucket_dups(group: pa.Table, id_col: str, threshold: float,
                  max_bucket: int = 2048) -> pa.Table:
     """Within one LSH bucket: mark every non-min doc whose estimated Jaccard
@@ -374,23 +394,86 @@ def minhash_dup_ids(
     ds: ray.data.Dataset, col: str, id_col: str,
     threshold: float = 0.8, num_perm: int = 128, num_bands: int = 16,
     ngram: int = 3, concurrency=(1, 8),
+    max_broadcast: int = MAX_BROADCAST_ROWS,
 ) -> ray.data.Dataset:
-    """IDs judged near-duplicates (keep-first by min id within LSH buckets)."""
-    sigs = ds.select_columns([id_col, col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   num_bands=num_bands, ngram=ngram),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    """IDs judged near-duplicates (keep-first by min id within LSH buckets).
+
+    Scale shape (round 4): the corpus-wide band exchange carries 16-byte
+    (band_key, id) rows; the num_perm*8-byte signatures stay ONE row per
+    doc and move only for docs that collide in >= 1 band (candidate-
+    bounded), attached by the scale-aware id filter + a small join.
+    Previously the full signature rode every band row — a num_bands x 1 KB
+    shuffle amplification (measured 3.3 GB exchanged for a 60 MB corpus;
+    the sort exchange dominated wall time and throttled 4->16 CPU scaling
+    to ~0.5 efficiency).  Output is identical to the one-shot path: the
+    same >= 2-row buckets reach the same ``_bucket_dups`` verdicts.
+    """
     from ..dsutil import bucketed_segments_map, distinct_rows_by
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
+    B = num_bands
+    # consumed twice (band explode + signature lookup): materialize so the
+    # shingle/sign pass runs once
+    per_doc = ds.select_columns([id_col, col]).map_batches(
+        MinHashDocStage,
+        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
+                                   num_bands=num_bands, ngram=ngram),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        bands = b.column("bands")
+        if isinstance(bands, pa.ChunkedArray):
+            bands = bands.combine_chunks()
+        rep = np.repeat(np.arange(n, dtype=np.int64), B)
+        return pa.table({"band_key": bands.flatten(),
+                         id_col: b.column(id_col).take(pa.array(rep))})
+
+    bands_ds = per_doc.select_columns([id_col, "bands"]).map_batches(
+        explode, batch_format="pyarrow")
+    collide_empty = pa.table({"band_key": pa.array([], pa.uint64()),
+                              id_col: pa.array([], id_type)})
+    from ..dsutil import drop_empty_blocks
+
+    # compact away the exchange's empty output blocks (metadata-only):
+    # every downstream stage pays per-BLOCK task/sample latency, and the
+    # colliding set is candidate-bounded — often 100x fewer rows than
+    # blocks otherwise
+    colliding = drop_empty_blocks(
+        bucketed_segments_map(bands_ds, "band_key", lambda g: g,
+                              empty_out=collide_empty).materialize(),
+        empty_schema=collide_empty.schema)
+    n_collide = colliding.count()
+    # candidate-bounded exchanges get row-count-sized partitioning: Ray's
+    # sort shuffle has seconds of FIXED cost per partition wave, so a
+    # 16k-row exchange must not fan out to 2x-CPUs reduce tasks
+    P_small = max(2, min(-(-n_collide // 50_000), 4096))
+    # signatures of colliding docs only (duplicate ids in the filter list
+    # are fine — is_in semantics — so no distinct exchange is spent here)
+    sig_sub = filter_by_ids(per_doc.select_columns([id_col, "sig"]), id_col,
+                            colliding.select_columns([id_col]),
+                            keep_matching=True,
+                            max_broadcast=max_broadcast).materialize()
+    if sig_sub.count() <= max_broadcast:
+        from .joins import broadcast_join
+
+        joined = broadcast_join(colliding, sig_sub, on=id_col,
+                                add_cols=["sig"], how="inner")
+    else:
+        from ..dsutil import drop_empty_blocks
+
+        joined = colliding.join(
+            drop_empty_blocks(sig_sub), join_type="inner",
+            num_partitions=join_partitions_for(n_collide),
+            on=(id_col,))
     dup = bucketed_segments_map(
-        sigs, "band_key", lambda g: _bucket_dups(g, id_col, threshold),
-        empty_out=pa.table({id_col: pa.array([], id_type)}))
+        joined, "band_key", lambda g: _bucket_dups(g, id_col, threshold),
+        empty_out=pa.table({id_col: pa.array([], id_type)}),
+        num_partitions=P_small)
     # a doc can be flagged in several bands -> distinct
-    return distinct_rows_by(dup, id_col)
+    return distinct_rows_by(dup, id_col, num_partitions=P_small)
 
 
 def minhash_dedup(

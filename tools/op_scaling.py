@@ -7,8 +7,10 @@ session_windows method to the dedup family).
 Input: the sf0.1 documents table replicated R times with deterministically
 word-shuffled text per replica (numpy permutation seeded by replica id), so
 replica texts are NOT near-duplicates of each other (different k-gram
-shingle sets) — plus, for exact dedup, every 10th doc of replicas > 0
-copies replica 0's text verbatim to plant a 10% exact-dup fraction.
+shingle sets) — plus every 10th doc of replica 1 ONLY copies replica 0's
+text verbatim, planting exact-dup GROUPS OF SIZE 2 (a group per replica
+would concentrate all copies of a text into one LSH bucket / one hash
+group, and the measurement would be the planted skew, not the operator).
 
 Usage:
     python tools/op_scaling.py minhash      --docs 200000
@@ -32,6 +34,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CACHE = "/tmp/ipe_opscale"
 
 
+def input_path(n_docs: int) -> str:
+    """Single source of truth for the generated-input cache dir (bump the
+    version tag whenever the generator changes)."""
+    return os.path.join(CACHE, f"docs-v3-{n_docs}")
+
+
 def build_input(n_docs: int) -> str:
     """Replicated documents table under CACHE (idempotent, one file per
     replica, written distributed)."""
@@ -41,7 +49,7 @@ def build_input(n_docs: int) -> str:
     import ray
     import ray.data
 
-    out = os.path.join(CACHE, f"docs-{n_docs}")
+    out = input_path(n_docs)
     if glob.glob(os.path.join(out, "*.parquet")):
         return out
     os.makedirs(out, exist_ok=True)
@@ -60,12 +68,16 @@ def build_input(n_docs: int) -> str:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         texts = b.column("text").to_pylist()
         rng = np.random.default_rng(j)
+        rng0 = np.random.default_rng(0)
         out_texts = []
         for i, t in enumerate(texts):
-            if j > 0 and i % 10 == 0:
-                out_texts.append(t)       # planted exact dup of replica 0
-                continue
             words = (t or "").split(" ")
+            perm0 = rng0.permutation(len(words))  # kept in lockstep with j=0
+            if j == 0 or (j == 1 and i % 10 == 0):
+                # replica 0's shuffle; on replica 1 every 10th doc copies it
+                # verbatim -> planted size-2 exact-dup groups
+                out_texts.append(" ".join(words[k] for k in perm0))
+                continue
             perm = rng.permutation(len(words))
             out_texts.append(" ".join(words[k] for k in perm))
         tbl = pa.table({
@@ -92,6 +104,12 @@ def run_leg(op: str, input_dir: str, cpus: int) -> dict:
     if op == "minhash":
         from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
 
+        if os.environ.get("OPSCALE_DEBUG"):
+            print("DBG input:", input_dir, "files:",
+                  len(glob.glob(os.path.join(input_dir, "*.parquet"))),
+                  file=sys.stderr)
+        # autoscaling (1, cpus): a FIXED pool of cpus actors holds every
+        # CPU slot and starves the upstream read (measured: wedged leg)
         n_out = minhash_dup_ids(ds, "text", "doc_id", threshold=0.8,
                                 concurrency=(1, cpus)).count()
     elif op == "exact_dedup":
@@ -116,7 +134,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child:
-        input_dir = os.path.join(CACHE, f"docs-{args.docs}")
+        input_dir = input_path(args.docs)
         print(json.dumps(run_leg(args.op, input_dir, args.cpus)))
         return
 
@@ -142,7 +160,8 @@ def main() -> None:
         "unit": "efficiency",
         "n_rows": legs[4]["n_rows"],
         "input": (f"sf0.1 documents replicated to {args.docs} docs, "
-                  "word-shuffled per replica (10% planted exact dups)"),
+                  "word-shuffled per replica (size-2 planted exact-dup "
+                  "groups, skew-free)"),
         "n_out_4cpu": legs[4]["n_out"],
         "n_out_16cpu": legs[16]["n_out"],
         "sec_4cpu": legs[4]["sec"],
