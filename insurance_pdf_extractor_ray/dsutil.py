@@ -137,6 +137,14 @@ def keyed_partition_map(
     per-key contract — same worst case as Ray's own groupby shuffle, which
     materializes partition-sized sort runs anyway.  Null keys hash to one
     fixed partition (SQL null-group semantics preserved downstream).
+
+    Scheduling pitfall: when ``ds`` ends in a COMPUTE-HEAVY map, Ray's
+    operator resource reservation can throttle that map on narrow clusters
+    because the downstream sort reserves a resource share (measured: a
+    shingling map ran ~1-wide at 4 CPUs, 3.5x total slowdown).  If the
+    mapped rows are much smaller than their input, ``.materialize()`` the
+    map output before calling this (see ``dedup.minhash_dup_ids``); cheap
+    maps are unaffected.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]

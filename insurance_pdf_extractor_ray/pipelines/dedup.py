@@ -390,6 +390,24 @@ def _bucket_dups(group: pa.Table, id_col: str, threshold: float,
     return pa.table({id_col: pa.array(sorted(set(dups)), group.column(id_col).type)})
 
 
+#: per-worker-process stage cache for the task-based minhash path — the
+#: compiled state (permutation coefficients) builds once per worker and
+#: every task reuses it, the same build-once semantics as an actor pool
+#: without the pool's autoscaling ramp (extraction.py's measured pattern)
+_MINHASH_STAGE_CACHE: dict = {}
+
+
+def _cached_minhash_stage(col: str, id_col: str, num_perm: int,
+                          num_bands: int, ngram: int) -> "MinHashDocStage":
+    key = (col, id_col, num_perm, num_bands, ngram)
+    st = _MINHASH_STAGE_CACHE.get(key)
+    if st is None:
+        st = _MINHASH_STAGE_CACHE[key] = MinHashDocStage(
+            col=col, id_col=id_col, num_perm=num_perm,
+            num_bands=num_bands, ngram=ngram)
+    return st
+
+
 def minhash_dup_ids(
     ds: ray.data.Dataset, col: str, id_col: str,
     threshold: float = 0.8, num_perm: int = 128, num_bands: int = 16,
@@ -399,44 +417,47 @@ def minhash_dup_ids(
     """IDs judged near-duplicates (keep-first by min id within LSH buckets).
 
     Scale shape (round 4): the corpus-wide band exchange carries 16-byte
-    (band_key, id) rows; the num_perm*8-byte signatures stay ONE row per
-    doc and move only for docs that collide in >= 1 band (candidate-
-    bounded), attached by the scale-aware id filter + a small join.
-    Previously the full signature rode every band row — a num_bands x 1 KB
-    shuffle amplification (measured 3.3 GB exchanged for a 60 MB corpus;
-    the sort exchange dominated wall time and throttled 4->16 CPU scaling
-    to ~0.5 efficiency).  Output is identical to the one-shot path: the
-    same >= 2-row buckets reach the same ``_bucket_dups`` verdicts.
-    """
-    from ..dsutil import bucketed_segments_map, distinct_rows_by
+    (band_key, id) rows, streamed by fused read->shingle->band TASKS with
+    per-worker cached state (no actor ramp, nothing corpus-sized
+    materialized — the previous shape shipped each doc's num_perm*8-byte
+    signature on every band row: 3.3 GB exchanged for a 60 MB corpus, and
+    a 6.5 GB signature materialize at 6.4M docs).  Docs colliding in >= 1
+    band (candidate-bounded) get their signatures RECOMPUTED by a second,
+    id-filtered pass over the source — deterministic (fixed seed), and
+    hashing the tiny colliding subset costs less than storing 1 KB/doc for
+    the whole corpus.  Output is identical to the one-shot path: the same
+    >= 2-row buckets reach the same ``_bucket_dups`` verdicts.
+    ``concurrency`` is kept for API compatibility (the task-based stages
+    schedule like any map)."""
+    from ..dsutil import (bucketed_segments_map, distinct_rows_by,
+                          drop_empty_blocks)
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
     B = num_bands
-    # consumed twice (band explode + signature lookup): materialize so the
-    # shingle/sign pass runs once
-    per_doc = ds.select_columns([id_col, col]).map_batches(
-        MinHashDocStage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   num_bands=num_bands, ngram=ngram),
-        batch_format="pyarrow", concurrency=concurrency,
-    ).materialize()
 
-    def explode(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        bands = b.column("bands")
+    def band_rows(batch: pa.Table) -> pa.Table:
+        st = _cached_minhash_stage(col, id_col, num_perm, num_bands, ngram)
+        t = st(batch)
+        bands = t.column("bands")
         if isinstance(bands, pa.ChunkedArray):
             bands = bands.combine_chunks()
-        rep = np.repeat(np.arange(n, dtype=np.int64), B)
+        rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), B)
         return pa.table({"band_key": bands.flatten(),
-                         id_col: b.column(id_col).take(pa.array(rep))})
+                         id_col: t.column(id_col).take(pa.array(rep))})
 
-    bands_ds = per_doc.select_columns([id_col, "bands"]).map_batches(
-        explode, batch_format="pyarrow")
+    # materialize the band rows BEFORE the exchange: with a compute-heavy
+    # map feeding an all-to-all in one streaming graph, Ray's operator
+    # resource reservation throttles the map on narrow clusters (measured
+    # at 4 CPUs / 6.4M docs: the fused map ran ~1-wide, 436 s streamed vs
+    # 125 s with the barrier; at 16 CPUs the gap vanishes).  Band rows are
+    # 16 bytes x num_bands per doc — ~1/60 of the text they derive from —
+    # and the sort materializes the same rows internally anyway, so the
+    # extra object-store cost is a transient 2x of the small side.
+    bands_ds = ds.select_columns([id_col, col]).map_batches(
+        band_rows, batch_format="pyarrow").materialize()
     collide_empty = pa.table({"band_key": pa.array([], pa.uint64()),
                               id_col: pa.array([], id_type)})
-    from ..dsutil import drop_empty_blocks
-
     # compact away the exchange's empty output blocks (metadata-only):
     # every downstream stage pays per-BLOCK task/sample latency, and the
     # colliding set is candidate-bounded — often 100x fewer rows than
@@ -450,12 +471,18 @@ def minhash_dup_ids(
     # sort shuffle has seconds of FIXED cost per partition wave, so a
     # 16k-row exchange must not fan out to 2x-CPUs reduce tasks
     P_small = max(2, min(-(-n_collide // 50_000), 4096))
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        st = _cached_minhash_stage(col, id_col, num_perm, num_bands, ngram)
+        return st(batch).select([id_col, "sig"])
+
     # signatures of colliding docs only (duplicate ids in the filter list
     # are fine — is_in semantics — so no distinct exchange is spent here)
-    sig_sub = filter_by_ids(per_doc.select_columns([id_col, "sig"]), id_col,
+    sig_sub = filter_by_ids(ds.select_columns([id_col, col]), id_col,
                             colliding.select_columns([id_col]),
                             keep_matching=True,
-                            max_broadcast=max_broadcast).materialize()
+                            max_broadcast=max_broadcast) \
+        .map_batches(sig_rows, batch_format="pyarrow").materialize()
     if sig_sub.count() <= max_broadcast:
         from .joins import broadcast_join
 
