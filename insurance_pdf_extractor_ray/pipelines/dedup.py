@@ -42,6 +42,10 @@ from ..functions.textstats import word_ngrams
 #: the classic 10^9-row OOM)
 MAX_BROADCAST_ROWS = 2_000_000
 
+#: colliding-set size below which minhash verify/distinct runs driver-side
+#: (bounded: rows x ~1 KB signature ≈ 50 MB max on the driver)
+SMALL_VERIFY_ROWS = 50_000
+
 
 def _join_partitions() -> int:
     """Partition count for Dataset.join: the hash-shuffle aggregator actors
@@ -483,6 +487,44 @@ def minhash_dup_ids(
                             keep_matching=True,
                             max_broadcast=max_broadcast) \
         .map_batches(sig_rows, batch_format="pyarrow").materialize()
+
+    if n_collide <= SMALL_VERIFY_ROWS:
+        # tiny tail: the remaining work is a join + two exchanges over a
+        # PROVABLY bounded set (<= 50k rows x ~1 KB sig = ~50 MB) whose
+        # distributed form costs seconds of pure exchange latency — run
+        # the identical verify/distinct driver-side (same groups, same
+        # _bucket_dups verdicts)
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        col_tbl = pa.concat_tables(
+            [t for t in _ray.get(colliding.to_arrow_refs()) if t.num_rows])
+        sig_tbl = pa.concat_tables(
+            [t for t in _ray.get(sig_sub.to_arrow_refs()) if t.num_rows])
+        idx = pc.index_in(col_tbl.column(id_col),
+                          value_set=sig_tbl.column(id_col).combine_chunks())
+        tbl = col_tbl.append_column(
+            "sig", sig_tbl.column("sig").combine_chunks().take(
+                idx.combine_chunks()))
+        tbl = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("band_key", "ascending")]))
+        keys = tbl.column("band_key").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                d = _bucket_dups(tbl.slice(int(s), int(e - s)), id_col,
+                                 threshold)
+                if d.num_rows:
+                    outs.append(d)
+        if outs:
+            ids = pc.unique(pa.concat_tables(outs).column(id_col)
+                            .combine_chunks())
+            out_tbl = pa.table({id_col: ids.take(pc.sort_indices(ids))})
+        else:
+            out_tbl = pa.table({id_col: pa.array([], id_type)})
+        return ray.data.from_arrow(out_tbl)
     if sig_sub.count() <= max_broadcast:
         from .joins import broadcast_join
 
