@@ -83,3 +83,30 @@ class TestNearDupGroups:
         kinds = dict(zip(assets.column("media_ref").to_pylist(),
                          assets.column("kind").to_pylist()))
         assert hs and all(kinds[r["media_ref"]] == "image" for r in hs)
+
+
+class TestGroupedRefsPaths:
+    def test_broadcast_and_distributed_paths_agree(self, ray_session):
+        """grouped_refs_from_pairs: the bounded union-find+broadcast path
+        and the min-label+join path produce identical groups."""
+        import pyarrow as pa
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.fingerprint import (
+            grouped_refs_from_pairs)
+
+        refs = ray.data.from_arrow(pa.table({
+            "media_ref": pa.array([f"m{i}" for i in range(8)], pa.string())}))
+        # chain m0-m1-m2 (transitive) + pair m5-m6; m3/m4/m7 singletons
+        pairs = ray.data.from_arrow(pa.table({
+            "a": pa.array(["m0", "m1", "m5"], pa.string()),
+            "b": pa.array(["m1", "m2", "m6"], pa.string()),
+        }))
+        want = {"m0": "m0", "m1": "m0", "m2": "m0", "m3": "m3", "m4": "m4",
+                "m5": "m5", "m6": "m5", "m7": "m7"}
+        fast = {r["media_ref"]: r["group"] for r in
+                grouped_refs_from_pairs(refs, pairs).take_all()}
+        slow = {r["media_ref"]: r["group"] for r in
+                grouped_refs_from_pairs(refs, pairs,
+                                        max_broadcast_pairs=0).take_all()}
+        assert fast == want and slow == want
