@@ -13,7 +13,7 @@ drill produces the evidence artifact:
      best-of-2;
   3. proves correctness on the skewed corpus: cell-level golden diff of
      fields AND span-sequence digests both EMPTY;
-  4. writes BENCH/SKEW_r3.json with docs/s, spans/s and the skew profile.
+  4. writes BENCH/SKEW_r4.json with docs/s, spans/s and the skew profile.
 
 Usage:  python tools/skew_drill.py  [num_docs]  (default 50_000)
 """
@@ -156,7 +156,7 @@ def main():
     out["exact_on_skewed"] = (out["fields_diff_rows"] == 0
                               and out["spans_diff_rows"] == 0)
     dst = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "SKEW_r3.json")
+        os.path.abspath(__file__))), "BENCH", "SKEW_r4.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
