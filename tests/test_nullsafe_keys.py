@@ -260,3 +260,45 @@ class TestBehaviorNullKey:
                                       "ts"))
         got = {(r["from_item"], r["to_item"]): r["n"] for r in out}
         assert got == {("a", "b"): 1}       # the null-key run yields a->b
+
+
+class TestAdjacentChangeProperty:
+    def test_matches_python_reference_on_random_nullable_ints(self):
+        """Property: adjacent_change == elementwise null-safe != over
+        random nullable int columns (hypothesis-style sweep, fixed seeds)."""
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.dsutil import adjacent_change
+
+        rng = np.random.default_rng(7)
+        for trial in range(50):
+            n = int(rng.integers(0, 40))
+            vals = [None if rng.random() < 0.3 else int(rng.integers(0, 5))
+                    for _ in range(n)]
+            col = pa.array(vals, pa.int64())
+            got = adjacent_change(col).tolist()
+            want = [vals[i + 1] != vals[i] for i in range(max(n - 1, 0))]
+            assert got == want, (trial, vals)
+
+    def test_matches_python_reference_on_random_nullable_strings(self):
+        import numpy as np
+
+        from insurance_pdf_extractor_ray.dsutil import adjacent_change
+
+        rng = np.random.default_rng(11)
+        pool = ["a", "b", "", "longer-string"]
+        for trial in range(50):
+            n = int(rng.integers(0, 40))
+            vals = [None if rng.random() < 0.3
+                    else pool[int(rng.integers(0, len(pool)))]
+                    for _ in range(n)]
+            col = pa.array(vals, pa.string())
+            got = adjacent_change(col).tolist()
+            want = [vals[i + 1] != vals[i] for i in range(max(n - 1, 0))]
+            assert got == want, (trial, vals)
+
+    def test_timestamp_nulls(self):
+        from insurance_pdf_extractor_ray.dsutil import adjacent_change
+
+        col = pa.array([0, None, None, 5], pa.timestamp("us"))
+        assert adjacent_change(col).tolist() == [True, False, True]
