@@ -22,6 +22,7 @@ __all__ = [
     "_q_dim_mi_ranking",
     "_q_agg_view_incremental",
     "_q_migrated_store_stats",
+    "_q_session_windows_nullkeys",
 ]
 
 _DAY_US = 86_400_000_000
@@ -259,4 +260,43 @@ def _q_migrated_store_stats(sf_dir: str):
         "n": pa.array([r["n"] for r in rows], pa.int64()),
         "sum_text_len": pa.array([r["sum_text_len"] for r in rows],
                                  pa.int64()),
+    })
+
+
+def _q_session_windows_nullkeys(sf_dir: str):
+    """Null-group semantics under the oracle gate (round 4): every 13th
+    event's user_id is nulled, then per-user 10-minute sessions run over
+    the nullable key.  SQL's ``PARTITION BY user_id`` puts all NULLs in
+    ONE partition; the engine's null-safe run masks (dsutil.adjacent_change)
+    must reproduce that exactly — before round 4, numeric-null keys became
+    NaN in the kernels and each null row formed its own session."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.windows import session_windows
+
+    def nullify(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(
+            pc.subtract(b.column("event_id"),
+                        pc.multiply(pc.divide(b.column("event_id"), 13), 13)),
+            0)
+        uid = pc.if_else(mask, pa.nulls(b.num_rows, pa.int64()),
+                         b.column("user_id"))
+        return pa.table({"user_id": uid, "ts": b.column("ts"),
+                         "event_id": b.column("event_id")})
+
+    ds = session_windows(
+        _events(sf_dir, ["user_id", "ts", "event_id"])
+        .map_batches(nullify, batch_format="pyarrow"),
+        "user_id", "ts", gap_us=600_000_000, tiebreak_col="event_id")
+    rows = ds.take_all()
+    rows.sort(key=lambda r: (r["user_id"] is not None,
+                             r["user_id"] or 0, r["session_id"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "session_id": pa.array([r["session_id"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "start_us": pa.array([r["start_us"] for r in rows], pa.int64()),
+        "end_us": pa.array([r["end_us"] for r in rows], pa.int64()),
     })

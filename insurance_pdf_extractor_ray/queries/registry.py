@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_check": _q_frame_sample_check,
         "image_dedup_check": _q_image_dedup_check,
         "migrated_store_stats": _q_migrated_store_stats,
+        "session_windows_nullkeys": _q_session_windows_nullkeys,
         "retention_filter": _q_retention,
         "json_props_stats": _q_json_props_stats,
         "html_main_content": _q_html_main_content,
@@ -3811,6 +3812,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN ms ON c.d = ms.d AND c.s = ms.s
             JOIN ml ON c.label = ml.label CROSS JOIN t
             GROUP BY 1 ORDER BY 1
+        """,
+        "session_windows_nullkeys": """
+            WITH d AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                                   ELSE user_id END AS user_id,
+                              event_id, epoch_us(ts) AS e FROM events),
+            m AS (SELECT user_id, event_id, e,
+                         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+                                                    ORDER BY e, event_id)
+                                  > 600000000 THEN 1 ELSE 0 END AS brk
+                  FROM d),
+            s AS (SELECT user_id, e,
+                         CAST(sum(brk) OVER (PARTITION BY user_id
+                                             ORDER BY e, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS session_id
+                  FROM m)
+            SELECT user_id, session_id, count(*) AS n,
+                   min(e) AS start_us, max(e) AS end_us
+            FROM s GROUP BY user_id, session_id
         """,
         "migrated_store_stats": """
             SELECT lang AS language, 'v2' AS schema_rev,
