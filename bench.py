@@ -79,14 +79,23 @@ class StageRunner:
                 f.flush()
                 os.fsync(f.fileno())
 
-    def run(self, name: str, fn) -> None:
+    def run(self, name: str, fn, volatile: bool = False) -> None:
+        """``volatile``: the stage leaves filesystem side effects a later
+        stage depends on (e.g. a bucketed layout in a fresh tmpdir), so a
+        resumed child must RE-EXECUTE it rather than replay its recorded
+        time — otherwise the dependent stage reads a path that was never
+        written this run.  Its recorded sec is overwritten (same work,
+        comparable timing); skip bookkeeping is unchanged."""
         if name in self.done:
             rec = self.done[name]
-            self.queries[name] = rec["sec"]
-            self.queries.update(rec.get("extra", {}))
-            if rec.get("skipped"):
-                self.skipped.append(name)
-            return
+            if volatile and not rec.get("skipped"):
+                pass  # fall through and re-execute
+            else:
+                self.queries[name] = rec["sec"]
+                self.queries.update(rec.get("extra", {}))
+                if rec.get("skipped"):
+                    self.skipped.append(name)
+                return
         if self.starts.get(name, 0) >= 2:
             # this stage crashed the process twice: skip, record the skip
             self.skipped.append(name)
@@ -426,7 +435,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
                                       columns=["c_custkey", "c_mktsegment"]),
                 os.path.join(broot, "c"), "c_custkey", 32)
 
-        R.run("bucketed_write", _s_bucketed_write)
+        R.run("bucketed_write", _s_bucketed_write, volatile=True)
         if queries.get("bucketed_write") is not None:
             R.run("bucketed_join", lambda: bucketed_join(
                 os.path.join(broot, "o"), os.path.join(broot, "c")).count() and None)
@@ -613,7 +622,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_mult: int = 10,
     idx_root = _tempfile.mkdtemp(prefix="ipe_bench_invidx_")
     R.run("invindex_build", lambda: build_inverted_index(
         ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
-        "text", "doc_id", idx_root, n_buckets=32) and None)
+        "text", "doc_id", idx_root, n_buckets=32) and None,
+          volatile=True)
 
     def _s_invindex_search():
         for terms in (["shuffle", "spark", "window"], ["agg"], ["join", "sort"]):

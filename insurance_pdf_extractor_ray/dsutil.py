@@ -211,15 +211,10 @@ def distinct_rows_by(
             return part
         part = part.take(pc.sort_indices(
             part, sort_keys=[(k, "ascending") for k in sort_cols]))
-        same = np.ones(n - 1, dtype=bool)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = True
         for k in key_cols:
-            col = part.column(k).combine_chunks()
-            cur, prev = col.slice(1, n - 1), col.slice(0, n - 1)
-            eq = pc.fill_null(pc.equal(cur, prev), False)
-            both_null = pc.and_(pc.is_null(cur), pc.is_null(prev))
-            same &= pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
-        keep = np.ones(n, dtype=bool)
-        keep[1:] = ~same
+            keep[1:] |= adjacent_change(part.column(k))
         return part.filter(pa.array(keep))
 
     return keyed_partition_map(ds, key_cols, first_per_key,

@@ -343,18 +343,30 @@ class MinHashStage:
 
 
 class MinHashDocStage(MinHashStage):
-    """Actor stage emitting ONE row per doc: (id, sig bytes, bands
-    fixed-size list) — the per-band explode happens in a cheap downstream
-    projection so the corpus-wide band exchange can carry 16-byte rows
-    while the 1 KB signature stays one-per-doc (see ``minhash_dup_ids``)."""
+    """Stage emitting ONE row per doc: (id, sig bytes, bands fixed-size
+    list) — the per-band explode happens in a cheap downstream projection
+    so the corpus-wide band exchange can carry 16-byte rows while the 1 KB
+    signature stays one-per-doc (see ``minhash_dup_ids``).
+    ``bands_only`` skips the signature-bytes serialization for the
+    corpus-wide pass (the sig would be ~1 KB/doc of immediately-discarded
+    allocation there)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _sign(self, batch: pa.Table):
         texts = batch.column(self.col).to_pylist()
         hashes, lengths = shingle_hashes_many(texts, self.ngram)
         sigs = self.hasher.signature_from_hashes(hashes, lengths)
         keys = self.hasher.band_keys_many(sigs, self.num_bands)  # (n, B)
         bands = pa.FixedSizeListArray.from_arrays(
             pa.array(keys.ravel(), pa.uint64()), self.num_bands)
+        return sigs, bands
+
+    def bands_only(self, batch: pa.Table) -> pa.Table:
+        _, bands = self._sign(batch)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "bands": bands})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, bands = self._sign(batch)
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
@@ -442,7 +454,7 @@ def minhash_dup_ids(
 
     def band_rows(batch: pa.Table) -> pa.Table:
         st = _cached_minhash_stage(col, id_col, num_perm, num_bands, ngram)
-        t = st(batch)
+        t = st.bands_only(batch)
         bands = t.column("bands")
         if isinstance(bands, pa.ChunkedArray):
             bands = bands.combine_chunks()
@@ -471,6 +483,8 @@ def minhash_dup_ids(
                               empty_out=collide_empty).materialize(),
         empty_schema=collide_empty.schema)
     n_collide = colliding.count()
+    if n_collide == 0:  # no band collisions anywhere: no duplicates
+        return ray.data.from_arrow(pa.table({id_col: pa.array([], id_type)}))
     # candidate-bounded exchanges get row-count-sized partitioning: Ray's
     # sort shuffle has seconds of FIXED cost per partition wave, so a
     # 16k-row exchange must not fan out to 2x-CPUs reduce tasks

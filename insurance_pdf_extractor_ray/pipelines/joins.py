@@ -230,6 +230,13 @@ def asof_join(
             part, sort_keys=[(by, "ascending"), (on, "ascending")]))
         n = part.num_rows
         side = part.column("_side").to_numpy(zero_copy_only=False)
+        if part.column(on).null_count:
+            # a null on-value has no place in the order: nulls would
+            # become NaN/NaT below and break the searchsorted total order
+            # (silently wrong matches) — fail loudly instead
+            raise ValueError(
+                f"asof_join: null values in on column {on!r}; filter or "
+                "fill them before joining")
         ons = part.column(on).to_numpy(zero_copy_only=False)
         if ons.dtype.kind == "M":  # timestamps: integer view so the
             ons = ons.view(np.int64)  # nearest-distance arithmetic works

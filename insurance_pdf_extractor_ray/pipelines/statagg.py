@@ -860,7 +860,12 @@ def ohlc_by_key(
             })
         from ..dsutil import run_starts
 
-        order = np.lexsort((t, o, k))
+        # Arrow sort instead of np.lexsort: object arrays with None keys
+        # (nullable string symbols) would raise TypeError in lexsort, and
+        # the Arrow path is null-safe for every key type
+        order = pc.sort_indices(batch, sort_keys=[
+            (key, "ascending"), (order_col, "ascending"),
+            (tiebreak_col, "ascending")]).to_numpy(zero_copy_only=False)
         k, o, t, v = k[order], o[order], t[order], v[order]
         # null-safe run detection on the reordered Arrow key column
         k_arr = batch.column(key).combine_chunks() \

@@ -52,19 +52,37 @@ def _type_of(t: Union[str, pa.DataType]) -> pa.DataType:
     return pa.type_for_alias(t) if isinstance(t, str) else t
 
 
+def _is_unit_dir(p: str) -> bool:
+    # never treat swap leftovers as units (a crashed swap leaves
+    # part-N.old / part-N.migrate siblings until recovery runs)
+    return (os.path.isdir(p) and not p.endswith(".old")
+            and not p.endswith(".migrate"))
+
+
 def discover_units(root: str) -> List[str]:
     """Unit directories of an at-rest layout, in deterministic order:
     ``part-<i>`` (checkpointed runs), ``_bucket=<i>`` (bucketed layouts),
-    else the root itself if it holds flat parquet fragments."""
-    parts = sorted(glob.glob(os.path.join(root, "part-*")))
-    parts = [p for p in parts if os.path.isdir(p)]
+    else the root itself if it holds flat parquet fragments.  Swap
+    leftovers (``*.old`` / ``*.migrate``) are never units; a unit whose
+    directory is missing but whose ``.old`` sibling exists (a kill inside
+    the swap window) is recovered by ``migrate_store``."""
+    parts = sorted(p for p in glob.glob(os.path.join(root, "part-*"))
+                   if _is_unit_dir(p))
+    # a crash between the two swap renames leaves only part-N.old: surface
+    # the unit under its canonical name so recovery restores it
+    parts += sorted(p[:-4] for p in glob.glob(os.path.join(root,
+                                                           "part-*.old"))
+                    if os.path.isdir(p) and p[:-4] not in parts)
     if parts:
-        return parts
-    buckets = sorted(glob.glob(os.path.join(root, "_bucket=*")))
-    buckets = [b for b in buckets if os.path.isdir(b)]
+        return sorted(parts)
+    buckets = sorted(b for b in glob.glob(os.path.join(root, "_bucket=*"))
+                     if _is_unit_dir(b))
+    buckets += sorted(b[:-4] for b in glob.glob(os.path.join(
+        root, "_bucket=*.old")) if os.path.isdir(b) and b[:-4] not in buckets)
     if buckets:
-        return buckets
-    if glob.glob(os.path.join(root, "*.parquet")):
+        return sorted(buckets)
+    if (glob.glob(os.path.join(root, "*.parquet"))
+            or os.path.isdir(os.path.join(root, ".migrate_old"))):
         return [root]
     raise FileNotFoundError(f"no migratable units under {root}")
 
@@ -115,6 +133,43 @@ def _batch_fn(add_columns: AddSpec, rename_columns: Dict[str, str],
         return t
 
     return migrate_batch
+
+
+def _recover_unit(unit: str, is_root: bool) -> None:
+    """Roll a unit back to a consistent OLD layout after a kill inside the
+    swap window (idempotent; no-op on clean units).
+
+    Directory units: a kill between ``os.replace(unit, unit.old)`` and
+    ``os.replace(shadow, unit)`` leaves only ``unit.old`` — restore it;
+    a leftover ``unit.old`` NEXT TO a live unit is post-swap debris —
+    delete it.  Flat root units: ``.migrate_old`` without its
+    ``.complete`` marker means the old->backup move was interrupted
+    (move the backed-up files home); with the marker, new fragments may
+    be partially moved in — delete them all (the shadow dir still holds
+    the full new set, which the re-run rebuilds anyway) and move every
+    old fragment back.  The migration ledger is only appended AFTER a
+    completed swap, so a recovered unit simply re-runs."""
+    if is_root:
+        bak = os.path.join(unit, ".migrate_old")
+        if not os.path.isdir(bak):
+            return
+        committed = os.path.exists(os.path.join(bak, ".complete"))
+        if committed:
+            # any parquet in the root is a partially-moved NEW fragment
+            for f in glob.glob(os.path.join(unit, "*.parquet")):
+                os.unlink(f)
+        for f in glob.glob(os.path.join(bak, "*.parquet")):
+            dst = os.path.join(unit, os.path.basename(f))
+            if not os.path.exists(dst):
+                os.replace(f, dst)
+        shutil.rmtree(bak, ignore_errors=True)
+        return
+    old = unit.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        if not os.path.isdir(unit):
+            os.replace(old, unit)   # kill between the two swap renames
+        else:
+            shutil.rmtree(old, ignore_errors=True)  # post-swap debris
 
 
 def _ledger_path(root: str, spec_hash: str) -> str:
@@ -177,6 +232,7 @@ def migrate_store(
     migrated = skipped = total_rows = 0
     for unit in unit_dirs:
         uname = os.path.relpath(unit, root) if unit != root else "."
+        _recover_unit(unit, is_root=(unit == root))
         files = sorted(glob.glob(os.path.join(unit, "*.parquet")))
         if not files:
             continue
@@ -201,11 +257,20 @@ def migrate_store(
                 f"{new_rows} != {pre_rows}")
         if unit == root:
             # flat layout: swap fragments inside the root (the root dir
-            # itself can't be replaced — it holds _migrations/)
+            # itself can't be replaced — it holds _migrations/).  Crash-
+            # safe protocol: old fragments move to .migrate_old first, a
+            # .complete marker commits that phase, then new fragments move
+            # in; _recover_unit rolls a kill in any window back to the old
+            # layout (see there)
+            bak = os.path.join(unit, ".migrate_old")
+            shutil.rmtree(bak, ignore_errors=True)
+            os.makedirs(bak)
             for f in files:
-                os.unlink(f)
+                os.replace(f, os.path.join(bak, os.path.basename(f)))
+            open(os.path.join(bak, ".complete"), "w").close()
             for f in new_files:
                 os.replace(f, os.path.join(unit, os.path.basename(f)))
+            shutil.rmtree(bak, ignore_errors=True)
             shutil.rmtree(shadow, ignore_errors=True)
         else:
             old = unit.rstrip("/") + ".old"

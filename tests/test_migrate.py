@@ -197,3 +197,68 @@ class TestMigratePartitioned:
 
         with pytest.raises(ValueError, match="empty migration"):
             migrate_store(str(tmp_path))
+
+
+class TestSwapCrashRecovery:
+    def test_dir_unit_recovers_from_half_swap(self, tmp_path, ray_session):
+        """Kill between os.replace(unit, unit.old) and os.replace(shadow,
+        unit) leaves only part-N.old; the next run must restore and
+        migrate it — not silently drop the unit."""
+        from insurance_pdf_extractor_ray.state.checkpoint import (
+            run_partitioned)
+        from insurance_pdf_extractor_ray.state.migrate import migrate_store
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        t = _docs_table(200)
+        pq.write_table(t.slice(0, 100), os.path.join(src, "f0.parquet"))
+        pq.write_table(t.slice(100, 100), os.path.join(src, "f1.parquet"))
+        out_dir = str(tmp_path / "out")
+        run_partitioned(src, out_dir, lambda ds: ds, num_partitions=2)
+        # simulate the crash window on part-0
+        os.replace(os.path.join(out_dir, "part-0"),
+                   os.path.join(out_dir, "part-0.old"))
+        res = migrate_store(out_dir, add_columns={"rev": ("string", "v2")})
+        assert res["units_migrated"] == 2 and res["rows"] == 200
+        got = _read_all(out_dir)
+        assert got.num_rows == 200
+        assert got.column("rev").to_pylist() == ["v2"] * 200
+        assert not os.path.exists(os.path.join(out_dir, "part-0.old"))
+
+    def test_flat_recovers_mid_backup_and_mid_movein(self, tmp_path,
+                                                     ray_session):
+        from insurance_pdf_extractor_ray.state.migrate import (
+            _recover_unit, migrate_store)
+
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        t = _docs_table(100)
+        pq.write_table(t.slice(0, 50), os.path.join(flat, "a.parquet"))
+        pq.write_table(t.slice(50, 50), os.path.join(flat, "b.parquet"))
+
+        # window (i): crash mid old->backup (no .complete marker)
+        bak = os.path.join(flat, ".migrate_old")
+        os.makedirs(bak)
+        os.replace(os.path.join(flat, "a.parquet"),
+                   os.path.join(bak, "a.parquet"))
+        _recover_unit(flat, is_root=True)
+        assert sorted(os.path.basename(f) for f in
+                      glob.glob(os.path.join(flat, "*.parquet"))) == \
+            ["a.parquet", "b.parquet"]
+
+        # window (ii): crash mid new move-in (.complete marker present,
+        # partial new fragments in the root)
+        os.makedirs(bak)
+        for n in ("a.parquet", "b.parquet"):
+            os.replace(os.path.join(flat, n), os.path.join(bak, n))
+        open(os.path.join(bak, ".complete"), "w").close()
+        pq.write_table(t.slice(0, 10), os.path.join(flat, "new-0.parquet"))
+        _recover_unit(flat, is_root=True)
+        got = _read_all(flat)
+        assert got.num_rows == 100          # old layout fully restored
+        assert not os.path.isdir(bak)
+
+        # and a full migrate over the recovered layout works
+        res = migrate_store(flat, add_columns={"rev": ("string", "v2")})
+        assert res["rows"] == 100
+        assert _read_all(flat).column("rev").to_pylist() == ["v2"] * 100
