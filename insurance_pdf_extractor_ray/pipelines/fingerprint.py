@@ -74,14 +74,26 @@ def grouped_refs_from_pairs(
     if n_pairs <= bound:
         comp = dup_components(pairs, id_a="a", id_b="b")
         roots = {x: r for x, r in comp.items() if x != r}
-        ref_obj = _ray.put(roots)
+        # ship the map as two parallel Arrow arrays (one ray.put, zero-copy
+        # reads) and apply it vectorized: index_in + take + coalesce, so
+        # the output `group` column always carries the SAME Arrow type as
+        # the input media_ref column (string / large_string / binary), the
+        # same contract the distributed branch's pc.coalesce gives.
+        k_arr = pa.array(list(roots.keys()), pa.string())
+        v_arr = pa.array(list(roots.values()), pa.string())
+        ref_obj = _ray.put((k_arr, v_arr))
 
         def assign(t: pa.Table) -> pa.Table:
-            lk = _ray.get(ref_obj)
-            rs = t.column("media_ref").to_pylist()
+            col = t.column("media_ref")
+            keys, vals = _ray.get(ref_obj)
+            typ = t.schema.field("media_ref").type
+            if typ != pa.string():
+                keys = keys.cast(typ)
+                vals = vals.cast(typ)
+            idx = pc.index_in(col, value_set=keys)
             return pa.table({
-                "media_ref": t.column("media_ref"),
-                "group": pa.array([lk.get(r, r) for r in rs], pa.string()),
+                "media_ref": col,
+                "group": pc.coalesce(pc.take(vals, idx), col),
             })
 
         return refs.map_batches(assign, batch_format="pyarrow")

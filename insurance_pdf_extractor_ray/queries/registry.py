@@ -11,6 +11,20 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 Float columns in oracle-checked queries are rounded identically on both sides
 (the driver hashes values; unrounded float sums differ across reduction
 orders).
+
+Driver-prefix contract (load-bearing ordering): the external harness
+hash-verifies exactly the FIRST 50 entries of the ``queries()`` dict, so the
+dict literal's order is part of the artifact contract, not style.  Every
+prefix slot carries a DuckDB-oracle-gated, high-centrality operator; the
+four full-output no-oracle queries (their ``*_check`` twins are in the
+prefix) and gates rotated out for overlapping coverage sit immediately past
+slot 50.  Rotations: r4 moved the no-oracle quartet out; r5 rotated in
+``pretrain_prep`` / ``apply_changes_bucketed`` / ``minhash_incremental`` /
+``embedding_incremental`` / ``bm25_search_indexed`` / ``anti_join_shuffle``
+for ``extract_rules_v2_check`` / ``event_breakdown`` / ``anti_join_docs`` /
+``sliding_window`` / ``distinct_users_by_type`` / ``dup_span_clean`` (each
+rotated-out gate overlaps a sibling still in the prefix; all 269 stay
+registered and sweep-checked via ``tools/oracle_sweep.py``).
 """
 
 from __future__ import annotations
@@ -43,18 +57,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_extract_check": _q_layout_extract_check,
         "pdf_ingest_check": _q_pdf_ingest_check,
         "file_gate_check": _q_file_gate_check,
-        "extract_rules_v2_check": _q_extract_rules_v2_check,
         "extract_rules_registered_check": _q_extract_rules_registered_check,
         "exact_dedup": _q_exact_dedup,
         "global_stats": _q_global_stats,
         "stats_by_type": _q_stats_by_type,
         "daily_trends": _q_daily_trends,
         "top10_by_value": _q_top10_by_value,
-        "event_breakdown": _q_breakdown,
         "recent_n": _q_recent_n,
         "search_filter": _q_search_filter,
         "orders_customer_join": _q_orders_join,
-        "anti_join_docs": _q_anti_join,
+        "anti_join_shuffle": _q_anti_join_shuffle,
         "token_explode": _q_token_explode,
         "doc_token_stats": _q_doc_token_stats,
         "knn_embeddings": _q_knn,
@@ -74,10 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": _q_json_props_stats,
         "html_main_content": _q_html_main_content,
         "tumbling_window": _q_tumbling_window,
-        "sliding_window": _q_sliding_window,
         "session_windows": _q_session_windows,
         "grouped_topk": _q_grouped_topk,
-        "distinct_users_by_type": _q_distinct_users,
         "value_quantiles_by_type": _q_value_quantiles,
         "asof_last_click": _q_asof_last_click,
         "embedding_dedup": _q_embedding_dedup,
@@ -87,11 +97,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
-        "dup_span_clean": _q_dup_span_clean,
+        "pretrain_prep": _q_pretrain_prep,
+        "apply_changes_bucketed": _q_apply_changes_bucketed,
+        "minhash_incremental": _q_minhash_incremental,
+        "embedding_incremental": _q_embedding_incremental,
+        "bm25_search_indexed": _q_bm25_indexed,
+        # ---- END OF THE DRIVER'S 50-QUERY PREFIX ----
+        # Contract (see module docstring + README "Driver prefix"):
+        # the external harness hash-verifies exactly the FIRST 50 dict
+        # entries, so every prefix slot must be oracle-gated and carry a
+        # distinct high-centrality operator.  Full-output no-oracle twins
+        # (their *_check twins are IN the prefix) and gates rotated out
+        # in r5 for overlapping coverage sit immediately past the line.
         "ngram_decontaminate": _q_ngram_decontaminate,
-        # full-output no-oracle twins (rows-only checks) sit
-        # just past the driver's 50-query prefix so every
-        # prefix slot carries a hash-verified gate
+        "extract_rules_v2_check": _q_extract_rules_v2_check,
+        "event_breakdown": _q_breakdown,
+        "anti_join_docs": _q_anti_join,
+        "sliding_window": _q_sliding_window,
+        "distinct_users_by_type": _q_distinct_users,
+        "dup_span_clean": _q_dup_span_clean,
         "extract_fields": _q_extract_fields,
         "extract_spans": _q_extract_spans,
         "layout_extract": _q_layout_extract,
@@ -99,7 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": _q_boilerplate_stats,
         "nfc_normalize": _q_nfc_normalize,
         "gopher_repetition": _q_gopher_repetition,
-        "pretrain_prep": _q_pretrain_prep,
         "unigram_logprob": _q_unigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
@@ -116,7 +139,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "mixture_interleave": _q_mixture,
         "bm25_search": _q_bm25,
-        "bm25_search_indexed": _q_bm25_indexed,
         "ntile_by_value": _q_ntile,
         "rolling_avg_user": _q_rolling_avg,
         "heavy_hitters_users": _q_heavy_hitters,
@@ -167,13 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_value_sum": _q_salted_sum,
         "fixed_k_sample": _q_fixed_k_sample,
         "bucketed_join_orders": _q_bucketed_join,
-        "apply_changes_bucketed": _q_apply_changes_bucketed,
-        "minhash_incremental": _q_minhash_incremental,
         "q4_late_orders": _q_q4_late_orders,
         "q16_brand_size_suppliers": _q_q16_brand_size_suppliers,
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q22_idle_rich": _q_q22_idle_rich,
-        "embedding_incremental": _q_embedding_incremental,
         "q12_priority_by_flag": _q_q12_priority_by_flag,
         "q15_top_supplier": _q_q15_top_supplier,
         "q20_bulky_suppliers": _q_q20_bulky_suppliers,
@@ -206,7 +225,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_gapfill": _q_daily_gapfill,
         "full_outer_balances": _q_full_outer_balances,
         "hash_split_stats": _q_hash_split_stats,
-        "anti_join_shuffle": _q_anti_join_shuffle,
         "range_rolling_user": _q_range_rolling_user,
         "zorder_orders": _q_zorder_orders,
         "merged_user_sessions": _q_merged_user_sessions,

@@ -26,17 +26,28 @@ distributed Ray Data pipeline (read -> map_batches -> write), so a
 multi-node cluster streams fragments through workers; the driver holds
 only unit names and row counts.  On a 100-TB store the unit loop itself
 can be sharded by running several migrate processes over disjoint
-``units=`` slices — the ledger append is atomic per process family.
+``units=`` slices: every ledger append takes an exclusive ``fcntl``
+lock on ``<spec_hash>.lock`` and merges ``done_units`` with the
+on-disk state before the atomic replace, so concurrent shards never
+lose each other's completions (requires the store root on a
+flock-capable filesystem; on object storage, run one migrate process
+per disjoint ledger by passing distinct ``schema_version`` suffixes).
 """
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import hashlib
 import json
 import os
 import shutil
 import time
+
+try:
+    import fcntl
+except ImportError:          # non-POSIX: single-process migrate only
+    fcntl = None
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import pyarrow as pa
@@ -91,11 +102,42 @@ def migration_spec_hash(add_columns: Optional[AddSpec],
                         rename_columns: Optional[Dict[str, str]],
                         drop_columns: Optional[Sequence[str]],
                         schema_version: Optional[str]) -> str:
-    """Stable hash of the migration spec; callables hash by __name__ (a
-    resumed run must pass the SAME named callable to be recognized)."""
+    """Stable hash of the migration spec.  Callables hash by __name__ plus
+    a digest of their compiled bytecode (``co_code`` + ``co_consts``), so a
+    resumed run with a same-named but logic-changed computed column gets a
+    FRESH ledger instead of silently skipping already-done units with stale
+    values.  Anonymous callables are rejected: two different lambdas are
+    indistinguishable by name and their identity across processes is too
+    fragile to key resume state on."""
 
     def enc_default(d):
-        return getattr(d, "__name__", None) if callable(d) else d
+        if not callable(d):
+            return d
+        name = getattr(d, "__name__", "<callable>")
+        if name == "<lambda>":
+            raise ValueError(
+                "computed-column defaults must be NAMED functions, not "
+                "lambdas: resume state is keyed on the function identity "
+                "and lambdas cannot be distinguished across runs")
+        code = getattr(d, "__code__", None)
+        if code is None:        # builtins / callables without code objects
+            return name
+
+        def freeze(v):
+            # scalars hash by value (a factory-made closure over version=1
+            # vs version=2 must differ); everything else by type name
+            if isinstance(v, (int, float, str, bytes, bool, type(None))):
+                return repr(v)
+            return type(v).__name__
+
+        consts = tuple(freeze(c) for c in code.co_consts
+                       if not callable(c) and not isinstance(c, type))
+        cells = tuple(freeze(c.cell_contents)
+                      for c in (getattr(d, "__closure__", None) or ()))
+        dflts = tuple(freeze(v)
+                      for v in (getattr(d, "__defaults__", None) or ()))
+        body = code.co_code + repr((consts, cells, dflts)).encode()
+        return f"{name}:{hashlib.blake2b(body, digest_size=6).hexdigest()}"
 
     spec = {
         "add": {k: [str(_type_of(t)), enc_default(d)]
@@ -186,14 +228,40 @@ def _read_ledger(path: str) -> Dict:
     return {"done_units": []}
 
 
-def _write_ledger(path: str, ledger: Dict) -> None:
+@contextlib.contextmanager
+def _ledger_lock(path: str):
+    """Exclusive advisory lock serialising the ledger's read-modify-write
+    so concurrent shard processes (disjoint ``units=`` slices over one
+    store) can't overwrite each other's ``done_units``."""
+    if fcntl is None:
+        yield
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(ledger, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    with open(path + ".lock", "a") as lf:
+        fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+
+
+def _write_ledger(path: str, ledger: Dict) -> None:
+    """Merge-and-replace under an exclusive lock: ``done_units`` is the
+    union of our view and the on-disk ledger, so a concurrent shard's
+    completions are never lost (last-writer-wins only on the scalar
+    metadata fields, which is harmless)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with _ledger_lock(path):
+        on_disk = _read_ledger(path)
+        ledger["done_units"] = sorted(
+            set(ledger.get("done_units", []))
+            | set(on_disk.get("done_units", [])))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
 
 def migrate_store(
@@ -223,6 +291,12 @@ def migrate_store(
                                     drop_columns, schema_version)
     unit_dirs = units if units is not None else discover_units(root)
     lpath = _ledger_path(root, spec_hash)
+    if not resume:
+        # fresh run: drop the old ledger so the merge-on-write union can't
+        # resurrect stale done_units
+        with _ledger_lock(lpath):
+            if os.path.exists(lpath):
+                os.unlink(lpath)
     ledger = _read_ledger(lpath) if resume else {"done_units": []}
     ledger.setdefault("spec_hash", spec_hash)
     ledger.setdefault("schema_version", schema_version)

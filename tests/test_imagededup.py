@@ -110,3 +110,27 @@ class TestGroupedRefsPaths:
                 grouped_refs_from_pairs(refs, pairs,
                                         max_broadcast_pairs=0).take_all()}
         assert fast == want and slow == want
+
+    def test_broadcast_path_preserves_arrow_type(self, ray_session):
+        """A large_string media_ref column keeps its type through the
+        broadcast branch (group coalesces to the input column's type,
+        matching the distributed branch's contract)."""
+        import pyarrow as pa
+        import ray.data
+
+        from insurance_pdf_extractor_ray.pipelines.fingerprint import (
+            grouped_refs_from_pairs)
+
+        refs = ray.data.from_arrow(pa.table({
+            "media_ref": pa.array([f"m{i}" for i in range(4)],
+                                  pa.large_string())}))
+        pairs = ray.data.from_arrow(pa.table({
+            "a": pa.array(["m0"], pa.string()),
+            "b": pa.array(["m1"], pa.string()),
+        }))
+        out = grouped_refs_from_pairs(refs, pairs)
+        tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        assert tbl.schema.field("group").type == pa.large_string()
+        got = {str(r["media_ref"]): str(r["group"])
+               for r in tbl.to_pylist()}
+        assert got == {"m0": "m0", "m1": "m0", "m2": "m2", "m3": "m3"}

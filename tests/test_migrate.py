@@ -262,3 +262,61 @@ class TestSwapCrashRecovery:
         res = migrate_store(flat, add_columns={"rev": ("string", "v2")})
         assert res["rows"] == 100
         assert _read_all(flat).column("rev").to_pylist() == ["v2"] * 100
+
+
+class TestSpecHashIdentity:
+    """ADVICE r4: spec hashing must distinguish logic-changed callables
+    and reject anonymous ones (resume state is keyed on the hash)."""
+
+    def test_lambda_rejected(self):
+        from insurance_pdf_extractor_ray.state.migrate import (
+            migration_spec_hash)
+        with pytest.raises(ValueError, match="NAMED"):
+            migration_spec_hash({"x": ("int64", lambda t: None)},
+                                None, None, None)
+
+    def test_same_name_different_logic_different_hash(self):
+        from insurance_pdf_extractor_ray.state.migrate import (
+            migration_spec_hash)
+
+        def make(version):
+            def col_fn(t):
+                return pa.array([version] * t.num_rows, pa.int64())
+            return col_fn
+
+        h1 = migration_spec_hash({"v": ("int64", make(1))}, None, None, None)
+        h2 = migration_spec_hash({"v": ("int64", make(2))}, None, None, None)
+        h1b = migration_spec_hash({"v": ("int64", make(1))}, None, None, None)
+        assert h1 != h2          # logic change -> fresh ledger
+        assert h1 == h1b         # identical logic -> stable across builds
+
+    def test_concurrent_shard_ledgers_merge(self, tmp_path):
+        """Two migrate calls over disjoint units= slices of one store must
+        both end up in done_units (the r4 last-writer-wins bug)."""
+        from insurance_pdf_extractor_ray.state.checkpoint import (
+            run_partitioned)
+        from insurance_pdf_extractor_ray.state.migrate import (
+            _ledger_path, _read_ledger, discover_units, migrate_store,
+            migration_spec_hash)
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        t = _docs_table(120)
+        for i in range(4):
+            pq.write_table(t.slice(i * 30, 30),
+                           os.path.join(src, f"f{i}.parquet"))
+        out_dir = str(tmp_path / "out")
+        run_partitioned(src, out_dir, lambda ds: ds, num_partitions=4)
+        units = discover_units(out_dir)
+        spec = dict(add_columns={"rev": ("string", "v2")})
+        # shard A migrates units [0,1], shard B units [2,3]; interleaving
+        # is serialized here but each call starts from its own in-memory
+        # ledger view, which is exactly the lost-update shape
+        migrate_store(out_dir, units=units[:2], **spec)
+        migrate_store(out_dir, units=units[2:], **spec)
+        h = migration_spec_hash(spec["add_columns"], None, None, None)
+        ledger = _read_ledger(_ledger_path(out_dir, h))
+        assert len(ledger["done_units"]) == 4
+        # and a full resume run skips everything
+        res = migrate_store(out_dir, **spec)
+        assert res["units_migrated"] == 0 and res["units_skipped"] == 4
