@@ -11,7 +11,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-__all__ = ['SF_DEFAULT', '_round_away', '_docs_rows', '_corpus_root', '_corpus_for', '_events', '_documents', '_read', '_filtered_keys', '_round_col', 'entry', '_ids_table', '_HOUR_US', '_MIX_WEIGHTS', '_round_half_away', '_customer_name_graph', '_r_cents_half_away', '_rev_i4', '_bpe_chain_parts', '_bpe_oracle', '_pretrain_bpe_oracle', '_stopword_oracle', '_kcore_oracle', '_global_ndistinct', '_skyline_2d', '_acf_oracle', '_HLL_PINNED_SQL', '_pii_redact_sql', '_zorder_sql', '_shuffled_head_sql', '_mixture_sql', '_EMPTY_DIFF_SQL']
+__all__ = ['SF_DEFAULT', '_round_away', '_docs_rows', '_corpus_root', '_corpus_for', '_events', '_documents', '_read', '_filtered_keys', '_filtered_dim', '_round_col', 'entry', '_ids_table', '_HOUR_US', '_MIX_WEIGHTS', '_round_half_away', '_customer_name_graph', '_r_cents_half_away', '_rev_i4', '_bpe_chain_parts', '_bpe_oracle', '_pretrain_bpe_oracle', '_stopword_oracle', '_kcore_oracle', '_global_ndistinct', '_skyline_2d', '_acf_oracle', '_HLL_PINNED_SQL', '_pii_redact_sql', '_zorder_sql', '_shuffled_head_sql', '_mixture_sql', '_EMPTY_DIFF_SQL']
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -89,6 +89,32 @@ def _filtered_keys(sf_dir: str, table: str, key_col: str, columns,
     arr = pa.concat_tables(tbls).column(key_col) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
     return np.sort(arr)
+
+
+def _filtered_dim(sf_dir: str, table: str, columns,
+                  pred_fn=None) -> pa.Table:
+    """Dataset-side dimension filter -> projected Arrow table of ONLY the
+    matching rows (zero-copy Arrow refs, no Python row objects).
+
+    The full dimension never materializes as driver Python state: the
+    predicate runs vectorized per batch inside the read pipeline, and the
+    driver concatenates just the surviving rows — so the collected table is
+    sized by predicate selectivity (or, with no predicate, is an explicit
+    broadcast of the projected dimension for a star-schema map-side join,
+    the same precondition ``joins.broadcast_join`` imposes)."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    ds = _read(sf_dir, table, columns)
+    if pred_fn is not None:
+        ds = ds.map_batches(lambda b: b.filter(pred_fn(b)),
+                            batch_format="pyarrow")
+    tbls = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        return pa.concat_tables(tbls).combine_chunks()
+    schema = _pq.read_schema(os.path.join(sf_dir, f"{table}.parquet"))
+    return pa.schema([schema.field(c) for c in columns]).empty_table()
 
 
 def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:

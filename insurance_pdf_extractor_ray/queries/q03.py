@@ -623,17 +623,18 @@ def _q_q1_pricing_summary(sf_dir: str):
 
 def _q_promo_nation_profit(sf_dir: str):
     """TPC-H Q9-lite: discounted revenue of PROMO parts per supplier nation
-    — PROMO part-key set broadcast into a map-side filter, revenue
-    pre-aggregated per suppkey (ONE keyed combine over 8-byte keys),
-    supplier->nation resolved driver-side (two tiny dims), final
-    nation-name reduce on <=25 rows.  Aggregate-below-join throughout:
-    the lineitem stream is never joined row-wise."""
+    — PROMO part-key set filtered Dataset-side and broadcast into a
+    map-side filter, revenue pre-aggregated per suppkey (ONE keyed combine
+    over 8-byte keys), supplier->nation folded in as a broadcast
+    (sorted keys, nation index) probe, final nation-name reduce on <=25
+    rows.  Aggregate-below-join throughout: the lineitem stream is never
+    joined row-wise and no dimension is collected as driver Python rows."""
     import ray
     from ray.data.aggregate import Sum
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    promo = part.filter(expr="p_type == 'PROMO'").take_all()
-    promo_keys = np.sort(np.array([r["p_partkey"] for r in promo], np.int64))
+    promo_keys = _filtered_keys(
+        sf_dir, "part", "p_partkey", ["p_partkey", "p_type"],
+        lambda b: pc.equal(b.column("p_type"), "PROMO"))
     pref = ray.put(promo_keys)
 
     def partial(t: pa.Table, keys_ref) -> pa.Table:
@@ -656,18 +657,37 @@ def _q_promo_nation_profit(sf_dir: str):
                                batch_format="pyarrow")
                 .groupby("l_suppkey").aggregate(Sum("_r", alias_name="rev")))
 
-    sup = {r["s_suppkey"]: r["s_nationkey"] for r in
-           _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()}
+    # supplier->nation resolves as a broadcast (sorted keys, int8 nation
+    # index) probe inside the Dataset, and the final reduce is a <=25-key
+    # groupby — nothing supplier-sized ever lands on the driver
     nat = {r["n_nationkey"]: r["n_name"] for r in
            _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()}
-    totals: dict = {}
-    for r in per_supp.take_all():
-        name = nat[sup[r["l_suppkey"]]]
-        totals[name] = totals.get(name, 0) + int(r["rev"])
-    names = sorted(totals)
+    sup_tbl = _filtered_dim(sf_dir, "supplier",
+                            ["s_suppkey", "s_nationkey"])
+    skeys = sup_tbl.column("s_suppkey").to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+    snk = sup_tbl.column("s_nationkey").to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+    order = np.argsort(skeys, kind="stable")
+    nat_keys = np.array(sorted(nat), np.int64)
+    nat_names = np.array([nat[k] for k in nat_keys], object)
+    nidx = np.searchsorted(nat_keys, snk[order]).astype(np.int8)
+    dim_ref = ray.put((skeys[order], nidx, nat_names))
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        sk_arr, ni, nm = ray.get(dim_ref)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        names = nm[ni[np.searchsorted(sk_arr, sk)]] \
+            if len(sk) else np.array([], object)
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "rev": t.column("rev")})
+
+    out = per_supp.map_batches(to_nation, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("rev", alias_name="rev_c"))
+    rows = sorted(out.take_all(), key=lambda r: r["n_name"])
     return pa.table({
-        "n_name": pa.array(names, pa.string()),
-        "rev_c": pa.array([totals[n] for n in names], pa.int64()),
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "rev_c": pa.array([int(r["rev_c"]) for r in rows], pa.int64()),
     })
 
 

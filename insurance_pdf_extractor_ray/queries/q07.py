@@ -440,12 +440,21 @@ def _q_q15_top_supplier(sf_dir: str):
         .groupby("l_suppkey").aggregate(Sum("rev_i4", alias_name="revenue_i4")),
         empty_schema=pa.schema([("l_suppkey", pa.int64()),
                                 ("revenue_i4", pa.int64())]))
-    rows = rev.take_all()  # supplier-sized
-    best = max(r["revenue_i4"] for r in rows)
-    top = sorted(r["l_suppkey"] for r in rows if r["revenue_i4"] == best)
-    names = {r["s_suppkey"]: r["s_name"]
-             for r in _read(sf_dir, "supplier",
-                            ["s_suppkey", "s_name"]).take_all()}
+    # distributed max + equality filter: only the winning row(s) reach the
+    # driver, and the name fetch is bounded by the winner set (the
+    # supplier-sized aggregate and the supplier dimension both stay
+    # Dataset-side)
+    rev = rev.materialize()     # consumed twice: max scalar + filter
+    best = rev.max("revenue_i4")
+    top = sorted(r["l_suppkey"] for r in
+                 rev.filter(expr=f"revenue_i4 == {int(best)}").take_all())
+    need = np.array(top, np.int64)
+    sup_tbl = _filtered_dim(
+        sf_dir, "supplier", ["s_suppkey", "s_name"],
+        lambda b: pa.array(np.isin(
+            b.column("s_suppkey").to_numpy(zero_copy_only=False), need)))
+    names = dict(zip(sup_tbl.column("s_suppkey").to_pylist(),
+                     sup_tbl.column("s_name").to_pylist()))
     return pa.table({
         "s_suppkey": pa.array(top, pa.int64()),
         "s_name": pa.array([names[k] for k in top], pa.string()),

@@ -79,14 +79,22 @@ def _q_q2_min_cost_supplier(sf_dir: str):
                           how="inner") \
         .filter(expr="cost_i2 == m")
 
-    sup = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
-           for r in _read(sf_dir, "supplier",
-                          ["s_suppkey", "s_name", "s_nationkey"]).take_all()}
     nat = {r["n_nationkey"]: r["n_name"]
            for r in _read(sf_dir, "nation",
                           ["n_nationkey", "n_name"]).take_all()}
     rows = sorted(best.take_all(),
                   key=lambda r: (r["l_partkey"], r["l_suppkey"]))
+    # result-bounded supplier fetch: only the winning suppliers' rows are
+    # collected (Dataset-side is_in filter — never the full dimension)
+    need = np.unique(np.array([r["l_suppkey"] for r in rows], np.int64))
+    sup_tbl = _filtered_dim(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"],
+        lambda b: pa.array(np.isin(
+            b.column("s_suppkey").to_numpy(zero_copy_only=False), need)))
+    sup = {k: (n, nk) for k, n, nk in zip(
+        sup_tbl.column("s_suppkey").to_pylist(),
+        sup_tbl.column("s_name").to_pylist(),
+        sup_tbl.column("s_nationkey").to_pylist())}
     return pa.table({
         "p_partkey": pa.array([r["l_partkey"] for r in rows], pa.int64()),
         "s_suppkey": pa.array([r["l_suppkey"] for r in rows], pa.int64()),
@@ -114,20 +122,31 @@ def _q_q7_nation_volume(sf_dir: str):
     nat = {r["n_nationkey"]: r["n_name"]
            for r in _read(sf_dir, "nation",
                           ["n_nationkey", "n_name"]).take_all()}
-    want = {k for k, v in nat.items() if v in ("NATION_12", "NATION_18")}
+    want = np.array(sorted(k for k, v in nat.items()
+                           if v in ("NATION_12", "NATION_18")), np.int64)
+    lut = np.empty(max(nat, default=0) + 1, object)
+    for k, v in nat.items():
+        lut[k] = v
 
-    sup = sorted((r["s_suppkey"], nat[r["s_nationkey"]])
-                 for r in _read(sf_dir, "supplier",
-                                ["s_suppkey", "s_nationkey"]).take_all()
-                 if r["s_nationkey"] in want)
-    sup_keys = _ray.put(np.array([k for k, _ in sup], np.int64))
-    sup_nat = _ray.put(np.array([v for _, v in sup], object))
-    cus = sorted((r["c_custkey"], nat[r["c_nationkey"]])
-                 for r in _read(sf_dir, "customer",
-                                ["c_custkey", "c_nationkey"]).take_all()
-                 if r["c_nationkey"] in want)
-    cus_keys = _ray.put(np.array([k for k, _ in cus], np.int64))
-    cus_nat = _ray.put(np.array([v for _, v in cus], object))
+    def _dim_arrays(table: str, key_col: str, nk_col: str):
+        """(sorted keys, aligned nation names) for rows of the 2 wanted
+        nations — the filter runs Dataset-side, so only the ~2/25 matching
+        slice of the dimension ever reaches the driver."""
+        tbl = _filtered_dim(
+            sf_dir, table, [key_col, nk_col],
+            lambda b: pa.array(np.isin(
+                b.column(nk_col).to_numpy(zero_copy_only=False), want)))
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False) \
+                  .astype(np.int64)
+        nk = tbl.column(nk_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        return keys[order], lut[nk[order]]
+
+    sk, sn = _dim_arrays("supplier", "s_suppkey", "s_nationkey")
+    sup_keys, sup_nat = _ray.put(sk), _ray.put(sn)
+    ck, cn = _dim_arrays("customer", "c_custkey", "c_nationkey")
+    cus_keys, cus_nat = _ray.put(ck), _ray.put(cn)
 
     lo = int(pd.Timestamp("1996-01-01").value // 1000)
     hi = int(pd.Timestamp("1998-01-01").value // 1000)
@@ -236,37 +255,40 @@ def _q_q8_market_share(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.dedup import _join_partitions
     from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
 
-    pids = np.array(sorted(
-        r["p_partkey"] for r in _read(sf_dir, "part",
-                                      ["p_partkey", "p_type"]).take_all()
-        if r["p_type"] == "ECONOMY"), np.int64)
+    # All three dimension prunes run Dataset-side: only ECONOMY part keys,
+    # NATION_12 supplier keys and ASIA custkeys reach the driver — never a
+    # full dimension table (nation itself is 25 rows).
+    pids = _filtered_keys(
+        sf_dir, "part", "p_partkey", ["p_partkey", "p_type"],
+        lambda b: pc.equal(b.column("p_type"), "ECONOMY"))
     nat = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
            for r in _read(sf_dir, "nation",
                           ["n_nationkey", "n_name", "n_regionkey"])
            .take_all()}
-    sup = sorted((r["s_suppkey"], 1 if nat[r["s_nationkey"]][0]
-                  == "NATION_12" else 0)
-                 for r in _read(sf_dir, "supplier",
-                                ["s_suppkey", "s_nationkey"]).take_all())
-    asia = {k for k, (_, rk) in nat.items() if rk == 2}
-    cust = np.array(sorted(
-        r["c_custkey"] for r in _read(sf_dir, "customer",
-                                      ["c_custkey", "c_nationkey"])
-        .take_all() if r["c_nationkey"] in asia), np.int64)
+    n12 = np.array(sorted(k for k, (nm, _) in nat.items()
+                          if nm == "NATION_12"), np.int64)
+    sup12 = _filtered_keys(
+        sf_dir, "supplier", "s_suppkey", ["s_suppkey", "s_nationkey"],
+        lambda b: pa.array(np.isin(
+            b.column("s_nationkey").to_numpy(zero_copy_only=False), n12)))
+    asia = np.array(sorted(k for k, (_, rk) in nat.items() if rk == 2),
+                    np.int64)
+    cust = _filtered_keys(
+        sf_dir, "customer", "c_custkey", ["c_custkey", "c_nationkey"],
+        lambda b: pa.array(np.isin(
+            b.column("c_nationkey").to_numpy(zero_copy_only=False), asia)))
 
     pids_ref = _ray.put(pids)
-    sup_keys = _ray.put(np.array([k for k, _ in sup], np.int64))
-    sup_flag = _ray.put(np.array([f for _, f in sup], np.int64))
+    sup12_ref = _ray.put(sup12)
     cust_ref = _ray.put(cust)
 
     lo = int(pd.Timestamp("1996-01-01").value // 1000)
     hi = int(pd.Timestamp("1998-01-01").value // 1000)
 
     class LiSide:
-        def __init__(self, pids_ref, sup_keys, sup_flag):
+        def __init__(self, pids_ref, sup12_ref):
             self.pids = _ray.get(pids_ref)
-            self.skeys = _ray.get(sup_keys)
-            self.sflag = _ray.get(sup_flag)
+            self.s12 = _ray.get(sup12_ref)   # sorted NATION_12 suppkeys
 
         def __call__(self, b: pa.Table) -> pa.Table:
             if len(self.pids) == 0:
@@ -281,8 +303,14 @@ def _q_q8_market_share(sf_dir: str):
             rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5) \
                 .astype(np.int64)
             sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-            flag = self.sflag[np.searchsorted(self.skeys, sk)] \
-                if len(sk) else np.array([], np.int64)
+            # NATION_12 membership flag via sorted-array probe (only the
+            # flagged nation's supplier keys are broadcast)
+            if len(sk) and len(self.s12):
+                spos = np.minimum(np.searchsorted(self.s12, sk),
+                                  len(self.s12) - 1)
+                flag = (self.s12[spos] == sk).astype(np.int64)
+            else:
+                flag = np.zeros(len(sk), np.int64)
             return pa.table({
                 "l_orderkey": b.column("l_orderkey"),
                 "num_i4": pa.array(rev * flag, pa.int64()),
@@ -313,7 +341,7 @@ def _q_q8_market_share(sf_dir: str):
               ["l_orderkey", "l_partkey", "l_suppkey",
                "l_extendedprice", "l_discount"])
         .map_batches(LiSide, fn_constructor_kwargs=dict(
-            pids_ref=pids_ref, sup_keys=sup_keys, sup_flag=sup_flag),
+            pids_ref=pids_ref, sup12_ref=sup12_ref),
             batch_format="pyarrow", concurrency=(1, 8)),
         empty_schema=pa.schema([("l_orderkey", pa.int64()),
                                 ("num_i4", pa.int64()),
@@ -354,10 +382,13 @@ def _q_q11_important_parts(sf_dir: str):
     nat = {r["n_nationkey"]: r["n_name"]
            for r in _read(sf_dir, "nation",
                           ["n_nationkey", "n_name"]).take_all()}
-    sids = np.array(sorted(
-        r["s_suppkey"] for r in _read(sf_dir, "supplier",
-                                      ["s_suppkey", "s_nationkey"])
-        .take_all() if nat[r["s_nationkey"]] == "NATION_18"), np.int64)
+    n18 = np.array(sorted(k for k, v in nat.items()
+                          if v == "NATION_18"), np.int64)
+    # Dataset-side supplier prune: only NATION_18 suppkeys reach the driver
+    sids = _filtered_keys(
+        sf_dir, "supplier", "s_suppkey", ["s_suppkey", "s_nationkey"],
+        lambda b: pa.array(np.isin(
+            b.column("s_nationkey").to_numpy(zero_copy_only=False), n18)))
 
     def val(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -456,11 +487,17 @@ def _q_q21_waiting_suppliers(sf_dir: str):
         batch_format="pyarrow") \
         .groupby("sk").aggregate(Sum("_w", alias_name="numwait"))
 
-    names = {r["s_suppkey"]: r["s_name"]
-             for r in _read(sf_dir, "supplier",
-                            ["s_suppkey", "s_name"]).take_all()}
     rows = sorted(numwait.take_all(),
                   key=lambda r: (-r["numwait"], r["sk"]))
+    # result-bounded supplier-name fetch (Dataset-side is_in; the full
+    # dimension never lands on the driver)
+    need = np.unique(np.array([r["sk"] for r in rows], np.int64))
+    sup_tbl = _filtered_dim(
+        sf_dir, "supplier", ["s_suppkey", "s_name"],
+        lambda b: pa.array(np.isin(
+            b.column("s_suppkey").to_numpy(zero_copy_only=False), need)))
+    names = dict(zip(sup_tbl.column("s_suppkey").to_pylist(),
+                     sup_tbl.column("s_name").to_pylist()))
     return pa.table({
         "s_suppkey": pa.array([r["sk"] for r in rows], pa.int64()),
         "s_name": pa.array([names[r["sk"]] for r in rows], pa.string()),
@@ -773,14 +810,26 @@ def _q_q9_product_profit(sf_dir: str):
         sf_dir, "part", "p_partkey", ["p_partkey", "p_name"],
         lambda b: pc.match_substring(b.column("p_name"), "widget"))
 
-    sup_nat = {r["s_suppkey"]: r["s_nationkey"]
-               for r in _read(sf_dir, "supplier",
-                              ["s_suppkey", "s_nationkey"]).take_all()}
+    # Q9 needs supplier->nation for EVERY matched lineitem (the filter is
+    # on parts), so this is the canonical star-schema dimension broadcast:
+    # the supplier projection is collected as zero-copy Arrow (no Python
+    # rows), compacted to (sorted int64 keys, int8 nation index) — ~9 bytes
+    # per supplier, one ray.put — and probed vectorized per batch.  The
+    # 25-name nation table rides along as a tiny object array.
     nat = {r["n_nationkey"]: r["n_name"]
            for r in _read(sf_dir, "nation",
                           ["n_nationkey", "n_name"]).take_all()}
-    sup_ref = _ray.put(sup_nat)
-    nat_ref = _ray.put(nat)
+    sup_tbl = _filtered_dim(sf_dir, "supplier",
+                            ["s_suppkey", "s_nationkey"])
+    skeys = sup_tbl.column("s_suppkey").to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+    snk = sup_tbl.column("s_nationkey").to_numpy(zero_copy_only=False) \
+                 .astype(np.int64)
+    order = np.argsort(skeys, kind="stable")
+    nat_keys = np.array(sorted(nat), np.int64)
+    nat_names = np.array([nat[k] for k in nat_keys], object)
+    nidx = np.searchsorted(nat_keys, snk[order]).astype(np.int8)
+    sup_ref = _ray.put((skeys[order], nidx, nat_names))
 
     li = broadcast_semi_join(
         _read(sf_dir, "lineitem",
@@ -820,16 +869,16 @@ def _q_q9_product_profit(sf_dir: str):
             ("pair", pa.int64()), ("cost_c", pa.int64())]))
 
     def profit(b: pa.Table) -> pa.Table:
-        s = _ray.get(sup_ref)
-        n = _ray.get(nat_ref)
+        skeys_b, nidx_b, names_b = _ray.get(sup_ref)
         ext_c = _i2(b.column("l_extendedprice"))
         disc_c = _i2(b.column("l_discount"))
         qty = np.floor(b.column("l_quantity").to_numpy(
             zero_copy_only=False) + 0.5).astype(np.int64)
         cost_c = b.column("cost_c").to_numpy(zero_copy_only=False)
         p = ext_c * (100 - disc_c) - cost_c * qty * 100
-        nations = [n[s[k]] for k in
-                   b.column("l_suppkey").to_pylist()]
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        nations = names_b[nidx_b[np.searchsorted(skeys_b, sk)]] \
+            if len(sk) else np.array([], object)
         return pa.table({"l_orderkey": b.column("l_orderkey"),
                          "nation": pa.array(nations, pa.string()),
                          "profit_u4": pa.array(p, pa.int64())})
