@@ -80,7 +80,7 @@ class _PdfBuilder:
     def set(self, num: int, body: bytes) -> None:
         self.objects[num - 1] = body
 
-    def render(self, root: int) -> bytes:
+    def render(self, root: int, info: Optional[int] = None) -> bytes:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0] * (len(self.objects) + 1)
         for i, body in enumerate(self.objects):
@@ -91,7 +91,9 @@ class _PdfBuilder:
         out += b"0000000000 65535 f \n"
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {len(self.objects) + 1} /Root {root} 0 R >>\n"
+        info_ref = f" /Info {info} 0 R" if info else ""
+        out += (f"trailer\n<< /Size {len(self.objects) + 1} "
+                f"/Root {root} 0 R{info_ref} >>\n"
                 f"startxref\n{xref_at}\n").encode() + b"%%EOF\n"
         return bytes(out)
 
@@ -116,13 +118,26 @@ def _image_xobject(media_ref: str, w: int = 8, h: int = 6) -> bytes:
             .encode("latin-1") + comp + b"\nendstream")
 
 
-def build_pdf(spans: List[Tuple[str, str, str]]) -> bytes:
+# document-information dictionary: reference metadata key -> PDF /Info key
+# (pypdf's reader.metadata surface, see /root/reference/app/services/
+# pdf_processor.py:467-477)
+INFO_KEYS = (("title", "Title"), ("author", "Author"),
+             ("subject", "Subject"), ("creator", "Creator"),
+             ("producer", "Producer"), ("creation_date", "CreationDate"),
+             ("modification_date", "ModDate"))
+
+
+def build_pdf(spans: List[Tuple[str, str, str]],
+              info: Optional[Dict[str, str]] = None) -> bytes:
     """[(kind, text, media_ref)] in document order -> real PDF bytes.
 
     kind 'heading' renders bold 16pt; 'media' embeds an Image XObject and
     draws it; everything else renders 11pt body lines.  Pagination at
     LINES_PER_PAGE with the span grammar preserved across page breaks via
-    a continuation marker (the parser joins them)."""
+    a continuation marker (the parser joins them).  ``info`` (reference-key
+    dict, see INFO_KEYS) writes a document-information dictionary
+    referenced from the trailer ``/Info`` — the metadata surface the
+    reference projects via pypdf (pdf_processor.py:458-483)."""
     b = _PdfBuilder()
     catalog = b.reserve()
     pages = b.reserve()
@@ -209,7 +224,14 @@ def build_pdf(spans: List[Tuple[str, str, str]]) -> bytes:
     b.set(pages, (f"<< /Type /Pages /Count {len(page_nums)} "
                   f"/Kids [{kids}] >>").encode())
     b.set(catalog, f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
-    return b.render(catalog)
+    info_num = None
+    if info:
+        entries = b"".join(
+            b"/" + pdf_key.encode() + b" (" + _esc(str(info[ref_key])) + b") "
+            for ref_key, pdf_key in INFO_KEYS if info.get(ref_key))
+        if entries:
+            info_num = b.add(b"<< " + entries + b">>")
+    return b.render(catalog, info=info_num)
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +314,8 @@ class PdfDocument:
         if not mroot:
             raise ValueError("PDF trailer missing /Root")
         self.root = int(mroot.group(1))
+        minfo = re.search(rb"/Info\s+(\d+)\s+0\s+R", data[tr:])
+        self.info_num = int(minfo.group(1)) if minfo else None
 
     def _load_object(self, num: int, offset: int) -> None:
         data = self._data
@@ -360,6 +384,31 @@ class PdfDocument:
         if not mc:
             raise ValueError("page missing /Contents")
         return self.stream(int(mc.group(1)))
+
+    def info_dict(self) -> Optional[Dict[str, str]]:
+        """Document-information dictionary as the reference projects it
+        (pypdf ``reader.metadata``, pdf_processor.py:467-477): reference
+        metadata keys, empty string for absent entries; None when the
+        trailer carries no ``/Info``."""
+        if self.info_num is None:
+            return None
+        body = self.obj(self.info_num)
+        out = {}
+        for ref_key, pdf_key in INFO_KEYS:
+            m = re.search(rb"/" + pdf_key.encode()
+                          + rb"\s+\(((?:[^()\\]|\\.)*)\)", body)
+            out[ref_key] = _unescape(m.group(1)) if m else ""
+        return out
+
+    def page_text(self, page_num: int) -> str:
+        """All Tj strings of one page joined with newlines — the analog of
+        pypdf's ``page.extract_text()`` for this writer's layout grammar
+        (reference first-page preview, pdf_processor.py:479-482)."""
+        parts = []
+        for m in _TOKEN_RE.finditer(self.page_content(page_num)):
+            if m.group(5) is not None:
+                parts.append(_unescape(m.group(5)))
+        return "\n".join(parts)
 
     def xobject_graft_ref(self, num: int) -> Optional[str]:
         m = re.search(rb"/GraftRef\s+\(((?:[^()\\]|\\.)*)\)", self.obj(num))
@@ -435,3 +484,36 @@ def parse_pdf(data: bytes) -> List[Tuple[str, str, str]]:
                 spans.append(("media", "", ref or ""))
     close()
     return spans
+
+
+def pdf_info(data: bytes) -> Dict:
+    """Metadata + basic info for one PDF — the reference's ``get_pdf_info``
+    rebuilt on the xref parser (pdf_processor.py:458-497): page count, size
+    in bytes and MB (rounded to 2), the /Info metadata projection when
+    present, a <=500-char first-page text preview, and the estimated text
+    length; parse failures degrade to the reference's zero-page error
+    envelope instead of raising (tag-and-keep)."""
+    try:
+        doc = PdfDocument(data)
+        pages = doc.page_numbers()
+        out = {
+            "num_pages": len(pages),
+            "size_bytes": len(data),
+            "size_mb": round(len(data) / (1024 * 1024), 2),
+        }
+        meta = doc.info_dict()
+        if meta is not None:
+            out["metadata"] = meta
+        if pages:
+            first = doc.page_text(pages[0])
+            out["first_page_preview"] = first[:500] if first \
+                else "No text extracted"
+            out["estimated_text_length"] = len(first)
+        return out
+    except Exception as e:  # noqa: BLE001 - reference returns an error dict
+        return {
+            "num_pages": 0,
+            "size_bytes": len(data),
+            "size_mb": round(len(data) / (1024 * 1024), 2),
+            "error": str(e),
+        }

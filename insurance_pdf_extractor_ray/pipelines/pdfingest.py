@@ -27,16 +27,41 @@ from ..functions.pdfcodec import build_pdf, parse_pdf
 from ..schema import SPANS_TYPE
 
 
+def pdf_info_for_doc(index: int, doc_id: str, spans) -> dict:
+    """Deterministic document-information dictionary for a fixture doc:
+    title mirrors the first heading (the reference metadata field with a
+    content twin), the rest derive from the doc index."""
+    first_heading = next((t for (k, t, _m, _o) in spans
+                          if k == "heading"), "")
+    return {
+        "title": first_heading or doc_id,
+        "author": f"agent-{index % 53}",
+        "subject": "insurance policy schedule",
+        "creator": "ipe-synth",
+        "producer": "insurance_pdf_extractor_ray",
+        "creation_date": f"D:2024{index % 12 + 1:02d}"
+                         f"{index % 28 + 1:02d}090000",
+        "modification_date": f"D:2024{index % 12 + 1:02d}"
+                             f"{index % 28 + 1:02d}1{index % 6}0000",
+    }
+
+
 def pdf_bytes_for_doc(index: int, seed: int = 42) -> Tuple[str, bytes]:
     """One deterministic real-PDF fixture: the synthetic doc spec rendered
     through the real writer (doc order restored first — PDFs are physically
-    ordered even when the span table is chunk-shuffled)."""
+    ordered even when the span table is chunk-shuffled), with a real /Info
+    document-information dictionary (every 13th doc omits it, so the
+    no-metadata envelope stays exercised like the reference's optional
+    ``pdf_reader.metadata``)."""
     from ..sources.synth import build_doc
 
     spec = build_doc(index, seed)
     spans = sorted((s for chunk in spec.row_chunks for s in chunk),
                    key=lambda s: s[3])
-    return spec.doc_id, build_pdf([(k, t, m) for (k, t, m, _o) in spans])
+    info = None if index % 13 == 4 \
+        else pdf_info_for_doc(index, spec.doc_id, spans)
+    return spec.doc_id, build_pdf([(k, t, m) for (k, t, m, _o) in spans],
+                                  info=info)
 
 
 def filename_for_doc(index: int) -> str:
@@ -148,6 +173,53 @@ def pdf_to_docs(ds: ray.data.Dataset, batch_size: int = 64,
     if drop_errors:
         out = out.filter(expr="error == ''")
     return out.drop_columns(["error"]) if drop_errors else out
+
+
+_INFO_META_COLS = ("title", "author", "subject", "creator", "producer",
+                   "creation_date", "modification_date")
+
+
+class PdfInfoStage:
+    """Actor-pool metadata stage: (doc_id, pdf) -> the reference's
+    ``get_pdf_info`` projection (pdf_processor.py:458-497) as flat columns
+    — page count, sizes, the seven /Info metadata fields ('' when the PDF
+    carries no /Info, mirroring pypdf's optional ``reader.metadata``),
+    first-page preview and estimated text length; parse failures surface
+    in ``error`` with the reference's zero-page envelope."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.pdfcodec import pdf_info
+
+        infos = [pdf_info(blob) for blob in batch.column("pdf").to_pylist()]
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "num_pages": pa.array([i["num_pages"] for i in infos],
+                                  pa.int32()),
+            "size_bytes": pa.array([i["size_bytes"] for i in infos],
+                                   pa.int64()),
+            "size_mb": pa.array([i["size_mb"] for i in infos],
+                                pa.float64()),
+        }
+        for k in _INFO_META_COLS:
+            cols[k] = pa.array([i.get("metadata", {}).get(k, "")
+                                for i in infos], pa.string())
+        cols["first_page_preview"] = pa.array(
+            [i.get("first_page_preview", "") for i in infos], pa.string())
+        cols["estimated_text_length"] = pa.array(
+            [i.get("estimated_text_length", 0) for i in infos], pa.int64())
+        cols["error"] = pa.array([i.get("error", "") for i in infos],
+                                 pa.string())
+        return pa.table(cols)
+
+
+def pdf_info_table(ds: ray.data.Dataset, batch_size: int = 64,
+                   concurrency=(1, 8)) -> ray.data.Dataset:
+    """(doc_id, pdf) Dataset -> per-doc PDF info/metadata table (M14's
+    binary-path twin: the span-path ``extraction.doc_info`` projects
+    n_spans/n_chars/title/preview from extractor output; this projects the
+    real /Info metadata + page stats straight from the bytes)."""
+    return ds.map_batches(PdfInfoStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
 
 
 def pdf_extract_pipeline(ds: ray.data.Dataset, **extract_kwargs) -> ray.data.Dataset:

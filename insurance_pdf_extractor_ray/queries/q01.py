@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 
 from ._shared import *  # noqa: F401,F403
 
-__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_file_gate_check', '_q_image_dedup_check', '_q_extract_rules_v2_check', '_q_extract_rules_registered_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
+__all__ = ['_q_extract_fields', '_q_extract_spans', '_q_layout_extract', '_q_extract_fields_check', '_q_extract_spans_check', '_q_layout_extract_check', '_q_pdf_ingest_check', '_q_pdf_info_check', '_q_file_gate_check', '_q_image_dedup_check', '_q_extract_rules_v2_check', '_q_extract_rules_registered_check', '_q_exact_dedup', '_q_global_stats', '_q_stats_by_type', '_q_daily_trends', '_q_top10_by_value', '_q_breakdown', '_q_recent_n', '_q_search_filter', '_q_orders_join', '_q_anti_join', '_q_token_explode', '_q_doc_token_stats', '_q_knn', '_q_knn_ivf', '_q_minhash_dedup', '_q_simhash_dedup', '_q_text_analysis', '_q_quality_filter', '_q_repetition_stats', '_q_field_success_rates', '_q_html_main_content', '_q_json_props_stats', '_q_tumbling_window', '_q_sliding_window', '_q_session_windows', '_q_retention', '_q_media_decode', '_q_media_decode_check', '_q_frame_sample_check', '_q_grouped_topk', '_q_distinct_users', '_q_value_quantiles', '_q_asof_last_click']
 
 def _q_extract_fields(sf_dir: str):
     from insurance_pdf_extractor_ray.pipelines.extraction import (
@@ -171,6 +171,54 @@ def _q_pdf_ingest_check(sf_dir: str):
     golden = expected_tables(idx)[0].select(["doc_id"] + FIELD_ORDER + ["status"])
     return normalize_diff(golden_diff(engine, ray.data.from_arrow(golden),
                                       key="doc_id"))
+
+
+def _q_pdf_info_check(sf_dir: str):
+    """Hard gate for the PDF document-information projection (reference
+    ``get_pdf_info``, pdf_processor.py:458-497): real fixtures — multi-page
+    docs, docs WITHOUT /Info (every 13th), planted header corruptions
+    (every 19th, exercising the zero-page error envelope) — run through the
+    distributed ``pdf_info_table`` stage and diffed against a driver-side
+    scalar recompute of every field.  Empty result = page counts, sizes,
+    all seven metadata fields, previews and error envelopes agree."""
+    import ray.data
+
+    from insurance_pdf_extractor_ray.functions.pdfcodec import pdf_info
+    from insurance_pdf_extractor_ray.pipelines.goldencheck import (
+        golden_diff,
+        normalize_diff,
+    )
+    from insurance_pdf_extractor_ray.pipelines.pdfingest import (
+        _INFO_META_COLS,
+        pdf_info_table,
+        pdfs_for_docs,
+    )
+
+    n = min(_docs_rows(sf_dir), 400)
+    tbl = pdfs_for_docs(range(n))
+    blobs = [b"%BAD-" + b[5:] if i % 19 == 7 else b
+             for i, b in enumerate(tbl.column("pdf").to_pylist())]
+    tbl = tbl.set_column(2, "pdf", pa.array(blobs, pa.binary()))
+
+    got = pdf_info_table(ray.data.from_arrow(tbl))
+    infos = [pdf_info(b) for b in blobs]
+    want = {
+        "doc_id": tbl.column("doc_id"),
+        "num_pages": pa.array([i["num_pages"] for i in infos], pa.int32()),
+        "size_bytes": pa.array([i["size_bytes"] for i in infos], pa.int64()),
+        "size_mb": pa.array([i["size_mb"] for i in infos], pa.float64()),
+    }
+    for k in _INFO_META_COLS:
+        want[k] = pa.array([i.get("metadata", {}).get(k, "") for i in infos],
+                           pa.string())
+    want["first_page_preview"] = pa.array(
+        [i.get("first_page_preview", "") for i in infos], pa.string())
+    want["estimated_text_length"] = pa.array(
+        [i.get("estimated_text_length", 0) for i in infos], pa.int64())
+    want["error"] = pa.array([i.get("error", "") for i in infos],
+                             pa.string())
+    return normalize_diff(golden_diff(got, ray.data.from_arrow(
+        pa.table(want)), key="doc_id"))
 
 
 def _q_file_gate_check(sf_dir: str):

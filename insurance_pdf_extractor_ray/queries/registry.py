@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (their *_check twins are IN the prefix) and gates rotated out
         # in r5 for overlapping coverage sit immediately past the line.
         "ngram_decontaminate": _q_ngram_decontaminate,
+        "pdf_info_check": _q_pdf_info_check,
         "extract_rules_v2_check": _q_extract_rules_v2_check,
         "event_breakdown": _q_breakdown,
         "anti_join_docs": _q_anti_join,
@@ -1522,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         # pdf_ingest_check / extract_rules_v2_check: empty-diff gates like
         # the flagship *_check family (golden equality proven distributed)
         "pdf_ingest_check": _EMPTY_DIFF_SQL,
+        "pdf_info_check": _EMPTY_DIFF_SQL,
         "file_gate_check": _EMPTY_DIFF_SQL,
         "image_dedup_check": _EMPTY_DIFF_SQL,
         "extract_rules_v2_check": _EMPTY_DIFF_SQL,

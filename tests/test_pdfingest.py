@@ -143,3 +143,74 @@ class TestPipeline:
         diff = golden_diff(engine, ray.data.from_arrow(golden),
                            key="doc_id").take_all()
         assert diff == []
+
+
+class TestPdfInfo:
+    """PDF document-information dictionary (reference get_pdf_info,
+    pdf_processor.py:458-497)."""
+
+    def test_info_roundtrip(self):
+        from insurance_pdf_extractor_ray.functions.pdfcodec import (
+            build_pdf, parse_pdf, pdf_info)
+
+        spans = [("heading", "Policy Schedule", ""),
+                 ("text", "body (line) \\ one\nline two", "")]
+        meta = {"title": "Policy (A) Schedule", "author": "agent-7",
+                "subject": "insurance policy", "creator": "ipe-synth",
+                "producer": "engine", "creation_date": "D:20240301090000",
+                "modification_date": "D:20240302100000"}
+        blob = build_pdf(spans, info=meta)
+        assert parse_pdf(blob) == spans          # spans unaffected by /Info
+        got = pdf_info(blob)
+        assert got["metadata"] == meta
+        assert got["num_pages"] == 1
+        assert got["size_bytes"] == len(blob)
+        assert got["first_page_preview"].startswith("Policy Schedule")
+        assert got["estimated_text_length"] == \
+            len("Policy Schedule\nbody (line) \\ one\nline two")
+
+    def test_no_info_and_error_envelopes(self):
+        from insurance_pdf_extractor_ray.functions.pdfcodec import (
+            build_pdf, pdf_info)
+
+        plain = pdf_info(build_pdf([("text", "hello", "")]))
+        assert "metadata" not in plain and plain["num_pages"] == 1
+        bad = pdf_info(b"%PDF-garbage")
+        assert bad["num_pages"] == 0 and "error" in bad
+        assert bad["size_bytes"] == len(b"%PDF-garbage")
+
+    def test_fixture_metadata_golden(self, ray_session):
+        """Generated fixtures carry deterministic /Info (title == first
+        heading), every-13th doc omits it, and the distributed stage
+        reproduces the scalar projection for every doc."""
+        from insurance_pdf_extractor_ray.functions.pdfcodec import pdf_info
+        from insurance_pdf_extractor_ray.pipelines.pdfingest import (
+            pdf_info_table)
+        from insurance_pdf_extractor_ray.sources.synth import build_doc
+
+        idx = list(range(40))
+        tbl = pdfs_for_docs(idx)
+        rows = {r["doc_id"]: r for r in
+                pdf_info_table(ray.data.from_arrow(tbl)).take_all()}
+        assert len(rows) == 40
+        blobs = dict(zip(tbl.column("doc_id").to_pylist(),
+                         tbl.column("pdf").to_pylist()))
+        for i in idx:
+            spec = build_doc(i, 42)
+            r = rows[spec.doc_id]
+            scalar = pdf_info(blobs[spec.doc_id])
+            if i % 13 == 4:
+                assert r["title"] == "" and r["author"] == ""
+                assert "metadata" not in scalar
+            else:
+                spans = sorted((s for c in spec.row_chunks for s in c),
+                               key=lambda s: s[3])
+                first_heading = next(
+                    (t for (k, t, _m, _o) in spans if k == "heading"), "")
+                assert r["title"] == (first_heading or spec.doc_id)
+                assert r["author"] == f"agent-{i % 53}"
+                assert r["creation_date"] == scalar["metadata"][
+                    "creation_date"]
+            assert r["num_pages"] == scalar["num_pages"] >= 1
+            assert r["first_page_preview"] == scalar["first_page_preview"]
+            assert r["error"] == ""
