@@ -82,8 +82,12 @@ def pretrain_prep(
         max_dup_unigrams=max_dup_unigrams, max_top_bigram=max_top_bigram,
         max_top_trigram=max_top_trigram, passthrough=True)
 
+    # the gate pass already tokenized every doc — carry its n_words through
+    # the chain as the token count (proven == count_ws_tokens' \S+ rule,
+    # tests/test_pretrain.py) instead of re-tokenizing the survivors
     def keep_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(batch.column("keep")).select([id_col, text_col])
+        return batch.filter(batch.column("keep")) \
+                    .select([id_col, text_col, "n_words"])
 
     kept = gated.map_batches(keep_only, batch_format="pyarrow")
 
@@ -94,7 +98,7 @@ def pretrain_prep(
         def clean_only(batch: pa.Table) -> pa.Table:
             return batch.filter(
                 pc.invert(batch.column("contaminated"))
-            ).select([id_col, text_col])
+            ).select([id_col, text_col, "n_words"])
 
         kept = flagged.map_batches(clean_only, batch_format="pyarrow")
 
@@ -118,7 +122,11 @@ def pretrain_prep(
         toks = bpe_apply_token_counts(uniq, text_col, id_col, merges)
         return pack_sequences(toks, id_col, "n_pieces", seq_len=seq_len,
                               bucket=bucket)
-    toks = count_ws_tokens(uniq, text_col, id_col)
+    def project_tokens(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": batch.column("n_words")})
+
+    toks = uniq.map_batches(project_tokens, batch_format="pyarrow")
     return pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len,
                           bucket=bucket)
 

@@ -84,3 +84,28 @@ def test_bpe_tokenizer_packs_fewer_tokens(ray_session):
     # piece budget sane: > 0 and less than the raw character count
     for d, s, e in spans:
         assert 0 < e - s < len(texts[d])
+
+
+def test_gate_n_words_equals_ws_token_rule(ray_session):
+    """pretrain_prep reuses gopher_repetition's n_words as the token count
+    (skipping a second tokenize pass) — valid only while both implement the
+    same \\S+ whitespace-run rule, pinned here including edge cases."""
+    import pyarrow as pa
+    import ray.data
+
+    from insurance_pdf_extractor_ray.pipelines.pretrain import count_ws_tokens
+    from insurance_pdf_extractor_ray.pipelines.textpipe import (
+        gopher_repetition)
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["", "   ", "a\t b\nc", None,
+                          "one two  three", "x " * 500], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    g = {r["doc_id"]: r["n_words"] for r in
+         gopher_repetition(ds, "text", "doc_id", passthrough=True)
+         .select_columns(["doc_id", "n_words"]).take_all()}
+    c = {r["doc_id"]: r["n_tokens"] for r in
+         count_ws_tokens(ds, "text", "doc_id").take_all()}
+    assert g == c

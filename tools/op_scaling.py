@@ -92,14 +92,117 @@ def build_input(n_docs: int) -> str:
     return out
 
 
+def join_input_path(n_rows: int) -> str:
+    return os.path.join(CACHE, f"join-v1-{n_rows}")
+
+
+def build_join_input(n_rows: int) -> str:
+    """orders x lineitem - shaped two-table input: ``right/`` holds n_rows
+    fact rows over a key space of n_rows//4 orderkeys (uniform, skew-free),
+    ``left/`` one dimension-fact row per orderkey.  Deterministic per-shard
+    numpy generation, written distributed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    out = join_input_path(n_rows)
+    if glob.glob(os.path.join(out, "right", "*.parquet")):
+        return out
+    os.makedirs(os.path.join(out, "left"), exist_ok=True)
+    os.makedirs(os.path.join(out, "right"), exist_ok=True)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 log_to_driver=False)
+    n_keys = n_rows // 4
+    shard = 2_000_000
+    n_right = -(-n_rows // shard)
+    n_left = -(-n_keys // shard)
+
+    @ray.remote
+    def write_shard(side: str, j: int) -> int:
+        rng = np.random.default_rng(1000 + j if side == "right" else j)
+        if side == "left":
+            lo, hi = j * shard, min((j + 1) * shard, n_keys)
+            tbl = pa.table({
+                "o_orderkey": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "o_custkey": pa.array(
+                    rng.integers(0, n_keys // 8 + 1, hi - lo), pa.int64()),
+            })
+        else:
+            lo, hi = j * shard, min((j + 1) * shard, n_rows)
+            tbl = pa.table({
+                "l_orderkey": pa.array(
+                    rng.integers(0, n_keys, hi - lo), pa.int64()),
+                "l_extendedprice": pa.array(
+                    rng.uniform(1.0, 1e5, hi - lo), pa.float64()),
+            })
+        pq.write_table(tbl, os.path.join(out, side, f"s-{j:05d}.parquet"))
+        return hi - lo
+
+    ray.get([write_shard.remote("left", j) for j in range(n_left)]
+            + [write_shard.remote("right", j) for j in range(n_right)])
+    return out
+
+
+def asof_input_path(n_rows: int) -> str:
+    return os.path.join(CACHE, f"asof-v1-{n_rows}")
+
+
+def build_asof_input(n_rows: int) -> str:
+    """events x quotes - shaped as-of input: ``left/`` n_rows (k, t) probe
+    rows over n_rows//100 keys, ``right/`` n_rows//4 (k, t, v) state rows —
+    uniform keys and timestamps (skew-free; the salted variant has its own
+    drill in tests)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    out = asof_input_path(n_rows)
+    if glob.glob(os.path.join(out, "left", "*.parquet")):
+        return out
+    os.makedirs(os.path.join(out, "left"), exist_ok=True)
+    os.makedirs(os.path.join(out, "right"), exist_ok=True)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 log_to_driver=False)
+    n_keys = max(n_rows // 100, 1)
+    n_right = n_rows // 4
+    shard = 2_000_000
+
+    @ray.remote
+    def write_shard(side: str, j: int) -> int:
+        total = n_rows if side == "left" else n_right
+        lo, hi = j * shard, min((j + 1) * shard, total)
+        rng = np.random.default_rng((5000 if side == "left" else 7000) + j)
+        cols = {
+            "k": pa.array(rng.integers(0, n_keys, hi - lo), pa.int64()),
+            "t": pa.array(rng.integers(0, 1 << 40, hi - lo), pa.int64()),
+        }
+        if side == "right":
+            cols["v"] = pa.array(rng.uniform(0, 1, hi - lo), pa.float64())
+        pq.write_table(pa.table(cols),
+                       os.path.join(out, side, f"s-{j:05d}.parquet"))
+        return hi - lo
+
+    legs = [write_shard.remote("left", j)
+            for j in range(-(-n_rows // shard))]
+    legs += [write_shard.remote("right", j)
+             for j in range(-(-n_right // shard))]
+    ray.get(legs)
+    return out
+
+
 def run_leg(op: str, input_dir: str, cpus: int) -> dict:
     import ray
     import ray.data
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False,
              log_to_driver=False)
-    ds = ray.data.read_parquet(input_dir)
-    n_rows = ds.count()
+    if op in ("minhash", "exact_dedup"):
+        ds = ray.data.read_parquet(input_dir)
+        n_rows = ds.count()
     t0 = time.time()
     if op == "minhash":
         from insurance_pdf_extractor_ray.pipelines.dedup import minhash_dup_ids
@@ -117,6 +220,68 @@ def run_leg(op: str, input_dir: str, cpus: int) -> dict:
 
         # max_broadcast=0 forces the JOIN path (the 100-TB default shape)
         n_out = exact_dedup(ds, "text", "doc_id", max_broadcast=0).count()
+    elif op == "shuffle_join":
+        from insurance_pdf_extractor_ray.pipelines.dedup import (
+            join_partitions_for)
+        from insurance_pdf_extractor_ray.pipelines.joins import shuffle_join
+
+        left = ray.data.read_parquet(os.path.join(input_dir, "left"))
+        right = ray.data.read_parquet(os.path.join(input_dir, "right"))
+        n_rows = right.count()
+        t0 = time.time()
+        n_out = shuffle_join(
+            right, left, on="l_orderkey", right_on="o_orderkey",
+            num_partitions=join_partitions_for(n_rows)).count()
+    elif op == "asof_join":
+        from insurance_pdf_extractor_ray.pipelines.joins import asof_join
+
+        left = ray.data.read_parquet(os.path.join(input_dir, "left"))
+        right = ray.data.read_parquet(os.path.join(input_dir, "right"))
+        n_rows = left.count()
+        t0 = time.time()
+        n_out = asof_join(left, right, by="k", on="t",
+                          value_col="v").count()
+    elif op == "minhash_inc":
+        # the continuous-crawl shape minhashindex.py exists for: three
+        # ingest increments, each deduped against the at-rest bucketed
+        # index built by its predecessors, then committed
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from insurance_pdf_extractor_ray.pipelines.minhashindex import (
+            minhash_dedup_incremental, minhash_index_append)
+
+        ds = ray.data.read_parquet(input_dir)
+        n_rows = ds.count()
+        index_dir = tempfile.mkdtemp(prefix="ipe_incscale_")
+        incs = []
+        t0 = time.time()
+        n_out = 0
+        for i in range(3):
+            def part(t: pa.Table, i=i) -> pa.Table:
+                rep = pc.divide(t.column("doc_id"), 10_000_000)
+                return t.filter(pc.equal(
+                    pc.subtract(rep, pc.multiply(pc.divide(rep, 3), 3)), i))
+
+            ti = time.time()
+            inc = ds.map_batches(part, batch_format="pyarrow")
+            kept, sig_rows = minhash_dedup_incremental(
+                inc, index_dir, "text", "doc_id", threshold=0.8,
+                concurrency=(1, cpus),
+                tmp_dir=tempfile.mkdtemp(prefix=f"ipe_incsc_{i}_"))
+            n_kept = kept.count()
+            minhash_index_append(index_dir, sig_rows, "doc_id")
+            n_out += n_kept
+            incs.append({"inc": i, "sec": round(time.time() - ti, 3),
+                         "kept": n_kept})
+        shutil.rmtree(index_dir, ignore_errors=True)
+        sec = time.time() - t0
+        ray.shutdown()
+        return {"sec": round(sec, 3), "n_rows": n_rows, "n_out": n_out,
+                "rows_per_sec": round(n_rows / sec), "increments": incs}
     else:
         raise SystemExit(f"unknown op {op}")
     sec = time.time() - t0
@@ -127,18 +292,24 @@ def run_leg(op: str, input_dir: str, cpus: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["minhash", "exact_dedup"])
+    ap.add_argument("op", choices=["minhash", "exact_dedup",
+                                   "shuffle_join", "asof_join",
+                                   "minhash_inc"])
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--cpus", type=int, default=16)
     args = ap.parse_args()
 
+    paths = {"shuffle_join": join_input_path, "asof_join": asof_input_path}
+    builders = {"shuffle_join": build_join_input,
+                "asof_join": build_asof_input}
+
     if args.child:
-        input_dir = input_path(args.docs)
+        input_dir = paths.get(args.op, input_path)(args.docs)
         print(json.dumps(run_leg(args.op, input_dir, args.cpus)))
         return
 
-    build_input(args.docs)
+    builders.get(args.op, build_input)(args.docs)
     import ray
 
     if ray.is_initialized():
@@ -153,21 +324,36 @@ def main() -> None:
                 if ln.startswith("{")][-1]
         legs[cpus] = json.loads(line)
     r4, r16 = legs[4]["rows_per_sec"], legs[16]["rows_per_sec"]
+    input_desc = {
+        "shuffle_join": (f"synthetic orders x lineitem shape: {args.docs} "
+                         f"fact rows over {args.docs // 4} uniform orderkeys"
+                         " + one left row per key (skew-free)"),
+        "asof_join": (f"synthetic events x quotes shape: {args.docs} probe "
+                      f"rows over {args.docs // 100} uniform keys, "
+                      f"{args.docs // 4} state rows, uniform timestamps "
+                      "(skew-free)"),
+        "minhash_inc": (f"sf0.1 documents replicated to {args.docs} docs, "
+                        "word-shuffled per replica, ingested as 3 replica-"
+                        "interleaved increments against the at-rest index"),
+    }.get(args.op, (f"sf0.1 documents replicated to {args.docs} docs, "
+                    "word-shuffled per replica (size-2 planted exact-dup "
+                    "groups, skew-free)"))
     print(json.dumps({
         "metric": (f"scaling efficiency of {args.op} "
                    "(4 vs 16 CPUs, fresh processes, same input)"),
         "value": round((r16 / r4) / 4.0, 3),
         "unit": "efficiency",
         "n_rows": legs[4]["n_rows"],
-        "input": (f"sf0.1 documents replicated to {args.docs} docs, "
-                  "word-shuffled per replica (size-2 planted exact-dup "
-                  "groups, skew-free)"),
+        "input": input_desc,
         "n_out_4cpu": legs[4]["n_out"],
         "n_out_16cpu": legs[16]["n_out"],
         "sec_4cpu": legs[4]["sec"],
         "sec_16cpu": legs[16]["sec"],
         "rows_per_sec_4cpu": r4,
         "rows_per_sec_16cpu": r16,
+        **({"increments_4cpu": legs[4]["increments"],
+            "increments_16cpu": legs[16]["increments"]}
+           if "increments" in legs[4] else {}),
     }))
 
 
