@@ -9,8 +9,14 @@ oracle-verified operator:
   2. eval decontamination       substrdedup.ngram_decontaminate
                                 (eval-sized shuffle + broadcast-or-join)
   3. exact dedup, min-id winner dedup.exact_dedup  (hash-pair shuffle)
-  4. token counting             whitespace runs (doc_token_stats rule)
+  4. token counting             FUSED into rung 1: the gate pass's n_words
+                                (the doc_token_stats whitespace-run rule)
+                                rides the chain; no second tokenize pass
   5. concat-and-chunk packing   packing.pack_sequences (bucketed prefix sums)
+
+The three exchanges are keyed differently by semantics — k-gram hash
+(decontamination), text hash (dedup), bucket index (packing) — so they
+cannot share one partitioning; everything between them is fused map work.
 
 Output: one row per (surviving doc, training sequence) — (doc_id, seq_id,
 start_tok, end_tok) with token offsets global over surviving-doc id order,

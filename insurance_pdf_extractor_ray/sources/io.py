@@ -28,10 +28,17 @@ def read_table(path: str, columns: Optional[List[str]] = None,
     ``.lance`` dataset dir, a parquet file, or a directory of parquet files.
     """
     if path.endswith(".lance"):
-        try:
-            return ray.data.read_lance(path, columns=columns)
-        except ImportError:
-            raise ImportError("lance is not installed in this environment; use parquet")
+        import importlib.util
+
+        if importlib.util.find_spec("lance") is None:
+            raise ImportError(
+                "path names a .lance dataset but the 'lance' wheel is not "
+                "installed in this environment; write the table as a "
+                "parquet directory instead — the engine's bucketed-parquet "
+                "layout (sources/io.py:write_bucketed) is the canonical "
+                "at-rest substrate here and reproduces the colocation "
+                "properties the Lance design provides")
+        return ray.data.read_lance(path, columns=columns)
     if predicate is not None:
         return ray.data.read_parquet(path, columns=columns, filter=predicate)
     return ray.data.read_parquet(path, columns=columns)

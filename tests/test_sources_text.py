@@ -37,3 +37,29 @@ def test_jsonl_roundtrip_with_pruning():
         (1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)]
     pruned = read_jsonl(d, columns=["k"]).take_all()
     assert sorted(r["k"] for r in pruned) == ["a", "a", "b", "c"]
+
+
+class TestLancePosture:
+    """The .lance read branch must be testable in-environment: with no
+    lance wheel it fails fast with guidance to the canonical
+    bucketed-parquet layout; with one it round-trips (gated)."""
+
+    def test_missing_wheel_error_or_roundtrip(self, tmp_path, ray_session):
+        import importlib.util
+
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from insurance_pdf_extractor_ray.sources.io import read_table
+
+        if importlib.util.find_spec("lance") is None:
+            with pytest.raises(ImportError, match="bucketed-parquet"):
+                read_table(str(tmp_path / "t.lance"))
+        else:  # pragma: no cover - exercised only where lance is installed
+            import lance
+
+            t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+            lance.write_dataset(t, str(tmp_path / "t.lance"))
+            got = read_table(str(tmp_path / "t.lance")).take_all()
+            assert sorted(r["a"] for r in got) == [1, 2, 3]

@@ -12,12 +12,22 @@ text verbatim, planting exact-dup GROUPS OF SIZE 2 (a group per replica
 would concentrate all copies of a text into one LSH bucket / one hash
 group, and the measurement would be the planted skew, not the operator).
 
+Join-family inputs are generated synthetically instead (uniform keys,
+skew-free; see build_join_input / build_asof_input) and minhash_inc
+replays the docs input as three replica-interleaved ingest increments
+against the at-rest bucketed index.
+
 Usage:
     python tools/op_scaling.py minhash      --docs 200000
     python tools/op_scaling.py exact_dedup  --docs 1000000
+    python tools/op_scaling.py shuffle_join --docs 400000000
+    python tools/op_scaling.py asof_join    --docs 300000000
+    python tools/op_scaling.py minhash_inc  --docs 4800000
     python tools/op_scaling.py --child ...  (internal: one timed leg)
 
-Prints one JSON line; redirect to BENCH/SCALING_r4_<op>.json.
+Size --docs so the 16-CPU leg runs >=60 s (shorter legs are
+startup-dominated and report fake efficiency).  Prints one JSON line;
+redirect to BENCH/SCALING_r<N>_<op>.json.
 """
 
 import argparse
