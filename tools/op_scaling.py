@@ -278,15 +278,19 @@ def run_leg(op: str, input_dir: str, cpus: int) -> dict:
 
             ti = time.time()
             inc = ds.map_batches(part, batch_format="pyarrow")
+            inc_tmp = tempfile.mkdtemp(prefix=f"ipe_incsc_{i}_")
             kept, sig_rows = minhash_dedup_incremental(
                 inc, index_dir, "text", "doc_id", threshold=0.8,
-                concurrency=(1, cpus),
-                tmp_dir=tempfile.mkdtemp(prefix=f"ipe_incsc_{i}_"))
+                concurrency=(1, cpus), tmp_dir=inc_tmp)
             n_kept = kept.count()
             minhash_index_append(index_dir, sig_rows, "doc_id")
             n_out += n_kept
             incs.append({"inc": i, "sec": round(time.time() - ti, 3),
                          "kept": n_kept})
+            # band+candidate staging is ~10s of GB per increment at drill
+            # scale; reclaim it before the next increment or the 2-leg
+            # drill ENOSPCs the sandbox disk
+            shutil.rmtree(inc_tmp, ignore_errors=True)
         shutil.rmtree(index_dir, ignore_errors=True)
         sec = time.time() - t0
         ray.shutdown()

@@ -121,13 +121,17 @@ def run_leg(input_dir: str, n_docs: int, freeze: bool, cpus: int,
                                     pc.less(ids, hi)))
         return f
 
+    import shutil
+
     index_dir = tempfile.mkdtemp(prefix="ipe_stopband_")
     inc1 = ds.map_batches(rng(0, half), batch_format="pyarrow")
+    tmp1 = tempfile.mkdtemp(prefix="ipe_sb1_")
     kept1, sig1 = minhash_dedup_incremental(
         inc1, index_dir, "text", "doc_id", threshold=0.8,
-        concurrency=(1, cpus))
+        concurrency=(1, cpus), tmp_dir=tmp1)
     n_kept1 = kept1.count()
     minhash_index_append(index_dir, sig1, "doc_id")
+    shutil.rmtree(tmp1, ignore_errors=True)
 
     top = band_stats(index_dir, top=5)
     occupancy = [{"band_key": str(r["band_key"]), "n": r["n"]}
@@ -135,14 +139,17 @@ def run_leg(input_dir: str, n_docs: int, freeze: bool, cpus: int,
     frozen = write_stop_bands(index_dir, max_band_rows) if freeze else 0
 
     inc2 = ds.map_batches(rng(half, 1 << 62), batch_format="pyarrow")
+    tmp2 = tempfile.mkdtemp(prefix="ipe_sb2_")
     t0 = time.time()
     kept2, _sig2 = minhash_dedup_incremental(
         inc2, index_dir, "text", "doc_id", threshold=0.8,
-        concurrency=(1, cpus))
+        concurrency=(1, cpus), tmp_dir=tmp2)
     kept_ids = sorted(r["doc_id"] for r in
                       kept2.select_columns(["doc_id"]).take_all())
     probe_sec = time.time() - t0
     dropped = sorted(set(range(half, n_docs)) - set(kept_ids))
+    shutil.rmtree(tmp2, ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()
     return {"probe_sec": round(probe_sec, 3), "n_kept1": n_kept1,
             "frozen_bands": frozen, "n_dropped": len(dropped),
