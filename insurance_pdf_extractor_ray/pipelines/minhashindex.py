@@ -20,17 +20,27 @@ all-to-all exchange —
 
   1. one actor-pool map pass shingles/signs the increment (MinHashStage,
      SAME seed as the index so signatures are comparable);
-  2. the increment's band rows are written into a matching bucket layout
-     (a map pass — each task appends to the dirs it touches);
-  3. candidates come from ``bucketed_join`` on band_key: one LOCAL Arrow
-     join task per co-located bucket pair, index never moves;
-  4. candidates are written bucketed on the OLD id (candidate-bounded temp)
-     and verified against ``sigs/`` the same way — and because the join
-     skips sig buckets whose candidate bucket is empty, a candidate-sparse
-     increment reads only the signature buckets it actually touches;
+  2. the increment stages into the SAME two slim layouts as the index:
+     (band_key, id) at 16+|id| bytes/row bucketed on band_key, and one
+     (id, sig) row per doc bucketed on id — signatures never ride the
+     band rows (the staging analog of the batch path's "recompute sigs
+     only for colliding docs": at 1.2M docs/increment this is ~1.7 GB of
+     staging vs 18.7 GB when sigs rode every band row, and the disk-bound
+     stages were what broke 4-vs-16-CPU scaling);
+  3. candidates come from ``bucketed_join`` on band_key over the two slim
+     band layouts: one LOCAL Arrow join task per co-located bucket pair,
+     16-byte rows only, index never moves;
+  4. candidate pairs fetch the new side's signature by a co-located id
+     join against the increment's sig layout, then are written bucketed
+     on the OLD id (candidate-bounded temp) and verified against
+     ``sigs/`` the same way — and because the join skips sig buckets
+     whose candidate bucket is empty, a candidate-sparse increment reads
+     only the signature buckets it actually touches;
   5. in-batch near-dups fall out of the increment's own band layout:
-     per-bucket local grouping by band_key through the same
-     ``_bucket_dups`` kernel as the batch path — no groupby shuffle.
+     per-bucket run-split finds band groups with >= 2 members
+     (collision-bounded), their signatures arrive by the same co-located
+     id join, and the batch path's ``_bucket_dups`` chain kernel runs per
+     regrouped band — no groupby shuffle anywhere.
 
 Commit protocol mirrors ``exact_dedup_incremental``: the function returns
 ``(kept, sig_rows_kept)`` and the caller appends with
@@ -86,11 +96,64 @@ def _sig_rows(ds: ray.data.Dataset, col: str, id_col: str, num_perm: int,
         sign, batch_format="pyarrow")
 
 
+def _first_sig_rows(sig_rows: ray.data.Dataset,
+                    id_col: str) -> ray.data.Dataset:
+    """(id, sig) once per doc from (band_key, id, sig) stage output: a
+    doc's band rows are contiguous within stage-output batches, so a local
+    first-occurrence mask compacts them without a keyed groupby.  A doc
+    whose rows straddle a batch boundary leaves an occasional extra row —
+    id-keyed joins then emit a duplicate candidate, which collapses at the
+    dup-id distinct, costing bytes, never correctness."""
+
+    def first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, "sig"])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        return t.filter(pa.array(keep)).select([id_col, "sig"])
+
+    return sig_rows.map_batches(first, batch_format="pyarrow")
+
+
+def _colliding_band_rows(bands_path: str, id_col: str,
+                         id_type: pa.DataType) -> ray.data.Dataset:
+    """Rows of band groups with >= 2 members, from a SLIM (band_key, id)
+    layout — one task per bucket, local sort + run-split; collision-bounded
+    output (random 64-bit band keys almost never collide unless docs share
+    shingles)."""
+    n = layout_of(bands_path)["n_buckets"]
+    empty = pa.table({"band_key": pa.array([], pa.uint64()),
+                      id_col: pa.array([], id_type)})
+
+    def one(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            t = _read_bucket(bands_path, b, ["band_key", id_col])
+            if t is None or t.num_rows < 2:
+                continue
+            t = t.sort_by("band_key").combine_chunks()
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = keys[1:] != keys[:-1]
+            starts = np.flatnonzero(first)
+            runs = np.diff(np.append(starts, len(keys)))
+            multi = np.repeat(runs >= 2, runs)
+            if multi.any():
+                out.append(t.filter(pa.array(multi)))
+        if not out:
+            return empty
+        return pa.concat_tables(out)
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    return buckets.map_batches(one, batch_size=1, batch_format="pyarrow")
+
+
 def _local_band_dups(bands_path: str, id_col: str, id_type: pa.DataType,
                      threshold: float, max_bucket: int) -> ray.data.Dataset:
-    """Within-increment near-dup ids from the increment's own band layout:
-    one task per bucket, local sort + run-split by band_key, the batch
-    path's ``_bucket_dups`` kernel per band — no shuffle."""
+    """Within-increment near-dup ids from a (band_key, id, sig) bucketed
+    layout: one task per bucket, local sort + run-split by band_key, the
+    batch path's ``_bucket_dups`` kernel per band — no shuffle."""
     n = layout_of(bands_path)["n_buckets"]
     empty = pa.table({id_col: pa.array([], id_type)})
 
@@ -162,9 +225,15 @@ def minhash_dedup_incremental(
 
     id_type = dict(zip(new_ds.schema().names, new_ds.schema().types))[id_col]
 
-    # 1-2. sign the increment, at-rest bucketed on band_key (this IS the
-    # materialization — every later consumer reads the layout, not lineage).
-    # Frozen stop bands (write_stop_bands) drop here, BEFORE the layout:
+    # 1-2. sign the increment into TWO slim at-rest staging layouts (these
+    # ARE the materialization — every later consumer reads a layout, not
+    # lineage): bands_new carries (band_key, id) at 16+|id| bytes/row, and
+    # sigs_new one (id, sig) row per doc — the SAME sigs-stored-once rule
+    # as the index itself.  Signatures never ride the band exchange:
+    # measured at 1.2M docs/increment, the old sig-per-band-row staging
+    # wrote and re-read 18.7 GB where these two layouts total ~1.7 GB, and
+    # the disk-bound stages were what broke 4-vs-16-CPU scaling.
+    # Frozen stop bands (write_stop_bands) drop here, BEFORE the layouts:
     # neither the in-batch kernel nor the candidate join ever sees them.
     sig_rows = _sig_rows(new_ds, col, id_col, num_perm, num_bands, ngram,
                          seed, concurrency)
@@ -181,31 +250,72 @@ def minhash_dedup_incremental(
 
         sig_rows = sig_rows.map_batches(drop_stop, batch_format="pyarrow")
     bands_new = os.path.join(tmp, "bands_new")
-    write_bucketed(sig_rows, bands_new, "band_key", n_buckets)
+    write_bucketed(sig_rows.select_columns(["band_key", id_col]),
+                   bands_new, "band_key", n_buckets)
+    sigs_new = os.path.join(tmp, "sigs_new")
+    write_bucketed(_first_sig_rows(sig_rows, id_col), sigs_new,
+                   id_col, n_buckets)
 
-    # 5. within-increment dups (same kernel/semantics as the batch path)
-    dups = _local_band_dups(bands_new, id_col, id_type, threshold, max_bucket)
+    # 5. within-increment dups, same chain kernel/semantics as the batch
+    # path — but signatures are fetched ONLY for colliding band groups
+    # (collision-bounded co-located joins), mirroring the batch path's
+    # "recompute sigs only for colliding docs" rule:
+    #   slim bands -> rows of groups>=2 -> +sig via sigs_new join ->
+    #   regroup by band_key -> _bucket_dups chain per group
+    def typed_empty(schema: pa.Schema):
+        # bucketed_join emits zero-column blocks for candidate-empty
+        # buckets; write_bucketed's key tag needs the typed schema
+        def fix(t: pa.Table) -> pa.Table:
+            return schema.empty_table() if t.num_columns == 0 else t
+        return fix
+
+    collide_by_id = os.path.join(tmp, "collide_by_id")
+    write_bucketed(_colliding_band_rows(bands_new, id_col, id_type),
+                   collide_by_id, id_col, n_buckets)
+    collide_by_band = os.path.join(tmp, "collide_by_band")
+    write_bucketed(
+        bucketed_join(collide_by_id, sigs_new, join_type="inner")
+        .map_batches(typed_empty(pa.schema([
+            ("band_key", pa.uint64()), (id_col, id_type),
+            ("sig", pa.binary())])), batch_format="pyarrow"),
+        collide_by_band, "band_key", n_buckets)
+    dups = _local_band_dups(collide_by_band, id_col, id_type, threshold,
+                            max_bucket)
 
     if have_index:
-        # 3. co-located candidate join: (band_key, id, sig) x (band_key, old)
+        # 3. co-located candidate join: slim (band_key, id) x slim
+        # (band_key, old) — the exchange moves 16-byte rows only
         cand = bucketed_join(
             bands_new, bands_idx, join_type="inner",
             columns_b=["band_key", id_col])
 
         old_col = id_col + "_r"  # bucketed_join's clash rename of the right id
 
-        def carry(t: pa.Table) -> pa.Table:
+        def to_pairs(t: pa.Table) -> pa.Table:
             if old_col not in t.column_names:  # zero-candidate empty block
                 return pa.table({"__new": pa.array([], id_type),
-                                 "sig": pa.array([], pa.binary()),
                                  "__old": pa.array([], id_type)})
-            return pa.table({"__new": t.column(id_col),
-                             "sig": t.column("sig"),
-                             "__old": t.column(old_col)})
+            # local distinct: the same (new, old) pair arrives once per
+            # shared band; trimming per batch bounds the sig fetch
+            import polars as pl
 
+            out = pl.from_arrow(pa.table({
+                "__new": t.column(id_col),
+                "__old": t.column(old_col)})).unique()
+            return out.to_arrow()
+
+        cand_by_new = os.path.join(tmp, "cand_by_new")
+        write_bucketed(cand.map_batches(to_pairs, batch_format="pyarrow"),
+                       cand_by_new, "__new", n_buckets)
+        # fetch the NEW side's signature by co-located id join, then bucket
+        # the (pair, sig) rows on the OLD id for the index-side verify
         cand_path = os.path.join(tmp, "cand")
-        write_bucketed(cand.map_batches(carry, batch_format="pyarrow"),
-                       cand_path, "__old", n_buckets)
+        write_bucketed(
+            bucketed_join(cand_by_new, sigs_new, join_type="inner")
+            .map_batches(typed_empty(pa.schema([
+                ("__new", id_type), ("__old", id_type),
+                ("sig", pa.binary())])), batch_format="pyarrow"),
+            cand_path, "__old", n_buckets)
 
         # 4. verify against sigs/ — candidate-empty buckets skip the read
         ver = bucketed_join(cand_path, sigs_idx, join_type="inner")
@@ -252,27 +362,44 @@ def minhash_index_append(index_dir: str, sig_rows_kept: ray.data.Dataset,
     sigs_idx = os.path.join(index_dir, _SIGS)
     if os.path.exists(os.path.join(bands_idx, "_layout.json")):
         n_buckets = layout_of(bands_idx)["n_buckets"]
-    # two layouts consume the same rows: pin once (increment-bounded)
-    sig_rows_kept = sig_rows_kept.materialize()
-    write_bucketed(sig_rows_kept.select_columns(["band_key", id_col]),
+
+    # two layouts consume the same rows: pin once (increment-bounded) —
+    # but SHRINK first.  Pinning raw (band_key, id, sig) rows duplicates
+    # every signature num_bands times (~16 KB/doc: 19 GB of object store +
+    # spill at 1.2M docs, and the spill I/O was the worst-scaling stage of
+    # the 4-vs-16-CPU drill).  The per-batch first-occurrence mask (a
+    # doc's band rows are contiguous in stage-output batches; the
+    # occasional straddler costs bytes, never correctness — duplicate
+    # candidates collapse at the probe-side distinct) nulls all but one
+    # sig per doc BEFORE the pin, so the pinned copy is 16+|id| bytes per
+    # band row plus ONE signature per doc.
+    def shrink(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        sig = t.column("sig")
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        import pyarrow.compute as pc
+
+        masked = pc.if_else(pa.array(first), sig,
+                            pa.nulls(len(ids), sig.type))
+        return t.set_column(t.schema.get_field_index("sig"), "sig", masked)
+
+    slim = sig_rows_kept.map_batches(shrink,
+                                     batch_format="pyarrow").materialize()
+    write_bucketed(slim.select_columns(["band_key", id_col]),
                    bands_idx, "band_key", n_buckets)
 
-    # one signature row per doc WITHOUT a keyed groupby: a doc's band rows
-    # are contiguous within stage-output batches (minhash_dedup_incremental
-    # returns lineage rows), so a per-batch first-occurrence mask compacts
-    # them locally.  A doc whose rows straddle a batch boundary (or a
-    # join-path id filter that reordered rows) leaves the occasional extra
-    # sig row — probes are unaffected (duplicate candidates collapse at the
-    # final distinct), it only costs a few bytes of index.
-    def local_distinct(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.select([id_col, "sig"])
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        return t.filter(pa.array(keep)).select([id_col, "sig"])
+    def sig_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    sigs = sig_rows_kept.map_batches(local_distinct, batch_format="pyarrow")
+        return t.filter(pc.is_valid(t.column("sig"))) \
+                .select([id_col, "sig"])
+
+    sigs = slim.map_batches(sig_only, batch_format="pyarrow")
     write_bucketed(sigs, sigs_idx, id_col, n_buckets)
 
 
