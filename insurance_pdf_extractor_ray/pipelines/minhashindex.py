@@ -96,24 +96,44 @@ def _sig_rows(ds: ray.data.Dataset, col: str, id_col: str, num_perm: int,
         sign, batch_format="pyarrow")
 
 
-def _first_sig_rows(sig_rows: ray.data.Dataset,
-                    id_col: str) -> ray.data.Dataset:
-    """(id, sig) once per doc from (band_key, id, sig) stage output: a
-    doc's band rows are contiguous within stage-output batches, so a local
-    first-occurrence mask compacts them without a keyed groupby.  A doc
-    whose rows straddle a batch boundary leaves an occasional extra row —
-    id-keyed joins then emit a duplicate candidate, which collapses at the
-    dup-id distinct, costing bytes, never correctness."""
+def _shrink_sig_rows(sig_rows: ray.data.Dataset,
+                     id_col: str) -> ray.data.Dataset:
+    """Null every signature except one per doc in (band_key, id, sig)
+    stage output: a doc's band rows are contiguous within stage-output
+    batches, so a local first-occurrence mask finds the keeper without a
+    keyed groupby — the row set is unchanged (band rows survive), only
+    the num_bands-fold signature duplication goes.  Idempotent (a second
+    pass keeps the same keeper).  A doc whose rows straddle a batch
+    boundary keeps an extra sig — id-keyed joins then emit a duplicate
+    candidate, which collapses at the dup-id distinct, costing bytes,
+    never correctness."""
+    import pyarrow.compute as pc
 
-    def first(t: pa.Table) -> pa.Table:
+    def shrink(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.select([id_col, "sig"])
+            return t
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        return t.filter(pa.array(keep)).select([id_col, "sig"])
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        sig = t.column("sig")
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        masked = pc.if_else(pa.array(first), sig,
+                            pa.nulls(len(ids), sig.type))
+        return t.set_column(t.schema.get_field_index("sig"), "sig", masked)
 
-    return sig_rows.map_batches(first, batch_format="pyarrow")
+    return sig_rows.map_batches(shrink, batch_format="pyarrow")
+
+
+def _valid_sigs(slim: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """(id, sig) once per doc from shrunk rows (the non-null keepers)."""
+    import pyarrow.compute as pc
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("sig"))) \
+                .select([id_col, "sig"])
+
+    return slim.map_batches(pick, batch_format="pyarrow")
 
 
 def _colliding_band_rows(bands_path: str, id_col: str,
@@ -203,8 +223,9 @@ def minhash_dedup_incremental(
 
     Returns ``(kept, sig_rows_kept)``: rows of ``new_ds`` that are neither
     near-dups of any indexed doc nor of an earlier (min-id) doc in the same
-    increment, and their (band_key, id, sig) rows to commit with
-    :func:`minhash_index_append` once ``kept`` is durably sunk.
+    increment, and their (band_key, id, sig) rows — signatures shrunk to
+    one non-null per doc — to commit with :func:`minhash_index_append`
+    once ``kept`` is durably sunk.
 
     ``n_buckets`` only matters for the FIRST increment (it fixes the index
     layout); afterwards the index's own layout wins.  ``seed``/``num_perm``/
@@ -249,11 +270,18 @@ def minhash_dedup_incremental(
             return t.filter(pa.array(~np.isin(keys, s)))
 
         sig_rows = sig_rows.map_batches(drop_stop, batch_format="pyarrow")
+    # sign ONCE: shrink to one sig per doc (16+|id| bytes per band row +
+    # one sig/doc) and PIN — every later consumer (both staging writes,
+    # the returned append rows) reads this increment-bounded copy instead
+    # of re-running the shingle/sign pass (which a lazy lineage would do
+    # three times; two of the three passes measured ~8 s each per 1.2M
+    # docs at 16 CPUs)
+    slim = _shrink_sig_rows(sig_rows, id_col).materialize()
     bands_new = os.path.join(tmp, "bands_new")
-    write_bucketed(sig_rows.select_columns(["band_key", id_col]),
+    write_bucketed(slim.select_columns(["band_key", id_col]),
                    bands_new, "band_key", n_buckets)
     sigs_new = os.path.join(tmp, "sigs_new")
-    write_bucketed(_first_sig_rows(sig_rows, id_col), sigs_new,
+    write_bucketed(_valid_sigs(slim, id_col), sigs_new,
                    id_col, n_buckets)
 
     # 5. within-increment dups, same chain kernel/semantics as the batch
@@ -334,21 +362,14 @@ def minhash_dedup_incremental(
 
     kept = filter_by_ids(new_ds, id_col, dups, keep_matching=False,
                          max_broadcast=max_broadcast)
-    # the returned sig rows come from the LINEAGE (one recompute pass over
-    # the kept docs), not the bands_new layout: stage output keeps a doc's
-    # band rows contiguous within a batch, which lets the append compact
-    # per-doc signatures with a LOCAL first-occurrence mask instead of a
-    # corpus-keyed groupby.  (Re-reading the band-bucketed layout instead
-    # would scatter a doc's rows across band buckets and force the shuffle
-    # back.)  The recompute is embarrassingly parallel map work — at scale
-    # that is cheaper than any exchange.
-    sig_rows_kept = filter_by_ids(
-        _sig_rows(new_ds, col, id_col, num_perm, num_bands, ngram, seed,
-                  concurrency),
-        id_col, dups, keep_matching=False, max_broadcast=max_broadcast)
-    if stop is not None:
-        sig_rows_kept = sig_rows_kept.map_batches(drop_stop,
-                                                  batch_format="pyarrow")
+    # the returned append rows derive from the SAME pinned shrunk copy —
+    # no recompute pass (the pre-r5 code re-signed the whole increment
+    # here), no layout re-read (band buckets scatter a doc's rows; the
+    # pin preserves stage-output contiguity, which append's local
+    # first-occurrence compaction relies on).  filter_by_ids drops whole
+    # docs, so the keeper-sig row of every surviving doc survives.
+    sig_rows_kept = filter_by_ids(slim, id_col, dups, keep_matching=False,
+                                  max_broadcast=max_broadcast)
     return kept, sig_rows_kept
 
 
@@ -364,43 +385,17 @@ def minhash_index_append(index_dir: str, sig_rows_kept: ray.data.Dataset,
         n_buckets = layout_of(bands_idx)["n_buckets"]
 
     # two layouts consume the same rows: pin once (increment-bounded) —
-    # but SHRINK first.  Pinning raw (band_key, id, sig) rows duplicates
-    # every signature num_bands times (~16 KB/doc: 19 GB of object store +
-    # spill at 1.2M docs, and the spill I/O was the worst-scaling stage of
-    # the 4-vs-16-CPU drill).  The per-batch first-occurrence mask (a
-    # doc's band rows are contiguous in stage-output batches; the
-    # occasional straddler costs bytes, never correctness — duplicate
-    # candidates collapse at the probe-side distinct) nulls all but one
-    # sig per doc BEFORE the pin, so the pinned copy is 16+|id| bytes per
-    # band row plus ONE signature per doc.
-    def shrink(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        first = np.ones(len(ids), dtype=bool)
-        first[1:] = ids[1:] != ids[:-1]
-        sig = t.column("sig")
-        if isinstance(sig, pa.ChunkedArray):
-            sig = sig.combine_chunks()
-        import pyarrow.compute as pc
-
-        masked = pc.if_else(pa.array(first), sig,
-                            pa.nulls(len(ids), sig.type))
-        return t.set_column(t.schema.get_field_index("sig"), "sig", masked)
-
-    slim = sig_rows_kept.map_batches(shrink,
-                                     batch_format="pyarrow").materialize()
+    # but SHRINK first (idempotent: minhash_dedup_incremental already
+    # returns shrunk rows; raw rows from an external producer shrink
+    # here).  Pinning raw (band_key, id, sig) rows would duplicate every
+    # signature num_bands times (~16 KB/doc: 19 GB of object store +
+    # spill at 1.2M docs — the worst-scaling stage of the 4-vs-16-CPU
+    # drill); the shrunk pin is 16+|id| bytes per band row plus ONE
+    # signature per doc.
+    slim = _shrink_sig_rows(sig_rows_kept, id_col).materialize()
     write_bucketed(slim.select_columns(["band_key", id_col]),
                    bands_idx, "band_key", n_buckets)
-
-    def sig_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_valid(t.column("sig"))) \
-                .select([id_col, "sig"])
-
-    sigs = slim.map_batches(sig_only, batch_format="pyarrow")
-    write_bucketed(sigs, sigs_idx, id_col, n_buckets)
+    write_bucketed(_valid_sigs(slim, id_col), sigs_idx, id_col, n_buckets)
 
 
 def compact_bucketed(path: str) -> int:
