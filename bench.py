@@ -1040,14 +1040,56 @@ def run_guarded(sf_dir: str, num_cpus: int, mult: int,
     if extract_only:
         cmd.append("--extract-only")
     last_rc = None
+    # progress watchdog: a stage that HANGS (idle deadlock — observed once
+    # on a long-lived session: an autoscaling actor pool never came up
+    # ~55 stages in) writes no checkpoint records; killing the child after
+    # STALL_SEC of state-file silence converts the hang into the crash
+    # path (stage retried once, then skipped) instead of eating the
+    # 90-minute overall timeout three times
+    STALL_SEC = int(os.environ.get("IPE_BENCH_STALL_SEC", "420"))
     for attempt in range(1, MAX_ATTEMPTS + 1):
-        try:
-            proc = subprocess.run(cmd, env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-                                  capture_output=True, text=True, timeout=5400)
-        except subprocess.TimeoutExpired:
-            last_rc = "timeout"
+        # child output goes to files, not pipes — a filled unread pipe
+        # would block the child and read as a stall
+        ofd, opath = tempfile.mkstemp(prefix="ipe_bench_out_")
+        efd, epath = tempfile.mkstemp(prefix="ipe_bench_err_")
+        with open(ofd, "w") as of, open(efd, "w") as ef:
+            child = subprocess.Popen(
+                cmd, env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                stdout=of, stderr=ef, text=True)
+            t0 = time.time()
+            last_size = -1
+            last_progress = t0
+            stalled = False
+            while True:
+                try:
+                    child.wait(timeout=5)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                now = time.time()
+                try:
+                    size = os.path.getsize(state)
+                except OSError:
+                    size = -1
+                if size != last_size:
+                    last_size = size
+                    last_progress = now
+                if now - last_progress > STALL_SEC or now - t0 > 5400:
+                    child.kill()
+                    child.wait()
+                    stalled = True
+                    break
+        out_text = open(opath).read()
+        for p in (opath, epath):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        if stalled:
+            last_rc = "stalled"
             continue
-        last_rc = proc.returncode
+        last_rc = child.returncode
+        proc = type("R", (), {"returncode": last_rc, "stdout": out_text})()
         lines = [ln for ln in proc.stdout.strip().splitlines()
                  if ln.startswith("{")]
         if proc.returncode == 0 and lines:
