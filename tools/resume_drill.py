@@ -143,7 +143,7 @@ def main() -> int:
     }
     print(json.dumps(result, indent=1))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "RESUME_r4.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "RESUME_r5.json"), "w") as f:
         json.dump(result, f, indent=1)
     return 0 if ok else 1
 
