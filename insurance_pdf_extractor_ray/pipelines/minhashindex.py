@@ -360,6 +360,10 @@ def minhash_dedup_incremental(
 
         dups = dups.union(ver.map_batches(est, batch_format="pyarrow"))
 
+    # pin the dup-id set once (dup-bounded): both filter calls below
+    # consume it, and a lazy union would re-run the whole collide/verify
+    # join pipeline per consumer
+    dups = dups.materialize()
     kept = filter_by_ids(new_ds, id_col, dups, keep_matching=False,
                          max_broadcast=max_broadcast)
     # the returned append rows derive from the SAME pinned shrunk copy —
