@@ -377,7 +377,14 @@ class MinHashDocStage(MinHashStage):
 def _bucket_dups(group: pa.Table, id_col: str, threshold: float,
                  max_bucket: int = 2048) -> pa.Table:
     """Within one LSH bucket: mark every non-min doc whose estimated Jaccard
-    vs the bucket's current canonical doc >= threshold as a duplicate."""
+    vs the bucket's current canonical doc >= threshold as a duplicate.
+
+    A group may legitimately carry the SAME id on several rows — the
+    incremental path's sig join emits one row per keeper signature, and a
+    doc whose shrunk rows straddled a batch boundary keeps two (see
+    ``minhashindex._shrink_sig_rows``).  Those repeats are skipped: a doc
+    estimates Jaccard 1.0 against itself and would otherwise be dropped as
+    a duplicate of itself (data loss, not just wasted work)."""
     n = group.num_rows
     empty = pa.table({id_col: pa.array([], group.column(id_col).type)})
     if n < 2:
@@ -388,6 +395,8 @@ def _bucket_dups(group: pa.Table, id_col: str, threshold: float,
     ids = group.column(id_col).to_pylist()
     sigs = [np.frombuffer(b, dtype=np.uint64) for b in group.column("sig").to_pylist()]
     order = sorted(range(n), key=lambda i: ids[i])
+    order = [i for k, i in enumerate(order)
+             if k == 0 or ids[i] != ids[order[k - 1]]]
     canon = [order[0]]
     dups = []
     for i in order[1:]:

@@ -167,3 +167,40 @@ def test_compact_and_stop_bands(tmp_path):
         tmp_dir=str(tmp_path / "t9"))
     assert [r["doc_id"] for r in kept.take_all()] == [900]
     assert sigs.count() == 0  # all its band rows were stop-filtered
+
+
+def test_repeated_id_rows_never_self_dup(tmp_path):
+    """A doc whose shrunk sig rows straddled a batch boundary keeps TWO
+    keeper signatures; the sig join then emits its band row once per
+    keeper, so a collide group can carry the same id twice.  The chain
+    kernel must skip the repeat — before the fix the doc estimated
+    Jaccard 1.0 against itself and was dropped as its own duplicate."""
+    from insurance_pdf_extractor_ray.pipelines.bucketed import write_bucketed
+    from insurance_pdf_extractor_ray.pipelines.dedup import _bucket_dups
+    from insurance_pdf_extractor_ray.pipelines.minhashindex import (
+        _local_band_dups,
+    )
+
+    sig_a = np.arange(128, dtype=np.uint64).tobytes()
+    sig_b = (np.arange(128, dtype=np.uint64) + 500).tobytes()  # est 0 vs a
+
+    # kernel level: repeat of id 5 skipped; true near-dup 6 still found
+    g = pa.table({"doc_id": pa.array([5, 5, 9, 6], pa.int64()),
+                  "sig": pa.array([sig_a, sig_a, sig_b, sig_a], pa.binary())})
+    assert _bucket_dups(g, "doc_id", 0.8).column("doc_id").to_pylist() == [6]
+    g2 = pa.table({"doc_id": pa.array([5, 5], pa.int64()),
+                   "sig": pa.array([sig_a, sig_a], pa.binary())})
+    assert _bucket_dups(g2, "doc_id", 0.8).num_rows == 0
+
+    # layout level: the same rows through the per-bucket run-split path
+    layout = str(tmp_path / "collide_by_band")
+    rows = pa.table({
+        "band_key": pa.array([7, 7, 7, 7, 3, 3], pa.uint64()),
+        "doc_id": pa.array([5, 5, 9, 6, 2, 2], pa.int64()),
+        "sig": pa.array([sig_a, sig_a, sig_b, sig_a, sig_b, sig_b],
+                        pa.binary()),
+    })
+    write_bucketed(ray.data.from_arrow(rows), layout, "band_key", 4)
+    dups = sorted(r["doc_id"] for r in _local_band_dups(
+        layout, "doc_id", pa.int64(), 0.8, 2048).take_all())
+    assert dups == [6]
