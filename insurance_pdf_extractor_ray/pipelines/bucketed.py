@@ -76,6 +76,109 @@ def write_bucketed(
     return path
 
 
+def _hash64_full(col: pa.ChunkedArray) -> np.ndarray:
+    """Full-width 64-bit per-row content hash (naming, not bucketing)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64) * _KNUTH64
+    return durable_hash64_column(col)
+
+
+def _content_seed(part: pa.Table) -> int:
+    """Order-independent digest of a fragment's integer/string columns —
+    used for idempotent fragment naming: a retried task re-writing the same
+    rows produces the same filename and ``os.replace`` makes the second
+    write a no-op.  Two fragments in the same bucket dir coalesce ONLY if
+    they agree on every hashed column for every row (i.e. they are the same
+    rows); binary columns (signatures) are skipped because the hashed
+    columns already identify the row."""
+    h = np.zeros(part.num_rows, np.uint64)
+    mul = np.uint64(0x100000001B3)  # FNV prime — column mixing
+    for name in part.column_names:
+        t = part.schema.field(name).type
+        if (pa.types.is_integer(t) or pa.types.is_string(t)
+                or pa.types.is_large_string(t)):
+            h = h * mul ^ _hash64_full(part.column(name))
+    seed = np.bitwise_xor.reduce(h) if part.num_rows else np.uint64(0)
+    return int(seed ^ (np.uint64(part.num_rows) * _KNUTH64))
+
+
+def write_fragment_bucketed(rows: pa.Table, path: str, key: str,
+                            n_buckets: int, tag: Optional[str] = None) -> int:
+    """Write one in-task table hash-partitioned into ``path/_bucket=i/``
+    dirs — the task-side building block of :func:`write_bucketed_multi`
+    and of fused bucket passes that emit re-keyed rows.
+
+    ``tag`` names the fragments (``<tag>.parquet``) when the caller has a
+    natural idempotency token (e.g. the source bucket id of a per-bucket
+    task: one such task writes at most one fragment per destination
+    bucket); otherwise names derive from row content via
+    :func:`_content_seed`.  Both schemes are idempotent under task retry.
+    Returns rows written.  The caller owns the ``_layout.json`` manifest.
+    """
+    if rows.num_rows == 0:
+        return 0
+    b = _bucket_of(rows.column(key), n_buckets)
+    order = np.argsort(b, kind="stable")
+    rows = rows.take(pa.array(order))
+    b = b[order]
+    bounds = np.flatnonzero(np.diff(b)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(b)]))
+    written = 0
+    for s, e in zip(starts, ends):
+        part = rows.slice(s, e - s)
+        d = os.path.join(path, f"_bucket={int(b[s])}")
+        os.makedirs(d, exist_ok=True)
+        name = (tag if tag is not None
+                else f"{_content_seed(part):016x}") + ".parquet"
+        final = os.path.join(d, name)
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(part, tmp)
+        os.replace(tmp, final)
+        written += part.num_rows
+    return written
+
+
+def write_layout_manifest(path: str, key: str, n_buckets: int) -> None:
+    """The tiny per-layout manifest ``bucketed_join``/``layout_of`` read.
+    Must exist even for an all-empty layout so joins resolve to empty."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_layout.json"), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets}, f)
+
+
+def write_bucketed_multi(ds, targets, n_buckets: int) -> int:
+    """Write SEVERAL bucketed layouts from one Dataset in ONE execution.
+
+    ``targets``: list of ``(path, key, project)`` where ``project`` is an
+    optional per-batch ``pa.Table -> pa.Table`` projection (None =
+    identity).  Every Ray Data execution carries seconds of fixed wave
+    latency; staging flows that derive two or three layouts from the same
+    rows (the incremental MinHash index stages bands + sigs from one sign
+    pass) pay it once here instead of once per layout.  Fragments append
+    into existing ``_bucket=i/`` dirs (same append contract as repeated
+    :func:`write_bucketed` calls) with content-derived idempotent names.
+    Returns total rows written across targets.
+    """
+    tl = list(targets)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        written = 0
+        for path, key, project in tl:
+            t = project(batch) if project is not None else batch
+            written += write_fragment_bucketed(t, path, key, n_buckets)
+        return pa.table({"rows": pa.array([written], pa.int64())})
+
+    parts = ds.map_batches(write_batch, batch_size=None,
+                           batch_format="pyarrow")
+    total = int(parts.sum("rows") or 0)
+    for path, key, _ in tl:
+        write_layout_manifest(path, key, n_buckets)
+    return total
+
+
 def _read_bucket(path: str, bucket: int, columns: Optional[List[str]]) -> pa.Table:
     files = sorted(glob.glob(os.path.join(path, f"_bucket={bucket}", "*.parquet")))
     if not files:

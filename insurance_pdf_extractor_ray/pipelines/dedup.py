@@ -259,10 +259,20 @@ def filter_by_ids(
         the path that stays bounded on a 30-60%-duplicate web crawl where
         the dup-id set is itself corpus-scale.
     """
+    from ray.data.dataset import MaterializedDataset
+
     from ..dsutil import drop_empty_blocks
 
     ids_col = ids_col or id_col
-    mat = ids.select_columns([ids_col]).materialize()
+    if isinstance(ids, MaterializedDataset) and \
+            ids.schema().names == [ids_col]:
+        # already pinned and already the bare id column: re-materializing
+        # would burn one fixed-latency execution per call for a no-op
+        # projection (callers like the incremental dedup paths pin the dup
+        # set once and filter two datasets against it)
+        mat = ids
+    else:
+        mat = ids.select_columns([ids_col]).materialize()
     n = mat.count()
     if n == 0:
         # nothing to match: anti keeps everything, semi keeps nothing

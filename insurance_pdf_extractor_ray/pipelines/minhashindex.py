@@ -18,29 +18,34 @@ At-rest state under ``index_dir`` (two ``bucketed.py`` layouts):
 Probe scale shape (the point of this module): an increment incurs ZERO
 all-to-all exchange —
 
-  1. one actor-pool map pass shingles/signs the increment (MinHashStage,
-     SAME seed as the index so signatures are comparable);
-  2. the increment stages into the SAME two slim layouts as the index:
-     (band_key, id) at 16+|id| bytes/row bucketed on band_key, and one
-     (id, sig) row per doc bucketed on id — signatures never ride the
-     band rows (the staging analog of the batch path's "recompute sigs
-     only for colliding docs": at 1.2M docs/increment this is ~1.7 GB of
-     staging vs 18.7 GB when sigs rode every band row, and the disk-bound
-     stages were what broke 4-vs-16-CPU scaling);
-  3. candidates come from ``bucketed_join`` on band_key over the two slim
-     band layouts: one LOCAL Arrow join task per co-located bucket pair,
+  1. one map pass shingles/signs the increment (MinHashStage, SAME seed
+     as the index so signatures are comparable), shrinks signatures to
+     one per doc and pins the slim rows; ONE multi-target execution then
+     stages the SAME two slim layouts as the index: (band_key, id) at
+     16+|id| bytes/row bucketed on band_key, and one (id, sig) row per
+     doc bucketed on id — signatures never ride the band rows (the
+     staging analog of the batch path's "recompute sigs only for
+     colliding docs": at 1.2M docs/increment this is ~1.7 GB of staging
+     vs 18.7 GB when sigs rode every band row, and the disk-bound stages
+     were what broke 4-vs-16-CPU scaling);
+  2. ONE fused bucket pass per band bucket finds in-batch band groups
+     with >= 2 members (collision-bounded) AND joins the co-located
+     index bucket locally into distinct (new, old) candidate pairs —
      16-byte rows only, index never moves;
-  4. candidate pairs fetch the new side's signature by a co-located id
-     join against the increment's sig layout, then are written bucketed
-     on the OLD id (candidate-bounded temp) and verified against
-     ``sigs/`` the same way — and because the join skips sig buckets
-     whose candidate bucket is empty, a candidate-sparse increment reads
-     only the signature buckets it actually touches;
-  5. in-batch near-dups fall out of the increment's own band layout:
-     per-bucket run-split finds band groups with >= 2 members
-     (collision-bounded), their signatures arrive by the same co-located
-     id join, and the batch path's ``_bucket_dups`` chain kernel runs per
-     regrouped band — no groupby shuffle anywhere.
+  3. ONE fused bucket pass per sig bucket fetches the new side's
+     signatures for both consumers — collide rows regrouped by band_key
+     for the batch path's ``_bucket_dups`` chain kernel, candidate pairs
+     re-bucketed on the OLD id — reading each increment sig bucket
+     exactly once;
+  4. candidates verify against ``sigs/`` by co-located join (buckets
+     with no candidates skip the read), and in-batch dups come from the
+     chain kernel per regrouped band — no groupby shuffle anywhere.
+
+  Each Ray Data execution carries seconds of fixed wave latency
+  regardless of data size; the fused passes above hold an increment to
+  six executions (sign+pin, stage x1, fused pass x2, dup union, kept
+  filter) plus a one-execution index append, which is what keeps small
+  increments cheap and 4-vs-16-CPU scaling honest.
 
 Commit protocol mirrors ``exact_dedup_incremental``: the function returns
 ``(kept, sig_rows_kept)`` and the caller appends with
@@ -58,7 +63,14 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from .bucketed import _read_bucket, bucketed_join, layout_of, write_bucketed
+from .bucketed import (
+    _read_bucket,
+    bucketed_join,
+    layout_of,
+    write_bucketed_multi,
+    write_fragment_bucketed,
+    write_layout_manifest,
+)
 from .dedup import (
     MAX_BROADCAST_ROWS,
     MinHashStage,
@@ -125,48 +137,128 @@ def _shrink_sig_rows(sig_rows: ray.data.Dataset,
     return sig_rows.map_batches(shrink, batch_format="pyarrow")
 
 
-def _valid_sigs(slim: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+def _pick_valid(t: pa.Table, id_col: str) -> pa.Table:
     """(id, sig) once per doc from shrunk rows (the non-null keepers)."""
     import pyarrow.compute as pc
 
-    def pick(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t.column("sig"))) \
-                .select([id_col, "sig"])
-
-    return slim.map_batches(pick, batch_format="pyarrow")
+    return t.filter(pc.is_valid(t.column("sig"))).select([id_col, "sig"])
 
 
-def _colliding_band_rows(bands_path: str, id_col: str,
-                         id_type: pa.DataType) -> ray.data.Dataset:
-    """Rows of band groups with >= 2 members, from a SLIM (band_key, id)
-    layout — one task per bucket, local sort + run-split; collision-bounded
-    output (random 64-bit band keys almost never collide unless docs share
-    shingles)."""
-    n = layout_of(bands_path)["n_buckets"]
-    empty = pa.table({"band_key": pa.array([], pa.uint64()),
-                      id_col: pa.array([], id_type)})
+def _stage_collide_and_cand(
+    bands_new: str,
+    bands_idx: Optional[str],
+    collide_by_id: str,
+    cand_by_new: Optional[str],
+    id_col: str,
+    n_buckets: int,
+) -> None:
+    """ONE bucket pass over the increment's slim band layout derives BOTH
+    downstream staging layouts:
+
+      * rows of in-batch band groups with >= 2 members, re-bucketed on id
+        (collision-bounded — random 64-bit band keys almost never collide
+        unless docs share shingles), and
+      * distinct (new, old) candidate pairs from a LOCAL Arrow join against
+        the co-located index band bucket, re-bucketed on the new id
+        (``bands_idx=None`` on the first increment skips this side).
+
+    The two derivations read the same bucket and previously ran as two
+    separate executions (a bucket map + a ``bucketed_join``) — every Ray
+    Data execution carries seconds of fixed wave latency, which dominated
+    per-increment cost at small increments and capped 4-vs-16-CPU scaling.
+    Fragments are named by source bucket (one task writes at most one
+    fragment per destination bucket per layout), so retries are idempotent.
+    """
 
     def one(batch: pa.Table) -> pa.Table:
-        out = []
+        rows_out = 0
         for b in batch.column("bucket").to_pylist():
-            t = _read_bucket(bands_path, b, ["band_key", id_col])
-            if t is None or t.num_rows < 2:
+            t = _read_bucket(bands_new, b, ["band_key", id_col])
+            if t is None or t.num_rows == 0:
                 continue
-            t = t.sort_by("band_key").combine_chunks()
-            keys = t.column("band_key").to_numpy(zero_copy_only=False)
-            first = np.ones(len(keys), dtype=bool)
-            first[1:] = keys[1:] != keys[:-1]
-            starts = np.flatnonzero(first)
-            runs = np.diff(np.append(starts, len(keys)))
-            multi = np.repeat(runs >= 2, runs)
-            if multi.any():
-                out.append(t.filter(pa.array(multi)))
-        if not out:
-            return empty
-        return pa.concat_tables(out)
+            if t.num_rows >= 2:
+                tt = t.sort_by("band_key").combine_chunks()
+                keys = tt.column("band_key").to_numpy(zero_copy_only=False)
+                first = np.ones(len(keys), dtype=bool)
+                first[1:] = keys[1:] != keys[:-1]
+                starts = np.flatnonzero(first)
+                runs = np.diff(np.append(starts, len(keys)))
+                multi = np.repeat(runs >= 2, runs)
+                if multi.any():
+                    rows_out += write_fragment_bucketed(
+                        tt.filter(pa.array(multi)), collide_by_id, id_col,
+                        n_buckets, tag=f"src{b:05d}")
+            if bands_idx is not None:
+                ti = _read_bucket(bands_idx, b, ["band_key", id_col])
+                if ti is not None and ti.num_rows:
+                    import polars as pl
 
+                    j = t.join(ti.rename_columns(["band_key", "__old"]),
+                               keys=["band_key"], join_type="inner")
+                    if j.num_rows:
+                        # local distinct: the same (new, old) pair arrives
+                        # once per shared band; trimming here bounds the
+                        # sig fetch
+                        pairs = pl.from_arrow(pa.table({
+                            "__new": j.column(id_col),
+                            "__old": j.column("__old")})).unique().to_arrow()
+                        rows_out += write_fragment_bucketed(
+                            pairs, cand_by_new, "__new", n_buckets,
+                            tag=f"src{b:05d}")
+        return pa.table({"rows": pa.array([rows_out], pa.int64())})
+
+    n = layout_of(bands_new)["n_buckets"]
     buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
-    return buckets.map_batches(one, batch_size=1, batch_format="pyarrow")
+    buckets.map_batches(one, batch_size=1, batch_format="pyarrow").sum("rows")
+    write_layout_manifest(collide_by_id, id_col, n_buckets)
+    if cand_by_new is not None:
+        write_layout_manifest(cand_by_new, "__new", n_buckets)
+
+
+def _stage_sig_joins(
+    sigs_new: str,
+    collide_by_id: str,
+    cand_by_new: Optional[str],
+    collide_by_band: str,
+    cand_by_old: Optional[str],
+    id_col: str,
+    n_buckets: int,
+) -> None:
+    """ONE bucket pass fetches the NEW side's signatures for BOTH consumers
+    — in-batch collide rows (re-bucketed on band_key for the chain kernel)
+    and index candidate pairs (re-bucketed on the OLD id for the
+    index-side verify) — reading each ``sigs_new`` bucket exactly once.
+    Previously two separate ``bucketed_join`` executions read the same sig
+    buckets twice and paid the fixed wave latency twice."""
+
+    def one(batch: pa.Table) -> pa.Table:
+        rows_out = 0
+        for b in batch.column("bucket").to_pylist():
+            sig_t = _read_bucket(sigs_new, b, None)
+            if sig_t is None or sig_t.num_rows == 0:
+                continue
+            c1 = _read_bucket(collide_by_id, b, None)
+            if c1 is not None and c1.num_rows:
+                j = c1.join(sig_t, keys=[id_col], join_type="inner")
+                rows_out += write_fragment_bucketed(
+                    j, collide_by_band, "band_key", n_buckets,
+                    tag=f"src{b:05d}")
+            if cand_by_new is not None:
+                c2 = _read_bucket(cand_by_new, b, None)
+                if c2 is not None and c2.num_rows:
+                    j2 = c2.join(sig_t, keys=["__new"], right_keys=[id_col],
+                                 join_type="inner")
+                    rows_out += write_fragment_bucketed(
+                        j2, cand_by_old, "__old", n_buckets,
+                        tag=f"src{b:05d}")
+        return pa.table({"rows": pa.array([rows_out], pa.int64())})
+
+    n = layout_of(sigs_new)["n_buckets"]
+    buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
+    buckets.map_batches(one, batch_size=1, batch_format="pyarrow").sum("rows")
+    write_layout_manifest(collide_by_band, "band_key", n_buckets)
+    if cand_by_old is not None:
+        write_layout_manifest(cand_by_old, "__old", n_buckets)
 
 
 def _local_band_dups(bands_path: str, id_col: str, id_type: pa.DataType,
@@ -271,80 +363,46 @@ def minhash_dedup_incremental(
 
         sig_rows = sig_rows.map_batches(drop_stop, batch_format="pyarrow")
     # sign ONCE: shrink to one sig per doc (16+|id| bytes per band row +
-    # one sig/doc) and PIN — every later consumer (both staging writes,
-    # the returned append rows) reads this increment-bounded copy instead
-    # of re-running the shingle/sign pass (which a lazy lineage would do
-    # three times; two of the three passes measured ~8 s each per 1.2M
-    # docs at 16 CPUs)
+    # one sig/doc) and PIN — both later consumers (the staging multi-write
+    # below and the returned append rows) read this increment-bounded copy
+    # instead of re-running the shingle/sign pass (which a lazy lineage
+    # would do once per consumer; each pass measured ~8 s per 1.2M docs
+    # at 16 CPUs)
     slim = _shrink_sig_rows(sig_rows, id_col).materialize()
     bands_new = os.path.join(tmp, "bands_new")
-    write_bucketed(slim.select_columns(["band_key", id_col]),
-                   bands_new, "band_key", n_buckets)
     sigs_new = os.path.join(tmp, "sigs_new")
-    write_bucketed(_valid_sigs(slim, id_col), sigs_new,
-                   id_col, n_buckets)
+    # ONE execution writes both staging layouts off the pin (each Ray Data
+    # execution carries seconds of fixed wave latency; per-increment fixed
+    # waves were what capped 4-vs-16-CPU scaling of this path)
+    write_bucketed_multi(slim, [
+        (bands_new, "band_key",
+         lambda t: t.select(["band_key", id_col])),
+        (sigs_new, id_col, lambda t: _pick_valid(t, id_col)),
+    ], n_buckets)
 
-    # 5. within-increment dups, same chain kernel/semantics as the batch
-    # path — but signatures are fetched ONLY for colliding band groups
-    # (collision-bounded co-located joins), mirroring the batch path's
-    # "recompute sigs only for colliding docs" rule:
-    #   slim bands -> rows of groups>=2 -> +sig via sigs_new join ->
-    #   regroup by band_key -> _bucket_dups chain per group
-    def typed_empty(schema: pa.Schema):
-        # bucketed_join emits zero-column blocks for candidate-empty
-        # buckets; write_bucketed's key tag needs the typed schema
-        def fix(t: pa.Table) -> pa.Table:
-            return schema.empty_table() if t.num_columns == 0 else t
-        return fix
-
+    # 3+5a. one fused bucket pass: in-batch colliding band rows (re-keyed
+    # on id) AND distinct index candidate pairs (re-keyed on the new id)
+    # from a local join against the co-located index bucket
     collide_by_id = os.path.join(tmp, "collide_by_id")
-    write_bucketed(_colliding_band_rows(bands_new, id_col, id_type),
-                   collide_by_id, id_col, n_buckets)
+    cand_by_new = os.path.join(tmp, "cand_by_new") if have_index else None
+    _stage_collide_and_cand(bands_new, bands_idx if have_index else None,
+                            collide_by_id, cand_by_new, id_col, n_buckets)
+
+    # 5b. one fused bucket pass fetches the new side's signatures for both
+    # consumers: collide rows regrouped by band_key for the chain kernel,
+    # candidate pairs re-keyed on the OLD id for the index-side verify —
+    # signatures are fetched ONLY for colliding/candidate docs
+    # (collision-bounded), mirroring the batch path's "recompute sigs only
+    # for colliding docs" rule
     collide_by_band = os.path.join(tmp, "collide_by_band")
-    write_bucketed(
-        bucketed_join(collide_by_id, sigs_new, join_type="inner")
-        .map_batches(typed_empty(pa.schema([
-            ("band_key", pa.uint64()), (id_col, id_type),
-            ("sig", pa.binary())])), batch_format="pyarrow"),
-        collide_by_band, "band_key", n_buckets)
+    cand_path = os.path.join(tmp, "cand") if have_index else None
+    _stage_sig_joins(sigs_new, collide_by_id, cand_by_new,
+                     collide_by_band, cand_path, id_col, n_buckets)
+
     dups = _local_band_dups(collide_by_band, id_col, id_type, threshold,
                             max_bucket)
 
     if have_index:
-        # 3. co-located candidate join: slim (band_key, id) x slim
-        # (band_key, old) — the exchange moves 16-byte rows only
-        cand = bucketed_join(
-            bands_new, bands_idx, join_type="inner",
-            columns_b=["band_key", id_col])
-
-        old_col = id_col + "_r"  # bucketed_join's clash rename of the right id
-
-        def to_pairs(t: pa.Table) -> pa.Table:
-            if old_col not in t.column_names:  # zero-candidate empty block
-                return pa.table({"__new": pa.array([], id_type),
-                                 "__old": pa.array([], id_type)})
-            # local distinct: the same (new, old) pair arrives once per
-            # shared band; trimming per batch bounds the sig fetch
-            import polars as pl
-
-            out = pl.from_arrow(pa.table({
-                "__new": t.column(id_col),
-                "__old": t.column(old_col)})).unique()
-            return out.to_arrow()
-
-        cand_by_new = os.path.join(tmp, "cand_by_new")
-        write_bucketed(cand.map_batches(to_pairs, batch_format="pyarrow"),
-                       cand_by_new, "__new", n_buckets)
-        # fetch the NEW side's signature by co-located id join, then bucket
-        # the (pair, sig) rows on the OLD id for the index-side verify
-        cand_path = os.path.join(tmp, "cand")
-        write_bucketed(
-            bucketed_join(cand_by_new, sigs_new, join_type="inner")
-            .map_batches(typed_empty(pa.schema([
-                ("__new", id_type), ("__old", id_type),
-                ("sig", pa.binary())])), batch_format="pyarrow"),
-            cand_path, "__old", n_buckets)
-
         # 4. verify against sigs/ — candidate-empty buckets skip the read
         ver = bucketed_join(cand_path, sigs_idx, join_type="inner")
 
@@ -380,26 +438,28 @@ def minhash_dedup_incremental(
 def minhash_index_append(index_dir: str, sig_rows_kept: ray.data.Dataset,
                          id_col: str, n_buckets: int = 32) -> None:
     """Commit one increment: append its band rows and per-doc signatures
-    into the index layouts (map passes; ``write_bucketed`` appends fragments
-    into existing ``_bucket=i/`` dirs).  Call AFTER ``kept`` is durably
-    written — data first, index last."""
+    into the index layouts in one streaming pass (fragments append into
+    existing ``_bucket=i/`` dirs with content-derived names, so re-running
+    a crashed increment's append coalesces instead of duplicating rows).
+    Call AFTER ``kept`` is durably written — data first, index last."""
     bands_idx = os.path.join(index_dir, _BANDS)
     sigs_idx = os.path.join(index_dir, _SIGS)
     if os.path.exists(os.path.join(bands_idx, "_layout.json")):
         n_buckets = layout_of(bands_idx)["n_buckets"]
 
-    # two layouts consume the same rows: pin once (increment-bounded) —
-    # but SHRINK first (idempotent: minhash_dedup_incremental already
-    # returns shrunk rows; raw rows from an external producer shrink
-    # here).  Pinning raw (band_key, id, sig) rows would duplicate every
-    # signature num_bands times (~16 KB/doc: 19 GB of object store +
-    # spill at 1.2M docs — the worst-scaling stage of the 4-vs-16-CPU
-    # drill); the shrunk pin is 16+|id| bytes per band row plus ONE
-    # signature per doc.
-    slim = _shrink_sig_rows(sig_rows_kept, id_col).materialize()
-    write_bucketed(slim.select_columns(["band_key", id_col]),
-                   bands_idx, "band_key", n_buckets)
-    write_bucketed(_valid_sigs(slim, id_col), sigs_idx, id_col, n_buckets)
+    # SHRINK first (idempotent: minhash_dedup_incremental already returns
+    # shrunk rows; raw rows from an external producer shrink here) so the
+    # sigs layout never stores a signature per band row, then append both
+    # index layouts in ONE execution — the multi-write consumes the
+    # lineage exactly once, so no pin is needed and the whole commit is a
+    # single streaming pass (was: a materialize plus two writes, three
+    # fixed-latency executions per increment).
+    slim = _shrink_sig_rows(sig_rows_kept, id_col)
+    write_bucketed_multi(slim, [
+        (bands_idx, "band_key",
+         lambda t: t.select(["band_key", id_col])),
+        (sigs_idx, id_col, lambda t: _pick_valid(t, id_col)),
+    ], n_buckets)
 
 
 def compact_bucketed(path: str) -> int:
