@@ -187,6 +187,12 @@ def embedding_dedup_incremental(
 
         dups = dups.union(ver.map_batches(cos, batch_format="pyarrow"))
 
+    # pin the dup-id set once (dup-bounded): both filter calls below
+    # consume it, and a lazy union would re-run the local-dup pass and
+    # the index verify join once per consumer (same pin the MinHash
+    # incremental path carries); the pinned bare id column also lets
+    # filter_by_ids skip its own re-materialize
+    dups = dups.materialize()
     kept = filter_by_ids(new_ds, id_col, dups, keep_matching=False,
                          max_broadcast=max_broadcast)
     import glob as _glob

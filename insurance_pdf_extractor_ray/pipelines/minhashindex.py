@@ -81,6 +81,26 @@ from .dedup import (
 _BANDS, _SIGS = "bands", "sigs"
 
 
+def _phase_timer():
+    """Env-gated (``IPE_MHINC_TIMING=1``) phase wall-clock logger for the
+    incremental path — each phase below ends in an eager execution, so
+    driver-side timestamps genuinely bound per-phase cost."""
+    import sys
+    import time as _time
+
+    if not os.environ.get("IPE_MHINC_TIMING"):
+        return lambda label: None
+    state = {"t": _time.time()}
+
+    def mark(label: str) -> None:
+        now = _time.time()
+        print(f"[mhinc-phase] {label}: {now - state['t']:.2f}s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+
+    return mark
+
+
 #: per-worker-process stage cache: incremental ingest consumes the signing
 #: lineage several times (bands write, kept-sig recompute, index append) —
 #: an actor pool would pay its spin-up on EVERY execution (~2-3 s each,
@@ -193,8 +213,10 @@ def _stage_collide_and_cand(
                 if ti is not None and ti.num_rows:
                     import polars as pl
 
-                    j = t.join(ti.rename_columns(["band_key", "__old"]),
-                               keys=["band_key"], join_type="inner")
+                    j = t.join(
+                        ti.select(["band_key", id_col])
+                          .rename_columns(["band_key", "__old"]),
+                        keys=["band_key"], join_type="inner")
                     if j.num_rows:
                         # local distinct: the same (new, old) pair arrives
                         # once per shared band; trimming here bounds the
@@ -209,7 +231,10 @@ def _stage_collide_and_cand(
 
     n = layout_of(bands_new)["n_buckets"]
     buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
-    buckets.map_batches(one, batch_size=1, batch_format="pyarrow").sum("rows")
+    # take_all over one stub row per bucket, NOT .sum(): an Aggregate adds
+    # an all-to-all exchange whose fixed latency and resource reservation
+    # throttle the bucket tasks on narrow clusters
+    buckets.map_batches(one, batch_size=1, batch_format="pyarrow").take_all()
     write_layout_manifest(collide_by_id, id_col, n_buckets)
     if cand_by_new is not None:
         write_layout_manifest(cand_by_new, "__new", n_buckets)
@@ -255,7 +280,7 @@ def _stage_sig_joins(
 
     n = layout_of(sigs_new)["n_buckets"]
     buckets = ray.data.from_items([{"bucket": i} for i in range(n)])
-    buckets.map_batches(one, batch_size=1, batch_format="pyarrow").sum("rows")
+    buckets.map_batches(one, batch_size=1, batch_format="pyarrow").take_all()
     write_layout_manifest(collide_by_band, "band_key", n_buckets)
     if cand_by_old is not None:
         write_layout_manifest(cand_by_old, "__old", n_buckets)
@@ -329,6 +354,7 @@ def minhash_dedup_incremental(
     (pure boilerplate) is kept and left unindexed — by construction it has
     no discriminative band to be found under later.
     """
+    mark = _phase_timer()
     tmp = tmp_dir or tempfile.mkdtemp(prefix="ipe_mhinc_")
     bands_idx = os.path.join(index_dir, _BANDS)
     sigs_idx = os.path.join(index_dir, _SIGS)
@@ -369,6 +395,7 @@ def minhash_dedup_incremental(
     # would do once per consumer; each pass measured ~8 s per 1.2M docs
     # at 16 CPUs)
     slim = _shrink_sig_rows(sig_rows, id_col).materialize()
+    mark("sign+shrink+pin")
     bands_new = os.path.join(tmp, "bands_new")
     sigs_new = os.path.join(tmp, "sigs_new")
     # ONE execution writes both staging layouts off the pin (each Ray Data
@@ -379,6 +406,7 @@ def minhash_dedup_incremental(
          lambda t: t.select(["band_key", id_col])),
         (sigs_new, id_col, lambda t: _pick_valid(t, id_col)),
     ], n_buckets)
+    mark("stage-multi-write")
 
     # 3+5a. one fused bucket pass: in-batch colliding band rows (re-keyed
     # on id) AND distinct index candidate pairs (re-keyed on the new id)
@@ -387,6 +415,7 @@ def minhash_dedup_incremental(
     cand_by_new = os.path.join(tmp, "cand_by_new") if have_index else None
     _stage_collide_and_cand(bands_new, bands_idx if have_index else None,
                             collide_by_id, cand_by_new, id_col, n_buckets)
+    mark("collide+cand-pass")
 
     # 5b. one fused bucket pass fetches the new side's signatures for both
     # consumers: collide rows regrouped by band_key for the chain kernel,
@@ -398,6 +427,7 @@ def minhash_dedup_incremental(
     cand_path = os.path.join(tmp, "cand") if have_index else None
     _stage_sig_joins(sigs_new, collide_by_id, cand_by_new,
                      collide_by_band, cand_path, id_col, n_buckets)
+    mark("sig-join-pass")
 
     dups = _local_band_dups(collide_by_band, id_col, id_type, threshold,
                             max_bucket)
@@ -422,6 +452,7 @@ def minhash_dedup_incremental(
     # consume it, and a lazy union would re-run the whole collide/verify
     # join pipeline per consumer
     dups = dups.materialize()
+    mark("dups-union-pin")
     kept = filter_by_ids(new_ds, id_col, dups, keep_matching=False,
                          max_broadcast=max_broadcast)
     # the returned append rows derive from the SAME pinned shrunk copy —
