@@ -19,6 +19,30 @@ import pyarrow as pa
 import ray.data
 
 
+#: per-worker-process cache of deserialized broadcast payloads, keyed by
+#: object-ref hex.  Broadcast map stages used to be actor POOLS so the
+#: payload deserialized once per actor — but a pool pays its spin-up
+#: (~2-3 s, measured) on EVERY execution and caps width at its max size;
+#: plain tasks + this cache keep the deserialize-once property (numpy /
+#: Arrow payloads are zero-copy plasma views anyway) while fusing with the
+#: upstream read at full cluster width.  Tiny LRU: payloads are bounded by
+#: the callers' broadcast caps, and a worker only ever sees a handful.
+_BROADCAST_CACHE: dict = {}
+
+
+def cached_broadcast(ref):
+    """``ray.get(ref)``, deserialized at most once per worker process."""
+    key = ref.hex()
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        import ray as _ray
+
+        if len(_BROADCAST_CACHE) >= 8:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        hit = _BROADCAST_CACHE[key] = _ray.get(ref)
+    return hit
+
+
 def drop_empty_blocks(
     ds: ray.data.Dataset, empty_schema: Optional[pa.Schema] = None
 ) -> ray.data.Dataset:

@@ -294,25 +294,25 @@ def filter_by_ids(
     payload = (np.sort(np.asarray(vals, dtype=np.int64)) if numeric
                else frozenset(vals))
     ref = _ray.put(payload)
+    keep = keep_matching
 
-    class Filter:
-        def __init__(self, keys_ref, keep: bool):
-            self.keys = _ray.get(keys_ref)
-            self.keep = keep
+    # plain tasks + per-worker payload cache, NOT an actor pool: a pool
+    # pays its spin-up on every execution and caps the filter's width at
+    # its max size (measured: the kept pass of the incremental dedup drill
+    # ran SLOWER at 16 CPUs than at 4 under the old (1, 8) pool)
+    def bfilter(batch: pa.Table) -> pa.Table:
+        from ..dsutil import cached_broadcast
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch.column(id_col)
-            if isinstance(self.keys, np.ndarray):
-                hit = np.isin(col.to_numpy(zero_copy_only=False), self.keys)
-            else:
-                hit = np.fromiter((v in self.keys for v in col.to_pylist()),
-                                  dtype=bool, count=len(col))
-            return batch.filter(pa.array(hit if self.keep else ~hit))
+        keys = cached_broadcast(ref)
+        col = batch.column(id_col)
+        if isinstance(keys, np.ndarray):
+            hit = np.isin(col.to_numpy(zero_copy_only=False), keys)
+        else:
+            hit = np.fromiter((v in keys for v in col.to_pylist()),
+                              dtype=bool, count=len(col))
+        return batch.filter(pa.array(hit if keep else ~hit))
 
-    return ds.map_batches(
-        Filter, fn_constructor_kwargs=dict(keys_ref=ref, keep=keep_matching),
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    return ds.map_batches(bfilter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

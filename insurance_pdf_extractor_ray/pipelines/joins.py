@@ -28,7 +28,9 @@ class _BroadcastLookup:
     no per-row Python."""
 
     def __init__(self, small_ref, key: str, add_cols: List[str], how: str):
-        self.small_keys, self.small_tbl = ray.get(small_ref)
+        from ..dsutil import cached_broadcast
+
+        self.small_keys, self.small_tbl = cached_broadcast(small_ref)
         self.key, self.add_cols, self.how = key, add_cols, how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -73,11 +75,16 @@ def broadcast_join(
     if isinstance(keys_arr, pa.ChunkedArray):
         keys_arr = keys_arr.combine_chunks()
     ref = ray.put((keys_arr, small_tbl.select(add_cols).combine_chunks()))
+
+    # plain tasks, not an actor pool: a pool pays spin-up per execution and
+    # caps probe width at its max size; the per-worker broadcast cache
+    # keeps the deserialize-once property (see dsutil.cached_broadcast)
+    def lookup(batch: pa.Table) -> pa.Table:
+        return _BroadcastLookup(ref, on, add_cols, how)(batch)
+
     return big.map_batches(
-        _BroadcastLookup,
-        fn_constructor_kwargs=dict(small_ref=ref, key=on, add_cols=add_cols,
-                                   how=how),
-        batch_format="pyarrow", concurrency=concurrency,
+        lookup, batch_format="pyarrow",
+        concurrency=concurrency if isinstance(concurrency, int) else None,
     )
 
 
@@ -86,7 +93,9 @@ class _BroadcastAnti:
     the broadcast key array."""
 
     def __init__(self, keys_ref, key: str, keep_matching: bool):
-        self.keys: pa.Array = ray.get(keys_ref)
+        from ..dsutil import cached_broadcast
+
+        self.keys: pa.Array = cached_broadcast(keys_ref)
         self.key, self.keep_matching = key, keep_matching
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -112,10 +121,13 @@ def broadcast_anti_join(
     """Drop rows whose ``key`` is in ``exclude_keys`` (J3 semi-join delete,
     storage.py:610-628) — key set broadcast once."""
     ref = ray.put(_keys_array(exclude_keys))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return _BroadcastAnti(ref, key, keep_matching=False)(batch)
+
     return ds.map_batches(
-        _BroadcastAnti,
-        fn_constructor_kwargs=dict(keys_ref=ref, key=key, keep_matching=False),
-        batch_format="pyarrow", concurrency=concurrency,
+        anti, batch_format="pyarrow",
+        concurrency=concurrency if isinstance(concurrency, int) else None,
     )
 
 
@@ -124,10 +136,13 @@ def broadcast_semi_join(
 ) -> ray.data.Dataset:
     """Keep only rows whose ``key`` is in ``include_keys``."""
     ref = ray.put(_keys_array(include_keys))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return _BroadcastAnti(ref, key, keep_matching=True)(batch)
+
     return ds.map_batches(
-        _BroadcastAnti,
-        fn_constructor_kwargs=dict(keys_ref=ref, key=key, keep_matching=True),
-        batch_format="pyarrow", concurrency=concurrency,
+        semi, batch_format="pyarrow",
+        concurrency=concurrency if isinstance(concurrency, int) else None,
     )
 
 
