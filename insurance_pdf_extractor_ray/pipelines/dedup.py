@@ -153,29 +153,29 @@ def exact_dedup(
     import ray as _ray
 
     winner_rows = winners.take_all()
-    ref = _ray.put(frozenset(r["__keep"] for r in winner_rows))
+    keys = frozenset(r["__keep"] for r in winner_rows)
+    numeric_keys = None
+    if keys and not any(isinstance(k, str) for k in keys):
+        numeric_keys = np.sort(np.fromiter(keys, dtype=np.int64,
+                                           count=len(keys)))
+    ref = _ray.put(numeric_keys if numeric_keys is not None else keys)
 
-    class Keep:
-        def __init__(self, keys_ref):
-            self.keys = _ray.get(keys_ref)
-            self._np_keys = None
-            if self.keys and not any(isinstance(k, str) for k in self.keys):
-                self._np_keys = np.sort(np.fromiter(self.keys, dtype=np.int64,
-                                                    count=len(self.keys)))
+    # plain tasks + per-worker payload cache, not an actor pool: pools pay
+    # spin-up per execution and cap the filter at their max width (see
+    # dsutil.cached_broadcast / filter_by_ids)
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        from ..dsutil import cached_broadcast
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col)
-            if self._np_keys is not None:
-                vals = ids.to_numpy(zero_copy_only=False)
-                mask = pa.array(np.isin(vals, self._np_keys, assume_unique=False))
-            else:
-                mask = pa.array([v in self.keys for v in ids.to_pylist()])
-            return batch.filter(mask).drop_columns(["__h"])
+        ks = cached_broadcast(ref)
+        ids = batch.column(id_col)
+        if isinstance(ks, np.ndarray):
+            vals = ids.to_numpy(zero_copy_only=False)
+            mask = pa.array(np.isin(vals, ks, assume_unique=False))
+        else:
+            mask = pa.array([v in ks for v in ids.to_pylist()])
+        return batch.filter(mask).drop_columns(["__h"])
 
-    return hashed.map_batches(
-        Keep, fn_constructor_kwargs=dict(keys_ref=ref),
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    return hashed.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def exact_dedup_keep_best(
