@@ -23,8 +23,9 @@ import ray.data
 
 
 class _BroadcastLookup:
-    """map_batches actor: resolves the broadcast small-side TABLE once per
-    actor; per-batch probe is one Arrow ``index_in`` + column ``take`` —
+    """Broadcast probe kernel: resolves the small-side TABLE once per
+    worker (dsutil.cached_broadcast); per-batch probe is one Arrow
+    ``index_in`` + column ``take`` —
     no per-row Python."""
 
     def __init__(self, small_ref, key: str, add_cols: List[str], how: str):
@@ -62,7 +63,7 @@ def broadcast_join(
 
     ``small`` is collected once (must be dimension-table sized), broadcast as
     an Arrow table via ``ray.put`` (zero-copy from the object store in every
-    actor), and probed per batch with vectorized ``index_in``.
+    worker), and probed per batch with vectorized ``index_in``.
     ``how``: 'inner' drops unmatched big rows; 'left' keeps them with nulls.
     """
     right_on = right_on or on
