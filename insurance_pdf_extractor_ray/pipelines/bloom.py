@@ -97,11 +97,14 @@ def build_bloom(
 
 
 class _BloomProbe:
-    """map_batches actor: bitset resolved from the object store once per
-    actor; per batch k vectorized probes, all-bits-set rows survive."""
+    """Broadcast probe kernel: bitset resolved from the object store once
+    per worker (dsutil.cached_broadcast — zero-copy numpy view); per batch
+    k vectorized probes, all-bits-set rows survive."""
 
     def __init__(self, bits_ref, key_col: str, m_bits: int, k: int):
-        self.bits = ray.get(bits_ref)
+        from ..dsutil import cached_broadcast
+
+        self.bits = cached_broadcast(bits_ref)
         self.key_col, self.m_bits, self.k = key_col, m_bits, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -139,11 +142,16 @@ def bloom_semi_join(
     """
     right_on = right_on or on
     bits_ref = ray.put(build_bloom(small, right_on, m_bits=m_bits, k=k))
+
+    # plain tasks, not an actor pool: the probe's only state is the
+    # broadcast bitset (plasma-cached per worker); pools pay per-execution
+    # spin-up and cap the probe width at their max size
+    def probe(batch: pa.Table) -> pa.Table:
+        return _BloomProbe(bits_ref, on, m_bits, k)(batch)
+
     survivors = big.map_batches(
-        _BloomProbe,
-        fn_constructor_kwargs=dict(bits_ref=bits_ref, key_col=on,
-                                   m_bits=m_bits, k=k),
-        batch_format="pyarrow", concurrency=concurrency)
+        probe, batch_format="pyarrow",
+        concurrency=concurrency if isinstance(concurrency, int) else None)
     if not exact:
         return survivors
 

@@ -432,6 +432,26 @@ def _bucket_dups(group: pa.Table, id_col: str, threshold: float,
 _MINHASH_STAGE_CACHE: dict = {}
 
 
+_GENERIC_STAGE_CACHE: dict = {}
+
+
+def _stage_task(cls, **kwargs):
+    """Per-worker cached stage instance wrapped as a plain map task — the
+    build-once semantics of an actor pool without its per-execution
+    spin-up (~2-3 s, measured) or width cap (pools ran signing stages
+    at most 8-wide regardless of cluster size).  ``kwargs`` must be
+    hashable; behavior must depend only on them."""
+    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def run(batch: pa.Table) -> pa.Table:
+        st = _GENERIC_STAGE_CACHE.get(key)
+        if st is None:
+            st = _GENERIC_STAGE_CACHE[key] = cls(**kwargs)
+        return st(batch)
+
+    return run
+
+
 def _cached_minhash_stage(col: str, id_col: str, num_perm: int,
                           num_bands: int, ngram: int) -> "MinHashDocStage":
     key = (col, id_col, num_perm, num_bands, ngram)
@@ -658,10 +678,9 @@ def simhash_dup_ids(
         return pa.table({id_col: pa.array(sorted(set(dups)), group.column(id_col).type)})
 
     sigs = ds.select_columns([id_col, col]).map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, ngram=ngram,
-                                   num_bands=num_bands),
-        batch_format="pyarrow", concurrency=concurrency,
+        _stage_task(SimHashStage, col=col, id_col=id_col, ngram=ngram,
+                    num_bands=num_bands),
+        batch_format="pyarrow",
     )
     from ..dsutil import bucketed_segments_map, distinct_rows_by
 
@@ -736,10 +755,9 @@ def jaccard_dup_pairs(
         )
 
     sigs = ds.select_columns([id_col, col]).map_batches(
-        Stage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   num_bands=num_bands, ngram=ngram),
-        batch_format="pyarrow", concurrency=concurrency,
+        _stage_task(Stage, col=col, id_col=id_col, num_perm=num_perm,
+                    num_bands=num_bands, ngram=ngram),
+        batch_format="pyarrow",
     )
     from ..dsutil import bucketed_segments_map, distinct_rows_by
 
@@ -768,10 +786,9 @@ def _jaccard_pairs_join(
     pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
 
     sigs = ds.select_columns([id_col, col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(col=col, id_col=id_col, num_perm=num_perm,
-                                   num_bands=num_bands, ngram=ngram),
-        batch_format="pyarrow", concurrency=concurrency,
+        _stage_task(MinHashStage, col=col, id_col=id_col, num_perm=num_perm,
+                    num_bands=num_bands, ngram=ngram),
+        batch_format="pyarrow",
     )
 
     def cand(group: pa.Table) -> pa.Table:
@@ -972,16 +989,15 @@ def jaccard_component_dedup(
     drop = frozenset(x for x, root in comp.items() if x != root)
     ref = ray.put(drop)
 
-    class Keep:
-        def __init__(self, keys_ref):
-            self.drop = ray.get(keys_ref)
+    def keep_roots(batch: pa.Table) -> pa.Table:
+        from ..dsutil import cached_broadcast
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([v not in self.drop for v in batch.column(id_col).to_pylist()])
-            return batch.filter(mask)
+        dropset = cached_broadcast(ref)
+        mask = pa.array([v not in dropset
+                         for v in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
 
-    return ds.map_batches(Keep, fn_constructor_kwargs=dict(keys_ref=ref),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(keep_roots, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1050,9 +1066,9 @@ def embedding_dup_ids(
         return pa.table({id_col: pa.array(sorted(set(dups)), group.column(id_col).type)})
 
     sigs = ds.select_columns([id_col, emb_col]).map_batches(
-        SignBucketStage,
-        fn_constructor_kwargs=dict(emb_col=emb_col, id_col=id_col, n_planes=n_planes),
-        batch_format="pyarrow", concurrency=concurrency,
+        _stage_task(SignBucketStage, emb_col=emb_col, id_col=id_col,
+                    n_planes=n_planes),
+        batch_format="pyarrow",
     )
     from ..dsutil import bucketed_segments_map
 
@@ -1197,11 +1213,10 @@ def minhash_cross_join(
 
     def sigs_of(d: ray.data.Dataset, side: int) -> ray.data.Dataset:
         s = d.select_columns([id_col, col]).map_batches(
-            MinHashStage,
-            fn_constructor_kwargs=dict(col=col, id_col=id_col,
-                                       num_perm=num_perm,
-                                       num_bands=num_bands, ngram=ngram),
-            batch_format="pyarrow", concurrency=concurrency,
+            _stage_task(MinHashStage, col=col, id_col=id_col,
+                        num_perm=num_perm,
+                        num_bands=num_bands, ngram=ngram),
+            batch_format="pyarrow",
         )
         return s.map_batches(
             lambda t, _s=side: t.append_column(
